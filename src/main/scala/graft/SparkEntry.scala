@@ -1,13 +1,577 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import minietl.ops.Ops
+import minietl.ops.Ops.Keep
+import minietl.schema.{ColumnSpec, SchemaValidator, TableSchema}
+
+/** Driver contract — one registered query (+ DuckDB oracle SQL where the
+  * semantics are ANSI-SQL-expressible) per operator from SURVEY.md §2 and per
+  * training-data-pipeline extra. Column names are aligned between the Spark
+  * result and the oracle (the driver sorts columns by name before hashing).
+  *
+  * Determinism rules used throughout:
+  *  - every floating aggregate is round()ed (2dp for sums, 4dp for ratios)
+  *    so double summation order cannot flip the hash;
+  *  - every query has a total ORDER BY with a unique tie-break key;
+  *  - integer-ish derived columns are cast to BIGINT on both sides
+  *    (Spark length/row_number return INT, DuckDB returns BIGINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * does not support natively; read it as raw long nanos and rebuild a
+    * micro-precision timestamp. DuckDB keeps nanos; every query truncates to
+    * >= second granularity so the two agree.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = t(s, dir, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else df
+  }
+
+  private def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  private def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  // ------------------------------------------------------------------
+  // Relational parity battery (SURVEY.md §2.2-2.4)
+  // ------------------------------------------------------------------
+  private val relational: Seq[(String, Q)] = Seq(
+
+    "q1_pricing_summary" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            // 2dp x 2dp products are exact 4dp / 6dp decimals; summing them as
+            // decimals is exact in both engines, immune to double-summation
+            // order (q1 at sf0.1 sums ~1e10 where double ulp > a 6dp half-step)
+            sum(revenue.cast("decimal(18,4)")).as("sum_disc_price"),
+            sum((revenue * (lit(1) + col("l_tax"))).cast("decimal(18,6)")).as("sum_charge"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             |  sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_extendedprice), 4) AS avg_price,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    "q_filter_project" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .transform(Ops.filterExpr("(l_quantity > 25) & (l_discount < 0.05)"))
+          .transform(Ops.select(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_discount")))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+             |FROM lineitem WHERE l_quantity > 25 AND l_discount < 0.05
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    "q_select_rename_drop" -> Q(
+      (s, dir) =>
+        t(s, dir, "customer")
+          .transform(Ops.rename(Map("c_acctbal" -> "balance", "c_name" -> "name")))
+          .transform(Ops.select(Seq("c_custkey", "name", "balance", "c_mktsegment")))
+          .transform(Ops.drop(Seq("c_mktsegment")))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name AS name, c_acctbal AS balance
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    "q_cast_coerce" -> Q(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_orderstatus").as("status_num"),
+            col("o_orderkey").cast("string").as("key_rt"))
+          .transform(Ops.castCoerce(Map("status_num" -> "int64", "key_rt" -> "int64")))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
+             |  TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_rt
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    "q_expression_derive" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .transform(Ops.expression("revenue = l_extendedprice * (1 - l_discount)"))
+          .transform(Ops.expression("qty_pow = l_quantity ** 2"))
+          .transform(Ops.expression("qty_div = l_quantity // 7"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("revenue"), 4).as("revenue"),
+            round(col("qty_pow"), 2).as("qty_pow"),
+            col("qty_div").cast("bigint").as("qty_div"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+             |  round(power(l_quantity, 2), 2) AS qty_pow,
+             |  CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    "q_fillna" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            nullif(col("l_returnflag"), lit("R")).as("flag"),
+            when(col("l_discount") < 0.02, lit(null)).otherwise(col("l_discount")).as("disc"))
+          .transform(Ops.fillnaMap(Map("flag" -> "X", "disc" -> 0.0)))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  coalesce(nullif(l_returnflag, 'R'), 'X') AS flag,
+             |  coalesce(CASE WHEN l_discount < 0.02 THEN NULL ELSE l_discount END, 0.0) AS disc
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    "q_group_agg" -> Q(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .transform(Ops.groupAgg(Seq("o_orderpriority"),
+            Map("o_totalprice" -> Seq("sum", "mean", "min", "max"), "o_orderkey" -> Seq("count"))))
+          .select(col("o_orderpriority"),
+            col("o_orderkey_count"),
+            round(col("o_totalprice_sum"), 2).as("o_totalprice_sum"),
+            round(col("o_totalprice_mean"), 4).as("o_totalprice_mean"),
+            col("o_totalprice_min"), col("o_totalprice_max"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  count(o_orderkey) AS o_orderkey_count,
+             |  round(sum(o_totalprice), 2) AS o_totalprice_sum,
+             |  round(avg(o_totalprice), 4) AS o_totalprice_mean,
+             |  min(o_totalprice) AS o_totalprice_min,
+             |  max(o_totalprice) AS o_totalprice_max
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    "q_global_agg" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .transform(Ops.groupAgg(Nil,
+            Map("l_quantity" -> Seq("sum", "mean"), "l_extendedprice" -> Seq("min", "max"),
+              "l_orderkey" -> Seq("nunique"))))
+          .select(round(col("l_quantity_sum"), 2).as("l_quantity_sum"),
+            round(col("l_quantity_mean"), 4).as("l_quantity_mean"),
+            col("l_extendedprice_min"), col("l_extendedprice_max"), col("l_orderkey_nunique")),
+      Some("""SELECT round(sum(l_quantity), 2) AS l_quantity_sum,
+             |  round(avg(l_quantity), 4) AS l_quantity_mean,
+             |  min(l_extendedprice) AS l_extendedprice_min,
+             |  max(l_extendedprice) AS l_extendedprice_max,
+             |  count(DISTINCT l_orderkey) AS l_orderkey_nunique
+             |FROM lineitem""".stripMargin)),
+
+    "q_dedupe_any" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+          .transform(Ops.dedupe())
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    "q_dedupe_first" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+          .transform(Ops.dedupe(Seq("l_orderkey"), Keep.First(Seq("l_linenumber", "l_quantity"))))
+          .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM (
+             |  SELECT l_orderkey, l_linenumber, l_quantity,
+             |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS rn
+             |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin)),
+
+    "q_dedupe_keep_none" -> Q(
+      (s, dir) =>
+        t(s, dir, "orders").select("o_custkey", "o_orderkey")
+          .transform(Ops.dedupe(Seq("o_custkey"), Keep.None_))
+          .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, o_orderkey FROM (
+             |  SELECT o_custkey, o_orderkey, count(*) OVER (PARTITION BY o_custkey) AS c
+             |  FROM orders) WHERE c = 1 ORDER BY o_custkey""".stripMargin)),
+
+    "q_sort_topk" -> Q(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .transform(Ops.sort(Seq("o_totalprice", "o_orderkey"), Seq(false, true)))
+          .limit(50)
+          .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin)),
+
+    "q_join_outer" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+          .select(c("c_custkey"), c("c_name"), o("o_orderkey"), o("o_totalprice"))
+          .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+             |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+             |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin)),
+
+    "q_join_multi" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(l("l_orderkey"), to_date(o("o_orderdate")).as("orderdate"))
+          .agg(round(sum(revenue), 4).as("revenue"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY 1, 2 ORDER BY l_orderkey""".stripMargin)),
+
+    "q5_nation_revenue" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val su = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(n("n_name"))
+          .agg(round(sum(revenue), 4).as("revenue"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON n_nationkey = s_nationkey
+             |JOIN region ON r_regionkey = n_regionkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    "q6_forecast_revenue" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+            && col("l_discount").between(0.03, 0.07)
+            && col("l_quantity") < 24)
+          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.03 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    "q_join_semi" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    "q_join_anti" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    "q_union_concat" -> Q(
+      (s, dir) => {
+        val a = t(s, dir, "customer").select(col("c_custkey").as("id"),
+          col("c_name").as("name"), col("c_acctbal").as("bal"), lit("customer").as("src"))
+        val b = t(s, dir, "supplier").select(col("s_suppkey").as("id"),
+          col("s_name").as("name"), lit("supplier").as("src"))
+        a.unionByName(b, allowMissingColumns = true).orderBy("src", "id")
+      },
+      Some("""SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal, 'customer' AS src FROM customer
+             |UNION ALL
+             |SELECT s_suppkey, s_name, NULL, 'supplier' FROM supplier
+             |ORDER BY src, id""".stripMargin)),
+
+    "q_union_dedup" -> Q(
+      (s, dir) => {
+        val a = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val b = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        a.union(b).transform(Ops.dedupe()).orderBy("nationkey")
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |UNION
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    "q_branch_split" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val pred = col("o_totalprice") >= 250000
+        val high = o.filter(pred).withColumn("branch", lit("high"))
+        val low = o.filter(!pred).withColumn("branch", lit("low"))
+        high.unionByName(low).select("o_orderkey", "branch").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_totalprice >= 250000 THEN 'high' ELSE 'low' END AS branch
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    "q_schema_coerce" -> Q(
+      (s, dir) => {
+        val schema = TableSchema(Seq(
+          ColumnSpec("c_custkey", "int64"),
+          ColumnSpec("c_name", "string"),
+          ColumnSpec("active", "boolean", default = Some(true)),
+          ColumnSpec("loyalty", "string", default = Some("basic"))))
+        new SchemaValidator(schema)(t(s, dir, "customer").select("c_custkey", "c_name"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, TRUE AS active, 'basic' AS loyalty
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    "q_ffill" -> Q(
+      (s, dir) =>
+        events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            when(col("value") < 10, lit(null)).otherwise(col("value")).as("v"))
+          .transform(Ops.ffill(Seq("v"), orderBy = "event_id", partitionBy = Seq("user_id")))
+          .withColumnRenamed("v", "v_filled")
+          .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+             |  last_value(CASE WHEN value < 10 THEN NULL ELSE value END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    "q_window_rank" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w).cast("bigint"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    CAST(row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+             |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    "q_intersect" -> Q(
+      (s, dir) => {
+        val a = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val b = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        a.intersect(b).orderBy("nationkey")
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    "q_except" -> Q(
+      (s, dir) => {
+        val a = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val b = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        a.except(b).orderBy("nationkey")
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |EXCEPT
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    "q_events_json" -> Q(
+      (s, dir) =>
+        events(s, dir)
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+            col("event_type"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, event_type
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    "q_events_daily" -> Q(
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(to_date(date_trunc("day", col("ts"))).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+          .orderBy("day", "event_type"),
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             |  count(*) AS n, round(sum(value), 2) AS total
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
+    "q_having" -> Q(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("spend"))
+          .filter(col("n") >= 12)
+          .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS spend
+             |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+             |ORDER BY o_custkey""".stripMargin)),
+
+    "q_string_funcs" -> Q(
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            upper(col("p_name")).as("name_u"),
+            length(col("p_name")).cast("bigint").as("name_len"),
+            concat_ws("-", col("p_brand"), col("p_type")).as("tag"),
+            substring(col("p_name"), 1, 5).as("pfx"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_name) AS name_u,
+             |  CAST(length(p_name) AS BIGINT) AS name_len,
+             |  concat_ws('-', p_brand, p_type) AS tag,
+             |  substr(p_name, 1, 5) AS pfx
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    "q_case_tier" -> Q(
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_custkey"),
+            expr("CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END").as("tier"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_acctbal < 0 THEN 'debt'
+             |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS tier
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    "q_rollup" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    "q_pivot" -> Q(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .count()
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("f_cnt"),
+            coalesce(col("O"), lit(0L)).as("o_cnt"),
+            coalesce(col("P"), lit(0L)).as("p_cnt"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
+             |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
+             |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+  )
+
+  // ------------------------------------------------------------------
+  // Training-data pipeline battery (SURVEY §7.5 + builder mandate)
+  // ------------------------------------------------------------------
+  private val pipelineExtras: Seq[(String, Q)] = Seq(
+
+    "q_doc_tokens" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+            length(col("text")).cast("bigint").as("n_chars_obs"),
+            size(array_distinct(split(col("text"), " "))).cast("bigint").as("n_uniq"))
+          .withColumn("uniq_ratio", round(col("n_uniq").cast("double") / col("n_tokens"), 4))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(length(text) AS BIGINT) AS n_chars_obs,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+             |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |        / len(string_split(text, ' ')), 4) AS uniq_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q_doc_quality" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+          .withColumn("n_stop",
+            size(expr("filter(toks, t -> t = 'the' OR t = 'a')")).cast("bigint"))
+          .select(col("doc_id"),
+            round((length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 4)
+              .as("avg_word_len"),
+            round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             |        / len(string_split(text, ' ')), 4) AS avg_word_len,
+             |  round(CAST(len(list_filter(string_split(text, ' '),
+             |                 t -> t = 'the' OR t = 'a')) AS DOUBLE)
+             |        / len(string_split(text, ' ')), 4) AS stop_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q_dedup_exact" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+          .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_copies"))
+          .orderBy("keep_doc"),
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc, count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY keep_doc""".stripMargin)),
+
+    "q_doc_lang_stats" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars"))
+          .orderBy("lang", "source"),
+      Some("""SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+             |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+  )
+
+  private val registry: Seq[(String, Q)] = relational ++ pipelineExtras
+
+  // ------------------------------------------------------------------
+  // Driver contract
+  // ------------------------------------------------------------------
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (k, q) => k -> q.fn }.toMap
+
+  def oracleSql: Map[String, String] =
+    registry.collect { case (k, Q(_, Some(sql))) => k -> sql }.toMap
 }

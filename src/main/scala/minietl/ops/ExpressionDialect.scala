@@ -1,0 +1,182 @@
+package minietl.ops
+
+/** Translator from the reference's `pd.eval` expression dialect to Spark SQL.
+  *
+  * The reference's `ExpressionTransformer` evaluates pandas-eval strings
+  * (see /root/reference/mini_etl/components/transformers.py:288-323): column
+  * arithmetic `+ - * / ** % //`, comparisons `== != < <= > >=`, boolean
+  * `& | ~`, and an assignment form `"name = rhs"` that derives a column.
+  *
+  * Spark SQL is a superset of that language except for three operators that
+  * differ in spelling or semantics:
+  *   - `**`  (power)            -> POWER(a, b)   (right-associative)
+  *   - `//`  (floor division)   -> FLOOR(a / b)
+  *   - `&` / `|` / `~` (boolean)-> AND / OR / NOT
+  *   - `==`                     -> =
+  *
+  * We tokenize and re-emit via precedence climbing rather than regex hacks so
+  * nested expressions like `(a + b) ** 2 // c & d > 1` translate correctly.
+  */
+object ExpressionDialect {
+
+  sealed trait Tok
+  case class Ident(s: String) extends Tok
+  case class Num(s: String) extends Tok
+  case class Str(s: String) extends Tok
+  case class Op(s: String) extends Tok
+  case object LParen extends Tok
+  case object RParen extends Tok
+  case object Comma extends Tok
+
+  private def tokenize(s: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isDigit || (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+        val j = i
+        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.' || s.charAt(i) == 'e' || s.charAt(i) == 'E' ||
+          ((s.charAt(i) == '+' || s.charAt(i) == '-') && i > j && (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E')))) i += 1
+        out += Num(s.substring(j, i))
+      } else if (c.isLetter || c == '_') {
+        val j = i
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        out += Ident(s.substring(j, i))
+      } else if (c == '\'' || c == '"') {
+        val quote = c
+        val j = i + 1
+        i += 1
+        val sb = new StringBuilder
+        while (i < n && s.charAt(i) != quote) {
+          if (s.charAt(i) == '\\' && i + 1 < n) { sb.append(s.charAt(i + 1)); i += 2 }
+          else { sb.append(s.charAt(i)); i += 1 }
+        }
+        require(i < n, s"unterminated string literal at $j in: $s")
+        i += 1
+        out += Str(sb.toString)
+      } else if (c == '(') { out += LParen; i += 1 }
+      else if (c == ')') { out += RParen; i += 1 }
+      else if (c == ',') { out += Comma; i += 1 }
+      else {
+        val two = if (i + 1 < n) s.substring(i, i + 2) else ""
+        if (two == "**" || two == "//" || two == "==" || two == "!=" || two == "<=" || two == ">=" || two == "&&" || two == "||") {
+          out += Op(two); i += 2
+        } else if ("+-*/%<>&|~^!=".indexOf(c) >= 0) { out += Op(c.toString); i += 1 }
+        else throw new IllegalArgumentException(s"unexpected char '$c' at $i in: $s")
+      }
+    }
+    out.toList
+  }
+
+  // precedence: | < ^ < & < comparisons < +- < */ // % < unary < ** < atoms
+  private final val Prec: Map[String, Int] = Map(
+    "|" -> 1, "||" -> 1, "^" -> 2, "&" -> 3, "&&" -> 3,
+    "==" -> 4, "!=" -> 4, "<" -> 4, "<=" -> 4, ">" -> 4, ">=" -> 4, "=" -> 4,
+    "+" -> 5, "-" -> 5,
+    "*" -> 6, "/" -> 6, "//" -> 6, "%" -> 6,
+    "**" -> 8)
+
+  private class Parser(var toks: List[Tok]) {
+    def peek: Option[Tok] = toks.headOption
+    def next(): Tok = { val h = toks.head; toks = toks.tail; h }
+
+    def parseExpr(minPrec: Int): String = {
+      var lhs = parseUnary()
+      var done = false
+      while (!done) {
+        peek match {
+          case Some(Op(op)) if Prec.contains(op) && Prec(op) >= minPrec =>
+            next()
+            val rightAssoc = op == "**"
+            val rhs = parseExpr(if (rightAssoc) Prec(op) else Prec(op) + 1)
+            lhs = emit(op, lhs, rhs)
+          case _ => done = true
+        }
+      }
+      lhs
+    }
+
+    private def parseUnary(): String = peek match {
+      case Some(Op("~")) | Some(Op("!")) => next(); s"(NOT ${parseExpr(7)})"
+      case Some(Op("-")) => next(); s"(- ${parseExpr(7)})"
+      case Some(Op("+")) => next(); parseExpr(7)
+      case _ => parseAtom()
+    }
+
+    private def parseAtom(): String = next() match {
+      case Num(v) => v
+      case Str(v) => "'" + v.replace("'", "\\'") + "'"
+      case Ident(name) =>
+        peek match {
+          case Some(LParen) => // function call, pass through
+            next()
+            val args = scala.collection.mutable.ListBuffer.empty[String]
+            if (peek != Some(RParen)) {
+              args += parseExpr(0)
+              while (peek == Some(Comma)) { next(); args += parseExpr(0) }
+            }
+            require(next() == RParen, "expected )")
+            s"$name(${args.mkString(", ")})"
+          case _ =>
+            name.toLowerCase match {
+              case "true" | "false" | "null" => name.toUpperCase
+              case "and" | "or" | "not" | "in" | "like" | "is" | "between" | "case" | "when" | "then" | "else" | "end" => name
+              case _ => s"`$name`"
+            }
+        }
+      case LParen =>
+        val e = parseExpr(0)
+        require(next() == RParen, "expected )")
+        s"($e)"
+      case t => throw new IllegalArgumentException(s"unexpected token $t")
+    }
+
+    private def emit(op: String, l: String, r: String): String = op match {
+      case "**" => s"POWER($l, $r)"
+      case "//" => s"FLOOR($l / $r)"
+      case "&" | "&&" => s"($l AND $r)"
+      case "|" | "||" => s"($l OR $r)"
+      case "^" => s"($l != $r)" // pandas boolean xor
+      case "==" | "=" => s"($l = $r)"
+      case o => s"($l $o $r)"
+    }
+  }
+
+  /** Translate one pd.eval expression into a Spark SQL expression string. */
+  def translate(expression: String): String =
+    new Parser(tokenize(expression)).parseExpr(0)
+
+  /** Split an assignment-form expression `"name = rhs"` into (name, rhsSql).
+    * Returns None when the string is a bare (filter) expression. Mirrors the
+    * reference's split on a single `=` that is not part of a comparison
+    * (transformers.py:316-320).
+    */
+  def splitAssignment(expression: String): Option[(String, String)] = {
+    var i = 0
+    val s = expression
+    var depth = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == '\'' || c == '"') { // skip string literal
+        val q = c; i += 1
+        while (i < s.length && s.charAt(i) != q) { if (s.charAt(i) == '\\') i += 1; i += 1 }
+      } else if (c == '=' && depth == 0) {
+        val prev = if (i > 0) s.charAt(i - 1) else ' '
+        val nxt = if (i + 1 < s.length) s.charAt(i + 1) else ' '
+        if (prev != '=' && prev != '!' && prev != '<' && prev != '>' && nxt != '=') {
+          val name = s.substring(0, i).trim
+          val rhs = s.substring(i + 1).trim
+          if (name.nonEmpty && name.forall(ch => ch.isLetterOrDigit || ch == '_') && !name.head.isDigit)
+            return Some((name, translate(rhs)))
+          else return None
+        }
+      }
+      i += 1
+    }
+    None
+  }
+}

@@ -1,0 +1,221 @@
+package minietl.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** The reference's transformer inventory re-expressed as pure
+  * `DataFrame => DataFrame` stages (SURVEY.md §2.2). Each factory returns a
+  * lazy transformation; composition with `Dataset.transform` builds one
+  * Catalyst plan, so Spark fuses the whole chain into whole-stage codegen —
+  * there is no per-operator materialization, unlike the reference's
+  * chunk-at-a-time generators (reference: mini_etl/core/pipeline.py:123-138).
+  */
+object Ops {
+
+  type Op = DataFrame => DataFrame
+
+  // ---------------------------------------------------------------- filter
+  /** FilterTransformer (reference: components/transformers.py:19-51). */
+  def filter(condition: Column): Op = _.filter(condition)
+
+  /** String-condition filter — the config surface's `filter` type. The
+    * condition is in the reference's pd.eval dialect; translated then handed
+    * to Catalyst, so the predicate participates in pushdown.
+    */
+  def filterExpr(condition: String): Op =
+    _.filter(expr(ExpressionDialect.translate(condition)))
+
+  // ---------------------------------------------------------------- rename
+  /** RenameTransformer (transformers.py:54-88): missing names are skipped
+    * silently, which `withColumnsRenamed` already does.
+    */
+  def rename(columns: Map[String, String]): Op = df => df.withColumnsRenamed(columns)
+
+  // ---------------------------------------------------------------- project
+  /** SelectColumnsTransformer (transformers.py:91-128): keep listed columns in
+    * order; when `ignoreMissing`, absent names are dropped from the selection
+    * (all-missing yields an empty-schema frame); otherwise error.
+    */
+  def select(columns: Seq[String], ignoreMissing: Boolean = true): Op = df => {
+    val present = df.columns.toSet
+    val (have, missing) = columns.partition(present.contains)
+    if (missing.nonEmpty && !ignoreMissing)
+      throw new IllegalArgumentException(s"columns not found: ${missing.mkString(", ")}")
+    df.select(have.map(col): _*)
+  }
+
+  /** DropColumnsTransformer (transformers.py:131-160). */
+  def drop(columns: Seq[String], ignoreMissing: Boolean = true): Op = df => {
+    val present = df.columns.toSet
+    val missing = columns.filterNot(present.contains)
+    if (missing.nonEmpty && !ignoreMissing)
+      throw new IllegalArgumentException(s"columns not found: ${missing.mkString(", ")}")
+    df.drop(columns: _*)
+  }
+
+  // ---------------------------------------------------------------- cast
+  /** Type-alias table shared by cast + schema coercion (SURVEY §1.2;
+    * reference transformers.py:180-189, core/schema.py:24-35).
+    */
+  def sparkTypeName(alias: String): String = alias.trim.toLowerCase match {
+    case "int" | "int64" | "integer" | "long" | "bigint" => "bigint"
+    case "int32" => "int"
+    case "int16" | "short" => "smallint"
+    case "int8" | "byte" => "tinyint"
+    case "float" | "float64" | "double" => "double"
+    case "float32" => "float"
+    case "str" | "string" | "object" | "text" => "string"
+    case "bool" | "boolean" => "boolean"
+    case "datetime" | "date" | "datetime64[ns]" | "timestamp" => "timestamp"
+    case "decimal" => "decimal(38, 9)"
+    case other => other // free-form Spark DDL type string (schema.py:19)
+  }
+
+  /** CastTypeTransformer (transformers.py:163-225): pandas `errors="coerce"`
+    * semantics — an unparseable value becomes null, never an error. Spark 4
+    * runs in ANSI mode by default, where a plain `cast` THROWS on bad input,
+    * so every cast here is a `try_cast`.
+    */
+  def castCoerce(columns: Map[String, String]): Op = df => {
+    columns.foldLeft(df) { case (d, (c, alias)) =>
+      d.withColumn(c, col(c).try_cast(sparkTypeName(alias)))
+    }
+  }
+
+  // ---------------------------------------------------------------- fillna
+  /** FillNATransformer scalar/per-column forms (transformers.py:228-285). */
+  def fillna(value: Any, columns: Seq[String] = Nil): Op = df => {
+    val targets = if (columns.nonEmpty) columns else df.columns.toSeq
+    value match {
+      case v: Long    => df.na.fill(v, targets)
+      case v: Int     => df.na.fill(v.toLong, targets)
+      case v: Double  => df.na.fill(v, targets)
+      case v: String  => df.na.fill(v, targets)
+      case v: Boolean => df.na.fill(v, targets)
+      case other => throw new IllegalArgumentException(s"unsupported fill value: $other")
+    }
+  }
+
+  def fillnaMap(values: Map[String, Any]): Op = df => df.na.fill(values)
+
+  /** Directional fill (`ffill`/`bfill`, transformers.py:270-283). pandas fills
+    * in physical row order; Spark has no stable global row order, so the
+    * caller must supply an explicit ordering column (SURVEY §7.6) and may
+    * supply partition keys so the window scales (an un-partitioned window is a
+    * single-task sort at 100 TB).
+    */
+  def ffill(columns: Seq[String], orderBy: String, partitionBy: Seq[String] = Nil): Op = df => {
+    val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*) else Window.partitionBy()
+    val w = base.orderBy(col(orderBy)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    columns.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  def bfill(columns: Seq[String], orderBy: String, partitionBy: Seq[String] = Nil): Op = df => {
+    val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*) else Window.partitionBy()
+    val w = base.orderBy(col(orderBy)).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    columns.foldLeft(df)((d, c) => d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+  }
+
+  // ---------------------------------------------------------------- expression
+  /** ExpressionTransformer (transformers.py:288-323): `"name = rhs"` derives
+    * (or overwrites) a column; `filterMode` (or a bare boolean expression)
+    * filters rows. Dialect translated by [[ExpressionDialect]].
+    */
+  def expression(s: String, filterMode: Boolean = false): Op = df => {
+    if (filterMode) df.filter(expr(ExpressionDialect.translate(s)))
+    else ExpressionDialect.splitAssignment(s) match {
+      case Some((name, rhsSql)) => df.withColumn(name, expr(rhsSql))
+      case None => df.filter(expr(ExpressionDialect.translate(s)))
+    }
+  }
+
+  // ---------------------------------------------------------------- aggregate
+  /** pandas agg-fn name -> Spark aggregate Column. */
+  def aggFn(fn: String, c: String): Column = fn.toLowerCase match {
+    case "sum" => sum(col(c))
+    case "mean" | "avg" => avg(col(c))
+    case "count" => count(col(c))
+    case "size" => count(lit(1))
+    case "min" => min(col(c))
+    case "max" => max(col(c))
+    case "std" => stddev(col(c))
+    case "var" => variance(col(c))
+    case "median" => median(col(c))
+    case "first" => first(col(c), ignoreNulls = true)
+    case "last" => last(col(c), ignoreNulls = true)
+    case "nunique" => countDistinct(col(c))
+    case "approx_nunique" => approx_count_distinct(col(c))
+    case other => throw new IllegalArgumentException(s"unknown agg function: $other")
+  }
+
+  /** GroupAggTransformer + StatefulAggTransformer collapsed into one operator
+    * (transformers.py:326-378, 381-519). The reference hand-rolls partial →
+    * final aggregation across chunks; Spark's HashAggregateExec does exactly
+    * that (map-side partial agg, shuffle on the group keys, final merge), so
+    * a plain groupBy covers both, distributed. Multi-fn output columns keep
+    * the reference's `col_fn` naming (transformers.py:371-377).
+    */
+  def groupAgg(groupBy: Seq[String], agg: Map[String, Seq[String]]): Op = df => {
+    val missing = groupBy.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(s"group columns not found: ${missing.mkString(", ")}")
+    val aggCols = for { (c, fns) <- agg.toSeq.sortBy(_._1); fn <- fns }
+      yield aggFn(fn, c).as(s"${c}_${fn.toLowerCase}")
+    require(aggCols.nonEmpty, "empty aggregation spec")
+    if (groupBy.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+    else df.groupBy(groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  // ---------------------------------------------------------------- dedupe
+  sealed trait Keep
+  object Keep {
+    /** keep one arbitrary row per key — Spark's native dropDuplicates;
+      * cheapest (partial agg before shuffle). */
+    case object Any extends Keep
+    /** keep the first/last row per key under an explicit ordering. */
+    case class First(orderBy: Seq[String]) extends Keep
+    case class Last(orderBy: Seq[String]) extends Keep
+    /** pandas keep=False: drop every row that has a duplicate. */
+    case object None_ extends Keep
+  }
+
+  /** DeduplicateTransformer (transformers.py:522-547). `First`/`Last` need an
+    * explicit ordering (pandas relies on physical row order, which Spark does
+    * not have — SURVEY §7.6); both run as one shuffle on the key columns.
+    */
+  def dedupe(subset: Seq[String] = Nil, keep: Keep = Keep.Any): Op = df => {
+    val keys = if (subset.nonEmpty) subset else df.columns.toSeq
+    keep match {
+      case Keep.Any => if (subset.nonEmpty) df.dropDuplicates(subset) else df.distinct()
+      case Keep.First(ord) =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.map(col(_).asc): _*)
+        df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      case Keep.Last(ord) =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.map(col(_).desc): _*)
+        df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      case Keep.None_ =>
+        val w = Window.partitionBy(keys.map(col): _*)
+        df.withColumn("__cnt", count(lit(1)).over(w)).filter(col("__cnt") === 1).drop("__cnt")
+    }
+  }
+
+  // ---------------------------------------------------------------- sort
+  /** SortTransformer (transformers.py:550-577). Spark's orderBy is a global
+    * range-partitioned sort — strictly stronger than the reference's
+    * chunk-local sort, and the semantics users actually expect.
+    */
+  def sort(by: Seq[String], ascending: Seq[Boolean] = Nil): Op = df => {
+    val asc = if (ascending.nonEmpty) ascending else Seq.fill(by.size)(true)
+    require(asc.size == by.size, "ascending must match by")
+    df.orderBy(by.zip(asc).map { case (c, a) => if (a) col(c).asc else col(c).desc }: _*)
+  }
+
+  // ---------------------------------------------------------------- lambda
+  /** LambdaTransformer (transformers.py:580-603): arbitrary frame function. */
+  def lambda(f: DataFrame => DataFrame): Op = f
+
+  /** Compose stages left-to-right into one stage. */
+  def chain(ops: Op*): Op = df => ops.foldLeft(df)((d, op) => op(d))
+}

@@ -549,6 +549,165 @@ object SparkEntry {
       Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc, count(*) AS n_copies
              |FROM documents GROUP BY 1 ORDER BY keep_doc""".stripMargin)),
 
+    "q_token_stats" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .select(col("doc_id"),
+            minietl.text.TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+            minietl.text.TextAnalysis.regexTokenCount(col("text")).as("n_rtokens"),
+            minietl.text.TextAnalysis.charCount(col("text")).as("n_chars_obs"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_rtokens,
+             |  CAST(length(text) AS BIGINT) AS n_chars_obs
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q_quality_score" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .select(col("doc_id"),
+            minietl.text.TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+            minietl.text.TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+            minietl.text.TextAnalysis.qualityScore(col("text")).as("quality_bp"))
+          .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, text,
+             |    string_split(text, ' ') AS toks,
+             |    CAST(length(text) AS BIGINT) AS L,
+             |    CAST(greatest(len(string_split(text, ' ')), 1) AS BIGINT) AS n,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS u,
+             |    CAST(len(list_filter(string_split(lower(text), ' '),
+             |      t -> list_contains(['the','a','and','of','to','in','is','that','for','it'], t))) AS BIGINT) AS k,
+             |    CAST(len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS BIGINT) AS p
+             |  FROM documents)
+             |SELECT doc_id,
+             |  round(CAST(p AS DOUBLE) / greatest(L, 1), 4) AS punct_ratio,
+             |  round(CAST(k AS DOUBLE) / n, 4) AS stop_ratio,
+             |  3 * least(L * 20, 10000)
+             |    + 3 * CAST(floor(u * 10000.0 / n) AS BIGINT)
+             |    + 3 * least(CAST(floor(k * 50000.0 / n) AS BIGINT), 10000)
+             |    + (10000 - CAST(floor(p * 10000.0 / greatest(L, 1)) AS BIGINT)) AS quality_bp
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    "q_lang_id" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .select(col("doc_id"), minietl.text.TextAnalysis.langId(col("text")).as("pred_lang"))
+          .orderBy("doc_id"),
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    len(list_filter(string_split(lower(text), ' '),
+             |      t -> list_contains(['the','a','and','of','to','in','is','that','for','it'], t))) AS en,
+             |    len(list_filter(string_split(lower(text), ' '),
+             |      t -> list_contains(['el','la','de','que','y','en','un','los','se','por'], t))) AS es,
+             |    len(list_filter(string_split(lower(text), ' '),
+             |      t -> list_contains(['le','la','les','de','et','un','une','que','dans','pour'], t))) AS fr,
+             |    len(list_filter(string_split(lower(text), ' '),
+             |      t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','sich','auf'], t))) AS de,
+             |    len(regexp_extract_all(text, '[一-鿿]')) AS cjk
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN cjk > 0 THEN 'zh'
+             |       WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+             |       WHEN en = greatest(en, es, fr, de) THEN 'en'
+             |       WHEN de = greatest(en, es, fr, de) THEN 'de'
+             |       WHEN es = greatest(en, es, fr, de) THEN 'es'
+             |       ELSE 'fr' END AS pred_lang
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    "q_ngram_jaccard" -> Q(
+      (s, dir) =>
+        minietl.dedup.Dedup.ngramJaccardPairs(
+          documents(s, dir), "text", "doc_id", "n_chars", radius = 10, shingleN = 3,
+          threshold = 0.5)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') toks FROM documents),
+             |s AS (SELECT doc_id, n_chars,
+             |        list_distinct(list_transform(range(1, len(toks) - 1),
+             |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
+             |      FROM d)
+             |SELECT id_a, id_b, jac FROM (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+             |      / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 4) AS jac
+             |  FROM s a JOIN s b
+             |    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 10)
+             |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    "q_ann_topk" -> Q(
+      (s, dir) => {
+        val e = embeddings(s, dir)
+        minietl.sim.Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+             |q AS (SELECT * FROM e WHERE vec_id < 10),
+             |scored AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |    round(list_cosine_similarity(q.v, c.v), 4) AS cos
+             |  FROM q, e c WHERE q.vec_id != c.vec_id),
+             |ranked AS (SELECT q_id, n_id, cos,
+             |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+             |  FROM scored)
+             |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin)),
+
+    "q_emb_neardup" -> Q(
+      (s, dir) =>
+        minietl.sim.Similarity.cosineNearDupPairsExact(embeddings(s, dir), threshold = 0.4)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+             |SELECT id_a, id_b, cos FROM (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    round(list_cosine_similarity(a.v, b.v), 4) AS cos
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
+
+    // -------- rows-only checks (not ANSI-SQL-expressible; covered by
+    // ScalaTest invariants instead: planted-pair recall, estimate accuracy)
+    "q_minhash_neardup" -> Q(
+      (s, dir) =>
+        minietl.dedup.Dedup.minhashNearDupPairs(
+          documents(s, dir), "text", "doc_id", shingleN = 3, k = 128, bands = 32,
+          threshold = 0.5)
+          .orderBy("id_a", "id_b"),
+      None),
+
+    "q_simhash_neardup" -> Q(
+      (s, dir) =>
+        minietl.dedup.Dedup.simhashNearDupPairs(documents(s, dir), "text", "doc_id",
+          maxHamming = 12)
+          .orderBy("id_a", "id_b"),
+      None),
+
+    "q_fingerprint" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .select(col("doc_id"), minietl.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      None),
+
+    "q_lsh_ann" -> Q(
+      (s, dir) => {
+        val e = embeddings(s, dir)
+        minietl.sim.Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5,
+          bits = 4, dim = 64)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
+    "q_multimodal_features" -> Q(
+      (s, dir) => {
+        val media = minietl.multimodal.Multimodal.fakeMedia(documents(s, dir), "doc_id", "text")
+        minietl.multimodal.Multimodal.extractFeatures(media, featureDim = 16)
+          .select(col("media_id"), col("n_bytes"),
+            round(element_at(col("features"), 1), 4).as("f0"),
+            round(element_at(col("features"), 16), 4).as("f15"))
+          .orderBy("media_id")
+      },
+      None),
+
     "q_doc_lang_stats" -> Q(
       (s, dir) =>
         documents(s, dir)

@@ -1,0 +1,215 @@
+package minietl.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed around
+  * one shuffle on a compact key rather than any all-pairs comparison:
+  *
+  *  - exact:   hash the content, one groupBy on the 128-bit digest;
+  *  - MinHash: shingle -> k-minhash signature -> LSH banding; only documents
+  *    sharing a band bucket are compared, so cost is O(rows x bands), not
+  *    O(rows^2) — the standard scale path for near-dedup at 100 TB;
+  *  - SimHash: 64-bit signature; banding on 16-bit chunks, verify by
+  *    Hamming distance (bit_count(xor));
+  *  - n-gram Jaccard: exact verification metric for candidate pairs;
+  *  - embedding cosine: near-dup by vector similarity, bucketed by a
+  *    random-hyperplane signature (see minietl.sim.Similarity).
+  *
+  * Everything is built from codegen'd built-ins (xxhash64, higher-order
+  * array functions); signatures are computed scan-side and are tiny relative
+  * to the documents, so the shuffles move kilobytes per row, not the text.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+  /** Exact dedup on a content column: keeps the row with the smallest
+    * `keyCol` per distinct content digest. One shuffle on the digest.
+    */
+  def exact(df: DataFrame, contentCol: String, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(contentCol).cast("binary")))
+      .orderBy(col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------------------- shingles
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Exact Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  // ---------------------------------------------------------------- minhash
+  private final val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** k independent universal-hash parameters, deterministic in `seed`
+    * (splitmix64 expansion — public-domain constant mixing).
+    */
+  private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(k)((math.abs(next()) % (MersennePrime - 1) + 1, math.abs(next()) % MersennePrime))
+  }
+
+  /** MinHash signature (array<bigint> of length k) of a shingle array.
+    * h_i(s) = (a_i * x + b_i) mod p over x = xxhash64(s) mod p; the min over
+    * shingles estimates per-permutation Jaccard. Pure expression: computed
+    * in the scan stage, no shuffle.
+    */
+  def minhashSignature(shingleArr: Column, k: Int = 128, seed: Long = 42L): Column = {
+    val params = hashParams(k, seed)
+    val hs = params.map { case (a, b) =>
+      aggregate(shingleArr, lit(Long.MaxValue),
+        (acc, s) => least(acc, (pmod(xxhash64(s), lit(MersennePrime)) * a + b) % MersennePrime))
+    }
+    array(hs: _*)
+  }
+
+  /** Estimated Jaccard from two equal-length MinHash signatures. */
+  def minhashEstimate(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
+
+  /** Explode a signature into `bands` LSH bucket keys: rows agreeing on all
+    * `k/bands` values inside any band land in the same bucket. Returns
+    * array<struct<band:int, key:bigint>> for `explode`.
+    */
+  def lshBandKeys(sig: Column, bands: Int, k: Int): Column = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, s"bands=$bands must divide k=$k")
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.cast("int").as("band"),
+        xxhash64(concat_ws(",", transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          v => v.cast("string"))), b).as("key")))
+  }
+
+  /** MinHash-LSH near-duplicate pairs: returns (idA, idB, est, jac) for
+    * candidate pairs sharing >=1 LSH bucket, verified by exact Jaccard >=
+    * `threshold`. Plan shape: scan -> signature (narrow) -> explode bands ->
+    * shuffle on (band, key) -> within-bucket self-join -> dedup pairs ->
+    * verify. The only all-pairs work happens inside buckets.
+    */
+  def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+                          threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    val base = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k, seed))
+    val banded = base
+      .select(col("id"), col("sh"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, k)).as("bk"))
+      .select(col("id"), col("sh"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est", round(minhashEstimate(col("sig_a"), col("sig_b")), 4))
+      .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "est", "jac")
+  }
+
+  /** Keep one representative (min id) per near-dup cluster: drops every row
+    * that appears as the greater id of a confirmed pair. (Transitive closure
+    * would need connected components; greedy min-id suffices for dedup.)
+    */
+  def minhashDedup(df: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+                   threshold: Double = 0.8): DataFrame = {
+    val dupIds = minhashNearDupPairs(df, textCol, idCol, shingleN, k, bands, threshold)
+      .select(col("id_b").as("__dup")).distinct()
+    df.join(dupIds, df(idCol) === col("__dup"), "left_anti")
+  }
+
+  /** Exact n-gram-Jaccard near-dup pairs with length blocking, expressed as
+    * an equi-join so it scales: candidates are pairs whose `lenCol` differ by
+    * at most `radius`. Rather than an all-pairs |a.len - b.len| <= radius
+    * nested-loop join, the left side explodes into its own and both adjacent
+    * length buckets (bucket width = 2*radius+1), making the join a plain
+    * shuffle on the bucket id; any pair within `radius` shares a bucket with
+    * exactly one of the three probes, so no pair dedup is needed.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, lenCol: String,
+                        radius: Int = 10, shingleN: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    val width = 2 * radius + 1
+    val base = df.select(col(idCol).as("id"), col(lenCol).as("len"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val bucket = floor(col("len") / width)
+    val probes = base.withColumn("bucket",
+      explode(array(bucket - 1, bucket, bucket + 1)))
+    val build = base.withColumn("bucket", bucket)
+      .select(col("bucket"), col("id").as("id_b"), col("len").as("len_b"), col("sh").as("sh_b"))
+    probes.join(build,
+        probes("bucket") === build("bucket")
+          && col("id") < col("id_b")
+          && abs(col("len") - col("len_b")) <= radius)
+      .withColumn("jac", round(jaccard(col("sh"), col("sh_b")), 4))
+      .filter(col("jac") >= threshold)
+      .select(col("id").as("id_a"), col("id_b"), col("jac"))
+  }
+
+  // ---------------------------------------------------------------- simhash
+  /** 64-bit SimHash of a token array: per bit position, sum +1/-1 votes of
+    * each token's xxhash64 bit; the sign of the sum sets the output bit.
+    * Near-identical token multisets differ in few bits.
+    */
+  def simhash(toks: Column): Column = {
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val bitVotes = array((0 until 64).map(i =>
+          shiftright(xxhash64(t), i).bitwiseAND(1).cast("int") * 2 - 1): _*)
+        zip_with(acc, bitVotes, (a, v) => a + v)
+      })
+    val powers = typedlit((0 until 64).map(i => 1L << i))
+    aggregate(zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
+    * chunks (pigeonhole: any pair within Hamming distance 3 shares at least
+    * one exact chunk), shuffle on (chunk index, chunk value), verify by
+    * Hamming <= maxHamming.
+    */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).as("id"), simhash(split(col(textCol), " ")).as("sig"))
+    val banded = base.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sig"), col("b.sig")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,107 @@
+package minietl.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines.
+  *
+  * Design: media are opaque `binary` columns paired with a typed metadata
+  * struct; heavy per-item work (decode / feature extraction / resize /
+  * frame sampling) runs batched per partition via `mapPartitions` — the
+  * Scala analog of the Python `mapInPandas` batch-UDF pattern: one decoder
+  * instance per task, rows streamed through it, output schema declared up
+  * front so Catalyst plans around the opaque stage.
+  *
+  * The actual codec step is STUBBED (this environment ships no image/audio
+  * libraries): `decodeStub` produces a deterministic fake feature vector
+  * from the bytes. Everything around it — schema, batching, partition
+  * sizing, null handling — is real and tested; swapping the stub for a real
+  * decoder changes one function body.
+  */
+object Multimodal {
+
+  /** media metadata carried alongside the payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", mediaMetaType, nullable = true)))
+
+  /** Wrap any table into the media schema with a deterministic fake payload
+    * (UTF-8 bytes of a text column) — lets the full pipeline run end-to-end
+    * without real media files.
+    */
+  def fakeMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(textCol).cast("binary").as("content"),
+      struct(
+        lit("fake/utf8").as("format"),
+        length(col(textCol)).as("width"),
+        lit(1).as("height"),
+        lit(null).cast("long").as("duration_ms")).as("meta"))
+
+  /** STUB decoder: a real implementation would decode `content` with an
+    * image/audio codec. The stub derives `featureDim` deterministic doubles
+    * in [-1, 1) from the payload bytes (rolling FNV-1a), so downstream
+    * similarity / dedup stages exercise realistic shapes.
+    */
+  def decodeStub(content: Array[Byte], featureDim: Int): Array[Double] = {
+    val out = new Array[Double](featureDim)
+    var h = 0xcbf29ce484222325L
+    if (content != null) {
+      var i = 0
+      while (i < content.length) {
+        h ^= content(i) & 0xffL
+        h *= 0x100000001b3L
+        out(i % featureDim) += (h % 1000L) / 1000.0
+        i += 1
+      }
+    }
+    out.map { v => val frac = v - math.floor(v); frac * 2 - 1 }
+  }
+
+  /** Batched "decode + featurize" stage: per-partition iteration with a
+    * declared output schema (media_id, n_bytes, features). At scale the
+    * partition is the batch: one task = one decoder = thousands of items,
+    * no per-row interpreter round-trips.
+    */
+  def extractFeatures(media: DataFrame, featureDim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val rows = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        Row(id, if (bytes == null) 0L else bytes.length.toLong,
+          decodeStub(bytes, featureDim).toSeq)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Frame-sampling plumbing for video-like payloads: split the byte stream
+    * into `frames` fixed-size slices (a stand-in for keyframe extraction)
+    * and emit one row per sampled frame — the explode-shaped stage a video
+    * pipeline needs, with deterministic fake slicing.
+    */
+  def sampleFrames(media: DataFrame, frames: Int = 4): DataFrame = {
+    media.select(col("media_id"), col("content"),
+        posexplode(sequence(lit(0), lit(frames - 1))).as(Seq("frame_idx", "_f")))
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        expr(s"substring(content, cast(frame_idx * (octet_length(content) / $frames) as int) + 1, " +
+          s"cast(octet_length(content) / $frames as int))").as("frame_bytes"))
+      .filter(octet_length(col("frame_bytes")) > 0)
+  }
+}

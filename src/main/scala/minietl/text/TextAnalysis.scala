@@ -1,0 +1,124 @@
+package minietl.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, heuristic language ID, and document
+  * fingerprinting. All are pure `Column` expressions built from Spark's
+  * codegen'd built-ins (split / higher-order array functions / xxhash64) —
+  * no UDFs, so the whole pipeline stays inside whole-stage codegen and
+  * scales linearly with executors.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the reference corpus is space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Regex tokenization for natural text: word pieces or single
+    * non-space punctuation — a cheap BPE-ish proxy for token counting.
+    */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("""[\p{L}\p{N}]+|[^\p{L}\p{N}\s]"""), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  def regexTokenCount(text: Column): Column = size(regexTokens(text)).cast("bigint")
+
+  def charCount(text: Column): Column = length(text).cast("bigint")
+
+  /** Distinct-token ratio — low values flag repetitive/spammy documents. */
+  def uniqueTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    round(size(array_distinct(t)).cast("double") / size(t), 4)
+  }
+
+  /** Ratio of punctuation characters to all characters. */
+  def punctRatio(text: Column): Column =
+    round(size(regexp_extract_all(text, lit("""[^\p{L}\p{N}\s]"""), lit(0))).cast("double")
+      / greatest(length(text), lit(1)), 4)
+
+  /** Mean token length in characters (spaces excluded). */
+  def avgWordLen(text: Column): Column = {
+    val n = size(tokens(text))
+    round((length(text) - (n - lit(1))).cast("double") / n, 4)
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "for", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "que", "dans", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"))
+
+  /** Count of tokens that appear in `words` (duplicates counted). */
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  /** Stopword ratio against the English list — a standard quality signal. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(lower(text))
+    round(stopwordCount(t, stopwords("en")).cast("double") / greatest(size(t), lit(1)), 4)
+  }
+
+  /** Composite quality score in [0,1]: rewards natural length, lexical
+    * diversity and presence of function words, penalizes punctuation soup.
+    * Weights are heuristic; the point is a deterministic, pushdown-friendly
+    * scalar computable at scan time.
+    */
+  /** Composite quality score in integer basis points, 0..100000: rewards
+    * natural length (capped at 500 chars), lexical diversity and presence of
+    * function words, penalizes punctuation soup. Computed entirely in
+    * integer arithmetic (scaled integers + floor of exact-integer-safe
+    * double divisions) so the value is bit-reproducible across engines —
+    * float weights like 0.3 round differently between runtimes at decimal
+    * half-boundaries.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val ltoks = tokens(lower(text))
+    val bigL = length(text).cast("bigint")
+    val n = greatest(size(toks), lit(1)).cast("bigint")
+    val u = size(array_distinct(toks)).cast("bigint")
+    val ns = greatest(size(ltoks), lit(1)).cast("bigint")
+    val k = stopwordCount(ltoks, stopwords("en")).cast("bigint")
+    val p = size(regexp_extract_all(text, lit("""[^\p{L}\p{N}\s]"""), lit(0))).cast("bigint")
+    val lenBp = least(bigL * 20, lit(10000L))
+    val uniqBp = floor(u * lit(10000.0) / n).cast("bigint")
+    val stopBp = least(floor(k * lit(50000.0) / ns).cast("bigint"), lit(10000L))
+    val punctBp = floor(p * lit(10000.0) / greatest(bigL, lit(1L))).cast("bigint")
+    lit(3L) * lenBp + lit(3L) * uniqBp + lit(3L) * stopBp + (lit(10000L) - punctBp)
+  }
+
+  /** Heuristic language ID over {en, es, fr, de, zh}: CJK characters force
+    * zh; otherwise the language whose stopword list hits most tokens wins,
+    * ties broken by fixed priority en > de > es > fr; no hits at all ->
+    * "und" (undetermined). Runs as one codegen'd expression per row —
+    * the n-gram-profile approach of public langid tools reduced to its
+    * scalable core (set membership counting).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val cjk = size(regexp_extract_all(text, lit("""[一-鿿]"""), lit(0)))
+    val en = stopwordCount(toks, stopwords("en"))
+    val es = stopwordCount(toks, stopwords("es"))
+    val fr = stopwordCount(toks, stopwords("fr"))
+    val de = stopwordCount(toks, stopwords("de"))
+    val top = greatest(en, es, fr, de)
+    when(cjk > 0, lit("zh"))
+      .when(top === 0, lit("und"))
+      .when(en === top, lit("en"))
+      .when(de === top, lit("de"))
+      .when(es === top, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Order-sensitive document fingerprint: a polynomial rolling hash over
+    * token xxhash64 values, computed mod 2^31-1 so every intermediate fits a
+    * long under ANSI arithmetic (Spark 4 default) — acc*31 + h < 2^36, no
+    * overflow. Documents equal up to whitespace normalization collide; any
+    * token swap changes the value. Deterministic across runs/JVMs.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(2147483647L)), lit(2147483647L)))
+}

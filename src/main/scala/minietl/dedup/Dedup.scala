@@ -49,42 +49,50 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
-  // ---------------------------------------------------------------- minhash
-  private final val MersennePrime = 2147483647L // 2^31 - 1
-
-  /** k independent universal-hash parameters, deterministic in `seed`
-    * (splitmix64 expansion — public-domain constant mixing).
+  /** Sorted xxhash64 of each shingle. All downstream work (MinHash lanes,
+    * Jaccard intersection, LSH banding) runs on this compact long array: each
+    * shingle string is hashed exactly once per document, pairwise set
+    * intersection compares 8-byte values instead of variable-length strings,
+    * and because the array is sorted, intersection is an allocation-free
+    * merge-walk ([[minietl.functions.JaccardSortedLong]]). A full-64-bit
+    * collision inside one document's shingle set (~n²/2^65) is negligible
+    * even at 100 TB corpus scale, so Jaccard over the hashes equals Jaccard
+    * over the strings.
     */
-  private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
-    var x = seed
-    def next(): Long = {
-      x += 0x9E3779B97F4A7C15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    Seq.fill(k)((math.abs(next()) % (MersennePrime - 1) + 1, math.abs(next()) % MersennePrime))
-  }
+  def hashedShingles(shingleArr: Column): Column =
+    array_sort(transform(shingleArr, xxhash64(_)))
 
+  /** Scale path for shingle hashing: hash word n-grams straight off the
+    * token array in one native pass ([[minietl.functions.ShingleHashes64]]),
+    * never materializing a shingle string. Set identity matches
+    * `hashedShingles(shingles(text, n))` modulo hash function choice;
+    * Jaccard values are identical because only set membership matters.
+    */
+  def shingleHashesSorted(text: Column, n: Int): Column =
+    minietl.functions.vec.shingleHashes(split(text, " "), n)
+
+  // ---------------------------------------------------------------- minhash
   /** MinHash signature (array<bigint> of length k) of a shingle array.
     * h_i(s) = (a_i * x + b_i) mod p over x = xxhash64(s) mod p; the min over
     * shingles estimates per-permutation Jaccard. Pure expression: computed
     * in the scan stage, no shuffle.
     */
-  def minhashSignature(shingleArr: Column, k: Int = 128, seed: Long = 42L): Column = {
-    val params = hashParams(k, seed)
-    val hs = params.map { case (a, b) =>
-      aggregate(shingleArr, lit(Long.MaxValue),
-        (acc, s) => least(acc, (pmod(xxhash64(s), lit(MersennePrime)) * a + b) % MersennePrime))
-    }
-    array(hs: _*)
-  }
+  def minhashSignature(shingleArr: Column, k: Int = 128, seed: Long = 42L): Column =
+    minhashFromHashes(hashedShingles(shingleArr), k, seed)
 
-  /** Estimated Jaccard from two equal-length MinHash signatures. */
+  /** Signature from an already-hashed (xxhash64) shingle array: all k lanes
+    * in one native pass ([[minietl.functions.MinHashSignature64]]) — the
+    * string hashing happens once per document, and the lane minima are a
+    * tight generated loop instead of k interpreted folds.
+    */
+  def minhashFromHashes(hashArr: Column, k: Int = 128, seed: Long = 42L): Column =
+    minietl.functions.vec.minhashSignature(hashArr, k, seed)
+
+  /** Estimated Jaccard from two equal-length MinHash signatures (native
+    * equal-lane count, [[minietl.functions.MinHashEstimate]]).
+    */
   def minhashEstimate(sigA: Column, sigB: Column): Column =
-    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
+    minietl.functions.vec.minhashEstimate(sigA, sigB)
 
   /** Explode a signature into `bands` LSH bucket keys: rows agreeing on all
     * `k/bands` values inside any band land in the same bucket. Returns
@@ -93,10 +101,12 @@ object Dedup {
   def lshBandKeys(sig: Column, bands: Int, k: Int): Column = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, s"bands=$bands must divide k=$k")
+    // Band key = xxhash64 fold over the band's lanes — pure long arithmetic,
+    // no per-band string building.
     transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(b.cast("int").as("band"),
-        xxhash64(concat_ws(",", transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-          v => v.cast("string"))), b).as("key")))
+        aggregate(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          b.cast("bigint"), (acc, v) => xxhash64(acc, v)).as("key")))
   }
 
   /** MinHash-LSH near-duplicate pairs: returns (idA, idB, est, jac) for
@@ -108,22 +118,29 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                           threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
-    val base = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k, seed))
+    // Persisted because the plan references it three times (banding + two
+    // candidate-fetch joins); without it the signature computation — the
+    // expensive scan-side work — would run three times.
+    val base = df.select(col(idCol).as("id"),
+        shingleHashesSorted(col(textCol), shingleN).as("hsh"))
+      .withColumn("sig", minhashFromHashes(col("hsh"), k, seed))
+      .persist()
+    // The band shuffle moves only (id, band, key) — 20 bytes/row/band — not
+    // the signature or shingle arrays; candidate ids join back to `base` to
+    // fetch the arrays exactly once per confirmed candidate pair.
     val banded = base
-      .select(col("id"), col("sh"), col("sig"),
-        explode(lshBandKeys(col("sig"), bands, k)).as("bk"))
-      .select(col("id"), col("sh"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, k)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key")
         && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(base.select(col("id").as("id_a"), col("sig").as("sig_a"), col("hsh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sig").as("sig_b"), col("hsh").as("sh_b")), "id_b")
       .withColumn("est", round(minhashEstimate(col("sig_a"), col("sig_b")), 4))
-      .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .withColumn("jac", round(minietl.functions.vec.jaccardSorted(col("sh_a"), col("sh_b")), 4))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "est", "jac")
   }
@@ -152,20 +169,29 @@ object Dedup {
                         radius: Int = 10, shingleN: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
     val width = 2 * radius + 1
+    // Persisted: the bucket join and both candidate-fetch joins read it, and
+    // shingling is the expensive scan-side step.
     val base = df.select(col(idCol).as("id"), col(lenCol).as("len"),
-      shingles(col(textCol), shingleN).as("sh"))
+      shingleHashesSorted(col(textCol), shingleN).as("sh")).persist()
+    // The bucket join moves only (id, len, bucket); the shingle arrays join
+    // back onto the surviving candidate pairs, so no array is copied per
+    // bucket-pair — only per radius-qualified candidate.
+    val slim = base.select(col("id"), col("len"))
     val bucket = floor(col("len") / width)
-    val probes = base.withColumn("bucket",
+    val probes = slim.withColumn("bucket",
       explode(array(bucket - 1, bucket, bucket + 1)))
-    val build = base.withColumn("bucket", bucket)
-      .select(col("bucket"), col("id").as("id_b"), col("len").as("len_b"), col("sh").as("sh_b"))
+    val build = slim.withColumn("bucket", bucket)
+      .select(col("bucket"), col("id").as("id_b"), col("len").as("len_b"))
     probes.join(build,
         probes("bucket") === build("bucket")
           && col("id") < col("id_b")
           && abs(col("len") - col("len_b")) <= radius)
-      .withColumn("jac", round(jaccard(col("sh"), col("sh_b")), 4))
+      .select(col("id").as("id_a"), col("id_b"))
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jac", round(minietl.functions.vec.jaccardSorted(col("sh_a"), col("sh_b")), 4))
       .filter(col("jac") >= threshold)
-      .select(col("id").as("id_a"), col("id_b"), col("jac"))
+      .select("id_a", "id_b", "jac")
   }
 
   // ---------------------------------------------------------------- simhash
@@ -173,19 +199,10 @@ object Dedup {
     * each token's xxhash64 bit; the sign of the sum sets the output bit.
     * Near-identical token multisets differ in few bits.
     */
-  def simhash(toks: Column): Column = {
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val bitVotes = array((0 until 64).map(i =>
-          shiftright(xxhash64(t), i).bitwiseAND(1).cast("int") * 2 - 1): _*)
-        zip_with(acc, bitVotes, (a, v) => a + v)
-      })
-    val powers = typedlit((0 until 64).map(i => 1L << i))
-    aggregate(zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def simhash(toks: Column): Column =
+    // Hash every token once (one string pass), then the 64 per-bit votes run
+    // as one native loop over the longs (minietl.functions.SimHash64).
+    minietl.functions.vec.simhash64(transform(toks, xxhash64(_)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")

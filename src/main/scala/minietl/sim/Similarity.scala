@@ -25,9 +25,29 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Dot product of two already-double arrays (see [[prepared]]): a native
+    * codegen expression ([[minietl.functions.DotProductDouble]]) — inside a
+    * pairwise join the interpreted higher-order-function fold is the
+    * dominant cost, a generated tight loop is not.
+    */
+  def dotD(a: Column, b: Column): Column = minietl.functions.vec.dot(a, b)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Per-row similarity prep: cast the float vector to double ONCE and
+    * precompute its norm. Every pairwise comparison after a join then costs a
+    * single fused dot product instead of three (dot + both norms) plus
+    * 2×dim element casts — the dominant per-pair cost in any all-pairs or
+    * bucketed similarity plan. Arithmetic is bit-identical to [[cosine]]
+    * (same cast, same fold order, same sqrt).
+    */
+  private def prepared(df: DataFrame, idCol: String, vecCol: String,
+                       idAs: String, vecAs: String, normAs: String): DataFrame =
+    df.select(col(idCol).as(idAs),
+        transform(col(vecCol), x => x.cast("double")).as(vecAs))
+      .withColumn(normAs, sqrt(dotD(col(vecAs), col(vecAs))))
 
   /** L2-normalize once up front: downstream cosine becomes a plain dot
     * product — at 100 TB you normalize at ingest, not per comparison.
@@ -46,10 +66,11 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = prepared(queries, idCol, vecCol, "q_id", "q_vec", "q_norm")
+    val c = prepared(corpus, idCol, vecCol, "n_id", "n_vec", "n_norm")
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 4))
+      .withColumn("cos",
+        round(dotD(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 4))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
@@ -73,11 +94,15 @@ object Similarity {
   }
 
   /** Random-hyperplane signature (int bucket id in [0, 2^bits)). */
-  def lshSignature(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column = {
+  def lshSignature(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column =
+    lshSignatureD(transform(vec, x => x.cast("double")), bits, dim, seed)
+
+  /** Signature over an already-double vector (see [[prepared]]). */
+  private def lshSignatureD(vec: Column, bits: Int, dim: Int, seed: Long): Column = {
     val planes = hyperplanes(bits, dim, seed)
     val bitCols = planes.zipWithIndex.map { case (p, i) =>
       val proj = aggregate(
-        zip_with(vec, typedlit(p.toSeq), (x, w) => x.cast("double") * w),
+        zip_with(vec, typedlit(p.toSeq), (x, w) => x * w),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }
@@ -93,13 +118,14 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int, dim: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               seed: Long = 42L): DataFrame = {
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      lshSignature(col(vecCol), bits, dim, seed).as("bucket"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      lshSignature(col(vecCol), bits, dim, seed).as("bucket"))
+    val c = prepared(corpus, idCol, vecCol, "n_id", "n_vec", "n_norm")
+      .withColumn("bucket", lshSignatureD(col("n_vec"), bits, dim, seed))
+    val q = prepared(queries, idCol, vecCol, "q_id", "q_vec", "q_norm")
+      .withColumn("bucket", lshSignatureD(col("q_vec"), bits, dim, seed))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 4))
+      .withColumn("cos",
+        round(dotD(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 4))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
@@ -113,12 +139,13 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, threshold: Double, bits: Int, dim: Int,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          seed: Long = 42L): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshSignature(col(vecCol), bits, dim, seed).as("bucket"))
+    val sig = prepared(df, idCol, vecCol, "id", "vec", "nrm")
+      .withColumn("bucket", lshSignatureD(col("vec"), bits, dim, seed))
     val a = sig.as("a")
     val b = sig.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cos", round(cosine(col("a.vec"), col("b.vec")), 4))
+      .withColumn("cos",
+        round(dotD(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
@@ -128,10 +155,10 @@ object Similarity {
     */
   def cosineNearDupPairsExact(df: DataFrame, threshold: Double,
                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val a = prepared(df, idCol, vecCol, "id_a", "va", "na_")
+    val b = prepared(df, idCol, vecCol, "id_b", "vb", "nb_")
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("cos", round(dotD(col("va"), col("vb")) / (col("na_") * col("nb_")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

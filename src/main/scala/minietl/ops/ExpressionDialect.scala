@@ -145,8 +145,12 @@ object ExpressionDialect {
   }
 
   /** Translate one pd.eval expression into a Spark SQL expression string. */
-  def translate(expression: String): String =
-    new Parser(tokenize(expression)).parseExpr(0)
+  def translate(expression: String): String = {
+    val p = new Parser(tokenize(expression))
+    val out = p.parseExpr(0)
+    require(p.toks.isEmpty, s"trailing tokens ${p.toks.mkString(" ")} in: $expression")
+    out
+  }
 
   /** Split an assignment-form expression `"name = rhs"` into (name, rhsSql).
     * Returns None when the string is a bare (filter) expression. Mirrors the

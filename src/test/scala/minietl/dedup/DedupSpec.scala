@@ -1,0 +1,112 @@
+package minietl.dedup
+
+import minietl.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // ten base sentences, one near-duplicate pair (0,1), one exact pair (2,3)
+  private val texts = Seq(
+    0L -> "the quick brown fox jumps over the lazy dog near the quiet river bank today",
+    1L -> "the quick brown fox jumps over the lazy dog near the quiet river bank tonight",
+    2L -> "completely identical content lives here in this exact document body",
+    3L -> "completely identical content lives here in this exact document body",
+    4L -> "an entirely different story about mountains and snow in winter",
+    5L -> "cooking pasta requires salted boiling water and a watchful eye",
+    6L -> "databases shuffle partitions across the cluster during wide joins",
+    7L -> "gardens bloom in spring when the rain finally returns to the valley",
+    8L -> "seven sailors sang sea shanties under silver stars last saturday",
+    9L -> "quantum computing remains a promising but distant engineering goal")
+
+  private def docs = texts.toDF("doc_id", "text")
+    .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("exact dedup keeps the min-key row per identical content") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    assert(out.count() === texts.size - 1)
+    assert(out.filter(col("doc_id") === 3L).count() === 0)
+    assert(out.filter(col("doc_id") === 2L).count() === 1)
+  }
+
+  test("shingles produce word n-grams with the short-document special case") {
+    val sh = spark.sql("SELECT 1").select(
+      Dedup.shingles(lit("a b c d"), 3).as("sh"),
+      Dedup.shingles(lit("a b"), 3).as("short"))
+      .collect()(0)
+    assert(sh.getSeq[String](0).toSet === Set("a b c", "b c d"))
+    assert(sh.getSeq[String](1) === Seq("a b"))
+  }
+
+  test("jaccard of shingle arrays matches set arithmetic") {
+    val j = spark.sql("SELECT 1").select(
+      Dedup.jaccard(
+        Dedup.shingles(lit("a b c d"), 2),     // {a b, b c, c d}
+        Dedup.shingles(lit("b c d e"), 2))     // {b c, c d, d e}
+        .as("j")).as[Double].collect()(0)
+    assert(math.abs(j - 2.0 / 4.0) < 1e-12)
+  }
+
+  test("hashed shingles preserve Jaccard of string shingles") {
+    val row = spark.sql("SELECT 1").select(
+      Dedup.jaccard(
+        Dedup.shingles(lit(texts(0)._2), 3),
+        Dedup.shingles(lit(texts(1)._2), 3)).as("string_jac"),
+      minietl.functions.vec.jaccardSorted(
+        Dedup.shingleHashesSorted(lit(texts(0)._2), 3),
+        Dedup.shingleHashesSorted(lit(texts(1)._2), 3)).as("hash_jac"))
+      .collect()(0)
+    assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-12)
+  }
+
+  test("minhashNearDupPairs finds planted near-dup and exact pairs, nothing else") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+      shingleN = 3, k = 128, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("minhash estimate tracks exact jaccard on the candidate pairs") {
+    val rows = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+      shingleN = 3, k = 128, bands = 32, threshold = 0.5)
+      .select("est", "jac").as[(Double, Double)].collect()
+    rows.foreach { case (est, jac) =>
+      assert(math.abs(est - jac) < 0.25, s"est=$est jac=$jac") }
+  }
+
+  test("minhashDedup drops the greater id of each confirmed pair") {
+    val kept = Dedup.minhashDedup(docs, "text", "doc_id",
+      shingleN = 3, k = 128, bands = 32, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 2L, 4L, 5L, 6L, 7L, 8L, 9L))
+  }
+
+  test("ngramJaccardPairs matches a brute-force oracle under length blocking") {
+    val radius = 30
+    val expected = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts
+      if ia < ib && math.abs(ta.length - tb.length) <= radius
+      sa = ta.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      sb = tb.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      jac = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if jac >= 0.5
+    } yield (ia, ib)).toSet
+    val got = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "n_chars",
+      radius = radius, shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.contains((0L, 1L)) && got.contains((2L, 3L)))
+  }
+
+  test("simhash: identical docs at distance 0, near-dups close, others far") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(split(col("text"), " ")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(2L), sigs(3L)) === 0)
+    assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(4L)))
+    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 3L)))
+  }
+}

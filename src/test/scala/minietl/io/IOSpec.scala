@@ -1,0 +1,90 @@
+package minietl.io
+
+import java.nio.file.Files
+
+import minietl.SparkTestBase
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IOSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("minietl-io").toString
+
+  private def sample = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+    .toDF("id", "name", "score")
+
+  test("csv writer/reader round-trip with header") {
+    val dir = s"${tmp()}/out"
+    Writers.csv(sample, dir)
+    val back = Readers.csv(spark, dir)
+    assert(back.count() === 3)
+    assert(back.columns.toSeq === Seq("id", "name", "score"))
+    assert(back.filter(col("name") === "b").select("score").as[Double].collect()(0) === 2.5)
+  }
+
+  test("jsonl writer/reader round-trip") {
+    val dir = s"${tmp()}/out"
+    Writers.json(sample, dir)
+    val back = Readers.json(spark, dir)
+    assert(back.count() === 3)
+    assert(back.select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+  }
+
+  test("parquet round-trip with column pruning and hive partitioning") {
+    val dir = s"${tmp()}/out"
+    Writers.parquet(sample, dir, partitionBy = Seq("name"))
+    val pruned = Readers.parquet(spark, dir, columns = Seq("id", "name"))
+    assert(pruned.columns.toSeq === Seq("id", "name"))
+    assert(pruned.count() === 3)
+    // partition dirs exist hive-style
+    val sub = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("name="))
+    assert(sub.toSet === Set("name=a", "name=b", "name=c"))
+  }
+
+  test("append mode accumulates rows; overwrite replaces") {
+    val dir = s"${tmp()}/out"
+    Writers.parquet(sample, dir)
+    Writers.parquet(sample, dir, mode = "append")
+    assert(Readers.parquet(spark, dir).count() === 6)
+    Writers.parquet(sample, dir, mode = "overwrite")
+    assert(Readers.parquet(spark, dir).count() === 3)
+  }
+
+  test("saveMode maps the reference's mode strings") {
+    assert(Writers.saveMode("w") === SaveMode.Overwrite)
+    assert(Writers.saveMode("replace") === SaveMode.Overwrite)
+    assert(Writers.saveMode("a") === SaveMode.Append)
+    assert(Writers.saveMode("fail") === SaveMode.ErrorIfExists)
+    assert(Writers.saveMode("ignore") === SaveMode.Ignore)
+    intercept[IllegalArgumentException](Writers.saveMode("bogus"))
+  }
+
+  test("multi fans one frame out to several sinks without recompute") {
+    val d1 = s"${tmp()}/a"
+    val d2 = s"${tmp()}/b"
+    Writers.multi(sample, Seq(df => Writers.parquet(df, d1), df => Writers.csv(df, d2)))
+    assert(Readers.parquet(spark, d1).count() === 3)
+    assert(Readers.csv(spark, d2).count() === 3)
+  }
+
+  test("noop consumes and counts") {
+    assert(Writers.noop(sample) === 3L)
+  }
+
+  test("inMemory source builds a frame from rows") {
+    val df = Readers.inMemory(spark, sample.collect().toSeq, sample.schema)
+    assert(df.count() === 3)
+  }
+
+  test("jdbc reader validates query XOR table") {
+    intercept[IllegalArgumentException] {
+      Readers.jdbc(spark, "jdbc:fake", table = Some("t"), query = Some("q"))
+    }
+    intercept[IllegalArgumentException] {
+      Readers.jdbc(spark, "jdbc:fake")
+    }
+  }
+}

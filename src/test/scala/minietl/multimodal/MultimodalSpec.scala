@@ -1,0 +1,43 @@
+package minietl.multimodal
+
+import minietl.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq((1L, "hello world"), (2L, "abc"), (3L, ""))
+    .toDF("doc_id", "text")
+
+  test("fakeMedia produces the media schema with payload bytes") {
+    val m = Multimodal.fakeMedia(docs, "doc_id", "text")
+    assert(m.schema.fieldNames.toSeq === Seq("media_id", "content", "meta"))
+    val r = m.filter(col("media_id") === 1).select("content").collect()(0)
+    assert(new String(r.getAs[Array[Byte]](0), "UTF-8") === "hello world")
+  }
+
+  test("decodeStub is deterministic and bounded in [-1, 1)") {
+    val f1 = Multimodal.decodeStub("hello".getBytes, 8)
+    val f2 = Multimodal.decodeStub("hello".getBytes, 8)
+    assert(f1.toSeq === f2.toSeq)
+    assert(f1.forall(v => v >= -1.0 && v < 1.0))
+    assert(Multimodal.decodeStub(null, 4).length === 4)
+  }
+
+  test("extractFeatures yields declared schema, n_bytes, fixed-dim features") {
+    val out = Multimodal.extractFeatures(Multimodal.fakeMedia(docs, "doc_id", "text"), 16)
+    assert(out.schema.fieldNames.toSeq === Seq("media_id", "n_bytes", "features"))
+    val rows = out.orderBy("media_id").collect()
+    assert(rows.map(_.getLong(1)).toSeq === Seq(11L, 3L, 0L))
+    assert(rows.forall(_.getSeq[Double](2).size === 16))
+  }
+
+  test("sampleFrames explodes fixed slices and drops empty payloads") {
+    val m = Multimodal.fakeMedia(Seq((1L, "abcdefgh")).toDF("doc_id", "text"), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(m, frames = 4).orderBy("frame_idx").collect()
+    assert(frames.length === 4)
+    val joined = frames.map(r => new String(r.getAs[Array[Byte]]("frame_bytes"), "UTF-8")).mkString
+    assert(joined === "abcdefgh")
+  }
+}

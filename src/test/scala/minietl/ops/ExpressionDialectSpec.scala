@@ -1,0 +1,47 @@
+package minietl.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpressionDialectSpec extends AnyFunSuite {
+
+  test("power, floor division, boolean operators translate") {
+    assert(ExpressionDialect.translate("a ** 2") === "POWER(`a`, 2)")
+    assert(ExpressionDialect.translate("a // b") === "FLOOR(`a` / `b`)")
+    assert(ExpressionDialect.translate("a & b") === "(`a` AND `b`)")
+    assert(ExpressionDialect.translate("a | ~b") === "(`a` OR (NOT `b`))")
+    assert(ExpressionDialect.translate("a == 1") === "(`a` = 1)")
+  }
+
+  test("precedence: comparison binds tighter than boolean, arithmetic tighter than comparison") {
+    assert(ExpressionDialect.translate("a + 1 > 2 & b < 3")
+      === "(((`a` + 1) > 2) AND (`b` < 3))")
+  }
+
+  test("power is right-associative") {
+    assert(ExpressionDialect.translate("a ** b ** c")
+      === "POWER(`a`, POWER(`b`, `c`))")
+  }
+
+  test("string literals and escapes survive") {
+    assert(ExpressionDialect.translate("name == 'O\\'Brien'") === raw"(`name` = 'O\'Brien')")
+    assert(ExpressionDialect.translate("""category == "A"""") === "(`category` = 'A')")
+    intercept[IllegalArgumentException](ExpressionDialect.translate("a == 1 1"))
+  }
+
+  test("function calls pass through") {
+    assert(ExpressionDialect.translate("abs(a - b) > 2")
+      === "(abs((`a` - `b`)) > 2)")
+  }
+
+  test("splitAssignment separates derive form from filter form") {
+    assert(ExpressionDialect.splitAssignment("total = price * qty")
+      === Some(("total", "(`price` * `qty`)")))
+    assert(ExpressionDialect.splitAssignment("price == qty") === None)
+    assert(ExpressionDialect.splitAssignment("price >= 10") === None)
+    assert(ExpressionDialect.splitAssignment("a <= b") === None)
+  }
+
+  test("unary minus and nested parens") {
+    assert(ExpressionDialect.translate("-(a + b) * 2") === "((- ((`a` + `b`))) * 2)")
+  }
+}

@@ -1,0 +1,151 @@
+package minietl.ops
+
+import minietl.SparkTestBase
+import minietl.ops.Ops.Keep
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator specs mirroring the reference's transformer tests
+  * (reference: tests/test_transformers.py) on the same fixture shape
+  * (tests/conftest.py:14-22 — id 1..100, category A-E cycling,
+  * value 100..199, name item_i).
+  */
+class OpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def sample =
+    (1 to 100).map(i =>
+      (i.toLong, ('A' + (i - 1) % 5).toChar.toString, 99L + i, s"item_$i"))
+      .toDF("id", "category", "value", "name")
+
+  test("filter keeps rows matching a Column predicate (49 of 100, like the reference)") {
+    assert(sample.transform(Ops.filter(col("value") > 150)).count() === 49)
+  }
+
+  test("filterExpr accepts the pd.eval dialect") {
+    // category A holds values 100, 105, ..., 195 → nine of them exceed 150
+    val out = sample.transform(Ops.filterExpr("(value > 150) & (category == 'A')"))
+    assert(out.count() === 9)
+    assert(out.select("category").distinct().as[String].collect().toSeq === Seq("A"))
+  }
+
+  test("rename maps columns and silently skips missing names") {
+    val out = sample.transform(Ops.rename(Map("value" -> "v", "nope" -> "x")))
+    assert(out.columns.toSeq === Seq("id", "category", "v", "name"))
+  }
+
+  test("select keeps listed columns in order; missing dropped or error") {
+    val out = sample.transform(Ops.select(Seq("value", "id", "nope")))
+    assert(out.columns.toSeq === Seq("value", "id"))
+    intercept[IllegalArgumentException] {
+      sample.transform(Ops.select(Seq("nope"), ignoreMissing = false))
+    }
+  }
+
+  test("drop removes columns; strict mode errors on missing") {
+    assert(sample.transform(Ops.drop(Seq("name", "ghost"))).columns.toSeq
+      === Seq("id", "category", "value"))
+    intercept[IllegalArgumentException] {
+      sample.transform(Ops.drop(Seq("ghost"), ignoreMissing = false))
+    }
+  }
+
+  test("castCoerce nulls unparseable values instead of throwing (ANSI-safe)") {
+    val df = Seq("1", "2", "oops").toDF("x")
+    val out = df.transform(Ops.castCoerce(Map("x" -> "int64")))
+    assert(out.schema("x").dataType === LongType)
+    assert(out.as[Option[Long]].collect().toSet === Set(Some(1L), Some(2L), None))
+  }
+
+  test("cast alias table covers the reference dtype names") {
+    assert(Ops.sparkTypeName("Int64") === "bigint")
+    assert(Ops.sparkTypeName("float32") === "float")
+    assert(Ops.sparkTypeName("str") === "string")
+    assert(Ops.sparkTypeName("datetime64[ns]") === "timestamp")
+    assert(Ops.sparkTypeName("bool") === "boolean")
+  }
+
+  test("fillna scalar, per-column map, and subset forms") {
+    val df = Seq((1L, Some(10L), Some("a")), (2L, None, None), (3L, Some(30L), Some("c")))
+      .toDF("id", "v", "s")
+    val filled = df.transform(Ops.fillna(0L, Seq("v")))
+    assert(filled.filter(col("v") === 0).count() === 1)
+    val mapped = df.transform(Ops.fillnaMap(Map("v" -> -1L, "s" -> "missing")))
+    assert(mapped.filter(col("v") === -1 && col("s") === "missing").count() === 1)
+  }
+
+  test("ffill/bfill fill along an explicit ordering, per partition key") {
+    val df = Seq(
+      ("u1", 1L, Some(1.0)), ("u1", 2L, None), ("u1", 3L, None), ("u1", 4L, Some(4.0)),
+      ("u2", 1L, None), ("u2", 2L, Some(2.0))).toDF("u", "ord", "v")
+    val f = df.transform(Ops.ffill(Seq("v"), orderBy = "ord", partitionBy = Seq("u")))
+      .orderBy("u", "ord").select("v").as[Option[Double]].collect().toSeq
+    assert(f === Seq(Some(1.0), Some(1.0), Some(1.0), Some(4.0), None, Some(2.0)))
+    val b = df.transform(Ops.bfill(Seq("v"), orderBy = "ord", partitionBy = Seq("u")))
+      .orderBy("u", "ord").select("v").as[Option[Double]].collect().toSeq
+    assert(b === Seq(Some(1.0), Some(4.0), Some(4.0), Some(4.0), Some(2.0), Some(2.0)))
+  }
+
+  test("expression derives a column (assignment form) with dialect translation") {
+    val out = sample
+      .transform(Ops.expression("total = value * 2"))
+      .transform(Ops.expression("p = value ** 2"))
+      .transform(Ops.expression("q = value // 7"))
+      .filter(col("id") === 1)
+      .select(col("total"), col("p"), col("q").cast("long"))
+      .collect()(0)
+    assert(out.getLong(0) === 200L)
+    assert(out.getDouble(1) === 10000.0)
+    assert(out.getLong(2) === 14L)
+  }
+
+  test("expression bare boolean string filters rows") {
+    assert(sample.transform(Ops.expression("value > 150")).count() === 49)
+  }
+
+  test("groupAgg uses col_fn output naming and global form with no keys") {
+    val g = sample.transform(Ops.groupAgg(Seq("category"),
+      Map("value" -> Seq("sum", "mean"), "id" -> Seq("count"))))
+    assert(g.columns.toSet === Set("category", "value_sum", "value_mean", "id_count"))
+    assert(g.count() === 5)
+    val a = g.filter(col("category") === "A").collect()(0)
+    // category A holds ids 1,6,...,96 → values 100,105,...,195
+    assert(a.getAs[Long]("value_sum") === (0 until 20).map(i => 100L + 5 * i).sum)
+    val global = sample.transform(Ops.groupAgg(Nil, Map("value" -> Seq("min", "max"))))
+    assert(global.collect()(0).toSeq === Seq(100L, 199L))
+    intercept[IllegalArgumentException] {
+      sample.transform(Ops.groupAgg(Seq("ghost"), Map("value" -> Seq("sum"))))
+    }
+  }
+
+  test("dedupe variants: any, first, last, drop-all-duplicates") {
+    val df = Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "c", 30L)).toDF("k", "tag", "v")
+    assert(df.transform(Ops.dedupe(Seq("k"))).count() === 2)
+    val first = df.transform(Ops.dedupe(Seq("k"), Keep.First(Seq("v"))))
+      .orderBy("k").select("tag").as[String].collect().toSeq
+    assert(first === Seq("a", "c"))
+    val last = df.transform(Ops.dedupe(Seq("k"), Keep.Last(Seq("v"))))
+      .orderBy("k").select("tag").as[String].collect().toSeq
+    assert(last === Seq("b", "c"))
+    val none = df.transform(Ops.dedupe(Seq("k"), Keep.None_))
+      .select("tag").as[String].collect().toSeq
+    assert(none === Seq("c"))
+  }
+
+  test("sort orders globally with per-column direction") {
+    val out = sample.transform(Ops.sort(Seq("category", "value"), Seq(true, false)))
+      .limit(2).select("category", "value").as[(String, Long)].collect().toSeq
+    assert(out === Seq(("A", 195L), ("A", 190L)))
+  }
+
+  test("chain composes stages left-to-right") {
+    val op = Ops.chain(
+      Ops.filter(col("value") > 150),
+      Ops.select(Seq("id", "value")),
+      Ops.rename(Map("value" -> "v")))
+    val out = sample.transform(op)
+    assert(out.columns.toSeq === Seq("id", "v"))
+    assert(out.count() === 49)
+  }
+}

@@ -1,0 +1,82 @@
+package minietl.sim
+
+import minietl.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  private val corpus = vecs(
+    0L -> Seq(1f, 0f, 0f),
+    1L -> Seq(0.9f, 0.1f, 0f),
+    2L -> Seq(0f, 1f, 0f),
+    3L -> Seq(0f, 0f, 1f),
+    4L -> Seq(1f, 0f, 0f)) // exact duplicate of 0
+
+  private def cosineScala(a: Seq[Float], b: Seq[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+  }
+
+  test("dot / norm / cosine match scalar math") {
+    val row = vecs(0L -> Seq(1f, 2f, 3f)).select(
+      Similarity.dot(col("embedding"), col("embedding")).as("d"),
+      Similarity.norm(col("embedding")).as("n"),
+      Similarity.cosine(col("embedding"), col("embedding")).as("c")).collect()(0)
+    assert(row.getDouble(0) === 14.0)
+    assert(math.abs(row.getDouble(1) - math.sqrt(14)) < 1e-12)
+    assert(math.abs(row.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("normalized yields unit vectors") {
+    val n = vecs(0L -> Seq(3f, 4f)).select(
+      Similarity.norm(Similarity.normalized(col("embedding"))).as("n"))
+      .as[Double].collect()(0)
+    assert(math.abs(n - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by exact cosine with id tie-break") {
+    val out = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 0), k = 3)
+      .orderBy("rank").select("n_id", "cos", "rank")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(out.map(_._1) === Seq(4L, 1L, 2L))
+    assert(out(0)._2 === 1.0)
+    val expect1 = math.floor(cosineScala(Seq(1f, 0f, 0f), Seq(0.9f, 0.1f, 0f)) * 10000 + 0.5) / 10000
+    assert(math.abs(out(1)._2 - expect1) < 1e-9)
+  }
+
+  test("lshTopK finds the exact duplicate (same bucket by construction)") {
+    val out = Similarity.lshTopK(corpus, corpus.filter(col("vec_id") === 0),
+      k = 2, bits = 2, dim = 3)
+      .orderBy("rank").select("n_id", "cos").as[(Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.head === ((4L, 1.0)))
+  }
+
+  test("cosineNearDupPairsExact finds planted duplicate at threshold ~1") {
+    val pairs = Similarity.cosineNearDupPairsExact(corpus, threshold = 0.999)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(pairs === Set((0L, 4L, 1.0)))
+  }
+
+  test("bucketed near-dup agrees with exact on planted duplicates") {
+    val exact = Similarity.cosineNearDupPairsExact(corpus, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.cosineNearDupPairs(corpus, threshold = 0.999, bits = 2, dim = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed === exact) // identical vectors always share a bucket
+  }
+
+  test("lshSignature is deterministic and within [0, 2^bits)") {
+    val sigs = corpus.select(Similarity.lshSignature(col("embedding"), 4, 3).as("s"))
+      .as[Int].collect()
+    assert(sigs.forall(s => s >= 0 && s < 16))
+    val again = corpus.select(Similarity.lshSignature(col("embedding"), 4, 3).as("s"))
+      .as[Int].collect()
+    assert(sigs.toSeq === again.toSeq)
+  }
+}

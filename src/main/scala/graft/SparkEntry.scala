@@ -496,6 +496,59 @@ object SparkEntry {
              |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
              |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // The declarative YAML surface (SURVEY §2.6) driving the same engine:
+    // parse → validate → build → lazy frame, checked against a SQL oracle.
+    "q_config_pipeline" -> Q(
+      (s, dir) => {
+        val yaml =
+          s"""name: cfg_parity
+             |source: {type: parquet, filepath: $dir/orders.parquet}
+             |transformers:
+             |  - {type: filter, condition: "o_totalprice > 100000"}
+             |  - {type: expression, expression: "price_k = o_totalprice // 1000"}
+             |  - type: aggregate
+             |    group_by: [o_orderstatus]
+             |    aggregations: {price_k: [sum], o_orderkey: [count]}
+             |  - {type: sort, by: [o_orderstatus]}
+             |sink: {type: parquet, filepath: /tmp/minietl_cfg_unused}
+             |""".stripMargin
+        minietl.config.Config.build(minietl.config.Config.parse(yaml)).frame(s)
+          .select(col("o_orderstatus"),
+            col("price_k_sum").cast("bigint").as("price_k_sum"),
+            col("o_orderkey_count"))
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(sum(CAST(floor(o_totalprice / 1000) AS BIGINT)) AS BIGINT) AS price_k_sum,
+             |  count(o_orderkey) AS o_orderkey_count
+             |FROM orders WHERE o_totalprice > 100000
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // The graph surface (SURVEY §2.4): two sources, full-outer merge-join,
+    // aggregate — compiled to one Catalyst plan via PipelineDAG.frame.
+    "q_dag_join" -> Q(
+      (s, dir) => {
+        val dag = new minietl.dag.PipelineDAG()
+          .addSource("c", sp => t(sp, dir, "customer")
+            .select(col("c_custkey").as("custkey"), col("c_acctbal")))
+          .addSource("o", sp => t(sp, dir, "orders")
+            .select(col("o_custkey").as("custkey"), col("o_totalprice")))
+          .addMerge("j", minietl.dag.MergeStrategy.Join(Seq("custkey")))
+          .addTransform("agg", Ops.groupAgg(Seq("custkey"),
+            Map("o_totalprice" -> Seq("sum"), "c_acctbal" -> Seq("max"))))
+          .connect("c", "j").connect("o", "j").connect("j", "agg")
+        dag.frame(s, "agg")
+          .select(col("custkey"),
+            round(col("o_totalprice_sum"), 2).as("o_totalprice_sum"),
+            col("c_acctbal_max"))
+          .orderBy("custkey")
+      },
+      Some("""SELECT custkey, round(sum(o_totalprice), 2) AS o_totalprice_sum,
+             |  max(c_acctbal) AS c_acctbal_max
+             |FROM (SELECT c_custkey AS custkey, c_acctbal FROM customer) c
+             |FULL OUTER JOIN (SELECT o_custkey AS custkey, o_totalprice FROM orders) o
+             |  USING (custkey)
+             |GROUP BY custkey ORDER BY custkey""".stripMargin)),
   )
 
   // ------------------------------------------------------------------

@@ -1,0 +1,108 @@
+package minietl.config
+
+import java.nio.file.Files
+
+import minietl.SparkTestBase
+import minietl.io.{Readers, Writers}
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConfigSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("minietl-cfg").toString
+
+  test("env-var substitution covers ${VAR} and $VAR, leaves unknown verbatim") {
+    val env = Map("DATA_DIR" -> "/data", "N" -> "5")
+    assert(Config.substituteEnv("path: ${DATA_DIR}/in.csv", env) === "path: /data/in.csv")
+    assert(Config.substituteEnv("limit: $N rows", env) === "limit: 5 rows")
+    assert(Config.substituteEnv("keep ${UNKNOWN_XYZ}", env) === "keep ${UNKNOWN_XYZ}")
+  }
+
+  test("parse builds the model from YAML") {
+    val c = Config.parse(Config.sample)
+    assert(c.name === "sample_pipeline")
+    assert(c.source.typ === "csv")
+    assert(c.transformers.map(_.typ) === Seq("filter", "rename", "cast"))
+    assert(c.sink.typ === "parquet")
+    assert(Config.validate(c) === Nil)
+  }
+
+  test("validate reports unknown types and missing keys as a list") {
+    val bad = Config.parse(
+      """name: bad
+        |source: {type: teleport, filepath: x}
+        |transformers:
+        |  - {type: filter}
+        |  - {type: frobnicate}
+        |sink: {type: csv}
+        |""".stripMargin)
+    val errs = Config.validate(bad)
+    assert(errs.exists(_.contains("unknown source type 'teleport'")))
+    assert(errs.exists(_.contains("missing 'condition'")))
+    assert(errs.exists(_.contains("unknown type 'frobnicate'")))
+    assert(errs.exists(_.contains("sink csv needs filepath")))
+  }
+
+  test("excel and api are declared unsupported with a clear message") {
+    val c = Config.parse(
+      """source: {type: excel, filepath: a.xlsx}
+        |sink: {type: api, path: http://x}
+        |""".stripMargin)
+    val errs = Config.validate(c)
+    assert(errs.exists(_.contains("source type 'excel' is not supported")))
+    assert(errs.exists(_.contains("sink type 'api' is not supported")))
+  }
+
+  test("sql source requires exactly one of query/table") {
+    def cfg(extra: String) = Config.parse(
+      s"""source: {type: sql, connection_string: "jdbc:h2:mem", $extra}
+         |sink: {type: parquet, filepath: /tmp/x}
+         |""".stripMargin)
+    assert(Config.validate(cfg("query: 'SELECT 1', table: t")).nonEmpty)
+    assert(Config.validate(cfg("table: t")) === Nil)
+  }
+
+  test("a YAML config loads and runs end-to-end against real files") {
+    val in = s"${tmp()}/in"
+    val out = s"${tmp()}/out"
+    Writers.csv(
+      (1 to 100).map(i => (i.toLong, ('A' + (i - 1) % 5).toChar.toString, 99L + i))
+        .toDF("id", "category", "value"), in)
+    val yaml =
+      s"""name: e2e
+         |source:
+         |  type: csv
+         |  filepath: $in
+         |transformers:
+         |  - type: cast
+         |    columns: {value: int64}
+         |  - type: filter
+         |    condition: "value > 150"
+         |  - type: expression
+         |    expression: "v2 = value * 2"
+         |  - type: aggregate
+         |    group_by: [category]
+         |    aggregations: {v2: [sum, mean], id: [count]}
+         |  - type: sort
+         |    by: [category]
+         |sink:
+         |  type: parquet
+         |  filepath: $out
+         |""".stripMargin
+    val stats = Config.load(yaml).run(spark)
+    assert(stats.rows === 5)
+    val back = Readers.parquet(spark, out)
+    assert(back.columns.toSet === Set("category", "v2_sum", "v2_mean", "id_count"))
+  }
+
+  test("env substitution reaches file paths inside configs") {
+    val dir = tmp()
+    Writers.csv(Seq((1, "x")).toDF("id", "name"), s"$dir/in")
+    val yaml =
+      """source: {type: csv, filepath: "${CFG_TEST_DIR}/in"}
+        |sink: {type: csv, filepath: "${CFG_TEST_DIR}/out"}
+        |""".stripMargin
+    val stats = Config.build(Config.parse(yaml, Map("CFG_TEST_DIR" -> dir))).run(spark)
+    assert(stats.rows === 1)
+  }
+}

@@ -1,0 +1,113 @@
+package minietl.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface.
+  *
+  * The reference's "streaming" is bounded chunked iteration (SURVEY §1.1);
+  * its only unbounded-looking pieces are `StatefulAggTransformer` (cross-
+  * chunk partial aggregation, mini_etl/components/transformers.py:381-519)
+  * and the cron/interval `Scheduler` re-running a bounded pipeline
+  * (core/scheduler.py:152-349). Their honest Spark analogs:
+  *
+  *  - StatefulAggTransformer → streaming `groupBy().agg()` (partial→final
+  *    merge handled by the engine) or [[runningGroupAgg]] when the
+  *    incremental per-group state itself is the product;
+  *  - Scheduler intervals → `Trigger.ProcessingTime`; a "run every N then
+  *    exit" batch-refresh job → `Trigger.AvailableNow`;
+  *  - per-chunk callbacks → `foreachBatch`.
+  *
+  * Everything here is a thin, typed veneer over those primitives so a
+  * pipeline built from `minietl.ops` stages can be re-bound to an unbounded
+  * source unchanged (`DataFrame => DataFrame` stages apply verbatim).
+  */
+object Streaming {
+
+  /** Event-time tumbling-window aggregation with a watermark — the standard
+    * unbounded replacement for the reference's whole-input GroupAgg. Late
+    * rows beyond `watermarkDelay` are dropped and their windows finalized.
+    */
+  def tumblingAgg(
+      df: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      windowDuration: String,
+      keys: Seq[String],
+      aggs: Map[String, Seq[String]]): DataFrame = {
+    val aggCols = for { (c, fns) <- aggs.toSeq.sortBy(_._1); fn <- fns }
+      yield minietl.ops.Ops.aggFn(fn, c).as(s"${c}_${fn.toLowerCase}")
+    require(aggCols.nonEmpty, "empty aggregation spec")
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration) +: keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Incrementally-maintained per-group aggregate state. */
+  final case class GroupAggState(
+      key: String, count: Long, sum: Double, min: Double, max: Double) {
+    def mean: Double = if (count == 0) 0.0 else sum / count
+  }
+
+  /** The direct streaming analog of the reference's StatefulAggTransformer:
+    * per-key running count/sum/min/max (mean derived), updated per
+    * micro-batch via mapGroupsWithState. State lives in the state store
+    * (checkpointed, partitioned by key) — the distributed version of the
+    * reference's driver-held `_state` dict (transformers.py:420-435).
+    */
+  def runningGroupAgg(
+      df: DataFrame, keyCol: String, valueCol: String): Dataset[GroupAggState] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[GroupAggState]) =>
+          val prev = state.getOption.getOrElse(
+            GroupAggState(key, 0L, 0.0, Double.PositiveInfinity, Double.NegativeInfinity))
+          val next = rows.foldLeft(prev) { (s, r) =>
+            GroupAggState(key, s.count + 1, s.sum + r._2, math.min(s.min, r._2), math.max(s.max, r._2))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Reference Scheduler intervals ("30s", "5m", "2h", "1d" —
+    * core/scheduler.py:110-149) → a processing-time trigger.
+    */
+  def intervalTrigger(interval: String): Trigger =
+    Trigger.ProcessingTime(minietl.scheduler.IntervalParser.toMillis(interval),
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+
+  /** "Catch up on everything then stop" — the analog of one scheduled
+    * bounded pipeline run.
+    */
+  def availableNowTrigger: Trigger = Trigger.AvailableNow()
+
+  /** Per-micro-batch callback sink (the reference's CallbackLoader /
+    * per-chunk callback analog). Returns a started query; callers manage
+    * lifecycle.
+    */
+  def foreachBatchSink(
+      df: DataFrame,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L, java.util.concurrent.TimeUnit.MILLISECONDS),
+      outputMode: OutputMode = OutputMode.Update())(
+      f: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(f)
+      .start()
+
+  /** File-stream source: the unbounded version of the batch readers — new
+    * files appearing under `path` become micro-batches.
+    */
+  def fileStream(spark: SparkSession, format: String, path: String,
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).format(format).load(path)
+}

@@ -1,0 +1,95 @@
+package minietl.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import minietl.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+
+  test("tumblingAgg: watermarked event-time windows aggregate per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streaming.tumblingAgg(
+      input.toDF().toDF("ts", "k", "v"),
+      tsCol = "ts", watermarkDelay = "10 minutes", windowDuration = "5 minutes",
+      keys = Seq("k"), aggs = Map("v" -> Seq("sum", "count")))
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "a", 10.0), (ts(2), "b", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select(col("window.start").cast("string"), col("k"), col("v_sum"), col("v_count"))
+        .as[(String, String, Double, Long)].collect().toSet
+      assert(rows === Set(
+        ("2026-01-01 10:00:00", "a", 3.0, 2L),
+        ("2026-01-01 10:05:00", "a", 10.0, 1L),
+        ("2026-01-01 10:00:00", "b", 5.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("runningGroupAgg: mapGroupsWithState maintains per-key state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val running = Streaming.runningGroupAgg(input.toDF().toDF("k", "v"), "k", "v")
+    val q = running.toDF().writeStream.format("memory").queryName("running")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(("a", 1.0), ("a", 2.0), ("b", 7.0))
+      q.processAllAvailable()
+      input.addData(("a", 9.0))
+      q.processAllAvailable()
+      // last update per key wins
+      val last = spark.table("running").groupBy("key")
+        .agg(max_by(struct(col("count"), col("sum"), col("min"), col("max")), col("count")).as("s"))
+        .select(col("key"), col("s.count"), col("s.sum"), col("s.min"), col("s.max"))
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      assert(last === Set(("a", 3L, 12.0, 1.0, 9.0), ("b", 1L, 7.0, 7.0, 7.0)))
+    } finally q.stop()
+  }
+
+  test("foreachBatchSink invokes the callback per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Int]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = Streaming.foreachBatchSink(
+      input.toDF(), s"${Files.createTempDirectory("minietl-ckpt")}/cp") {
+      (df, _) => seen.add(df.count()); ()
+    }
+    try {
+      input.addData(1, 2, 3)
+      q.processAllAvailable()
+      input.addData(4)
+      q.processAllAvailable()
+      assert(seen.toArray.toSeq === Seq(3L, 1L))
+    } finally q.stop()
+  }
+
+  test("interval strings map to processing-time triggers") {
+    assert(Streaming.intervalTrigger("5m") === Trigger.ProcessingTime(300000L,
+      java.util.concurrent.TimeUnit.MILLISECONDS))
+    assert(Streaming.availableNowTrigger === Trigger.AvailableNow())
+  }
+
+  test("fileStream treats appearing files as micro-batches") {
+    val dir = Files.createTempDirectory("minietl-stream").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    Seq(1L, 2L).toDF("id").write.parquet(s"$dir/batch0")
+    val stream = Streaming.fileStream(spark, "parquet", s"$dir/batch0", schema)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("files").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("files").count() === 2)
+    } finally q.stop()
+  }
+}

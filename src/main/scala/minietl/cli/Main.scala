@@ -1,0 +1,70 @@
+package minietl.cli
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import minietl.config.Config
+
+/** Thin CLI over the config surface (reference: mini_etl/cli.py:15-256 —
+  * run / validate / init / info; `ui` is a non-goal, the Spark UI exists).
+  * Core logic lives in [[execute]] so it is testable without a process
+  * boundary; `main` only owns the exit code.
+  */
+object Main {
+
+  val usage: String =
+    """usage: minietl <command> [args]
+      |  run <config.yaml>       load, validate, build and execute a pipeline
+      |  validate <config.yaml>  check a config; prints errors or 'valid'
+      |  init <config.yaml>      write a sample config
+      |  info                    list registered source/transformer/sink types
+      |""".stripMargin
+
+  /** Returns (exitCode, output). */
+  def execute(args: Seq[String], spark: () => SparkSession): (Int, String) =
+    args.toList match {
+      case "run" :: path :: Nil =>
+        val text = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+        val cfg = Config.parse(text)
+        val errs = Config.validate(cfg)
+        if (errs.nonEmpty) (1, errs.mkString("invalid config:\n  ", "\n  ", ""))
+        else {
+          val stats = Config.build(cfg).run(spark())
+          (0, f"pipeline '${cfg.name}' complete: ${stats.rows} rows in " +
+            f"${stats.durationSec}%.2fs (${stats.rowsPerSecond}%.0f rows/sec)")
+        }
+      case "validate" :: path :: Nil =>
+        val text = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+        val errs = Config.validate(Config.parse(text))
+        if (errs.isEmpty) (0, "valid") else (1, errs.mkString("\n"))
+      case "init" :: path :: Nil =>
+        if (Files.exists(Paths.get(path))) (1, s"$path already exists")
+        else {
+          Files.write(Paths.get(path), Config.sample.getBytes("UTF-8"))
+          (0, s"wrote sample config to $path")
+        }
+      case "info" :: Nil =>
+        (0,
+          """minietl-spark
+            |  sources:      csv, json, jsonl, parquet, sql  (excel/api: unsupported offline)
+            |  transformers: filter, rename, select, drop, cast, fillna,
+            |                expression, aggregate|group, dedupe, sort
+            |  sinks:        csv, json, jsonl, parquet, sql
+            |""".stripMargin)
+      case _ => (2, usage)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val (code, out) = execute(args.toSeq, () => {
+      val s = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    })
+    println(out)
+    if (code != 0) sys.exit(code)
+  }
+}

@@ -1,0 +1,54 @@
+package minietl.cli
+
+import java.nio.file.Files
+
+import minietl.SparkTestBase
+import minietl.io.{Readers, Writers}
+import org.scalatest.funsuite.AnyFunSuite
+
+class MainSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("minietl-cli").toString
+
+  test("init writes the sample config; refuses to overwrite") {
+    val p = s"${tmp()}/cfg.yaml"
+    val (c1, out1) = Main.execute(Seq("init", p), () => spark)
+    assert(c1 === 0 && out1.contains(p))
+    val (c2, _) = Main.execute(Seq("init", p), () => spark)
+    assert(c2 === 1)
+  }
+
+  test("validate flags bad configs and accepts good ones") {
+    val bad = s"${tmp()}/bad.yaml"
+    Files.write(java.nio.file.Paths.get(bad),
+      "source: {type: teleport}\nsink: {type: csv, filepath: /x}\n".getBytes)
+    val (code, out) = Main.execute(Seq("validate", bad), () => spark)
+    assert(code === 1 && out.contains("teleport"))
+  }
+
+  test("run executes a config end-to-end and reports stats") {
+    val dir = tmp()
+    Writers.csv(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"), s"$dir/in")
+    val cfg = s"$dir/p.yaml"
+    Files.write(java.nio.file.Paths.get(cfg),
+      s"""name: cli_e2e
+         |source: {type: csv, filepath: $dir/in}
+         |transformers:
+         |  - {type: cast, columns: {id: int64}}
+         |  - {type: filter, condition: "id >= 2"}
+         |sink: {type: parquet, filepath: $dir/out}
+         |""".stripMargin.getBytes)
+    val (code, out) = Main.execute(Seq("run", cfg), () => spark)
+    assert(code === 0, out)
+    assert(out.contains("2 rows"))
+    assert(Readers.parquet(spark, s"$dir/out").count() === 2)
+  }
+
+  test("info lists registered types; unknown command prints usage") {
+    val (c, out) = Main.execute(Seq("info"), () => spark)
+    assert(c === 0 && out.contains("transformers"))
+    val (cu, usage) = Main.execute(Seq("wat"), () => spark)
+    assert(cu === 2 && usage.contains("usage"))
+  }
+}

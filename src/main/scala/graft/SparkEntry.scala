@@ -761,6 +761,46 @@ object SparkEntry {
       },
       None),
 
+    // Structured Streaming parity: the same events aggregation, executed as
+    // an unbounded file stream drained with Trigger.AvailableNow into a
+    // memory sink — result must match the batch oracle exactly.
+    "q_stream_window" -> Q(
+      (s, dir) => {
+        events(s, dir) // pins the nanosAsLong conf before the stream reads
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        // The file-stream source monitors directories; the testdata table is
+        // a single file, so stage it into a temp dir via symlink.
+        val streamDir = java.nio.file.Paths.get(
+          s"/tmp/graft_stream_${math.abs(dir.hashCode)}")
+        java.nio.file.Files.createDirectories(streamDir)
+        val link = streamDir.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(
+            link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val stream0 = s.readStream.schema(rawSchema).parquet(streamDir.toString)
+        val stream =
+          if (rawSchema("ts").dataType == LongType)
+            stream0.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+          else stream0
+        val agg = minietl.streaming.Streaming.tumblingAgg(
+          stream, tsCol = "ts", watermarkDelay = "0 seconds",
+          windowDuration = "5 minutes", keys = Seq("event_type"),
+          aggs = Map("value" -> Seq("sum", "count")))
+        val qname = s"stream_win_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = agg.writeStream.format("memory").queryName(qname)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname)
+          .select(col("window.start").as("win_start"), col("event_type"),
+            round(col("value_sum"), 2).as("value_sum"), col("value_count"))
+          .orderBy("win_start", "event_type")
+      },
+      Some("""SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS win_start,
+             |  event_type, round(sum(value), 2) AS value_sum, count(value) AS value_count
+             |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
     "q_doc_lang_stats" -> Q(
       (s, dir) =>
         documents(s, dir)

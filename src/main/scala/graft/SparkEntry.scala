@@ -750,6 +750,15 @@ object SparkEntry {
       },
       None),
 
+    "q_ivf_ann" -> Q(
+      (s, dir) => {
+        val e = embeddings(s, dir)
+        val model = minietl.sim.Ivf.train(e, nlist = 8, iters = 3)
+        minietl.sim.Ivf.topK(e, e.filter(col("vec_id") < 10), model, k = 5, nprobe = 3)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     "q_multimodal_features" -> Q(
       (s, dir) => {
         val media = minietl.multimodal.Multimodal.fakeMedia(documents(s, dir), "doc_id", "text")

@@ -1,0 +1,96 @@
+package minietl.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import minietl.functions.vec
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale path
+  * next to LSH bucketing (random-hyperplane), mirroring the classic
+  * IVF-Flat design from the public ANN literature: a k-means coarse
+  * quantizer partitions the corpus into `nlist` inverted lists; a query
+  * probes only its `nprobe` closest lists, cutting the scanned fraction to
+  * ~nprobe/nlist while keeping exact scoring inside each list.
+  *
+  * Training is distributed Lloyd iteration over DataFrames: assignment is a
+  * scan with the (tiny) centroid set inlined as literals, and the update
+  * step is one groupBy over (list, dimension). Centroids are rounded to 6
+  * decimals each iteration so float summation order cannot make two runs
+  * diverge.
+  */
+object Ivf {
+
+  final case class Model(centroids: Vector[Vector[Double]]) {
+    def nlist: Int = centroids.size
+    def dim: Int = centroids.head.size
+  }
+
+  private def toDouble(vecCol: Column): Column = transform(vecCol, _.cast("double"))
+
+  /** Squared-distance argmin over the centroid set: per row, minimize
+    * |c|^2 - 2 v·c (the |v|^2 term is constant per row). Emitted as an
+    * array_min over (score, idx) structs — lexicographic struct ordering
+    * gives the index of the closest centroid, ties to the lower index.
+    */
+  private def nearestLists(v: Column, model: Model, n: Int): Column = {
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * vec.dot(v, typedlit(c))).as("score"),
+        lit(i).as("idx"))
+    }
+    slice(array_sort(array(scored: _*)), 1, n)
+  }
+
+  def assignList(v: Column, model: Model): Column =
+    nearestLists(v, model, 1)(0)("idx")
+
+  /** Lloyd iterations; deterministic init from the `nlist` rows with the
+    * smallest ids. Empty lists keep their previous centroid.
+    */
+  def train(corpus: DataFrame, nlist: Int, iters: Int = 3,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val base = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val init = base.orderBy("id").limit(nlist).collect()
+      .map(_.getSeq[Double](1).toVector).toVector
+    require(init.size == nlist, s"corpus smaller than nlist=$nlist")
+
+    (1 to iters).foldLeft(Model(init)) { (model, _) =>
+      val assigned = base.withColumn("list", assignList(col("v"), model))
+      val means = assigned
+        .select(col("list"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("list", "pos").agg(avg("x").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (list, rows) =>
+          list -> rows.sortBy(_.getInt(1))
+            .map(r => math.floor(r.getDouble(2) * 1e6 + 0.5) / 1e6).toVector
+        }
+      Model(model.centroids.indices.map(i => means.getOrElse(i, model.centroids(i))).toVector)
+    }
+  }
+
+  /** ANN top-k via inverted lists: the corpus is scanned once to tag each
+    * row's list; queries expand to their `nprobe` nearest lists; the join
+    * on the list id confines exact cosine scoring to the probed fraction.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, model: Model, k: Int,
+           nprobe: Int = 2, idCol: String = "vec_id",
+           vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), toDouble(col(vecCol)).as("n_vec"))
+      .withColumn("n_norm", sqrt(vec.dot(col("n_vec"), col("n_vec"))))
+      .withColumn("list", assignList(col("n_vec"), model))
+    val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", sqrt(vec.dot(col("q_vec"), col("q_vec"))))
+      .withColumn("list", explode(transform(
+        nearestLists(col("q_vec"), model, nprobe), s => s("idx"))))
+    val scored = c.join(broadcast(q), Seq("list"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        round(vec.dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+}

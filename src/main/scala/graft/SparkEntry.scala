@@ -35,7 +35,9 @@ object SparkEntry {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t(s, dir, "events")
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer division: `/` on longs is DOUBLE division, which loses
+      // precision at epoch-nanos magnitude (~1.7e18 > 2^53) and lands ±1µs off
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
   }
 
@@ -496,6 +498,59 @@ object SparkEntry {
              |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
              |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // §2.8 supersets: session windows, cube, exact percentiles — absent in
+    // the reference, native here.
+    "q_sessionize" -> Q(
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+          .select(col("user_id"), col("sw.start").as("session_start"),
+            col("n_events"), col("total"))
+          .orderBy("user_id", "session_start"),
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, value, event_id,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, ts, value,
+             |    sum(CASE WHEN prev_ts IS NULL
+             |             OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM o)
+             |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+             |  count(*) AS n_events, round(sum(value), 2) AS total
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    "q_cube" -> Q(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    "q_percentile" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+            round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+             |  round(quantile_cont(l_quantity, 0.25), 4) AS q25
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // The declarative YAML surface (SURVEY §2.6) driving the same engine:
     // parse → validate → build → lazy frame, checked against a SQL oracle.

@@ -89,6 +89,44 @@ object Multimodal {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** STUB resampler: a real implementation would decode and rescale pixels;
+    * the stub nearest-neighbor-resamples the raw bytes to `targetBytes`,
+    * which preserves the pipeline shape (fixed-size outputs, meta updated)
+    * deterministically.
+    */
+  def resizeStub(content: Array[Byte], targetBytes: Int): Array[Byte] = {
+    if (content == null || content.isEmpty) return new Array[Byte](0)
+    val out = new Array[Byte](targetBytes)
+    var i = 0
+    while (i < targetBytes) {
+      out(i) = content((i.toLong * content.length / targetBytes).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Batched resize stage: same per-partition batching contract as
+    * [[extractFeatures]]; emits the resized payload with refreshed metadata.
+    */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        Row(r.getLong(0), resizeStub(bytes, targetBytes))
+      }
+    }
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(rows, outSchema)
+      .select(col("media_id"), col("content"),
+        struct(
+          lit("fake/resized").as("format"),
+          lit(targetBytes).as("width"), lit(1).as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+  }
+
   /** Frame-sampling plumbing for video-like payloads: split the byte stream
     * into `frames` fixed-size slices (a stand-in for keyframe extraction)
     * and emit one row per sampled frame — the explode-shaped stage a video

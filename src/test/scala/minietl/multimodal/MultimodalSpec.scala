@@ -33,6 +33,19 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(_.getSeq[Double](2).size === 16))
   }
 
+  test("resize emits fixed-size payloads with refreshed meta") {
+    val m = Multimodal.fakeMedia(docs, "doc_id", "text")
+    val out = Multimodal.resize(m, targetBytes = 4).orderBy("media_id").collect()
+    // non-empty payloads resample to exactly targetBytes; empty stays empty
+    assert(out.take(2).forall(_.getAs[Array[Byte]]("content").length === 4))
+    assert(out(2).getAs[Array[Byte]]("content").length === 0)
+    assert(out.forall(_.getStruct(2).getString(0) === "fake/resized"))
+    // deterministic: first byte of "hello world" survives nearest-neighbor
+    assert(out(0).getAs[Array[Byte]]("content")(0) === 'h'.toByte)
+    // empty payload resamples to zeros without error
+    assert(Multimodal.resize(m.filter(col("media_id") === 3), 4).count() === 1)
+  }
+
   test("sampleFrames explodes fixed slices and drops empty payloads") {
     val m = Multimodal.fakeMedia(Seq((1L, "abcdefgh")).toDF("doc_id", "text"), "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, frames = 4).orderBy("frame_idx").collect()

@@ -146,8 +146,8 @@ object Dedup {
   }
 
   /** Keep one representative (min id) per near-dup cluster: drops every row
-    * that appears as the greater id of a confirmed pair. (Transitive closure
-    * would need connected components; greedy min-id suffices for dedup.)
+    * that appears as the greater id of a confirmed pair. Greedy — for
+    * transitive chains (a~b, b~c but not a~c) use [[minhashDedupClusters]].
     */
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, k: Int = 128, bands: Int = 32,
@@ -155,6 +155,51 @@ object Dedup {
     val dupIds = minhashNearDupPairs(df, textCol, idCol, shingleN, k, bands, threshold)
       .select(col("id_b").as("__dup")).distinct()
     df.join(dupIds, df(idCol) === col("__dup"), "left_anti")
+  }
+
+  /** Connected components over an undirected pair list (columns id_a, id_b):
+    * returns (id, comp) where comp is the minimum id reachable from id.
+    * Iterative min-label propagation — each round is one join + one groupBy,
+    * and the label frame (two longs per distinct id) is what iterates, not
+    * the data; converges in O(diameter) rounds, which for near-dup clusters
+    * (small, dense) is 2-3.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("id")).agg(min("comp").as("nbr_comp"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .persist()
+      converged = updated.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster-safe near-dup removal: confirmed pairs → connected components →
+    * keep only each cluster's minimum id (plus every row in no cluster).
+    */
+  def minhashDedupClusters(df: DataFrame, textCol: String, idCol: String,
+                           shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+                           threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDupPairs(df, textCol, idCol, shingleN, k, bands, threshold)
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("__dup"))
+    df.join(drop, df(idCol) === col("__dup"), "left_anti")
   }
 
   /** Exact n-gram-Jaccard near-dup pairs with length blocking, expressed as

@@ -99,6 +99,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains((0L, 1L)) && got.contains((2L, 3L)))
   }
 
+  test("connectedComponents labels transitive clusters with the min id") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (7L, 8L), (6L, 9L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps(0L) === 0L && comps(1L) === 0L && comps(2L) === 0L)
+    assert(comps(5L) === 5L && comps(6L) === 5L && comps(9L) === 5L)
+    assert(comps(7L) === 7L && comps(8L) === 7L)
+  }
+
+  test("minhashDedupClusters keeps one representative per transitive cluster") {
+    // 0~1 and 1~2 are near-dups of each other (chain); 2 may not pair with 0
+    val chain = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog near the quiet river bank today",
+      1L -> "the quick brown fox jumps over the lazy dog near the quiet river bank tonight",
+      2L -> "the quick brown fox jumps over the lazy dog near the quiet river bank",
+      4L -> "an entirely different story about mountains and snow in winter")
+      .toDF("doc_id", "text")
+    val kept = Dedup.minhashDedupClusters(chain, "text", "doc_id",
+      shingleN = 3, k = 128, bands = 32, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 4L))
+  }
+
   test("simhash: identical docs at distance 0, near-dups close, others far") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(split(col("text"), " ")).as("sig"))
       .as[(Long, Long)].collect().toMap

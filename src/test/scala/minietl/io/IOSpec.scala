@@ -79,6 +79,27 @@ class IOSpec extends AnyFunSuite with SparkTestBase {
     assert(df.count() === 3)
   }
 
+  test("malformed records: PERMISSIVE nulls them, DROPMALFORMED skips them") {
+    // the reader-level mapping of the reference's per-chunk error skip
+    // (SURVEY §7.6): bad RECORDS are isolated, not arbitrary failing batches
+    val dir = tmp()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,score\n1,10.5\n2,not_a_number\n3,30.5\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType)))
+    val permissive = Readers.csv(spark, s"$dir/in.csv", schema = Some(schema),
+      options = Map("mode" -> "PERMISSIVE"))
+    assert(permissive.count() === 3)
+    assert(permissive.filter(col("score").isNull).select("id").as[Long].collect().toSeq === Seq(2L))
+    val dropped = Readers.csv(spark, s"$dir/in.csv", schema = Some(schema),
+      options = Map("mode" -> "DROPMALFORMED"))
+    // read BOTH columns: CSV column pruning would otherwise never parse the
+    // malformed field, so the row would not register as malformed
+    val rows = dropped.select("id", "score").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq === Seq(1L, 3L))
+  }
+
   test("jdbc reader validates query XOR table") {
     intercept[IllegalArgumentException] {
       Readers.jdbc(spark, "jdbc:fake", table = Some("t"), query = Some("q"))

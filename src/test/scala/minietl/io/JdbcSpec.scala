@@ -48,6 +48,15 @@ class JdbcSpec extends AnyFunSuite with SparkTestBase {
     assert(big.columns.map(_.toLowerCase).sorted.toSeq === Seq("id", "score"))
   }
 
+  test("partitioned read splits the scan by a numeric column") {
+    Writers.jdbc(sample, url, "parts", ifExists = "append")
+    val df = Readers.jdbc(spark, url, table = Some("parts"), options = Map(
+      "partitionColumn" -> "id", "lowerBound" -> "1", "upperBound" -> "4",
+      "numPartitions" -> "3"))
+    assert(df.rdd.getNumPartitions === 3)
+    assert(df.count() === 3)
+  }
+
   test("fail mode errors when the table exists") {
     Writers.jdbc(sample, url, "exists_t", ifExists = "append")
     intercept[Exception] {

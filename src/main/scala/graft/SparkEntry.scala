@@ -537,6 +537,46 @@ object SparkEntry {
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
+    "q_geomean" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(minietl.functions.Aggregators.geoMean(col("l_quantity")), 4).as("gm_qty"),
+            round(minietl.functions.Aggregators.geoMean(col("l_extendedprice")), 2).as("gm_price"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(exp(avg(ln(l_quantity))), 4) AS gm_qty,
+             |  round(exp(avg(ln(l_extendedprice))), 2) AS gm_price
+             |FROM lineitem WHERE l_quantity > 0
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // rows-only: the sampled strings depend on the hash function, which the
+    // oracle cannot reproduce; determinism is pinned by AggregatorsSpec.
+    "q_sample_group" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .groupBy("lang")
+          .agg(minietl.functions.Aggregators
+            .sampleK(col("doc_id").cast("string"), 5).as("sample_ids"))
+          .select(col("lang"), concat_ws(",", col("sample_ids")).as("sample"))
+          .orderBy("lang"),
+      None),
+
+    "q_grouping_sets" -> Q(
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+                |FROM orders_gs
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
     "q_percentile" -> Q(
       (s, dir) =>
         t(s, dir, "lineitem")

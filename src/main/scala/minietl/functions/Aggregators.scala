@@ -1,0 +1,63 @@
+package minietl.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Typed custom aggregates (`Aggregator[IN, BUF, OUT]`) — the extension
+  * point SURVEY §7.4 reserves for aggregates Spark lacks. Both are
+  * partial/final decomposable (associative, commutative merge), so they run
+  * with map-side combine like any built-in.
+  */
+object Aggregators {
+
+  /** Geometric mean via log-sum decomposition: exp(Σ ln x / n) over positive
+    * inputs; nulls and non-positives ignored. The right mean for ratio-style
+    * quality signals.
+    */
+  val geometricMean: Aggregator[java.lang.Double, (Double, Long), java.lang.Double] =
+    new Aggregator[java.lang.Double, (Double, Long), java.lang.Double] {
+      def zero: (Double, Long) = (0.0, 0L)
+      def reduce(b: (Double, Long), x: java.lang.Double): (Double, Long) =
+        if (x == null || x <= 0.0) b else (b._1 + math.log(x), b._2 + 1)
+      def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+        (a._1 + b._1, a._2 + b._2)
+      def finish(b: (Double, Long)): java.lang.Double =
+        if (b._2 == 0) null else math.exp(b._1 / b._2)
+      def bufferEncoder: Encoder[(Double, Long)] =
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+      def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+    }
+
+  private def hash(s: String): Long = {
+    val u = UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
+  /** Deterministic uniform group sample: keeps the k strings with the
+    * smallest xxhash64 ("bottom-k by hash") — order- and partitioning-
+    * independent, so the same rows are sampled on every run and every
+    * cluster layout, unlike rand()-based sampling. Per-group state is
+    * bounded at k entries regardless of group size.
+    */
+  def bottomKSample(k: Int): Aggregator[String, Seq[(Long, String)], Seq[String]] =
+    new Aggregator[String, Seq[(Long, String)], Seq[String]] {
+      private def trim(s: Seq[(Long, String)]): Seq[(Long, String)] =
+        s.distinct.sortBy(_._1).take(k)
+      def zero: Seq[(Long, String)] = Vector.empty
+      def reduce(b: Seq[(Long, String)], x: String): Seq[(Long, String)] =
+        if (x == null) b else trim(b :+ ((hash(x), x)))
+      def merge(a: Seq[(Long, String)], b: Seq[(Long, String)]): Seq[(Long, String)] =
+        trim(a ++ b)
+      def finish(b: Seq[(Long, String)]): Seq[String] = b.map(_._2)
+      def bufferEncoder: Encoder[Seq[(Long, String)]] = ExpressionEncoder()
+      def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()
+    }
+
+  /** Column forms for DataFrame use. */
+  def geoMean(c: Column): Column = udaf(geometricMean).apply(c)
+  def sampleK(c: Column, k: Int): Column = udaf(bottomKSample(k)).apply(c)
+}

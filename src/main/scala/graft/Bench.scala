@@ -22,9 +22,11 @@ object Bench {
       try { fn(spark, "/root/testdata/sf0.001").count(); () }
       catch { case _: Throwable => () }
     }
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      spark.catalog.clearCache() // release per-query persisted intermediates
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

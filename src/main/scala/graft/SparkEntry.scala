@@ -770,10 +770,11 @@ object SparkEntry {
           documents(s, dir), "text", "doc_id", "n_chars", radius = 10, shingleN = 3,
           threshold = 0.5)
           .orderBy("id_a", "id_b"),
-      Some("""WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') toks FROM documents),
+      Some("""WITH d AS (SELECT doc_id, n_chars, text t, string_split(text, ' ') toks FROM documents),
              |s AS (SELECT doc_id, n_chars,
-             |        list_distinct(list_transform(range(1, len(toks) - 1),
-             |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
+             |        CASE WHEN len(toks) < 3 THEN [t]
+             |             ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+             |               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END sh
              |      FROM d)
              |SELECT id_a, id_b, jac FROM (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -825,7 +826,7 @@ object SparkEntry {
     "q_simhash_neardup" -> Q(
       (s, dir) =>
         minietl.dedup.Dedup.simhashNearDupPairs(documents(s, dir), "text", "doc_id",
-          maxHamming = 12)
+          maxHamming = 12, bands = 16)
           .orderBy("id_a", "id_b"),
       None),
 
@@ -884,7 +885,8 @@ object SparkEntry {
         val stream0 = s.readStream.schema(rawSchema).parquet(streamDir.toString)
         val stream =
           if (rawSchema("ts").dataType == LongType)
-            stream0.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+            // integer DIV, same as events(): double division drifts ±1µs
+            stream0.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
           else stream0
         val agg = minietl.streaming.Streaming.tumblingAgg(
           stream, tsCol = "ts", watermarkDelay = "0 seconds",

@@ -134,15 +134,16 @@ final class PipelineDAG {
     * downstream node — wanted when sinks will execute, unwanted when the
     * caller only embeds one frame into a larger plan.
     */
-  private def compile(spark: SparkSession,
-                      persistFanOut: Boolean): mutable.Map[String, Map[String, DataFrame]] = {
+  private def compile(spark: SparkSession, persistFanOut: Boolean)
+      : (mutable.Map[String, Map[String, DataFrame]], Seq[DataFrame]) = {
     // frame-only compilation tolerates missing sinks / unconsumed outputs
     val errs = validate().filterNot(e => e.contains("sink") || e.contains("no outputs"))
     require(errs.isEmpty, s"invalid DAG: ${errs.mkString("; ")}")
 
     val out = mutable.Map.empty[String, Map[String, DataFrame]]
+    val cached = mutable.ListBuffer.empty[DataFrame]
     def maybePersist(id: String, df: DataFrame): DataFrame =
-      if (persistFanOut && outputsOf(id).size > 1) df.persist() else df
+      if (persistFanOut && outputsOf(id).size > 1) { cached += df; df.persist() } else df
 
     def inputFrame(id: String): DataFrame = {
       val Seq((from, port)) = inputsOf(id)
@@ -169,12 +170,12 @@ final class PipelineDAG {
         case BranchNode(pred) =>
           val in = inputFrame(id)
           // both splits read the same upstream; cache it once when executing
-          val cached = if (persistFanOut) in.persist() else in
-          out(id) = Map("true" -> cached.filter(pred), "false" -> cached.filter(!pred))
+          val src = if (persistFanOut) { cached += in; in.persist() } else in
+          out(id) = Map("true" -> src.filter(pred), "false" -> src.filter(!pred))
         case SinkNode(_) => ()
       }
     }
-    out
+    (out, cached.toSeq)
   }
 
   /** One node's lazy output frame without executing any sink — lets a DAG be
@@ -187,7 +188,7 @@ final class PipelineDAG {
       case Array(i, p) => (i, p)
       case _ => throw new IllegalArgumentException(s"bad node ref: $nodeId")
     }
-    compile(spark, persistFanOut = false)
+    compile(spark, persistFanOut = false)._1
       .getOrElse(id, throw new IllegalArgumentException(s"unknown node: $id"))
       .getOrElse(port, throw new IllegalArgumentException(s"unknown port '$port' on $id"))
   }
@@ -199,7 +200,7 @@ final class PipelineDAG {
   def run(spark: SparkSession): Map[String, Long] = {
     val errs = validate()
     require(errs.isEmpty, s"invalid DAG: ${errs.mkString("; ")}")
-    val out = compile(spark, persistFanOut = true)
+    val (out, cached) = compile(spark, persistFanOut = true)
 
     def inputFrame(id: String): DataFrame = {
       val Seq((from, port)) = inputsOf(id)
@@ -215,8 +216,10 @@ final class PipelineDAG {
       id -> obs.get("rows").asInstanceOf[Long]
     }.toMap
 
-    // release fan-out caches
-    out.values.flatMap(_.values).foreach(df => { df.unpersist(); () })
+    // release exactly the frames that were persisted (the `out` values for
+    // a branch are its uncached filter children — unpersisting those would
+    // miss the parent's cache entry)
+    cached.foreach(df => { df.unpersist(); () })
     counts
   }
 

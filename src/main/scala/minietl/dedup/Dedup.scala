@@ -252,18 +252,25 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
 
-  /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
-    * chunks (pigeonhole: any pair within Hamming distance 3 shares at least
-    * one exact chunk), shuffle on (chunk index, chunk value), verify by
-    * Hamming <= maxHamming.
+  /** SimHash near-dup pairs: band the 64-bit signature into `bands` equal
+    * chunks and shuffle on (chunk index, chunk value). Pigeonhole: a pair
+    * within Hamming distance `bands - 1` shares at least one exact chunk, so
+    * candidate recall is complete only when `maxHamming < bands` — enforced,
+    * because silently missing pairs is worse than a bigger explode. Verify
+    * by exact Hamming <= maxHamming.
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(Seq(2, 4, 8, 16, 32).contains(bands), s"bands must divide 64: $bands")
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming < bands (got maxHamming=$maxHamming, bands=$bands)")
+    val chunkBits = 64 / bands
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
     val base = df.select(col(idCol).as("id"), simhash(split(col(textCol), " ")).as("sig"))
     val banded = base.select(col("id"), col("sig"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("bk"))
+          shiftright(col("sig"), b * chunkBits).bitwiseAND(mask).as("chunk"))): _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
     val a = banded.as("a")
     val b = banded.as("b")

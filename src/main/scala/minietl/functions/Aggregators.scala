@@ -45,13 +45,21 @@ object Aggregators {
     */
   def bottomKSample(k: Int): Aggregator[String, Seq[(Long, String)], Seq[String]] =
     new Aggregator[String, Seq[(Long, String)], Seq[String]] {
-      private def trim(s: Seq[(Long, String)]): Seq[(Long, String)] =
-        s.distinct.sortBy(_._1).take(k)
+      // ROW sample: duplicate input values stay duplicated (they share a
+      // hash, so determinism is unaffected). Buffer invariant: sorted by
+      // hash, size <= k — once saturated, a row only triggers work when its
+      // hash beats the current k-th smallest (probability ~k/n).
       def zero: Seq[(Long, String)] = Vector.empty
       def reduce(b: Seq[(Long, String)], x: String): Seq[(Long, String)] =
-        if (x == null) b else trim(b :+ ((hash(x), x)))
+        if (x == null) b
+        else {
+          val h = hash(x)
+          if (b.size < k) (b :+ ((h, x))).sortBy(_._1)
+          else if (h < b.last._1) (b.init :+ ((h, x))).sortBy(_._1)
+          else b
+        }
       def merge(a: Seq[(Long, String)], b: Seq[(Long, String)]): Seq[(Long, String)] =
-        trim(a ++ b)
+        (a ++ b).sortBy(_._1).take(k)
       def finish(b: Seq[(Long, String)]): Seq[String] = b.map(_._2)
       def bufferEncoder: Encoder[Seq[(Long, String)]] = ExpressionEncoder()
       def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()

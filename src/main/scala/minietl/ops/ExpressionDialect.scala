@@ -82,6 +82,16 @@ object ExpressionDialect {
     def peek: Option[Tok] = toks.headOption
     def next(): Tok = { val h = toks.head; toks = toks.tail; h }
 
+    // python-style word operators accepted alongside the symbol forms
+    private def wordOp(t: Tok): Option[String] = t match {
+      case Ident(w) => w.toLowerCase match {
+        case "and" => Some("&")
+        case "or" => Some("|")
+        case _ => None
+      }
+      case _ => None
+    }
+
     def parseExpr(minPrec: Int): String = {
       var lhs = parseUnary()
       var done = false
@@ -92,6 +102,9 @@ object ExpressionDialect {
             val rightAssoc = op == "**"
             val rhs = parseExpr(if (rightAssoc) Prec(op) else Prec(op) + 1)
             lhs = emit(op, lhs, rhs)
+          case Some(t) if wordOp(t).exists(op => Prec(op) >= minPrec) =>
+            val op = wordOp(next()).get
+            lhs = emit(op, lhs, parseExpr(Prec(op) + 1))
           case _ => done = true
         }
       }
@@ -100,6 +113,7 @@ object ExpressionDialect {
 
     private def parseUnary(): String = peek match {
       case Some(Op("~")) | Some(Op("!")) => next(); s"(NOT ${parseExpr(7)})"
+      case Some(Ident(w)) if w.toLowerCase == "not" => next(); s"(NOT ${parseExpr(7)})"
       case Some(Op("-")) => next(); s"(- ${parseExpr(7)})"
       case Some(Op("+")) => next(); parseExpr(7)
       case _ => parseAtom()
@@ -122,8 +136,7 @@ object ExpressionDialect {
           case _ =>
             name.toLowerCase match {
               case "true" | "false" | "null" => name.toUpperCase
-              case "and" | "or" | "not" | "in" | "like" | "is" | "between" | "case" | "when" | "then" | "else" | "end" => name
-              case _ => s"`$name`"
+              case _ => s"`$name`" // and/or/not are operators, handled above
             }
         }
       case LParen =>

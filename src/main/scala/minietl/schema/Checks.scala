@@ -37,12 +37,15 @@ object Checks {
     v => asLong(v) == 0L,
     v => s"${asLong(v)} null(s)")
 
-  /** At most `ratio` of rows may have a null `c`. */
+  /** At most `ratio` of rows may have a null `c`. Vacuously true on empty
+    * input, consistent with the counting checks (`complete`, `inRange`, …)
+    * which also pass when there are no rows to violate them.
+    */
   def completeness(c: String, minRatio: Double): Check = Check(
     s"completeness($c >= $minRatio)",
     avg(when(col(c).isNotNull, 1.0).otherwise(0.0)),
-    v => asDouble(v) >= minRatio,
-    v => f"observed ${asDouble(v)}%.4f")
+    v => v == null || asDouble(v) >= minRatio,
+    v => if (v == null) "vacuous (empty input)" else f"observed ${asDouble(v)}%.4f")
 
   /** `c` has no duplicate values (nulls ignored). */
   def unique(c: String): Check = Check(
@@ -65,12 +68,14 @@ object Checks {
     v => asLong(v) == 0L,
     v => s"${asLong(v)} value(s) outside ${allowed.mkString("{", ",", "}")}")
 
-  /** At least `minRatio` of rows satisfy the predicate. */
+  /** At least `minRatio` of rows satisfy the predicate; vacuously true on
+    * empty input (see [[completeness]]).
+    */
   def satisfies(name: String, predicate: Column, minRatio: Double = 1.0): Check = Check(
     s"satisfies($name >= $minRatio)",
     avg(when(predicate, 1.0).otherwise(0.0)),
-    v => asDouble(v) >= minRatio,
-    v => f"observed ${asDouble(v)}%.4f")
+    v => v == null || asDouble(v) >= minRatio,
+    v => if (v == null) "vacuous (empty input)" else f"observed ${asDouble(v)}%.4f")
 
   /** Row count within [lo, hi]. */
   def countBetween(lo: Long, hi: Long): Check = Check(

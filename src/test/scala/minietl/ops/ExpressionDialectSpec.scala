@@ -41,6 +41,18 @@ class ExpressionDialectSpec extends AnyFunSuite {
     assert(ExpressionDialect.splitAssignment("a <= b") === None)
   }
 
+  test("python-style word operators: and / or / not") {
+    assert(ExpressionDialect.translate("a > 1 and b < 2")
+      === "((`a` > 1) AND (`b` < 2))")
+    assert(ExpressionDialect.translate("a or not b")
+      === "(`a` OR (NOT `b`))")
+    assert(ExpressionDialect.translate("not a and b")
+      === "((NOT `a`) AND `b`)")
+    // case-insensitive, mixable with symbol forms
+    assert(ExpressionDialect.translate("a AND b | c")
+      === "((`a` AND `b`) OR `c`)")
+  }
+
   test("unary minus and nested parens") {
     assert(ExpressionDialect.translate("-(a + b) * 2") === "((- ((`a` + `b`))) * 2)")
   }

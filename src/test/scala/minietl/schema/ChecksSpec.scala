@@ -47,6 +47,15 @@ class ChecksSpec extends AnyFunSuite with SparkTestBase {
     Checks.enforce(df, Seq(Checks.complete("id"))) // passing set: no throw
   }
 
+  test("empty input: every check flavor is vacuously true") {
+    val empty = df.filter(col("id") < 0)
+    val results = Checks.run(empty, Seq(
+      Checks.complete("name"), Checks.completeness("name", 0.9),
+      Checks.unique("id"), Checks.inRange("score", 0, 1),
+      Checks.satisfies("p", col("score") > 1e9), Checks.countBetween(0, 10)))
+    assert(results.forall(_.passed), results.filterNot(_.passed).toString)
+  }
+
   test("checks integrate as a pipeline gate") {
     val p = new minietl.pipeline.PipelineBuilder("gated")
       .fromDataFrame(df)

@@ -825,8 +825,12 @@ object SparkEntry {
 
     "q_simhash_neardup" -> Q(
       (s, dir) =>
+        // classic 64-bit config: 4 bands of 16 bits, radius 3. Wider radii
+        // need more bands, whose shorter chunks collide pervasively and
+        // degrade the blocking toward all-pairs (measured: bands=16 at
+        // sf0.1 is ~25× slower than bands=4 for this corpus).
         minietl.dedup.Dedup.simhashNearDupPairs(documents(s, dir), "text", "doc_id",
-          maxHamming = 12, bands = 16)
+          maxHamming = 3, bands = 4)
           .orderBy("id_a", "id_b"),
       None),
 

@@ -376,6 +376,72 @@ object SparkEntry {
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    "q_bfill" -> Q(
+      (s, dir) =>
+        events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            when(col("value") < 10, lit(null)).otherwise(col("value")).as("v"))
+          .transform(Ops.bfill(Seq("v"), orderBy = "event_id", partitionBy = Seq("user_id")))
+          .withColumnRenamed("v", "v_filled")
+          .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+             |  first_value(CASE WHEN value < 10 THEN NULL ELSE value END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY event_id
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_filled
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    "q_dedupe_last" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+          .transform(Ops.dedupe(Seq("l_orderkey"), Keep.Last(Seq("l_linenumber", "l_quantity"))))
+          .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM (
+             |  SELECT l_orderkey, l_linenumber, l_quantity,
+             |    row_number() OVER (PARTITION BY l_orderkey
+             |      ORDER BY l_linenumber DESC, l_quantity DESC) AS rn
+             |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin)),
+
+    "q_string_funcs2" -> Q(
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            regexp_replace(col("p_type"), " ", "_").as("type_u"),
+            lower(col("p_name")).as("name_l"),
+            lpad(col("p_brand"), 12, "*").as("brand_pad"),
+            split_part(col("p_type"), lit(" "), lit(2)).as("type_mid"),
+            reverse(col("p_brand")).as("brand_rev"),
+            translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  regexp_replace(p_type, ' ', '_', 'g') AS type_u,
+             |  lower(p_name) AS name_l,
+             |  lpad(p_brand, 12, '*') AS brand_pad,
+             |  split_part(p_type, ' ', 2) AS type_mid,
+             |  reverse(p_brand) AS brand_rev,
+             |  translate(p_name, 'aeiou', 'AEIOU') AS name_tr
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    "q_date_funcs" -> Q(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"),
+            quarter(col("o_orderdate")).as("q"),
+            (dayofweek(col("o_orderdate")) - 1).cast("bigint").as("dow"),
+            date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+            datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+              .cast("bigint").as("days_since"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INT) AS y,
+             |  CAST(month(o_orderdate) AS INT) AS m,
+             |  CAST(quarter(o_orderdate) AS INT) AS q,
+             |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+             |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+             |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     "q_window_rank" -> Q(
       (s, dir) => {
         val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)

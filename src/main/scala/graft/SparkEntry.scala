@@ -479,6 +479,62 @@ object SparkEntry {
              |SELECT s_nationkey FROM supplier
              |ORDER BY nationkey""".stripMargin)),
 
+    "q_array_funcs" -> Q(
+      (s, dir) =>
+        embeddings(s, dir)
+          .select(col("vec_id"),
+            size(col("embedding")).cast("bigint").as("dim"),
+            round(element_at(col("embedding"), 1), 4).as("first"),
+            round(array_max(col("embedding")), 4).as("mx"),
+            round(array_min(col("embedding")), 4).as("mn"),
+            round(element_at(array_sort(col("embedding")), 3), 4).as("third_smallest"),
+            size(filter(col("embedding"), x => x > 0)).cast("bigint").as("n_pos"))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |  CAST(len(embedding) AS BIGINT) AS dim,
+             |  round(embedding[1], 4) AS first,
+             |  round(list_max(embedding), 4) AS mx,
+             |  round(list_min(embedding), 4) AS mn,
+             |  round(list_sort(embedding)[3], 4) AS third_smallest,
+             |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    "q_null_safe" -> Q(
+      (s, dir) => {
+        val base = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            when(col("l_discount") < 0.02, lit(null)).otherwise(col("l_discount")).as("d1"),
+            when(col("l_tax") < 0.02, lit(null)).otherwise(col("l_tax")).as("d2"))
+        base.select(col("l_orderkey"), col("l_linenumber"),
+            (col("d1") <=> col("d2")).as("ns_eq"),
+            nvl2(col("d1"), lit("has"), lit("none")).as("d1_state"),
+            round(coalesce(col("d1"), col("d2"), lit(0.0)), 2).as("first_non_null"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH b AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CASE WHEN l_discount < 0.02 THEN NULL ELSE l_discount END AS d1,
+             |    CASE WHEN l_tax < 0.02 THEN NULL ELSE l_tax END AS d2
+             |  FROM lineitem)
+             |SELECT l_orderkey, l_linenumber,
+             |  d1 IS NOT DISTINCT FROM d2 AS ns_eq,
+             |  CASE WHEN d1 IS NOT NULL THEN 'has' ELSE 'none' END AS d1_state,
+             |  round(coalesce(d1, d2, 0.0), 2) AS first_non_null
+             |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    "q_json_struct" -> Q(
+      (s, dir) =>
+        events(s, dir)
+          .select(col("event_id"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, tag STRING")).as("p"))
+          .select(col("event_id"), col("p.k").as("k"), col("p.tag").as("tag"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |  json_extract_string(props, '$.tag') AS tag
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     "q_events_json" -> Q(
       (s, dir) =>
         events(s, dir)

@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway plan-inspection entry for dev loops (not part of the driver
-  * contract).
+/** Throwaway dev entry: run the whole battery twice in one session and
+  * compare row counts — catches cross-query state leaks (temp views,
+  * memory-sink names, cached frames, staged stream dirs).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -15,14 +16,15 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("q1_pricing_summary", "q5_nation_revenue", "q6_forecast_revenue",
-        "q_join_multi", "q_filter_project", "q_doc_tokens")
-    names.foreach { n =>
-      println(s"\n===================== $n =====================")
-      println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+    var bad = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val a = try fn(spark, dir).count() catch { case e: Throwable => println(s"[scratch] $name run1 FAILED: ${e.getMessage.take(120)}"); bad += 1; -1L }
+      spark.catalog.clearCache()
+      val b = try fn(spark, dir).count() catch { case e: Throwable => println(s"[scratch] $name run2 FAILED: ${e.getMessage.take(120)}"); bad += 1; -2L }
+      spark.catalog.clearCache()
+      if (a != b) { println(s"[scratch] $name MISMATCH run1=$a run2=$b"); bad += 1 }
     }
+    println(s"[scratch] idempotence check done, $bad problem(s)")
     spark.stop()
   }
 }

@@ -18,11 +18,18 @@ object Scratch {
     val dir = "/root/testdata/sf0.01"
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val a = try fn(spark, dir).count() catch { case e: Throwable => println(s"[scratch] $name run1 FAILED: ${e.getMessage.take(120)}"); bad += 1; -1L }
-      spark.catalog.clearCache()
-      val b = try fn(spark, dir).count() catch { case e: Throwable => println(s"[scratch] $name run2 FAILED: ${e.getMessage.take(120)}"); bad += 1; -2L }
-      spark.catalog.clearCache()
-      if (a != b) { println(s"[scratch] $name MISMATCH run1=$a run2=$b"); bad += 1 }
+      def run(which: String): Option[Long] =
+        try Some(fn(spark, dir).count())
+        catch { case e: Throwable =>
+          println(s"[scratch] $name $which FAILED: ${e.getMessage.take(120)}"); None }
+      val a = run("run1"); spark.catalog.clearCache()
+      val b = run("run2"); spark.catalog.clearCache()
+      (a, b) match {
+        case (Some(x), Some(y)) if x != y =>
+          println(s"[scratch] $name MISMATCH run1=$x run2=$y"); bad += 1
+        case (Some(_), Some(_)) => ()
+        case _ => bad += 1 // failure already printed; count once
+      }
     }
     println(s"[scratch] idempotence check done, $bad problem(s)")
     spark.stop()

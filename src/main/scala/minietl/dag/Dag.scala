@@ -207,20 +207,21 @@ final class PipelineDAG {
       out(from)(port)
     }
 
-    val counts = nodes.collect { case (id, SinkNode(f)) =>
-      val obs = org.apache.spark.sql.Observation(
-        s"dag_${id}_${java.util.UUID.randomUUID().toString.take(8)}")
-      val observed = inputFrame(id).observe(obs,
-        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
-      f(observed)
-      id -> obs.get("rows").asInstanceOf[Long]
-    }.toMap
-
-    // release exactly the frames that were persisted (the `out` values for
-    // a branch are its uncached filter children — unpersisting those would
-    // miss the parent's cache entry)
-    cached.foreach(df => { df.unpersist(); () })
-    counts
+    try {
+      nodes.collect { case (id, SinkNode(f)) =>
+        val obs = org.apache.spark.sql.Observation(
+          s"dag_${id}_${java.util.UUID.randomUUID().toString.take(8)}")
+        val observed = inputFrame(id).observe(obs,
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+        f(observed)
+        id -> obs.get("rows").asInstanceOf[Long]
+      }.toMap
+    } finally {
+      // release exactly the frames that were persisted — even when a sink
+      // throws (the `out` values for a branch are its uncached filter
+      // children; unpersisting those would miss the parent's cache entry)
+      cached.foreach(df => { df.unpersist(); () })
+    }
   }
 
   /** ASCII rendering (dag.py:392-416). */

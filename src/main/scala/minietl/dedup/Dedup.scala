@@ -261,7 +261,7 @@ object Dedup {
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    require(Seq(2, 4, 8, 16, 32).contains(bands), s"bands must divide 64: $bands")
+    require(Seq(1, 2, 4, 8, 16, 32, 64).contains(bands), s"bands must divide 64: $bands")
     require(maxHamming < bands,
       s"recall guarantee needs maxHamming < bands (got maxHamming=$maxHamming, bands=$bands)")
     val chunkBits = 64 / bands

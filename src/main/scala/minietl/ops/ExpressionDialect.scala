@@ -113,7 +113,11 @@ object ExpressionDialect {
 
     private def parseUnary(): String = peek match {
       case Some(Op("~")) | Some(Op("!")) => next(); s"(NOT ${parseExpr(7)})"
-      case Some(Ident(w)) if w.toLowerCase == "not" => next(); s"(NOT ${parseExpr(7)})"
+      case Some(Ident(w)) if w.toLowerCase == "not" =>
+        // python precedence: `not` binds looser than comparisons (so
+        // `not a > b` is NOT(a > b)) but tighter than and/or — unlike `~`,
+        // which is tight like pandas' bitwise-not
+        next(); s"(NOT ${parseExpr(4)})"
       case Some(Op("-")) => next(); s"(- ${parseExpr(7)})"
       case Some(Op("+")) => next(); parseExpr(7)
       case _ => parseAtom()

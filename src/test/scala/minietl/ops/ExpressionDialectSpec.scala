@@ -51,6 +51,11 @@ class ExpressionDialectSpec extends AnyFunSuite {
     // case-insensitive, mixable with symbol forms
     assert(ExpressionDialect.translate("a AND b | c")
       === "((`a` AND `b`) OR `c`)")
+    // python precedence: `not` is looser than comparisons, tighter than and
+    assert(ExpressionDialect.translate("not a > 1")
+      === "(NOT (`a` > 1))")
+    assert(ExpressionDialect.translate("not a > 1 and b < 2")
+      === "((NOT (`a` > 1)) AND (`b` < 2))")
   }
 
   test("unary minus and nested parens") {

@@ -810,6 +810,45 @@ object SparkEntry {
              |        / len(string_split(text, ' ')), 4) AS stop_ratio
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    "q_tfidf" -> Q(
+      (s, dir) =>
+        minietl.text.TextAnalysis.tfidf(documents(s, dir), "doc_id", "text")
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            round(col("idf"), 4).as("idf"), round(col("weight"), 4).as("weight"))
+          .orderBy("doc_id", "term"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+             |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |  round(ln((n.n + 1.0) / (df.df + 1)) + 1, 4) AS idf,
+             |  round(tf.tf * (ln((n.n + 1.0) / (df.df + 1)) + 1), 4) AS weight
+             |FROM tf JOIN df USING (term) CROSS JOIN n
+             |ORDER BY doc_id, term""".stripMargin)),
+
+    "q_bm25" -> Q(
+      (s, dir) =>
+        minietl.text.TextAnalysis.bm25(documents(s, dir), "doc_id", "text")
+          .select(col("doc_id"), col("term"), col("tf"),
+            round(col("score"), 4).as("score"))
+          .orderBy("doc_id", "term"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, lower(text) AS lt,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS doc_len
+             |  FROM documents),
+             |toks AS (SELECT doc_id, doc_len, unnest(string_split(lt, ' ')) AS term FROM d),
+             |tf AS (SELECT doc_id, doc_len, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |al AS (SELECT avg(doc_len) AS avg_len FROM (SELECT DISTINCT doc_id, doc_len FROM tf)),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+             |SELECT tf.doc_id, tf.term, tf.tf,
+             |  round(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+             |    * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.doc_len / al.avg_len)), 4) AS score
+             |FROM tf JOIN df USING (term) CROSS JOIN n CROSS JOIN al
+             |ORDER BY doc_id, term""".stripMargin)),
+
     "q_dedup_exact" -> Q(
       (s, dir) =>
         documents(s, dir)

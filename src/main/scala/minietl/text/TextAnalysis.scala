@@ -1,6 +1,6 @@
 package minietl.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -110,6 +110,56 @@ object TextAnalysis {
       .when(de === top, lit("de"))
       .when(es === top, lit("es"))
       .otherwise(lit("fr"))
+  }
+
+  /** Per-document term frequencies: one row per (doc, term) with the term's
+    * count and the document's token length. One explode + one groupBy; the
+    * shuffle key is (doc, term), so skew only appears for pathological
+    * single-term documents.
+    */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("bigint").as("doc_len"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("doc_id", "doc_len", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Smoothed TF-IDF weights per (doc, term):
+    * idf = ln((N + 1) / (df + 1)) + 1 (sklearn-style smoothing — never
+    * negative, never divides by zero). Document frequency is a second
+    * aggregation over distinct (doc, term); the small (term, idf) side
+    * joins back — broadcast when the vocabulary fits, shuffle otherwise,
+    * chosen by the planner.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val n = docs.count()
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf", log((lit(n + 1).cast("double")) / (col("df") + 1)) + 1)
+    tf.join(df_, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("idf"), (col("tf") * col("idf")).as("weight"))
+  }
+
+  /** Okapi BM25 term scores per (doc, term):
+    * score = idf * tf * (k1+1) / (tf + k1 * (1 - b + b * len/avgLen)),
+    * idf = ln(1 + (N - df + 0.5) / (df + 0.5)). The avg document length is
+    * one scalar aggregate; everything else reuses the TF/DF plan.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val n = docs.count()
+    val avgLen = tf.select(col("doc_id"), col("doc_len")).distinct()
+      .agg(avg("doc_len")).collect()(0).getDouble(0)
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)))
+    tf.join(df_, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("idf"),
+        (col("idf") * col("tf") * (lit(k1) + 1) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("doc_len") / avgLen)))
+          .as("score"))
   }
 
   /** Order-sensitive document fingerprint: a polynomial rolling hash over

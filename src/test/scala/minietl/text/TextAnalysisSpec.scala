@@ -55,6 +55,37 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(clean === again)
   }
 
+  test("tfidf: common terms get low idf, rare terms high; tf counts repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark streams"),
+      (2L, "spark batch"),
+      (3L, "pandas batch")).toDF("doc_id", "text")
+    val w = minietl.text.TextAnalysis.tfidf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(w((1L, "spark"))._1 === 2L) // tf counts repeats
+    assert(w((1L, "spark"))._2 === 2L) // df = docs containing term
+    assert(w((1L, "streams"))._3 > w((1L, "spark"))._3) // rarer → higher idf
+    // smoothed idf of a term in every doc: ln(4/4) + 1 = 1
+    val batchIdf = w((2L, "batch"))._3
+    assert(math.abs(w((3L, "pandas"))._3 - (math.log(2.0) + 1)) < 1e-12)
+    assert(math.abs(batchIdf - (math.log(4.0 / 3) + 1)) < 1e-12)
+  }
+
+  test("bm25: saturates with tf and discounts long documents") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "term term term term filler"),
+      (2L, "term filler"),
+      (3L, "other words entirely here")).toDF("doc_id", "text")
+    val s = minietl.text.TextAnalysis.bm25(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(5)).toMap
+    // higher tf scores higher, but sublinearly (saturation, not 4x)
+    assert(s((1L, "term")) > s((2L, "term")))
+    assert(s((1L, "term")) < s((2L, "term")) * 4)
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val a = one(TextAnalysis.fingerprint(lit("alpha beta gamma"))).getLong(0)
     val a2 = one(TextAnalysis.fingerprint(lit("alpha beta gamma"))).getLong(0)

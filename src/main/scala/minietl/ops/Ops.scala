@@ -147,6 +147,7 @@ object Ops {
     case "last" => last(col(c), ignoreNulls = true)
     case "nunique" => countDistinct(col(c))
     case "approx_nunique" => approx_count_distinct(col(c))
+    case "geomean" => minietl.functions.Aggregators.geoMean(col(c))
     case other => throw new IllegalArgumentException(s"unknown agg function: $other")
   }
 
@@ -199,6 +200,18 @@ object Ops {
         val w = Window.partitionBy(keys.map(col): _*)
         df.withColumn("__cnt", count(lit(1)).over(w)).filter(col("__cnt") === 1).drop("__cnt")
     }
+  }
+
+  /** Top-k rows per group under an explicit ordering — the grouped LIMIT the
+    * reference lacks entirely (§2.8). Plans as a window rank + filter;
+    * Spark's WindowGroupLimit pushes the limit below the sort, so each
+    * partition keeps only k candidates per key instead of fully sorting.
+    */
+  def topKPerGroup(keys: Seq[String], orderBy: Seq[(String, Boolean)], k: Int): Op = df => {
+    require(orderBy.nonEmpty, "topKPerGroup needs an ordering")
+    val ord = orderBy.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
 
   // ---------------------------------------------------------------- sort

@@ -133,6 +133,23 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(none === Seq("c"))
   }
 
+  test("topKPerGroup keeps k rows per key under the given order") {
+    val out = sample.transform(Ops.topKPerGroup(
+      Seq("category"), Seq("value" -> false, "id" -> true), k = 2))
+    assert(out.count() === 10)
+    val a = out.filter(col("category") === "A").orderBy(col("value").desc)
+      .select("value").as[Long].collect().toSeq
+    assert(a === Seq(195L, 190L))
+    assert(out.columns.toSeq === sample.columns.toSeq) // helper column dropped
+  }
+
+  test("groupAgg supports the custom geomean aggregate") {
+    val out = Seq(("a", 2.0), ("a", 8.0)).toDF("k", "v")
+      .transform(Ops.groupAgg(Seq("k"), Map("v" -> Seq("geomean"))))
+    assert(out.columns.toSeq === Seq("k", "v_geomean"))
+    assert(math.abs(out.collect()(0).getDouble(1) - 4.0) < 1e-12)
+  }
+
   test("sort orders globally with per-column direction") {
     val out = sample.transform(Ops.sort(Seq("category", "value"), Seq(true, false)))
       .limit(2).select("category", "value").as[(String, Long)].collect().toSeq

@@ -92,6 +92,21 @@ object ExpressionDialect {
       case _ => None
     }
 
+    private def isWord(t: Tok, w: String): Boolean = t match {
+      case Ident(s) => s.equalsIgnoreCase(w)
+      case _ => false
+    }
+
+    /** `in (a, b, ...)` membership list after an `in` / `not in`. */
+    private def parseInList(): String = {
+      require(peek.contains(LParen), "expected ( after in")
+      next()
+      val items = scala.collection.mutable.ListBuffer(parseExpr(0))
+      while (peek.contains(Comma)) { next(); items += parseExpr(0) }
+      require(next() == RParen, "expected ) closing in-list")
+      items.mkString("(", ", ", ")")
+    }
+
     def parseExpr(minPrec: Int): String = {
       var lhs = parseUnary()
       var done = false
@@ -102,6 +117,15 @@ object ExpressionDialect {
             val rightAssoc = op == "**"
             val rhs = parseExpr(if (rightAssoc) Prec(op) else Prec(op) + 1)
             lhs = emit(op, lhs, rhs)
+          // membership tests at comparison precedence: `x in (...)`,
+          // `x not in (...)` (pandas-eval operators)
+          case Some(t) if isWord(t, "in") && Prec("==") >= minPrec =>
+            next()
+            lhs = s"($lhs IN ${parseInList()})"
+          case Some(t) if isWord(t, "not") && toks.drop(1).headOption.exists(isWord(_, "in"))
+              && Prec("==") >= minPrec =>
+            next(); next()
+            lhs = s"($lhs NOT IN ${parseInList()})"
           case Some(t) if wordOp(t).exists(op => Prec(op) >= minPrec) =>
             val op = wordOp(next()).get
             lhs = emit(op, lhs, parseExpr(Prec(op) + 1))

@@ -58,6 +58,18 @@ class ExpressionDialectSpec extends AnyFunSuite {
       === "((NOT (`a` > 1)) AND (`b` < 2))")
   }
 
+  test("membership: in and not in at comparison precedence") {
+    assert(ExpressionDialect.translate("category in ('A', 'B')")
+      === "(`category` IN ('A', 'B'))")
+    assert(ExpressionDialect.translate("x not in (1, 2, 3)")
+      === "(`x` NOT IN (1, 2, 3))")
+    assert(ExpressionDialect.translate("a in ('x') and b > 1")
+      === "((`a` IN ('x')) AND ((`b` > 1)))".replace("((`b` > 1))", "(`b` > 1)"))
+    // unary not still works when not followed by in
+    assert(ExpressionDialect.translate("not a in ('x')")
+      === "(NOT (`a` IN ('x')))")
+  }
+
   test("unary minus and nested parens") {
     assert(ExpressionDialect.translate("-(a + b) * 2") === "((- ((`a` + `b`))) * 2)")
   }

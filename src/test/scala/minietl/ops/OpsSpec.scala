@@ -27,6 +27,11 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     // category A holds values 100, 105, ..., 195 → nine of them exceed 150
     val out = sample.transform(Ops.filterExpr("(value > 150) & (category == 'A')"))
     assert(out.count() === 9)
+    // word operators and membership run through the same surface
+    // A: 155..195 step 5 → 9 rows; B: 151..196 step 5 → 10 rows
+    assert(sample.transform(Ops.filterExpr("value > 150 and category in ('A', 'B')"))
+      .count() === 19)
+    assert(sample.transform(Ops.filterExpr("not value > 150")).count() === 51)
     assert(out.select("category").distinct().as[String].collect().toSeq === Seq("A"))
   }
 

@@ -150,6 +150,20 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
 
+  /** Embedding-level dedup: keep one representative per cosine-near-dup
+    * cluster (transitive, via connected components over the bucketed pair
+    * list); rows in no cluster pass through.
+    */
+  def cosineDedup(df: DataFrame, threshold: Double, bits: Int, dim: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  seed: Long = 42L): DataFrame = {
+    val pairs = cosineNearDupPairs(df, threshold, bits, dim, idCol, vecCol, seed)
+    val drop = minietl.dedup.Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("__dup"))
+    df.join(drop, df(idCol) === col("__dup"), "left_anti")
+  }
+
   /** Exact all-pairs near-dup (no bucketing) — correctness oracle for small
     * corpora and tests; O(n^2), do not use at scale.
     */

@@ -71,6 +71,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(bucketed === exact) // identical vectors always share a bucket
   }
 
+  test("cosineDedup keeps one representative per near-identical cluster") {
+    val withDupes = vecs(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(1f, 0f, 0f),    // dup of 0
+      2L -> Seq(0.9999f, 0.0001f, 0f), // near-dup chains to 0/1
+      3L -> Seq(0f, 1f, 0f))
+    val kept = Similarity.cosineDedup(withDupes, threshold = 0.999, bits = 2, dim = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 3L))
+  }
+
   test("lshSignature is deterministic and within [0, 2^bits)") {
     val sigs = corpus.select(Similarity.lshSignature(col("embedding"), 4, 3).as("s"))
       .as[Int].collect()

@@ -132,7 +132,9 @@ object TextAnalysis {
     * chosen by the planner.
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = termFrequencies(docs, idCol, textCol)
+    // persisted: both the weight join and the document-frequency aggregation
+    // read it, and tokenization is the expensive scan-side step
+    val tf = termFrequencies(docs, idCol, textCol).persist()
     val n = docs.count()
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("idf", log((lit(n + 1).cast("double")) / (col("df") + 1)) + 1)
@@ -148,7 +150,9 @@ object TextAnalysis {
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = termFrequencies(docs, idCol, textCol)
+    // persisted: read by the score join, the DF aggregation, and the
+    // average-length aggregate
+    val tf = termFrequencies(docs, idCol, textCol).persist()
     val n = docs.count()
     val avgLen = tf.select(col("doc_id"), col("doc_len")).distinct()
       .agg(avg("doc_len")).collect()(0).getDouble(0)

@@ -484,18 +484,20 @@ object SparkEntry {
         embeddings(s, dir)
           .select(col("vec_id"),
             size(col("embedding")).cast("bigint").as("dim"),
-            round(element_at(col("embedding"), 1), 4).as("first"),
-            round(array_max(col("embedding")), 4).as("mx"),
-            round(array_min(col("embedding")), 4).as("mn"),
-            round(element_at(array_sort(col("embedding")), 3), 4).as("third_smallest"),
+            // + 0.0 normalizes IEEE negative zero (round of a tiny negative
+            // yields -0.0, whose string form breaks value-sorted compares)
+            (round(element_at(col("embedding"), 1), 4) + 0.0).as("first"),
+            (round(array_max(col("embedding")), 4) + 0.0).as("mx"),
+            (round(array_min(col("embedding")), 4) + 0.0).as("mn"),
+            (round(element_at(array_sort(col("embedding")), 3), 4) + 0.0).as("third_smallest"),
             size(filter(col("embedding"), x => x > 0)).cast("bigint").as("n_pos"))
           .orderBy("vec_id"),
       Some("""SELECT vec_id,
              |  CAST(len(embedding) AS BIGINT) AS dim,
-             |  round(embedding[1], 4) AS first,
-             |  round(list_max(embedding), 4) AS mx,
-             |  round(list_min(embedding), 4) AS mn,
-             |  round(list_sort(embedding)[3], 4) AS third_smallest,
+             |  round(embedding[1], 4) + 0.0 AS first,
+             |  round(list_max(embedding), 4) + 0.0 AS mx,
+             |  round(list_min(embedding), 4) + 0.0 AS mn,
+             |  round(list_sort(embedding)[3], 4) + 0.0 AS third_smallest,
              |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 

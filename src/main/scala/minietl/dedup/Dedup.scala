@@ -189,18 +189,26 @@ object Dedup {
     labels
   }
 
-  /** Cluster-safe near-dup removal: confirmed pairs → connected components →
-    * keep only each cluster's minimum id (plus every row in no cluster).
+  /** Keep one representative per cluster implied by an undirected pair list:
+    * connected components label each cluster with its minimum id; every
+    * non-representative row is dropped, rows in no cluster pass through.
+    * Shared keep-one step for all the near-dup detectors.
     */
-  def minhashDedupClusters(df: DataFrame, textCol: String, idCol: String,
-                           shingleN: Int = 3, k: Int = 128, bands: Int = 32,
-                           threshold: Double = 0.8): DataFrame = {
-    val pairs = minhashNearDupPairs(df, textCol, idCol, shingleN, k, bands, threshold)
+  def dropClusterDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     val drop = connectedComponents(pairs)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("__dup"))
     df.join(drop, df(idCol) === col("__dup"), "left_anti")
   }
+
+  /** Cluster-safe near-dup removal: confirmed pairs → connected components →
+    * keep only each cluster's minimum id (plus every row in no cluster).
+    */
+  def minhashDedupClusters(df: DataFrame, textCol: String, idCol: String,
+                           shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+                           threshold: Double = 0.8): DataFrame =
+    dropClusterDuplicates(df,
+      minhashNearDupPairs(df, textCol, idCol, shingleN, k, bands, threshold), idCol)
 
   /** Exact n-gram-Jaccard near-dup pairs with length blocking, expressed as
     * an equi-join so it scales: candidates are pairs whose `lenCol` differ by

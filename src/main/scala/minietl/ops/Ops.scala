@@ -182,6 +182,10 @@ object Ops {
     case object None_ extends Keep
   }
 
+  /** A helper-column name not colliding with any input column. */
+  private def freshName(df: DataFrame, base: String): String =
+    Iterator.iterate(base)(_ + "_").dropWhile(df.columns.contains).next()
+
   /** DeduplicateTransformer (transformers.py:522-547). `First`/`Last` need an
     * explicit ordering (pandas relies on physical row order, which Spark does
     * not have — SURVEY §7.6); both run as one shuffle on the key columns.
@@ -192,13 +196,16 @@ object Ops {
       case Keep.Any => if (subset.nonEmpty) df.dropDuplicates(subset) else df.distinct()
       case Keep.First(ord) =>
         val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.map(col(_).asc): _*)
-        df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        val rn = freshName(df, "__rn")
+        df.withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
       case Keep.Last(ord) =>
         val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.map(col(_).desc): _*)
-        df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        val rn = freshName(df, "__rn")
+        df.withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
       case Keep.None_ =>
         val w = Window.partitionBy(keys.map(col): _*)
-        df.withColumn("__cnt", count(lit(1)).over(w)).filter(col("__cnt") === 1).drop("__cnt")
+        val cnt = freshName(df, "__cnt")
+        df.withColumn(cnt, count(lit(1)).over(w)).filter(col(cnt) === 1).drop(cnt)
     }
   }
 
@@ -211,7 +218,8 @@ object Ops {
     require(orderBy.nonEmpty, "topKPerGroup needs an ordering")
     val ord = orderBy.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+    val rn = freshName(df, "__rn")
+    df.withColumn(rn, row_number().over(w)).filter(col(rn) <= k).drop(rn)
   }
 
   // ---------------------------------------------------------------- sort

@@ -156,13 +156,9 @@ object Similarity {
     */
   def cosineDedup(df: DataFrame, threshold: Double, bits: Int, dim: Int,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  seed: Long = 42L): DataFrame = {
-    val pairs = cosineNearDupPairs(df, threshold, bits, dim, idCol, vecCol, seed)
-    val drop = minietl.dedup.Dedup.connectedComponents(pairs)
-      .filter(col("id") =!= col("comp"))
-      .select(col("id").as("__dup"))
-    df.join(drop, df(idCol) === col("__dup"), "left_anti")
-  }
+                  seed: Long = 42L): DataFrame =
+    minietl.dedup.Dedup.dropClusterDuplicates(df,
+      cosineNearDupPairs(df, threshold, bits, dim, idCol, vecCol, seed), idCol)
 
   /** Exact all-pairs near-dup (no bucketing) — correctness oracle for small
     * corpora and tests; O(n^2), do not use at scale.

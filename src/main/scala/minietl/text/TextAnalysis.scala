@@ -133,11 +133,18 @@ object TextAnalysis {
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // persisted: both the weight join and the document-frequency aggregation
-    // read it, and tokenization is the expensive scan-side step
+    // read it, and tokenization is the expensive scan-side step. The cache
+    // entry lives until the session drops it (LRU) or the caller runs
+    // spark.catalog.clearCache(); batch callers processing many corpora
+    // should do the latter between corpora.
     val tf = termFrequencies(docs, idCol, textCol).persist()
-    val n = docs.count()
+    // document count stays a lazy one-row aggregate (cross-joined like the
+    // SQL formulation) — no eager job at construction time
+    val n = docs.agg(count(lit(1)).as("__n"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .withColumn("idf", log((lit(n + 1).cast("double")) / (col("df") + 1)) + 1)
+      .crossJoin(n)
+      .withColumn("idf", log((col("__n") + 1).cast("double") / (col("df") + 1)) + 1)
+      .drop("__n")
     tf.join(df_, "term")
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("idf"), (col("tf") * col("idf")).as("weight"))
@@ -151,18 +158,24 @@ object TextAnalysis {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // persisted: read by the score join, the DF aggregation, and the
-    // average-length aggregate
+    // average-length aggregate (cache lifecycle: see tfidf)
     val tf = termFrequencies(docs, idCol, textCol).persist()
-    val n = docs.count()
+    // N and the average length stay lazy one-row aggregates — no eager jobs
+    // at construction, and an empty corpus yields an empty frame instead of
+    // a driver-side unboxing error
+    val n = docs.agg(count(lit(1)).as("__n"))
     val avgLen = tf.select(col("doc_id"), col("doc_len")).distinct()
-      .agg(avg("doc_len")).collect()(0).getDouble(0)
+      .agg(avg("doc_len").as("__avg_len"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(n)
       .withColumn("idf",
-        log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)))
+        log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .drop("__n")
     tf.join(df_, "term")
+      .crossJoin(avgLen)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("idf"),
         (col("idf") * col("tf") * (lit(k1) + 1) /
-          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("doc_len") / avgLen)))
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("doc_len") / col("__avg_len"))))
           .as("score"))
   }
 

@@ -64,8 +64,10 @@ object SparkEntry {
             // 2dp x 2dp products are exact 4dp / 6dp decimals; summing them as
             // decimals is exact in both engines, immune to double-summation
             // order (q1 at sf0.1 sums ~1e10 where double ulp > a 6dp half-step)
-            sum(revenue.cast("decimal(18,4)")).as("sum_disc_price"),
-            sum((revenue * (lit(1) + col("l_tax"))).cast("decimal(18,6)")).as("sum_charge"),
+            // both engines widen decimal sums differently (Spark 28,x; DuckDB
+            // 38,x) — pin the declared output width explicitly on both sides
+            sum(revenue.cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_disc_price"),
+            sum((revenue * (lit(1) + col("l_tax"))).cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_charge"),
             round(avg("l_quantity"), 4).as("avg_qty"),
             round(avg("l_extendedprice"), 4).as("avg_price"),
             round(avg("l_discount"), 4).as("avg_disc"),
@@ -74,8 +76,8 @@ object SparkEntry {
       Some("""SELECT l_returnflag, l_linestatus,
              |  round(sum(l_quantity), 2) AS sum_qty,
              |  round(sum(l_extendedprice), 2) AS sum_base_price,
-             |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-             |  sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+             |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+             |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
              |  round(avg(l_quantity), 4) AS avg_qty,
              |  round(avg(l_extendedprice), 4) AS avg_price,
              |  round(avg(l_discount), 4) AS avg_disc,
@@ -492,12 +494,14 @@ object SparkEntry {
             (round(element_at(array_sort(col("embedding")), 3), 4) + 0.0).as("third_smallest"),
             size(filter(col("embedding"), x => x > 0)).cast("bigint").as("n_pos"))
           .orderBy("vec_id"),
+      // CAST ... AS DOUBLE: Spark's `+ 0.0` promotes FLOAT→DOUBLE, DuckDB's
+      // stays FLOAT; widening after float-space rounding is exact on both
       Some("""SELECT vec_id,
              |  CAST(len(embedding) AS BIGINT) AS dim,
-             |  round(embedding[1], 4) + 0.0 AS first,
-             |  round(list_max(embedding), 4) + 0.0 AS mx,
-             |  round(list_min(embedding), 4) + 0.0 AS mn,
-             |  round(list_sort(embedding)[3], 4) + 0.0 AS third_smallest,
+             |  CAST(round(embedding[1], 4) + 0.0 AS DOUBLE) AS first,
+             |  CAST(round(list_max(embedding), 4) + 0.0 AS DOUBLE) AS mx,
+             |  CAST(round(list_min(embedding), 4) + 0.0 AS DOUBLE) AS mn,
+             |  CAST(round(list_sort(embedding)[3], 4) + 0.0 AS DOUBLE) AS third_smallest,
              |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
@@ -617,10 +621,12 @@ object SparkEntry {
             coalesce(col("O"), lit(0L)).as("o_cnt"),
             coalesce(col("P"), lit(0L)).as("p_cnt"))
           .orderBy("o_orderpriority"),
+      // count(*) FILTER yields BIGINT in DuckDB; sum(CASE ...) would widen to
+      // HUGEINT (int128) and hash-mismatch Spark's BIGINT on type width
       Some("""SELECT o_orderpriority,
-             |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
-             |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
-             |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
+             |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+             |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+             |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // §2.8 supersets: session windows, cube, exact percentiles — absent in
@@ -975,6 +981,17 @@ object SparkEntry {
              |    round(list_cosine_similarity(a.v, b.v), 4) AS cos
              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
              |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
+
+    // the banded-LSH scale path for embedding dedup, with a full oracle: the
+    // hyperplane stream is deterministic in the seed, so the generated SQL
+    // replays the identical banding in DuckDB (Similarity.lshNearDupOracleSql)
+    "q_emb_neardup_lsh" -> Q(
+      (s, dir) =>
+        minietl.sim.Similarity.cosineNearDupPairs(embeddings(s, dir), threshold = 0.4,
+          bitsPerBand = 4, bands = 16, dim = 64)
+          .orderBy("id_a", "id_b"),
+      Some(minietl.sim.Similarity.lshNearDupOracleSql(
+        threshold = 0.4, bitsPerBand = 4, bands = 16, dim = 64))),
 
     // -------- rows-only checks (not ANSI-SQL-expressible; covered by
     // ScalaTest invariants instead: planted-pair recall, estimate accuracy)

@@ -98,13 +98,17 @@ object Similarity {
     lshSignatureD(transform(vec, x => x.cast("double")), bits, dim, seed)
 
   /** Signature over an already-double vector (see [[prepared]]). */
-  private def lshSignatureD(vec: Column, bits: Int, dim: Int, seed: Long): Column = {
-    val planes = hyperplanes(bits, dim, seed)
+  private def lshSignatureD(vec: Column, bits: Int, dim: Int, seed: Long): Column =
+    signatureFromPlanes(vec, hyperplanes(bits, dim, seed))
+
+  /** Bucket id from explicit planes: bit i set iff vec . plane_i > 0. The
+    * projection is the native codegen dot ([[dotD]]) against a literal
+    * double array — a sequential product-sum, bit-identical to DuckDB's
+    * `list_inner_product`, which the verification oracle relies on.
+    */
+  private def signatureFromPlanes(vec: Column, planes: Array[Array[Double]]): Column = {
     val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      val proj = aggregate(
-        zip_with(vec, typedlit(p.toSeq), (x, w) => x * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+      when(dotD(vec, typedlit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _).cast("int")
   }
@@ -132,33 +136,90 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
-    * LSH signature (near-identical vectors land in the same bucket with
-    * high probability; increase recall by lowering `bits`).
+  /** Embedding-cosine near-duplicate pairs above `threshold`, via banded
+    * (OR-amplified) random-hyperplane LSH — the textbook construction:
+    * `bands` independent signatures of `bitsPerBand` bits each; a pair is a
+    * candidate iff it collides in ANY band, then the exact cosine filter
+    * verifies. Recall for a pair at angle-agreement probability p is
+    * 1-(1-p^bitsPerBand)^bands, so recall is tuned by adding bands (more
+    * candidates) or bits (fewer), never by widening the scan.
+    *
+    * Scale shape: the signature frame carries only (id, band, sig) through
+    * the band shuffle (~20 B/row/band); vectors are fetched back per
+    * DISTINCT confirmed candidate, and the prepared (vec, norm) frame is
+    * computed once and persisted for the duration.
     */
-  def cosineNearDupPairs(df: DataFrame, threshold: Double, bits: Int, dim: Int,
+  def cosineNearDupPairs(df: DataFrame, threshold: Double,
+                         bitsPerBand: Int, bands: Int, dim: Int,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          seed: Long = 42L): DataFrame = {
-    val sig = prepared(df, idCol, vecCol, "id", "vec", "nrm")
-      .withColumn("bucket", lshSignatureD(col("vec"), bits, dim, seed))
-    val a = sig.as("a")
-    val b = sig.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cos",
-        round(dotD(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4))
+    // one splitmix stream for all bands (band b gets planes [b*bpb, (b+1)*bpb))
+    // — the SQL generated by lshNearDupOracleSql slices identically
+    val planes = hyperplanes(bands * bitsPerBand, dim, seed)
+    val prep = prepared(df, idCol, vecCol, "id", "vec", "nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until bands).map { b =>
+      val slice = planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand)
+      struct(lit(b).as("band"), signatureFromPlanes(col("vec"), slice).as("sig"))
+    }
+    val sigs = prep
+      .select(col("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(prep.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na_")), "id_a")
+      .join(prep.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb_")), "id_b")
+      .withColumn("cos", round(dotD(col("va"), col("vb")) / (col("na_") * col("nb_")), 4))
       .filter(col("cos") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** ANSI SQL (DuckDB dialect) that replays the banded-LSH near-dup plan of
+    * [[cosineNearDupPairs]] exactly — same splitmix hyperplane stream
+    * rendered as array literals, same band slicing, same bucket arithmetic —
+    * so the bucketed scale path is verifiable end-to-end by an independent
+    * engine, not just rows-counted.
+    */
+  def lshNearDupOracleSql(threshold: Double, bitsPerBand: Int, bands: Int, dim: Int,
+                          table: String = "embeddings", idCol: String = "vec_id",
+                          vecCol: String = "embedding", seed: Long = 42L): String = {
+    val planes = hyperplanes(bands * bitsPerBand, dim, seed)
+    def planeLit(p: Array[Double]): String =
+      p.map(v => if (v > 0) "1.0" else "-1.0").mkString("CAST([", ",", "] AS DOUBLE[])")
+    val bandSelects = (0 until bands).map { b =>
+      val sigExpr = (0 until bitsPerBand).map { i =>
+        s"(CASE WHEN list_inner_product(v, ${planeLit(planes(b * bitsPerBand + i))}) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"  SELECT id, $b AS band, CAST($sigExpr AS INT) AS sig FROM e"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |sig AS (
+       |$bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+       |)
+       |SELECT id_a, id_b, cos FROM (
+       |  SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+       |  FROM cand JOIN e ea ON ea.id = cand.id_a JOIN e eb ON eb.id = cand.id_b)
+       |WHERE cos >= $threshold ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Embedding-level dedup: keep one representative per cosine-near-dup
-    * cluster (transitive, via connected components over the bucketed pair
+    * cluster (transitive, via connected components over the banded pair
     * list); rows in no cluster pass through.
     */
-  def cosineDedup(df: DataFrame, threshold: Double, bits: Int, dim: Int,
+  def cosineDedup(df: DataFrame, threshold: Double,
+                  bitsPerBand: Int, bands: Int, dim: Int,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   seed: Long = 42L): DataFrame =
     minietl.dedup.Dedup.dropClusterDuplicates(df,
-      cosineNearDupPairs(df, threshold, bits, dim, idCol, vecCol, seed), idCol)
+      cosineNearDupPairs(df, threshold, bitsPerBand, bands, dim, idCol, vecCol, seed), idCol)
 
   /** Exact all-pairs near-dup (no bucketing) — correctness oracle for small
     * corpora and tests; O(n^2), do not use at scale.

@@ -63,12 +63,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(pairs === Set((0L, 4L, 1.0)))
   }
 
-  test("bucketed near-dup agrees with exact on planted duplicates") {
+  test("banded near-dup agrees with exact on planted duplicates") {
     val exact = Similarity.cosineNearDupPairsExact(corpus, threshold = 0.999)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val bucketed = Similarity.cosineNearDupPairs(corpus, threshold = 0.999, bits = 2, dim = 3)
+    val bucketed = Similarity.cosineNearDupPairs(corpus, threshold = 0.999,
+      bitsPerBand = 2, bands = 4, dim = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(bucketed === exact) // identical vectors always share a bucket
+    assert(bucketed === exact) // identical vectors always share every bucket
+  }
+
+  test("banded near-dup recall on a planted mid-threshold corpus") {
+    // 40 planted near-dup pairs (base + jittered copy, cos ~0.97) over a
+    // random background; recall for p=agreement prob at cos 0.97 with
+    // 4-bit x 16-band amplification is 1-(1-p^4)^16 ~ 1.0
+    val rnd = new scala.util.Random(7)
+    def randVec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 40).flatMap { i =>
+      val base = randVec()
+      val jit = base.map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+      Seq((i * 2L, base.toSeq), (i * 2L + 1, jit.toSeq))
+    } ++ (80 until 120).map(i => (i.toLong, randVec().toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDupPairsExact(df, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = Similarity.cosineNearDupPairs(df, threshold = 0.9,
+      bitsPerBand = 4, bands = 16, dim = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 35) // the plant worked
+    assert(banded.subsetOf(exact)) // exact-cosine verify: no false positives
+    val recall = banded.size.toDouble / exact.size
+    assert(recall >= 0.9, s"banded recall $recall (${banded.size}/${exact.size})")
   }
 
   test("cosineDedup keeps one representative per near-identical cluster") {
@@ -77,7 +101,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       1L -> Seq(1f, 0f, 0f),    // dup of 0
       2L -> Seq(0.9999f, 0.0001f, 0f), // near-dup chains to 0/1
       3L -> Seq(0f, 1f, 0f))
-    val kept = Similarity.cosineDedup(withDupes, threshold = 0.999, bits = 2, dim = 3)
+    val kept = Similarity.cosineDedup(withDupes, threshold = 0.999,
+      bitsPerBand = 2, bands = 4, dim = 3)
       .select("vec_id").as[Long].collect().toSet
     assert(kept === Set(0L, 3L))
   }

@@ -58,6 +58,14 @@ def main(sf_dir, out_dir):
         if sorted(spark_cols) != sorted(o_cols):
             bad.append((name, f"COLS spark={sorted(spark_cols)} oracle={sorted(o_cols)}"))
             continue
+        # the driver's hash covers physical types too (BIGINT vs HUGEINT,
+        # DECIMAL(28,x) vs DECIMAL(38,x) fail it even when values match)
+        s_types = dict(zip(spark_cols, [str(t) for t in res.types]))
+        o_types = dict(zip(o_cols, [str(t) for t in o.types]))
+        tmism = {c: (s_types[c], o_types[c]) for c in s_types if s_types[c] != o_types[c]}
+        if tmism:
+            bad.append((name, f"TYPES differ: {tmism}"))
+            continue
         a, b = canon(spark_rows, spark_cols), canon(o_rows, o_cols)
         if len(a) != len(b):
             bad.append((name, f"ROWS spark={len(a)} oracle={len(b)}"))

@@ -46,6 +46,19 @@ object SparkEntry {
 
   private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** DuckDB replay of Multimodal.decodeStub slot `j` over ASCII text with
+    * featureDim=16: rolling hash (base 131, mod 2^31-1) of the chars at
+    * positions i ≡ j (mod 16), scaled n/2^19 - 1 — exact doubles, no rounding.
+    */
+  private def mmSlotSql(j: Int): String =
+    s"""(CAST(list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(
+       |        range(0, CASE WHEN coalesce(length(text), 0) > $j
+       |                      THEN ((length(text) - 1 - $j) // 16) + 1 ELSE 0 END),
+       |        i -> ord(substring(text, $j + 1 + CAST(i AS INT) * 16, 1)))),
+       |    (acc, x) -> (acc * 131 + x) % 2147483647) % 1048576 AS DOUBLE) / 524288.0 - 1.0)""".stripMargin
+
   final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
 
   // ------------------------------------------------------------------
@@ -1014,12 +1027,22 @@ object SparkEntry {
           .orderBy("id_a", "id_b"),
       None),
 
+    // the portable (md5 token hash) fingerprint variant is registered so the
+    // rolling-hash fold is verifiable by DuckDB; the xxhash64 production
+    // variant shares the identical fold and is spec-covered
     "q_fingerprint" -> Q(
       (s, dir) =>
         documents(s, dir)
-          .select(col("doc_id"), minietl.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+          .select(col("doc_id"),
+            minietl.text.TextAnalysis.fingerprintPortable(col("text")).as("fp"))
           .orderBy("doc_id"),
-      None),
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(text, ' '),
+             |        t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 2147483647)),
+             |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "q_lsh_ann" -> Q(
       (s, dir) => {
@@ -1028,7 +1051,10 @@ object SparkEntry {
           bits = 4, dim = 64)
           .orderBy("q_id", "rank")
       },
-      None),
+      // the LSH bucketing is deterministic in the seed, so the oracle replays
+      // the identical signature/join/ranking in DuckDB
+      Some(minietl.sim.Similarity.lshTopKOracleSql(
+        k = 5, bits = 4, dim = 64, queryPredicate = "id < 10"))),
 
     "q_ivf_ann" -> Q(
       (s, dir) => {
@@ -1039,16 +1065,23 @@ object SparkEntry {
       },
       None),
 
+    // decodeStub features are exact binary doubles (integer fold + power-of-2
+    // scale), so no rounding is needed and DuckDB can replay a slot's strided
+    // fold independently (text is ASCII: char positions = byte positions)
     "q_multimodal_features" -> Q(
       (s, dir) => {
         val media = minietl.multimodal.Multimodal.fakeMedia(documents(s, dir), "doc_id", "text")
         minietl.multimodal.Multimodal.extractFeatures(media, featureDim = 16)
           .select(col("media_id"), col("n_bytes"),
-            round(element_at(col("features"), 1), 4).as("f0"),
-            round(element_at(col("features"), 16), 4).as("f15"))
+            element_at(col("features"), 1).as("f0"),
+            element_at(col("features"), 16).as("f15"))
           .orderBy("media_id")
       },
-      None),
+      Some(s"""SELECT doc_id AS media_id,
+              |  CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
+              |  ${mmSlotSql(0)} AS f0,
+              |  ${mmSlotSql(15)} AS f15
+              |FROM documents ORDER BY media_id""".stripMargin)),
 
     // Structured Streaming parity: the same events aggregation, executed as
     // an unbounded file stream drained with Trigger.AvailableNow into a

@@ -49,22 +49,24 @@ object Multimodal {
 
   /** STUB decoder: a real implementation would decode `content` with an
     * image/audio codec. The stub derives `featureDim` deterministic doubles
-    * in [-1, 1) from the payload bytes (rolling FNV-1a), so downstream
-    * similarity / dedup stages exercise realistic shapes.
+    * in [-1, 1) from the payload bytes: slot j is a polynomial rolling hash
+    * (base 131, mod 2^31-1) over the byte subsequence at positions i ≡ j
+    * (mod featureDim), scaled by an exact power-of-two division — so each
+    * feature is order-sensitive within its stride, every value is an exact
+    * binary double, and any SQL engine can replay one slot independently
+    * with a sequential fold (no cross-slot state).
     */
   def decodeStub(content: Array[Byte], featureDim: Int): Array[Double] = {
-    val out = new Array[Double](featureDim)
-    var h = 0xcbf29ce484222325L
+    val h = new Array[Long](featureDim)
     if (content != null) {
       var i = 0
       while (i < content.length) {
-        h ^= content(i) & 0xffL
-        h *= 0x100000001b3L
-        out(i % featureDim) += (h % 1000L) / 1000.0
+        val j = i % featureDim
+        h(j) = (h(j) * 131L + (content(i) & 0xffL)) % 2147483647L
         i += 1
       }
     }
-    out.map { v => val frac = v - math.floor(v); frac * 2 - 1 }
+    h.map(v => (v % 1048576L) / 524288.0 - 1.0) // exact: n/2^19 - 1 in [-1, 1)
   }
 
   /** Batched "decode + featurize" stage: per-partition iteration with a

@@ -210,6 +210,35 @@ object Similarity {
        |WHERE cos >= $threshold ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** ANSI SQL (DuckDB dialect) replaying [[lshTopK]] exactly: same single
+    * signature (planes rendered as literals), same bucket equi-join, same
+    * 4dp-rounded cosine ranking with id tie-break. `queryPredicate` selects
+    * the query rows out of the corpus, as the battery query does.
+    */
+  def lshTopKOracleSql(k: Int, bits: Int, dim: Int, queryPredicate: String,
+                       table: String = "embeddings", idCol: String = "vec_id",
+                       vecCol: String = "embedding", seed: Long = 42L): String = {
+    val planes = hyperplanes(bits, dim, seed)
+    def planeLit(p: Array[Double]): String =
+      p.map(v => if (v > 0) "1.0" else "-1.0").mkString("CAST([", ",", "] AS DOUBLE[])")
+    val sigExpr = (0 until bits).map { i =>
+      s"(CASE WHEN list_inner_product(v, ${planeLit(planes(i))}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |s AS (SELECT id, v, CAST($sigExpr AS INT) AS bucket FROM e),
+       |q AS (SELECT * FROM s WHERE $queryPredicate),
+       |scored AS (
+       |  SELECT q.id AS q_id, c.id AS n_id,
+       |    round(list_cosine_similarity(q.v, c.v), 4) AS cos
+       |  FROM s c JOIN q ON c.bucket = q.bucket AND q.id <> c.id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, cos, rank FROM ranked
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Embedding-level dedup: keep one representative per cosine-near-dup
     * cluster (transitive, via connected components over the banded pair
     * list); rows in no cluster pass through.

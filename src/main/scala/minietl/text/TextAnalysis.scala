@@ -60,11 +60,6 @@ object TextAnalysis {
     round(stopwordCount(t, stopwords("en")).cast("double") / greatest(size(t), lit(1)), 4)
   }
 
-  /** Composite quality score in [0,1]: rewards natural length, lexical
-    * diversity and presence of function words, penalizes punctuation soup.
-    * Weights are heuristic; the point is a deterministic, pushdown-friendly
-    * scalar computable at scan time.
-    */
   /** Composite quality score in integer basis points, 0..100000: rewards
     * natural length (capped at 500 chars), lexical diversity and presence of
     * function words, penalizes punctuation soup. Computed entirely in
@@ -183,13 +178,31 @@ object TextAnalysis {
           .as("score"))
   }
 
+  private val fpMod = 2147483647L // 2^31-1: acc*31 + h < 2^36, no ANSI overflow
+
   /** Order-sensitive document fingerprint: a polynomial rolling hash over
-    * token xxhash64 values, computed mod 2^31-1 so every intermediate fits a
-    * long under ANSI arithmetic (Spark 4 default) — acc*31 + h < 2^36, no
-    * overflow. Documents equal up to whitespace normalization collide; any
-    * token swap changes the value. Deterministic across runs/JVMs.
+    * per-token hash values, computed mod 2^31-1 so every intermediate fits a
+    * long under ANSI arithmetic (Spark 4 default). Documents equal up to
+    * whitespace normalization collide; any token swap changes the value.
+    * Deterministic across runs/JVMs.
+    */
+  private def fingerprintWith(text: Column, tokenHash: Column => Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + tokenHash(t), lit(fpMod)))
+
+  /** Production fingerprint: token hash is the engine-native xxhash64 —
+    * the cheapest high-quality 64-bit hash in the scan path.
     */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(2147483647L)), lit(2147483647L)))
+    fingerprintWith(text, t => pmod(xxhash64(t), lit(fpMod)))
+
+  /** Cross-engine fingerprint: token hash is the top 60 bits of md5, which
+    * any engine computes identically (DuckDB:
+    * `CAST(concat('0x', substring(md5(t),1,15)) AS BIGINT)`), so the result
+    * is verifiable by an independent SQL engine. ~3x the per-token cost of
+    * [[fingerprint]]; use it where auditability across systems matters.
+    */
+  def fingerprintPortable(text: Column): Column =
+    fingerprintWith(text,
+      t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("bigint"), lit(fpMod)))
 }

@@ -25,6 +25,16 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeStub(null, 4).length === 4)
   }
 
+  test("decodeStub slot math matches the documented strided rolling hash") {
+    // "abc" at dim 2: slot0 folds bytes {a=97, c=99}: (97*131+99)=12806;
+    // slot1 folds {b=98}: 98. Scale: n/2^19 - 1 (exact doubles).
+    val f = Multimodal.decodeStub("abc".getBytes, 2)
+    assert(f(0) === 12806.0 / 524288.0 - 1.0)
+    assert(f(1) === 98.0 / 524288.0 - 1.0)
+    // order-sensitive within a stride
+    assert(Multimodal.decodeStub("cba".getBytes, 2)(0) !== f(0))
+  }
+
   test("extractFeatures yields declared schema, n_bytes, fixed-dim features") {
     val out = Multimodal.extractFeatures(Multimodal.fakeMedia(docs, "doc_id", "text"), 16)
     assert(out.schema.fieldNames.toSeq === Seq("media_id", "n_bytes", "features"))

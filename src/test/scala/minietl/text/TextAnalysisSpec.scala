@@ -94,4 +94,15 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(a !== b)
     assert(a >= 0 && a < 2147483647L)
   }
+
+  test("fingerprintPortable shares the fold but swaps the token hash") {
+    val a = one(TextAnalysis.fingerprintPortable(lit("alpha beta gamma"))).getLong(0)
+    val a2 = one(TextAnalysis.fingerprintPortable(lit("alpha beta gamma"))).getLong(0)
+    val b = one(TextAnalysis.fingerprintPortable(lit("gamma beta alpha"))).getLong(0)
+    val native = one(TextAnalysis.fingerprint(lit("alpha beta gamma"))).getLong(0)
+    assert(a === a2)
+    assert(a !== b)
+    assert(a !== native) // different token-hash basis
+    assert(a >= 0 && a < 2147483647L)
+  }
 }

@@ -30,9 +30,15 @@ object SparkEntry {
     * does not support natively; read it as raw long nanos and rebuild a
     * micro-precision timestamp. DuckDB keeps nanos; every query truncates to
     * >= second granularity so the two agree.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at SESSION
+    * construction (Verify/Bench/Scratch set it); query functions never
+    * mutate session conf.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true when building the session " +
+        "(events.parquet carries TIMESTAMP(NANOS))")
     val df = t(s, dir, "events")
     if (df.schema("ts").dataType == LongType)
       // integer division: `/` on longs is DOUBLE division, which loses

@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   // ---------------------------------------------------------------- exact
   /** Exact dedup on a content column: keeps the row with the smallest
     * `keyCol` per distinct content digest. One shuffle on the digest.
@@ -185,6 +187,11 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    if (!converged)
+      log.warn(s"connectedComponents stopped at maxIter=$maxIter before " +
+        "convergence: labels are PARTIALLY propagated and cluster-based " +
+        "dedup will under-deduplicate chains longer than the iteration " +
+        "budget — raise maxIter for graphs with diameter > maxIter")
     edges.unpersist()
     labels
   }

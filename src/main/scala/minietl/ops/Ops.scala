@@ -14,6 +14,8 @@ import org.apache.spark.sql.types.DataType
   */
 object Ops {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   type Op = DataFrame => DataFrame
 
   // ---------------------------------------------------------------- filter
@@ -106,15 +108,25 @@ object Ops {
     * supply partition keys so the window scales (an un-partitioned window is a
     * single-task sort at 100 TB).
     */
+  private def directionalFillWindow(op: String, orderBy: String,
+                                    partitionBy: Seq[String]) = {
+    if (partitionBy.isEmpty)
+      log.warn(s"$op with no partitionBy: the fill runs as ONE unpartitioned " +
+        "window (a single-task global sort) — pass partition keys at scale")
+    val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
+               else Window.partitionBy()
+    base.orderBy(col(orderBy))
+  }
+
   def ffill(columns: Seq[String], orderBy: String, partitionBy: Seq[String] = Nil): Op = df => {
-    val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*) else Window.partitionBy()
-    val w = base.orderBy(col(orderBy)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = directionalFillWindow("ffill", orderBy, partitionBy)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     columns.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
 
   def bfill(columns: Seq[String], orderBy: String, partitionBy: Seq[String] = Nil): Op = df => {
-    val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*) else Window.partitionBy()
-    val w = base.orderBy(col(orderBy)).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val w = directionalFillWindow("bfill", orderBy, partitionBy)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     columns.foldLeft(df)((d, c) => d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
   }
 

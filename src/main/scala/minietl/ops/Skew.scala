@@ -59,14 +59,21 @@ object Skew {
       case (_, fn) if !Set("sum", "count", "min", "max", "mean", "avg")(fn) => fn }
     require(unsupported.isEmpty, s"non-decomposable aggregates: ${unsupported.mkString(", ")}")
 
-    // phase 1: per (keys, salt) partials; mean carried as (sum, count)
-    val partialCols = flat.flatMap {
+    // phase 1: per (keys, salt) partials; mean carried as (sum, count).
+    // Dedupe on canonical (column, partial) string pairs BEFORE building
+    // Columns — mean+avg on the same column share one msum/mcount partial,
+    // and Column equality cannot be relied on to collapse alias duplicates.
+    val partialSpecs = flat.map {
+      case (c, fn @ ("sum" | "count" | "min" | "max")) => (c, fn)
+      case (c, _) => (c, "mean")
+    }.distinct
+    val partialCols = partialSpecs.flatMap {
       case (c, "sum") => Seq(sum(col(c)).as(s"__p_${c}_sum"))
       case (c, "count") => Seq(count(col(c)).as(s"__p_${c}_count"))
       case (c, "min") => Seq(min(col(c)).as(s"__p_${c}_min"))
       case (c, "max") => Seq(max(col(c)).as(s"__p_${c}_max"))
       case (c, _) => Seq(sum(col(c)).as(s"__p_${c}_msum"), count(col(c)).as(s"__p_${c}_mcount"))
-    }.distinct
+    }
     val partial = df.withColumn("__salt", salt(df, keys, factor))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partialCols.head, partialCols.tail: _*)

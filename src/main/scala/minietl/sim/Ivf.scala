@@ -50,24 +50,29 @@ object Ivf {
     */
   def train(corpus: DataFrame, nlist: Int, iters: Int = 3,
             idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    // every Lloyd iteration (and the init scan) re-reads `base`; persist it
+    // for the duration of training so the source is scanned once
     val base = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-    val init = base.orderBy("id").limit(nlist).collect()
-      .map(_.getSeq[Double](1).toVector).toVector
-    require(init.size == nlist, s"corpus smaller than nlist=$nlist")
+      .persist()
+    try {
+      val init = base.orderBy("id").limit(nlist).collect()
+        .map(_.getSeq[Double](1).toVector).toVector
+      require(init.size == nlist, s"corpus smaller than nlist=$nlist")
 
-    (1 to iters).foldLeft(Model(init)) { (model, _) =>
-      val assigned = base.withColumn("list", assignList(col("v"), model))
-      val means = assigned
-        .select(col("list"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("list", "pos").agg(avg("x").as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (list, rows) =>
-          list -> rows.sortBy(_.getInt(1))
-            .map(r => math.floor(r.getDouble(2) * 1e6 + 0.5) / 1e6).toVector
-        }
-      Model(model.centroids.indices.map(i => means.getOrElse(i, model.centroids(i))).toVector)
-    }
+      (1 to iters).foldLeft(Model(init)) { (model, _) =>
+        val assigned = base.withColumn("list", assignList(col("v"), model))
+        val means = assigned
+          .select(col("list"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("list", "pos").agg(avg("x").as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (list, rows) =>
+            list -> rows.sortBy(_.getInt(1))
+              .map(r => math.floor(r.getDouble(2) * 1e6 + 0.5) / 1e6).toVector
+          }
+        Model(model.centroids.indices.map(i => means.getOrElse(i, model.centroids(i))).toVector)
+      }
+    } finally base.unpersist()
   }
 
   /** ANN top-k via inverted lists: the corpus is scanned once to tag each

@@ -109,6 +109,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(comps(7L) === 7L && comps(8L) === 7L)
   }
 
+  test("connectedComponents warns when maxIter stops label propagation early") {
+    // chain 0-1-2-3-4: min-label propagation needs >1 round to reach the tail
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val (comps, warns) = minietl.LogCapture.warnings("minietl.dedup.Dedup$") {
+      Dedup.connectedComponents(chain, maxIter = 1).as[(Long, Long)].collect().toMap
+    }
+    assert(comps(4L) !== 0L) // tail label not yet propagated
+    assert(warns.exists(_.contains("under-deduplicate")))
+    // and the converged run is quiet with fully propagated labels
+    val (full, quiet) = minietl.LogCapture.warnings("minietl.dedup.Dedup$") {
+      Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    }
+    assert(full.values.toSet === Set(0L))
+    assert(quiet.isEmpty)
+  }
+
   test("minhashDedupClusters keeps one representative per transitive cluster") {
     // 0~1 and 1~2 are near-dups of each other (chain); 2 may not pair with 0
     val chain = Seq(

@@ -92,6 +92,22 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(b === Seq(Some(1.0), Some(4.0), Some(4.0), Some(4.0), Some(2.0), Some(2.0)))
   }
 
+  test("un-partitioned ffill/bfill warns about the single-task global window") {
+    val df = Seq((1L, Some(1.0)), (2L, None)).toDF("ord", "v")
+    val (filled, warns) = minietl.LogCapture.warnings("minietl.ops.Ops$") {
+      df.transform(Ops.ffill(Seq("v"), orderBy = "ord"))
+        .orderBy("ord").select("v").as[Option[Double]].collect().toSeq
+    }
+    assert(filled === Seq(Some(1.0), Some(1.0)))
+    assert(warns.exists(m => m.contains("ffill") && m.contains("single-task")))
+    // partitioned form stays quiet
+    val (_, quiet) = minietl.LogCapture.warnings("minietl.ops.Ops$") {
+      df.withColumn("u", lit("a"))
+        .transform(Ops.bfill(Seq("v"), orderBy = "ord", partitionBy = Seq("u"))).count()
+    }
+    assert(quiet.isEmpty)
+  }
+
   test("expression derives a column (assignment form) with dialect translation") {
     val out = sample
       .transform(Ops.expression("total = value * 2"))

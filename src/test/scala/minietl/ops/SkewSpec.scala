@@ -58,6 +58,21 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("saltedGroupAgg with both mean and avg on one column shares one partial") {
+    val out = skewed.transform(Skew.saltedGroupAgg(Seq("k"),
+        Map("v" -> Seq("mean", "avg", "sum")), factor = 4))
+      .orderBy("k").collect()
+    val plain = skewed.groupBy("k")
+      .agg(avg("v").as("m"), sum("v").as("s")).orderBy("k").collect()
+    out.zip(plain).foreach { case (o, p) =>
+      val mean = o.getDouble(o.fieldIndex("v_mean"))
+      val av = o.getDouble(o.fieldIndex("v_avg"))
+      assert(mean === av)
+      assert(math.abs(mean - p.getDouble(1)) < 1e-9)
+      assert(math.abs(o.getDouble(o.fieldIndex("v_sum")) - p.getDouble(2)) < 1e-6)
+    }
+  }
+
   test("saltedGroupAgg rejects non-decomposable aggregates") {
     intercept[IllegalArgumentException] {
       skewed.transform(Skew.saltedGroupAgg(Seq("k"), Map("v" -> Seq("median")), 4))

@@ -581,6 +581,50 @@ object SparkEntry {
              |  count(*) AS n, round(sum(value), 2) AS total
              |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
 
+    // As-of join (union-merge window, ONE shuffle — Joins.asof scaladoc):
+    // each purchase matched to the user's latest at-or-before click. The
+    // oracle replays it with DuckDB's native ASOF LEFT JOIN.
+    "q_asof_join" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cts"), col("value").as("cval"))
+        minietl.ops.Joins.asof(purchases, clicks, on = Seq("user_id"),
+            leftTs = "ts", rightTs = "cts",
+            rightPayload = Seq("cts" -> "click_ts", "cval" -> "click_value"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"),
+            round(col("click_value"), 2).as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+             |  CAST(c.ts AS TIMESTAMP) AS click_ts,
+             |  round(c.value, 2) AS click_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // Range join (bin-explode equi-join, no nested loop — Joins.rangeJoin
+    // scaladoc): event values against overlapping width-10 value bands.
+    "q_range_join" -> Q(
+      (s, dir) => {
+        val pts = events(s, dir).select("event_id", "value")
+        val bands = s.range(0, 66).select(col("id").as("band_id"),
+          (col("id") * 5.0).as("lo"), (col("id") * 5.0 + 10.0).as("hi"))
+        minietl.ops.Joins.rangeJoin(pts, bands, "value", "lo", "hi",
+            binWidth = 10.0, hiExclusive = true)
+          .select("event_id", "band_id", "value")
+          .orderBy("event_id", "band_id")
+      },
+      Some("""SELECT e.event_id, b.band_id, e.value
+             |FROM events e
+             |JOIN (SELECT i AS band_id, i*5.0 AS lo, i*5.0+10.0 AS hi
+             |      FROM range(0, 66) t(i)) b
+             |  ON e.value >= b.lo AND e.value < b.hi
+             |ORDER BY e.event_id, b.band_id""".stripMargin)),
+
     "q_having" -> Q(
       (s, dir) =>
         t(s, dir, "orders")
@@ -699,8 +743,9 @@ object SparkEntry {
              |FROM lineitem WHERE l_quantity > 0
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // rows-only: the sampled strings depend on the hash function, which the
-    // oracle cannot reproduce; determinism is pinned by AggregatorsSpec.
+    // Bottom-k-by-md5 sample: the sampler's sort key is the md5 hex digest,
+    // which DuckDB computes identically — the oracle replays the same
+    // selection with row_number() OVER (ORDER BY md5(id)).
     "q_sample_group" -> Q(
       (s, dir) =>
         documents(s, dir)
@@ -709,7 +754,14 @@ object SparkEntry {
             .sampleK(col("doc_id").cast("string"), 5).as("sample_ids"))
           .select(col("lang"), concat_ws(",", col("sample_ids")).as("sample"))
           .orderBy("lang"),
-      None),
+      Some("""WITH ranked AS (
+             |  SELECT lang, CAST(doc_id AS VARCHAR) AS id,
+             |    row_number() OVER (PARTITION BY lang
+             |                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+             |  FROM documents)
+             |SELECT lang, string_agg(id, ',' ORDER BY md5(id)) AS sample
+             |FROM ranked WHERE rn <= 5
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     "q_grouping_sets" -> Q(
       (s, dir) => {

@@ -47,6 +47,17 @@ class AggregatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bottom-k sample replays as ORDER BY md5 (the oracle's formulation)") {
+    val docs = (1 to 200).map(i => (s"g${i % 2}", s"doc_$i")).toDF("k", "d")
+    val viaAgg = docs.groupBy("k").agg(Aggregators.sampleK(col("d"), 5).as("s"))
+      .orderBy("k").as[(String, Seq[String])].collect().map { case (k, s) => (k, s.toSet) }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy(md5(col("d")))
+    val viaWindow = docs.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .groupBy("k").agg(collect_set("d").as("s"))
+      .orderBy("k").as[(String, Seq[String])].collect().map { case (k, s) => (k, s.toSet) }
+    assert(viaAgg.toSeq === viaWindow.toSeq)
+  }
+
   test("small groups sample everything") {
     val out = Seq(("g", "x"), ("g", "y")).toDF("k", "d")
       .groupBy("k").agg(Aggregators.sampleK(col("d"), 10).as("s"))

@@ -245,6 +245,47 @@ object Ops {
     df.orderBy(by.zip(asc).map { case (c, a) => if (a) col(c).asc else col(c).desc }: _*)
   }
 
+  // ---------------------------------------------------------------- sample
+  /** Deterministic hash sample: keeps rows whose md5(key) falls below the
+    * fraction threshold. Unlike `df.sample()` (seeded per-partition RNG,
+    * changes with partitioning), the selection is a pure function of the
+    * key — stable across runs, cluster layouts, AND engines (any SQL engine
+    * replays it with `WHERE md5(key) < threshold`), which is what a
+    * reproducible 100 TB training-data subset needs. Scan-side filter, no
+    * shuffle.
+    */
+  def hashSample(keyCol: String, fraction: Double): Op = df => {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    if (fraction >= 1.0) df
+    else {
+      // first 8 hex chars of md5 are uniform on [0, 2^32); a row is kept
+      // when they sort strictly below the fraction's 8-hex-digit threshold
+      val threshold = f"${math.floor(fraction * 4294967296.0).toLong}%08x"
+      df.filter(md5(col(keyCol).cast("string")) < lit(threshold))
+    }
+  }
+
+  // ---------------------------------------------------------------- upsert
+  /** Merge/upsert by key: rows of `updates` replace same-key rows of `base`;
+    * unmatched update rows are inserts. Both frames must share the schema.
+    * Implemented as union + row_number window preferring the update side —
+    * ONE shuffle on the keys (an anti-join formulation would take two).
+    * Duplicate keys WITHIN `updates` are resolved arbitrarily; pre-dedupe if
+    * that matters.
+    */
+  def upsert(updates: DataFrame, keys: Seq[String]): Op = base => {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(base.columns.sorted.sameElements(updates.columns.sorted),
+      s"schemas differ: base=${base.columns.mkString(",")} updates=${updates.columns.mkString(",")}")
+    val pri = freshName(base, "__pri")
+    val rn = freshName(base, "__rn")
+    val tagged = updates.select(base.columns.map(col): _*).withColumn(pri, lit(0))
+      .unionByName(base.withColumn(pri, lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(pri))
+    tagged.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1).drop(pri, rn)
+  }
+
   // ---------------------------------------------------------------- lambda
   /** LambdaTransformer (transformers.py:580-603): arbitrary frame function. */
   def lambda(f: DataFrame => DataFrame): Op = f

@@ -21,6 +21,30 @@ object TextAnalysis {
   def regexTokens(text: Column): Column =
     regexp_extract_all(text, lit("""[\p{L}\p{N}]+|[^\p{L}\p{N}\s]"""), lit(0))
 
+  /** Adjacent-token n-grams as an array column: zip each length-(size-n+1)
+    * token window via slice + zip_with. Per-row linear HOF work (fine — the
+    * pair-explosion HOF pitfall only bites on joined pairs); the heavy
+    * lifting (explode + count) stays in codegen'd relational ops.
+    */
+  def ngrams(toks: Column, n: Int): Column = {
+    require(n >= 2, s"ngrams needs n >= 2, got $n")
+    val len = size(toks) - lit(n - 1)
+    (2 to n).foldLeft(slice(toks, 1, len)) { (acc, i) =>
+      zip_with(acc, slice(toks, i, len), (a, b) => concat_ws(" ", a, b))
+    }
+  }
+
+  /** Corpus-wide top-k n-grams by count (ties broken lexicographically —
+    * a total order, so the cut is deterministic). Explode → hash-agg with
+    * map-side partials → global top-k; shuffle volume is O(distinct grams).
+    */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+                n: Int, k: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(ngrams(tokens(trim(col(textCol))), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(k)
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
 
   def regexTokenCount(text: Column): Column = size(regexTokens(text)).cast("bigint")

@@ -29,8 +29,8 @@ object TextAnalysis {
   def ngrams(toks: Column, n: Int): Column = {
     require(n >= 2, s"ngrams needs n >= 2, got $n")
     val len = size(toks) - lit(n - 1)
-    (2 to n).foldLeft(slice(toks, 1, len)) { (acc, i) =>
-      zip_with(acc, slice(toks, i, len), (a, b) => concat_ws(" ", a, b))
+    (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, i) =>
+      zip_with(acc, slice(toks, lit(i), len), (a, b) => concat_ws(" ", a, b))
     }
   }
 

@@ -1182,6 +1182,60 @@ object SparkEntry {
              |  event_type, round(sum(value), 2) AS value_sum, count(value) AS value_count
              |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
+    // corpus-wide top bigrams: explode → map-side-combined hash agg →
+    // global top-k; shuffle volume is O(distinct grams), not rows
+    "q_top_ngrams" -> Q(
+      (s, dir) =>
+        minietl.text.TextAnalysis.topNgrams(documents(s, dir), "text", n = 2, k = 20),
+      Some("""WITH d AS (SELECT string_split(trim(text), ' ') AS toks FROM documents),
+             |g AS (SELECT unnest(list_transform(range(1, len(toks)),
+             |        i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+             |      FROM d)
+             |SELECT ngram, count(*) AS n FROM g
+             |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin)),
+
+    // deterministic hash sampling: selection is a pure function of the key
+    // (stable across runs/partitionings/engines), and DuckDB replays the
+    // identical md5-threshold predicate — a seeded RNG sample could not be
+    // oracle-checked at all
+    "q_hash_sample" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .transform(Ops.hashSample("doc_id", 0.25))
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+             |WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000'
+             |ORDER BY doc_id""".stripMargin)),
+
+    // merge/upsert: one-shuffle union + row_number keep-first; oracle states
+    // the same semantics declaratively (updates win, unmatched are inserts)
+    "q_upsert" -> Q(
+      (s, dir) => {
+        val d = documents(s, dir)
+        val updates = d.filter(col("doc_id") % 7 === 0)
+          .withColumn("source", lit("patched"))
+          .unionByName(
+            d.filter(col("doc_id") % 13 === 0)
+              .withColumn("doc_id", col("doc_id") + 1000000)
+              .withColumn("source", lit("inserted")))
+        d.transform(Ops.upsert(updates, Seq("doc_id")))
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, text, lang, 'patched' AS source, n_chars
+             |  FROM documents WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text, lang, 'inserted', n_chars
+             |  FROM documents WHERE doc_id % 13 = 0)
+             |SELECT doc_id, lang, source, n_chars FROM (
+             |  SELECT doc_id, lang, source, n_chars FROM u
+             |  UNION ALL
+             |  SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+             |  WHERE d.doc_id NOT IN (SELECT doc_id FROM u))
+             |ORDER BY doc_id""".stripMargin)),
+
     "q_doc_lang_stats" -> Q(
       (s, dir) =>
         documents(s, dir)

@@ -177,6 +177,44 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq(("A", 195L), ("A", 190L)))
   }
 
+  test("hashSample is a pure function of the key: stable across partitioning") {
+    val a = sample.transform(Ops.hashSample("id", 0.3))
+      .select("id").as[Long].collect().toSet
+    val b = sample.repartition(7).transform(Ops.hashSample("id", 0.3))
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+    // uniform md5 keeps roughly the fraction (100 keys, loose bound)
+    assert(a.size > 10 && a.size < 55)
+    assert(sample.transform(Ops.hashSample("id", 1.0)).count() === 100)
+    assert(sample.transform(Ops.hashSample("id", 0.0)).count() === 0)
+    assertThrows[IllegalArgumentException](
+      sample.transform(Ops.hashSample("id", 1.5)))
+  }
+
+  test("hashSample nests: a smaller fraction selects a subset of a larger one") {
+    val small = sample.transform(Ops.hashSample("id", 0.2))
+      .select("id").as[Long].collect().toSet
+    val large = sample.transform(Ops.hashSample("id", 0.6))
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(large))
+  }
+
+  test("upsert replaces matched keys, inserts unmatched, leaves the rest") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "v")
+    val updates = Seq((2L, "B!", 99L), (9L, "new", 90L)).toDF("k", "s", "v")
+    val out = base.transform(Ops.upsert(updates, Seq("k")))
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "a", 10L), (2L, "B!", 99L), (3L, "c", 30L), (9L, "new", 90L)))
+  }
+
+  test("upsert rejects mismatched schemas and empty keys") {
+    val base = Seq((1L, "a")).toDF("k", "s")
+    assertThrows[IllegalArgumentException](
+      base.transform(Ops.upsert(Seq((1L, 2L)).toDF("k", "v"), Seq("k"))))
+    assertThrows[IllegalArgumentException](
+      base.transform(Ops.upsert(base, Seq.empty)))
+  }
+
   test("chain composes stages left-to-right") {
     val op = Ops.chain(
       Ops.filter(col("value") > 150),

@@ -105,4 +105,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(a !== native) // different token-hash basis
     assert(a >= 0 && a < 2147483647L)
   }
+
+  test("ngrams emits adjacent token windows; short docs yield empty arrays") {
+    import org.apache.spark.sql.functions.split
+    val bi = one(TextAnalysis.ngrams(split(lit("a b c d"), " "), 2)).getSeq[String](0)
+    assert(bi === Seq("a b", "b c", "c d"))
+    val tri = one(TextAnalysis.ngrams(split(lit("a b c d"), " "), 3)).getSeq[String](0)
+    assert(tri === Seq("a b c", "b c d"))
+    assert(one(TextAnalysis.ngrams(split(lit("solo"), " "), 2)).getSeq[String](0).isEmpty)
+    assertThrows[IllegalArgumentException](TextAnalysis.ngrams(lit("x"), 1))
+  }
+
+  test("topNgrams counts corpus-wide with a deterministic tie-broken cut") {
+    import spark.implicits._
+    val docs = Seq("x y x y", "x y z", "z w").toDF("text")
+    val top = TextAnalysis.topNgrams(docs, "text", n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    // "x y" appears 3×; the 1-count grams cut lexicographically
+    assert(top === Seq(("x y", 3L), ("y x", 1L), ("y z", 1L)))
+  }
 }

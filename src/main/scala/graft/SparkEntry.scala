@@ -1236,6 +1236,122 @@ object SparkEntry {
              |  WHERE d.doc_id NOT IN (SELECT doc_id FROM u))
              |ORDER BY doc_id""".stripMargin)),
 
+    // PII scrub over text with synthetic injected PII (the corpus itself is
+    // clean, so the query plants a deterministic email/phone/IP per row and
+    // verifies both the scrubbed text and the pre-scrub match counts)
+    "q_pii_redact" -> Q(
+      (s, dir) => {
+        val injected = concat(col("text"),
+          lit(" contact_"), col("doc_id"),
+          lit("@mail.example.com or call 555-010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (expr("doc_id DIV 256") % 256).cast("string"))
+        documents(s, dir)
+          .withColumn("__t", injected)
+          .select(Seq(col("doc_id"),
+            minietl.text.Pii.redact(col("__t")).as("redacted")) ++
+            Seq("n_email", "n_id", "n_phone", "n_ip")
+              .zip(minietl.text.Pii.counts(col("__t")))
+              .map { case (nm, c) => c.as(nm) }: _*)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH i AS (
+              |  SELECT doc_id,
+              |    text || ' contact_' || doc_id || '@mail.example.com or call 555-010-' ||
+              |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+              |    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+              |    CAST((doc_id // 256) % 256 AS VARCHAR) AS t
+              |  FROM documents)
+              |SELECT doc_id,
+              |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+              |    '${minietl.text.Pii.EmailRe}', '<EMAIL>', 'g'),
+              |    '${minietl.text.Pii.IdRe}', '<ID>', 'g'),
+              |    '${minietl.text.Pii.PhoneRe}', '<PHONE>', 'g'),
+              |    '${minietl.text.Pii.Ipv4Re}', '<IP>', 'g') AS redacted,
+              |  CAST(len(regexp_extract_all(t, '${minietl.text.Pii.EmailRe}')) AS BIGINT) AS n_email,
+              |  CAST(len(regexp_extract_all(t, '${minietl.text.Pii.IdRe}')) AS BIGINT) AS n_id,
+              |  CAST(len(regexp_extract_all(t, '${minietl.text.Pii.PhoneRe}')) AS BIGINT) AS n_phone,
+              |  CAST(len(regexp_extract_all(t, '${minietl.text.Pii.Ipv4Re}')) AS BIGINT) AS n_ip
+              |FROM i ORDER BY doc_id""".stripMargin)),
+
+    // benchmark decontamination: every 17th doc plays the eval set; training
+    // docs sharing any 5-gram with it (the corpus' planted near-dups) drop
+    "q_decontaminate" -> Q(
+      (s, dir) => {
+        val d = documents(s, dir)
+        minietl.text.Decontaminate.decontaminate(
+          d.filter(col("doc_id") % 17 =!= 0), d.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", n = 5)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+             |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+             |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+             |             tk[i+3] || ' ' || tk[i+4])) AS gram
+             |      FROM toks),
+             |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+             |tainted AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram)
+             |            WHERE g.doc_id % 17 != 0)
+             |SELECT doc_id, lang, source FROM documents
+             |WHERE doc_id % 17 != 0 AND doc_id NOT IN (SELECT doc_id FROM tainted)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // sliding context-window chunking (64-token windows, stride 48)
+    "q_chunk_docs" -> Q(
+      (s, dir) =>
+        minietl.text.Chunking.chunkDocuments(
+          documents(s, dir), "doc_id", "text", chunkSize = 64, stride = 48)
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+             |s AS (SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS start FROM d)
+             |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+             |  array_to_string(tk[start + 1 : start + 64], ' ') AS chunk,
+             |  CAST(len(tk[start + 1 : start + 64]) AS BIGINT) AS n_tokens
+             |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // sequence-packing manifest: 512-token sequences, sharded by lang
+    "q_pack_sequences" -> Q(
+      (s, dir) =>
+        minietl.text.Chunking.packSequences(
+          documents(s, dir), "doc_id", "text", capacity = 512, shardCols = Seq("lang"))
+          .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, lang,
+             |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum
+             |      FROM d)
+             |SELECT doc_id, lang, n_tokens,
+             |  CAST(cum // 512 AS BIGINT) AS seq_idx,
+             |  CAST(cum % 512 AS BIGINT) AS offset
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // domain mixing: per-lang keep fractions, deterministic and nested
+    "q_stratified_sample" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .transform(Ops.stratifiedHashSample("doc_id", "lang",
+            Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1))
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE md5(CAST(doc_id AS VARCHAR)) <
+             |  CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
+             |            ELSE '19999999' END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // deterministic global shuffle: the md5 sort key IS the output (a
+    // range-partitioned distributed sort at scale; no global row_number)
+    "q_shuffle_order" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .select(col("doc_id"), Ops.shuffleKey("doc_id", "42").as("skey"))
+          .orderBy("skey"),
+      Some("""SELECT doc_id, md5('42#' || CAST(doc_id AS VARCHAR)) AS skey
+             |FROM documents ORDER BY skey""".stripMargin)),
+
     "q_doc_lang_stats" -> Q(
       (s, dir) =>
         documents(s, dir)

@@ -256,14 +256,45 @@ object Ops {
     */
   def hashSample(keyCol: String, fraction: Double): Op = df => {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
-    if (fraction >= 1.0) df
-    else {
-      // first 8 hex chars of md5 are uniform on [0, 2^32); a row is kept
-      // when they sort strictly below the fraction's 8-hex-digit threshold
-      val threshold = f"${math.floor(fraction * 4294967296.0).toLong}%08x"
-      df.filter(md5(col(keyCol).cast("string")) < lit(threshold))
-    }
+    if (fraction >= 1.0) df else df.filter(hashKeep(keyCol, fraction))
   }
+
+  // first 8 hex chars of md5 are uniform on [0, 2^32); a row is kept when
+  // they sort strictly below the fraction's 8-hex-digit threshold
+  private def hashKeep(keyCol: String, fraction: Double): Column =
+    if (fraction >= 1.0) lit(true)
+    else if (fraction <= 0.0) lit(false)
+    else md5(col(keyCol).cast("string")) <
+      lit(f"${math.floor(fraction * 4294967296.0).toLong}%08x")
+
+  /** Per-stratum deterministic sampling: each stratum value gets its own
+    * keep-fraction (domain mixing / rebalancing — e.g. downsample crawl
+    * data, keep all code). Same md5-threshold selection as [[hashSample]],
+    * so it shares its properties: pure function of the key (stable across
+    * runs/partitionings/engines) and NESTED across fractions — raising a
+    * stratum's fraction only ever adds rows, never swaps them. Scan-side
+    * filter, no shuffle.
+    */
+  def stratifiedHashSample(keyCol: String, strataCol: String,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double = 0.0): Op = df => {
+    (fractions.values ++ Seq(defaultFraction)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction out of [0,1]: $f"))
+    val cond = fractions.toSeq.sortBy(_._1).foldLeft(hashKeep(keyCol, defaultFraction)) {
+      case (acc, (k, f)) => when(col(strataCol) === k, hashKeep(keyCol, f)).otherwise(acc)
+    }
+    df.filter(cond)
+  }
+
+  /** Deterministic pre-training shuffle key: md5 of (seed, key). Sorting by
+    * it is a uniform pseudo-random permutation of the corpus that any
+    * engine reproduces bit-for-bit from the same seed. Use it as the ORDER
+    * BY of the final write — Spark executes that as a range-partitioned
+    * distributed sort; don't wrap it in a global row_number (single-task
+    * window) when the key itself suffices.
+    */
+  def shuffleKey(keyCol: String, seed: String): Column =
+    md5(concat_ws("#", lit(seed), col(keyCol).cast("string")))
 
   // ---------------------------------------------------------------- upsert
   /** Merge/upsert by key: rows of `updates` replace same-key rows of `base`;

@@ -1,0 +1,70 @@
+package minietl.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Context-window preparation for training pipelines: split long documents
+  * into (possibly overlapping) token-window chunks, and lay documents out
+  * into fixed-capacity training sequences.
+  *
+  * Both operators are pure narrow transformations (explode / window over a
+  * shard): no driver-side state, nothing global, linear in the corpus.
+  */
+object Chunking {
+
+  /** Sliding token-window chunks: windows start at 0, stride, 2·stride, …
+    * while the start lies inside the document; each holds up to `chunkSize`
+    * whitespace tokens (the tail windows are shorter). Every token is
+    * covered; consecutive windows overlap by `chunkSize - stride` tokens.
+    *
+    * Output: (id, chunk_idx, chunk, n_tokens). Row explosion is
+    * size/stride per doc — a scan-side flatMap, no shuffle.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize=$chunkSize], got $stride")
+    val piece: Column = slice(col("__toks"), col("__start") + 1, lit(chunkSize))
+    df.withColumn("__toks", split(trim(col(textCol)), " "))
+      .withColumn("__start",
+        explode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(stride))))
+      .select(col(idCol),
+        (col("__start") / stride).cast("bigint").as("chunk_idx"),
+        array_join(piece, " ").as("chunk"),
+        size(piece).cast("bigint").as("n_tokens"))
+  }
+
+  /** Sequence-packing manifest: documents are concatenated in `idCol` order
+    * within each shard and cut into fixed `capacity`-token training
+    * sequences; each document's row says which sequence it starts in
+    * (`seq_idx`) and at which token offset (`offset`). Documents may span a
+    * sequence boundary — that is the standard packed-pretraining layout
+    * (the attention mask, not the layout, separates documents).
+    *
+    * The running total is a window sum PER SHARD: shards (e.g. a hash
+    * bucket or an ingest partition) bound the window's sort to one
+    * partition's worth of rows, so the plan stays distributed at any corpus
+    * size. An empty `shardCols` packs globally — fine for tests, a
+    * single-task sort at scale — so it is rejected unless explicitly
+    * allowed.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    capacity: Long, shardCols: Seq[String],
+                    allowGlobal: Boolean = false): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(shardCols.nonEmpty || allowGlobal,
+      "global packing is a single-task window; pass shardCols (e.g. a hash " +
+        "bucket) or set allowGlobal=true to accept that")
+    val w = (if (shardCols.nonEmpty) Window.partitionBy(shardCols.map(col): _*)
+             else Window.partitionBy()).orderBy(col(idCol))
+    df.withColumn("__n", size(split(trim(col(textCol)), " ")).cast("bigint"))
+      .withColumn("__cum", sum(col("__n")).over(w) - col("__n"))
+      .select(
+        (col(idCol) +: shardCols.map(col)) ++ Seq(
+          col("__n").as("n_tokens"),
+          expr(s"__cum DIV $capacity").as("seq_idx"),
+          (col("__cum") % capacity).as("offset")): _*)
+  }
+}

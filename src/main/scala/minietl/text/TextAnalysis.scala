@@ -28,7 +28,9 @@ object TextAnalysis {
     */
   def ngrams(toks: Column, n: Int): Column = {
     require(n >= 2, s"ngrams needs n >= 2, got $n")
-    val len = size(toks) - lit(n - 1)
+    // docs shorter than n tokens yield an empty array (a negative slice
+    // length is a runtime error, not an empty slice)
+    val len = greatest(size(toks) - lit(n - 1), lit(0))
     (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, i) =>
       zip_with(acc, slice(toks, lit(i), len), (a, b) => concat_ws(" ", a, b))
     }

@@ -199,6 +199,31 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(small.subsetOf(large))
   }
 
+  test("stratifiedHashSample: per-stratum fractions, nested within hashSample") {
+    val all = sample.transform(Ops.hashSample("id", 0.6))
+      .select("id").as[Long].collect().toSet
+    val strat = sample.transform(Ops.stratifiedHashSample("id", "category",
+      Map("A" -> 0.6, "B" -> 1.0), defaultFraction = 0.0))
+      .select("id", "category").as[(Long, String)].collect()
+    // B keeps everything, A keeps exactly hashSample(0.6)'s A-rows, rest drop
+    assert(strat.count(_._2 == "B") === 20)
+    assert(strat.filter(_._2 == "A").map(_._1).toSet ===
+      all.filter(id => (id - 1) % 5 == 0))
+    assert(strat.forall(r => r._2 == "A" || r._2 == "B"))
+  }
+
+  test("shuffleKey permutes deterministically and varies with the seed") {
+    val k1 = sample.select(Ops.shuffleKey("id", "s1").as("k")).orderBy("k")
+      .as[String].collect().toSeq
+    val k1b = sample.repartition(5).select(Ops.shuffleKey("id", "s1").as("k"))
+      .orderBy("k").as[String].collect().toSeq
+    val k2 = sample.select(Ops.shuffleKey("id", "s2").as("k")).orderBy("k")
+      .as[String].collect().toSeq
+    assert(k1 === k1b)
+    assert(k1 !== k2)
+    assert(k1.distinct.size === 100)
+  }
+
   test("upsert replaces matched keys, inserts unmatched, leaves the rest") {
     val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "v")
     val updates = Seq((2L, "B!", 99L), (9L, "new", 90L)).toDF("k", "s", "v")

@@ -1,0 +1,54 @@
+package minietl.text
+
+import minietl.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChunkingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("chunkDocuments covers every token with overlapping windows") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val out = Chunking.chunkDocuments(docs, "id", "text", chunkSize = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (1L, 3L, "t10", 1L)))
+  }
+
+  test("chunkDocuments: a doc shorter than one window is a single chunk") {
+    val docs = Seq((1L, "a b")).toDF("id", "text")
+    val out = Chunking.chunkDocuments(docs, "id", "text", chunkSize = 8, stride = 8)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, 0L, "a b", 2L)))
+    assertThrows[IllegalArgumentException](
+      Chunking.chunkDocuments(docs, "id", "text", chunkSize = 4, stride = 5))
+  }
+
+  test("packSequences lays docs head-to-tail per shard with boundary spans") {
+    val docs = Seq(
+      (1L, "a", (1 to 6).map(_ => "w").mkString(" ")),   // 6 tokens → seq 0, off 0
+      (2L, "a", (1 to 5).map(_ => "w").mkString(" ")),   // seq 0, off 6 (spans into seq 1)
+      (3L, "a", "w w"),                                  // cum 11 → seq 1, off 3
+      (4L, "b", "w w w")).toDF("id", "shard", "text")    // fresh shard → seq 0, off 0
+    val out = Chunking.packSequences(docs, "id", "text", capacity = 8, Seq("shard"))
+      .orderBy("id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "a", 6L, 0L, 0L),
+      (2L, "a", 5L, 0L, 6L),
+      (3L, "a", 2L, 1L, 3L),
+      (4L, "b", 3L, 0L, 0L)))
+  }
+
+  test("packSequences refuses an accidental global window") {
+    val docs = Seq((1L, "w")).toDF("id", "text")
+    assertThrows[IllegalArgumentException](
+      Chunking.packSequences(docs, "id", "text", capacity = 8, Seq.empty))
+    // explicit opt-in works
+    assert(Chunking.packSequences(docs, "id", "text", capacity = 8, Seq.empty,
+      allowGlobal = true).count() === 1)
+  }
+}

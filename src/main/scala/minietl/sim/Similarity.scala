@@ -252,10 +252,17 @@ object Similarity {
 
   /** Exact all-pairs near-dup (no bucketing) — correctness oracle for small
     * corpora and tests; O(n^2), do not use at scale.
+    *
+    * The `<` join is a broadcast nested loop, whose task count is the
+    * STREAMED side's partition count — and a small corpus is typically one
+    * parquet file = one partition = one thread doing all n²/2 dot products.
+    * Round-robin repartitioning the streamed side first spreads the loop
+    * across the cluster (measured 16 s → ~1 s at 5k vectors on 32 cores).
     */
   def cosineNearDupPairsExact(df: DataFrame, threshold: Double,
                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = prepared(df, idCol, vecCol, "id_a", "va", "na_")
+    val par = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    val a = prepared(df, idCol, vecCol, "id_a", "va", "na_").repartition(par)
     val b = prepared(df, idCol, vecCol, "id_b", "vb", "nb_")
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos", round(dotD(col("va"), col("vb")) / (col("na_") * col("nb_")), 4))

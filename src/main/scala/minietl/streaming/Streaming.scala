@@ -25,6 +25,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
+  private def aggColumns(aggs: Map[String, Seq[String]]) = {
+    val aggCols = for { (c, fns) <- aggs.toSeq.sortBy(_._1); fn <- fns }
+      yield minietl.ops.Ops.aggFn(fn, c).as(s"${c}_${fn.toLowerCase}")
+    require(aggCols.nonEmpty, "empty aggregation spec")
+    aggCols
+  }
+
   /** Event-time tumbling-window aggregation with a watermark — the standard
     * unbounded replacement for the reference's whole-input GroupAgg. Late
     * rows beyond `watermarkDelay` are dropped and their windows finalized.
@@ -36,9 +43,7 @@ object Streaming {
       windowDuration: String,
       keys: Seq[String],
       aggs: Map[String, Seq[String]]): DataFrame = {
-    val aggCols = for { (c, fns) <- aggs.toSeq.sortBy(_._1); fn <- fns }
-      yield minietl.ops.Ops.aggFn(fn, c).as(s"${c}_${fn.toLowerCase}")
-    require(aggCols.nonEmpty, "empty aggregation spec")
+    val aggCols = aggColumns(aggs)
     df.withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDuration) +: keys.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
@@ -73,6 +78,57 @@ object Streaming {
           state.update(next)
           next
       }
+  }
+
+  /** Event-time SLIDING-window aggregation: like [[tumblingAgg]] but each
+    * row lands in windowDuration/slideDuration overlapping windows (e.g.
+    * 10-minute windows every 5 minutes). Same watermark/lateness contract.
+    */
+  def slidingAgg(
+      df: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      windowDuration: String,
+      slideDuration: String,
+      keys: Seq[String],
+      aggs: Map[String, Seq[String]]): DataFrame = {
+    val aggCols = aggColumns(aggs)
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration, slideDuration) +: keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Event-time SESSION windows: rows gapped less than `gap` merge into one
+    * variable-length session per key (the unbounded analog of the batch
+    * `Ops.sessionize`). State is per open session in the state store;
+    * sessions finalize when the watermark passes their gap.
+    */
+  def sessionAgg(
+      df: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      gap: String,
+      keys: Seq[String],
+      aggs: Map[String, Seq[String]]): DataFrame = {
+    val aggCols = aggColumns(aggs)
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Streaming exact dedup on `keys`, bounded by the watermark: duplicates
+    * arriving within the watermark delay of each other collapse to the
+    * first row; state for a key is dropped once the watermark passes it, so
+    * state size tracks the delay window, not the stream's history. The
+    * unbounded analog of `Dedup.exact` / `Ops.dedupe(Keep.Any)` for
+    * streaming ingest (dedup-at-the-door before the corpus lands).
+    */
+  def dedupWithinWatermark(
+      df: DataFrame, tsCol: String, watermarkDelay: String,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "dedup needs at least one key column")
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
   }
 
   /** Reference Scheduler intervals ("30s", "5m", "2h", "1d" —

@@ -56,6 +56,65 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("slidingAgg: each row lands in overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streaming.slidingAgg(
+      input.toDF().toDF("ts", "k", "v"),
+      tsCol = "ts", watermarkDelay = "10 minutes",
+      windowDuration = "10 minutes", slideDuration = "5 minutes",
+      keys = Seq("k"), aggs = Map("v" -> Seq("sum")))
+    val q = agg.writeStream.format("memory").queryName("sliding")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((ts(7), "a", 3.0))
+      q.processAllAvailable()
+      // 10:07 falls in [10:00,10:10) and [10:05,10:15)
+      val wins = spark.table("sliding")
+        .select(col("window.start").cast("string"), col("v_sum"))
+        .as[(String, Double)].collect().toSet
+      assert(wins === Set(("2026-01-01 10:00:00", 3.0), ("2026-01-01 10:05:00", 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionAgg: gap-merged variable-length sessions per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streaming.sessionAgg(
+      input.toDF().toDF("ts", "k", "v"),
+      tsCol = "ts", watermarkDelay = "0 seconds", gap = "5 minutes",
+      keys = Seq("k"), aggs = Map("v" -> Seq("count")))
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // 10:00 and 10:03 merge (gap < 5m); 10:20 starts a new session
+      input.addData((ts(0), "a", 1.0), (ts(3), "a", 1.0), (ts(20), "a", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .select(col("session_window.start").cast("string"), col("v_count"))
+        .as[(String, Long)].collect().toSet
+      assert(sessions === Set(("2026-01-01 10:00:00", 2L), ("2026-01-01 10:20:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark collapses duplicate keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val deduped = Streaming.dedupWithinWatermark(
+      input.toDF().toDF("ts", "k", "v"),
+      tsCol = "ts", watermarkDelay = "10 minutes", keys = Seq("k"))
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(2), "b", 3.0))
+      q.processAllAvailable()
+      input.addData((ts(3), "a", 4.0), (ts(4), "c", 5.0)) // a is still in state
+      q.processAllAvailable()
+      val keys = spark.table("dedup").select("k").as[String].collect().toSeq.sorted
+      assert(keys === Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("foreachBatchSink invokes the callback per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Int]

@@ -195,7 +195,8 @@ object Ops {
   }
 
   /** A helper-column name not colliding with any input column. */
-  private def freshName(df: DataFrame, base: String): String =
+  /** A helper-column name not colliding with any column of `df`. */
+  private[minietl] def freshName(df: DataFrame, base: String): String =
     Iterator.iterate(base)(_ + "_").dropWhile(df.columns.contains).next()
 
   /** DeduplicateTransformer (transformers.py:522-547). `First`/`Last` need an
@@ -294,27 +295,26 @@ object Ops {
     * window) when the key itself suffices.
     */
   def shuffleKey(keyCol: String, seed: String): Column =
-    md5(concat_ws("#", lit(seed), col(keyCol).cast("string")))
+    // concat, NOT concat_ws: a NULL key must yield a NULL shuffle key (the
+    // cross-engine replay `md5(seed || '#' || key)` is NULL too), not have
+    // every null row clump at the constant md5(seed) position
+    md5(concat(lit(seed), lit("#"), col(keyCol).cast("string")))
 
   // ---------------------------------------------------------------- upsert
-  /** Merge/upsert by key: rows of `updates` replace same-key rows of `base`;
-    * unmatched update rows are inserts. Both frames must share the schema.
-    * Implemented as union + row_number window preferring the update side —
-    * ONE shuffle on the keys (an anti-join formulation would take two).
-    * Duplicate keys WITHIN `updates` are resolved arbitrarily; pre-dedupe if
-    * that matters.
+  /** Merge/upsert by key (SQL MERGE semantics): rows of `updates` replace
+    * ALL same-key rows of `base`; unmatched update rows are inserts;
+    * unmatched base rows pass through untouched — including duplicate-key
+    * base rows, which are NOT collapsed. Both frames must share the schema.
+    * Implemented as anti-join (drop matched base rows) + union: one shuffle
+    * of each side on the keys, no window. Duplicate keys WITHIN `updates`
+    * are all kept (like MERGE inserting each); pre-dedupe if that matters.
     */
   def upsert(updates: DataFrame, keys: Seq[String]): Op = base => {
     require(keys.nonEmpty, "upsert needs at least one key column")
     require(base.columns.sorted.sameElements(updates.columns.sorted),
       s"schemas differ: base=${base.columns.mkString(",")} updates=${updates.columns.mkString(",")}")
-    val pri = freshName(base, "__pri")
-    val rn = freshName(base, "__rn")
-    val tagged = updates.select(base.columns.map(col): _*).withColumn(pri, lit(0))
-      .unionByName(base.withColumn(pri, lit(1)))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(pri))
-    tagged.withColumn(rn, row_number().over(w))
-      .filter(col(rn) === 1).drop(pri, rn)
+    base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(updates.select(base.columns.map(col): _*))
   }
 
   // ---------------------------------------------------------------- lambda

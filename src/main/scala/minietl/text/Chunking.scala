@@ -1,5 +1,6 @@
 package minietl.text
 
+import minietl.ops.Ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -19,19 +20,24 @@ object Chunking {
     * covered; consecutive windows overlap by `chunkSize - stride` tokens.
     *
     * Output: (id, chunk_idx, chunk, n_tokens). Row explosion is
-    * size/stride per doc — a scan-side flatMap, no shuffle.
+    * size/stride per doc — a scan-side flatMap, no shuffle. A NULL text
+    * yields NO chunks (the row is dropped — there is nothing to cover);
+    * filter nulls first if they should surface differently.
     */
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
                      chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
     require(stride >= 1 && stride <= chunkSize,
       s"stride must be in [1, chunkSize=$chunkSize], got $stride")
-    val piece: Column = slice(col("__toks"), col("__start") + 1, lit(chunkSize))
-    df.withColumn("__toks", split(trim(col(textCol)), " "))
-      .withColumn("__start",
-        explode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(stride))))
+    val toks = Ops.freshName(df, "__toks")
+    val start = Ops.freshName(df, "__start")
+    val piece: Column = slice(col(toks), col(start) + 1, lit(chunkSize))
+    df.where(col(textCol).isNotNull)
+      .withColumn(toks, split(trim(col(textCol)), " "))
+      .withColumn(start,
+        explode(sequence(lit(0), greatest(size(col(toks)) - 1, lit(0)), lit(stride))))
       .select(col(idCol),
-        (col("__start") / stride).cast("bigint").as("chunk_idx"),
+        (col(start) / stride).cast("bigint").as("chunk_idx"),
         array_join(piece, " ").as("chunk"),
         size(piece).cast("bigint").as("n_tokens"))
   }
@@ -57,14 +63,20 @@ object Chunking {
     require(shardCols.nonEmpty || allowGlobal,
       "global packing is a single-task window; pass shardCols (e.g. a hash " +
         "bucket) or set allowGlobal=true to accept that")
+    // explicit ROWS frame: the default RANGE frame makes tied idCol values
+    // peers, so duplicate ids would include each other's token counts in
+    // the running sum and produce overlapping offsets
     val w = (if (shardCols.nonEmpty) Window.partitionBy(shardCols.map(col): _*)
              else Window.partitionBy()).orderBy(col(idCol))
-    df.withColumn("__n", size(split(trim(col(textCol)), " ")).cast("bigint"))
-      .withColumn("__cum", sum(col("__n")).over(w) - col("__n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = Ops.freshName(df, "__n")
+    val cum = Ops.freshName(df, "__cum")
+    df.withColumn(n, size(split(trim(col(textCol)), " ")).cast("bigint"))
+      .withColumn(cum, sum(col(n)).over(w) - col(n))
       .select(
         (col(idCol) +: shardCols.map(col)) ++ Seq(
-          col("__n").as("n_tokens"),
-          expr(s"__cum DIV $capacity").as("seq_idx"),
-          (col("__cum") % capacity).as("offset")): _*)
+          col(n).as("n_tokens"),
+          expr(s"`$cum` DIV $capacity").as("seq_idx"),
+          (col(cum) % capacity).as("offset")): _*)
   }
 }

@@ -232,6 +232,22 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq((1L, "a", 10L), (2L, "B!", 99L), (3L, "c", 30L), (9L, "new", 90L)))
   }
 
+  test("upsert keeps duplicate-key base rows that no update touches (MERGE semantics)") {
+    val base = Seq((1L, "a", 10L), (1L, "a2", 11L), (2L, "b", 20L)).toDF("k", "s", "v")
+    val updates = Seq((2L, "B!", 99L)).toDF("k", "s", "v")
+    val out = base.transform(Ops.upsert(updates, Seq("k")))
+      .orderBy("k", "s").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "a", 10L), (1L, "a2", 11L), (2L, "B!", 99L)))
+  }
+
+  test("shuffleKey propagates a NULL key to a NULL shuffle key") {
+    val df = Seq(Some(1L), None, None).toDF("id")
+    val keys = df.select(Ops.shuffleKey("id", "s").as("k")).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0))
+    assert(keys.count(_ == null) === 2)
+    assert(keys.count(_ != null) === 1)
+  }
+
   test("upsert rejects mismatched schemas and empty keys") {
     val base = Seq((1L, "a")).toDF("k", "s")
     assertThrows[IllegalArgumentException](

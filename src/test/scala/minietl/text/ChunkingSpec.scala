@@ -43,6 +43,24 @@ class ChunkingSpec extends AnyFunSuite with SparkTestBase {
       (4L, "b", 3L, 0L, 0L)))
   }
 
+  test("chunkDocuments drops NULL-text rows (documented policy)") {
+    val docs = Seq((1L, Some("a b")), (2L, None)).toDF("id", "text")
+    assert(Chunking.chunkDocuments(docs, "id", "text", 4, 4)
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("packSequences: tied ids still get non-overlapping token ranges (ROWS frame)") {
+    val docs = Seq((5L, "a", "w w"), (5L, "a", "w w w")).toDF("id", "shard", "text")
+    val out = Chunking.packSequences(docs, "id", "text", capacity = 8, Seq("shard"))
+      .select("n_tokens", "offset").as[(Long, Long)].collect().toSeq
+      .map { case (n, off) => (off, off + n) }.sortBy(_._1)
+    // contiguous, non-overlapping coverage of [0, 5) — the default RANGE
+    // frame would put both rows at nonzero overlapping offsets
+    assert(out.head._1 === 0L)
+    assert(out(1)._1 === out.head._2)
+    assert(out(1)._2 === 5L)
+  }
+
   test("packSequences refuses an accidental global window") {
     val docs = Seq((1L, "w")).toDF("id", "text")
     assertThrows[IllegalArgumentException](

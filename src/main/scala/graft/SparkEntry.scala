@@ -1182,6 +1182,34 @@ object SparkEntry {
              |  event_type, round(sum(value), 2) AS value_sum, count(value) AS value_count
              |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
+    // Gopher/C4-style intra-document repetition signals (scan-side arrays)
+    "q_repetition_stats" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .select(col("doc_id"),
+            minietl.text.TextAnalysis.dupNgramFraction(col("text"), 2).as("dup2_frac"),
+            minietl.text.TextAnalysis.dupNgramFraction(col("text"), 3).as("dup3_frac"),
+            minietl.text.TextAnalysis.consecDupFraction(col("text")).as("consec_frac"))
+          .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+             |g AS (SELECT doc_id, tk,
+             |        list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS g2,
+             |        list_transform(range(1, len(tk) - 1),
+             |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
+             |      FROM d)
+             |SELECT doc_id,
+             |  CASE WHEN len(g2) > 0
+             |       THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4)
+             |       ELSE 0.0 END AS dup2_frac,
+             |  CASE WHEN len(g3) > 0
+             |       THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4)
+             |       ELSE 0.0 END AS dup3_frac,
+             |  CASE WHEN len(tk) > 1
+             |       THEN round(CAST(len(list_filter(range(1, len(tk)),
+             |              i -> tk[i] = tk[i+1])) AS DOUBLE) / (len(tk) - 1), 4)
+             |       ELSE 0.0 END AS consec_frac
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
     // corpus-wide top bigrams: explode → map-side-combined hash agg →
     // global top-k; shuffle volume is O(distinct grams), not rows
     "q_top_ngrams" -> Q(

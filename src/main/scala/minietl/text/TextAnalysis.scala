@@ -53,6 +53,34 @@ object TextAnalysis {
 
   def charCount(text: Column): Column = length(text).cast("bigint")
 
+  /** Fraction of n-grams that are repeats of an earlier n-gram in the same
+    * document (1 - distinct/total) — the classic corpus-filtering
+    * repetition signal ("duplicate n-gram fraction"). 0 for docs with no
+    * n-grams. Pure per-row array work at the scan; no shuffle.
+    */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val g = ngrams(tokens(trim(text)), n)
+    when(size(g) > 0,
+      round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 4))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of adjacent token pairs that are equal ("the the") — flags
+    * stutter/boilerplate runs. 0 for single-token docs.
+    */
+  def consecDupFraction(text: Column): Column = {
+    val t = tokens(trim(text))
+    // sequence(1, 0) would generate a DESCENDING [1,0], so the short-doc
+    // case must be guarded, not clamped
+    val eq = filter(
+      transform(sequence(lit(1), size(t) - 1),
+        i => element_at(t, i) === element_at(t, i + 1)),
+      x => x)
+    when(size(t) > 1,
+      round(size(eq).cast("double") / (size(t) - 1), 4))
+      .otherwise(lit(0.0))
+  }
+
   /** Distinct-token ratio — low values flag repetitive/spammy documents. */
   def uniqueTokenRatio(text: Column): Column = {
     val t = tokens(text)

@@ -116,6 +116,16 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalArgumentException](TextAnalysis.ngrams(lit("x"), 1))
   }
 
+  test("repetition signals: duplicate n-grams and adjacent stutter") {
+    // "a b a b a" → bigrams [a b, b a, a b, b a] → 2 distinct of 4 → 0.5
+    assert(one(TextAnalysis.dupNgramFraction(lit("a b a b a"), 2)).getDouble(0) === 0.5)
+    assert(one(TextAnalysis.dupNgramFraction(lit("all words differ here"), 2)).getDouble(0) === 0.0)
+    assert(one(TextAnalysis.dupNgramFraction(lit("solo"), 2)).getDouble(0) === 0.0)
+    // "x x y x x" → adjacent pairs [T, F, F, T] → 0.5
+    assert(one(TextAnalysis.consecDupFraction(lit("x x y x x"))).getDouble(0) === 0.5)
+    assert(one(TextAnalysis.consecDupFraction(lit("solo"))).getDouble(0) === 0.0)
+  }
+
   test("topNgrams counts corpus-wide with a deterministic tie-broken cut") {
     import spark.implicits._
     val docs = Seq("x y x y", "x y z", "z w").toDF("text")

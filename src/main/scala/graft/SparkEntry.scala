@@ -1064,15 +1064,17 @@ object SparkEntry {
       Some(minietl.sim.Similarity.lshNearDupOracleSql(
         threshold = 0.4, bitsPerBand = 4, bands = 16, dim = 64))),
 
-    // -------- rows-only checks (not ANSI-SQL-expressible; covered by
-    // ScalaTest invariants instead: planted-pair recall, estimate accuracy)
+    // the PORTABLE variants are registered (md5-60-bit hashes → DuckDB
+    // replays the whole signature/banding/verify pipeline); the xxhash64
+    // production variants share the plan shape and are spec-covered
     "q_minhash_neardup" -> Q(
       (s, dir) =>
-        minietl.dedup.Dedup.minhashNearDupPairs(
-          documents(s, dir), "text", "doc_id", shingleN = 3, k = 128, bands = 32,
+        minietl.dedup.Dedup.minhashNearDupPairsPortable(
+          documents(s, dir), "text", "doc_id", shingleN = 3, k = 64, bands = 16,
           threshold = 0.5)
           .orderBy("id_a", "id_b"),
-      None),
+      Some(minietl.dedup.Dedup.minhashPortableOracleSql(
+        shingleN = 3, k = 64, bands = 16, threshold = 0.5))),
 
     "q_simhash_neardup" -> Q(
       (s, dir) =>
@@ -1080,10 +1082,10 @@ object SparkEntry {
         // need more bands, whose shorter chunks collide pervasively and
         // degrade the blocking toward all-pairs (measured: bands=16 at
         // sf0.1 is ~25× slower than bands=4 for this corpus).
-        minietl.dedup.Dedup.simhashNearDupPairs(documents(s, dir), "text", "doc_id",
+        minietl.dedup.Dedup.simhashNearDupPairsPortable(documents(s, dir), "text", "doc_id",
           maxHamming = 3, bands = 4)
           .orderBy("id_a", "id_b"),
-      None),
+      Some(minietl.dedup.Dedup.simhashPortableOracleSql(maxHamming = 3, bands = 4))),
 
     // the portable (md5 token hash) fingerprint variant is registered so the
     // rolling-hash fold is verifiable by DuckDB; the xxhash64 production

@@ -147,6 +147,106 @@ object Dedup {
       .select("id_a", "id_b", "est", "jac")
   }
 
+  // ------------------------------------------- portable (replayable) path
+  /** md5-derived 60-bit positive hash of each element of a string array —
+    * the ENGINE-PORTABLE hash (any SQL engine computes
+    * `CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)`). Same role
+    * as [[hashedShingles]]' xxhash64 but slower per string (md5 + hex), so
+    * the xxhash64 variants remain the production path; this one exists so
+    * the WHOLE near-dup computation can be replayed by an independent
+    * engine (same trick as `TextAnalysis.fingerprintPortable`).
+    */
+  def md5Hashes60(arr: Column): Column =
+    transform(arr, s => conv(substring(md5(s), 1, 15), 16, 10).cast("bigint"))
+
+  /** Word n-gram shingle strings (short docs → one whole-text shingle,
+    * mirroring [[minietl.functions.VectorOps.shingleHashes]]).
+    */
+  def shingleStrings(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n, minietl.text.TextAnalysis.ngrams(toks, n))
+      .otherwise(array(text))
+  }
+
+  /** MinHash near-dup pairs, PORTABLE variant: md5-60-bit shingle hashes
+    * and array-slice band keys in place of xxhash64. The lane arithmetic
+    * `((x mod p) * a + b) mod p` with p = 2^31-1 never exceeds 2^62, so an
+    * engine with 64-bit integers and md5 replays the ENTIRE computation
+    * bit-for-bit — [[minhashPortableOracleSql]] generates that SQL (embed
+    * the same seed/k/bands). Plan shape is identical to
+    * [[minhashNearDupPairs]] except the band shuffle carries the k/bands
+    * raw lane values (~8 B each) instead of one folded key — the
+    * replayability tax. The xxhash64 variant stays the production path.
+    */
+  def minhashNearDupPairsPortable(df: DataFrame, textCol: String, idCol: String,
+                                  shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                                  threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val rpb = k / bands
+    require(bands * rpb == k, s"bands=$bands must divide k=$k")
+    val base = df.select(col(idCol).as("id"),
+        array_sort(array_distinct(md5Hashes60(shingleStrings(col(textCol), shingleN))))
+          .as("hsh"))
+      .withColumn("sig", minhashFromHashes(col("hsh"), k, seed))
+      .persist()
+    val banded = base.select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), slice(col("sig"), b * rpb + 1, rpb).as("key"))): _*))
+          .as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(base.select(col("id").as("id_a"), col("sig").as("sig_a"), col("hsh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sig").as("sig_b"), col("hsh").as("sh_b")), "id_b")
+      .withColumn("est", round(minhashEstimate(col("sig_a"), col("sig_b")), 4))
+      .withColumn("jac", round(minietl.functions.vec.jaccardSorted(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "est", "jac")
+  }
+
+  /** ANSI SQL (DuckDB dialect) replaying [[minhashNearDupPairsPortable]]
+    * end-to-end: same md5-60-bit shingle hashes, same splitmix (a, b)
+    * streams rendered as literals, same band slicing and Jaccard verify.
+    */
+  def minhashPortableOracleSql(shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                               threshold: Double = 0.5, seed: Long = 42L,
+                               table: String = "documents", idCol: String = "doc_id",
+                               textCol: String = "text"): String = {
+    val rpb = k / bands
+    val (as, bs) = minietl.functions.VectorOps.hashParams(k, seed)
+    val aLit = as.mkString("[", ",", "]")
+    val bLit = bs.mkString("[", ",", "]")
+    val gram = (0 until shingleN)
+      .map(j => if (j == 0) "toks[i]" else s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT $idCol AS id, $textCol AS t, string_split($textCol, ' ') AS toks
+       |           FROM $table),
+       |sh AS (SELECT id, CASE WHEN len(toks) < $shingleN THEN [t]
+       |         ELSE list_transform(range(1, len(toks) - ${shingleN - 2}), i -> $gram) END AS ss
+       |       FROM d),
+       |hs AS (SELECT id, list_sort(list_distinct(list_transform(ss,
+       |         s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)))) AS hh FROM sh),
+       |sig AS (SELECT id, hh, list_transform(range(1, $k + 1),
+       |         i -> list_min(list_transform(hh,
+       |                x -> ((x % 2147483647) * ($aLit)[i] + ($bLit)[i]) % 2147483647))) AS sg
+       |        FROM hs),
+       |bnd AS (SELECT id, u.b AS band, sg[u.b * $rpb + 1 : (u.b + 1) * $rpb] AS key
+       |        FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) u),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+       |ver AS (SELECT id_a, id_b,
+       |    round(CAST(len(list_filter(range(1, $k + 1), i -> sa.sg[i] = sb.sg[i])) AS DOUBLE)
+       |      / $k, 4) AS est,
+       |    round(CAST(len(list_filter(sa.hh, x -> list_contains(sb.hh, x))) AS DOUBLE)
+       |      / (len(sa.hh) + len(sb.hh)
+       |         - len(list_filter(sa.hh, x -> list_contains(sb.hh, x)))), 4) AS jac
+       |  FROM cand JOIN sig sa ON sa.id = cand.id_a JOIN sig sb ON sb.id = cand.id_b)
+       |SELECT id_a, id_b, est, jac FROM ver WHERE jac >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Keep one representative (min id) per near-dup cluster: drops every row
     * that appears as the greater id of a confirmed pair. Greedy — for
     * transitive chains (a~b, b~c but not a~c) use [[minhashDedupClusters]].
@@ -279,9 +379,17 @@ object Dedup {
     require(Seq(1, 2, 4, 8, 16, 32, 64).contains(bands), s"bands must divide 64: $bands")
     require(maxHamming < bands,
       s"recall guarantee needs maxHamming < bands (got maxHamming=$maxHamming, bands=$bands)")
+    simhashPairsFromSigs(
+      df.select(col(idCol).as("id"), simhash(split(col(textCol), " ")).as("sig")),
+      maxHamming, bands)
+  }
+
+  /** Banding + Hamming verify over a pre-computed (id, sig) frame — shared
+    * by the production and portable SimHash variants.
+    */
+  private def simhashPairsFromSigs(base: DataFrame, maxHamming: Int, bands: Int): DataFrame = {
     val chunkBits = 64 / bands
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
-    val base = df.select(col(idCol).as("id"), simhash(split(col(textCol), " ")).as("sig"))
     val banded = base.select(col("id"), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -295,5 +403,48 @@ object Dedup {
         hamming(col("a.sig"), col("b.sig")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dup pairs, PORTABLE variant: md5-60-bit token hashes in
+    * place of xxhash64 (bits 60-63 of every signature are then 0 — four
+    * fewer discriminating bits, the replayability tax). Same banding and
+    * Hamming verify as [[simhashNearDupPairs]];
+    * [[simhashPortableOracleSql]] generates the replay SQL.
+    */
+  def simhashNearDupPairsPortable(df: DataFrame, textCol: String, idCol: String,
+                                  maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(Seq(1, 2, 4, 8, 16, 32, 64).contains(bands), s"bands must divide 64: $bands")
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming < bands (got maxHamming=$maxHamming, bands=$bands)")
+    simhashPairsFromSigs(
+      df.select(col(idCol).as("id"),
+        minietl.functions.vec.simhash64(md5Hashes60(split(col(textCol), " "))).as("sig")),
+      maxHamming, bands)
+  }
+
+  /** ANSI SQL (DuckDB dialect) replaying [[simhashNearDupPairsPortable]]:
+    * same md5-60-bit token hashes, same per-bit +1/-1 vote (ties → 0, like
+    * the native loop's strict `> 0`), same chunk banding and bit_count
+    * Hamming verify. Bits 60-63 are structurally 0 so the vote loop covers
+    * bits 0-59 only.
+    */
+  def simhashPortableOracleSql(maxHamming: Int = 3, bands: Int = 4,
+                               table: String = "documents", idCol: String = "doc_id",
+                               textCol: String = "text"): String = {
+    val chunkBits = 64 / bands
+    val mask = (1L << chunkBits) - 1
+    s"""WITH d AS (SELECT $idCol AS id, list_transform(string_split($textCol, ' '),
+       |      s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)) AS hh FROM $table),
+       |sig AS (SELECT id, CAST(list_sum(list_transform(range(0, 60), b ->
+       |      CASE WHEN list_sum(list_transform(hh,
+       |             x -> CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sg
+       |        FROM d),
+       |bnd AS (SELECT id, sg, u.b AS band, (sg >> (u.b * $chunkBits)) & $mask AS chunk
+       |        FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) u),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sg AS sa, b.sg AS sb
+       |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming ORDER BY id_a, id_b""".stripMargin
   }
 }

@@ -149,4 +149,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((2L, 3L)))
   }
+
+  test("portable minhash finds the planted pairs with faithful jaccard") {
+    val rows = Dedup.minhashNearDupPairsPortable(docs, "text", "doc_id",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b", "jac").as[(Long, Long, Double)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSet === Set((0L, 1L), (2L, 3L)))
+    // exact-duplicate pair has jaccard exactly 1; hash basis cannot change it
+    assert(rows.find(r => (r._1, r._2) == ((2L, 3L))).get._3 === 1.0)
+  }
+
+  test("portable simhash finds exact pairs; signatures keep bits 60-63 clear") {
+    val pairs = Dedup.simhashNearDupPairsPortable(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 3L)))
+    val sigs = docs.select(
+      minietl.functions.vec.simhash64(Dedup.md5Hashes60(split(col("text"), " "))).as("sig"))
+      .as[Long].collect()
+    sigs.foreach(s => assert((s >>> 60) === 0L, s"bits 60-63 set in $s"))
+  }
 }

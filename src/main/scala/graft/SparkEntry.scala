@@ -1096,13 +1096,13 @@ object SparkEntry {
           .select(col("doc_id"),
             minietl.text.TextAnalysis.fingerprintPortable(col("text")).as("fp"))
           .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-             |  list_reduce(
-             |    list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(string_split(text, ' '),
-             |        t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 2147483647)),
-             |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+      Some(s"""SELECT doc_id,
+              |  list_reduce(
+              |    list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(string_split(text, ' '),
+              |        t -> ${minietl.functions.PortableHash.sql("t")} % 2147483647)),
+              |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "q_lsh_ann" -> Q(
       (s, dir) => {

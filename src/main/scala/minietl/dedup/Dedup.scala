@@ -133,6 +133,15 @@ object Dedup {
     val banded = base
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, k)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    minhashPairsFromBase(base, banded, threshold)
+  }
+
+  /** Candidate self-join + est/jac verify over a persisted (id, hsh, sig)
+    * frame and its (id, band, key) banding — shared by the production and
+    * portable MinHash variants so the verify tail cannot diverge.
+    */
+  private def minhashPairsFromBase(base: DataFrame, banded: DataFrame,
+                                   threshold: Double): DataFrame = {
     val pairs = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key")
         && col("a.id") < col("b.id"))
@@ -157,16 +166,7 @@ object Dedup {
     * engine (same trick as `TextAnalysis.fingerprintPortable`).
     */
   def md5Hashes60(arr: Column): Column =
-    transform(arr, s => conv(substring(md5(s), 1, 15), 16, 10).cast("bigint"))
-
-  /** Word n-gram shingle strings (short docs → one whole-text shingle,
-    * mirroring [[minietl.functions.VectorOps.shingleHashes]]).
-    */
-  def shingleStrings(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= n, minietl.text.TextAnalysis.ngrams(toks, n))
-      .otherwise(array(text))
-  }
+    transform(arr, minietl.functions.PortableHash.md5Hash60(_))
 
   /** MinHash near-dup pairs, PORTABLE variant: md5-60-bit shingle hashes
     * and array-slice band keys in place of xxhash64. The lane arithmetic
@@ -184,8 +184,7 @@ object Dedup {
     val rpb = k / bands
     require(bands * rpb == k, s"bands=$bands must divide k=$k")
     val base = df.select(col(idCol).as("id"),
-        array_sort(array_distinct(md5Hashes60(shingleStrings(col(textCol), shingleN))))
-          .as("hsh"))
+        array_sort(array_distinct(md5Hashes60(shingles(col(textCol), shingleN)))).as("hsh"))
       .withColumn("sig", minhashFromHashes(col("hsh"), k, seed))
       .persist()
     val banded = base.select(col("id"),
@@ -193,18 +192,7 @@ object Dedup {
           struct(lit(b).as("band"), slice(col("sig"), b * rpb + 1, rpb).as("key"))): _*))
           .as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val pairs = banded.as("a")
-      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key")
-        && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    pairs
-      .join(base.select(col("id").as("id_a"), col("sig").as("sig_a"), col("hsh").as("sh_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("sig").as("sig_b"), col("hsh").as("sh_b")), "id_b")
-      .withColumn("est", round(minhashEstimate(col("sig_a"), col("sig_b")), 4))
-      .withColumn("jac", round(minietl.functions.vec.jaccardSorted(col("sh_a"), col("sh_b")), 4))
-      .filter(col("jac") >= threshold)
-      .select("id_a", "id_b", "est", "jac")
+    minhashPairsFromBase(base, banded, threshold)
   }
 
   /** ANSI SQL (DuckDB dialect) replaying [[minhashNearDupPairsPortable]]
@@ -216,6 +204,7 @@ object Dedup {
                                table: String = "documents", idCol: String = "doc_id",
                                textCol: String = "text"): String = {
     val rpb = k / bands
+    require(bands * rpb == k, s"bands=$bands must divide k=$k")
     val (as, bs) = minietl.functions.VectorOps.hashParams(k, seed)
     val aLit = as.mkString("[", ",", "]")
     val bLit = bs.mkString("[", ",", "]")
@@ -227,7 +216,7 @@ object Dedup {
        |         ELSE list_transform(range(1, len(toks) - ${shingleN - 2}), i -> $gram) END AS ss
        |       FROM d),
        |hs AS (SELECT id, list_sort(list_distinct(list_transform(ss,
-       |         s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)))) AS hh FROM sh),
+       |         s -> ${minietl.functions.PortableHash.sql("s")}))) AS hh FROM sh),
        |sig AS (SELECT id, hh, list_transform(range(1, $k + 1),
        |         i -> list_min(list_transform(hh,
        |                x -> ((x % 2147483647) * ($aLit)[i] + ($bLit)[i]) % 2147483647))) AS sg
@@ -431,10 +420,13 @@ object Dedup {
   def simhashPortableOracleSql(maxHamming: Int = 3, bands: Int = 4,
                                table: String = "documents", idCol: String = "doc_id",
                                textCol: String = "text"): String = {
+    require(Seq(1, 2, 4, 8, 16, 32, 64).contains(bands), s"bands must divide 64: $bands")
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming < bands (got maxHamming=$maxHamming, bands=$bands)")
     val chunkBits = 64 / bands
-    val mask = (1L << chunkBits) - 1
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
     s"""WITH d AS (SELECT $idCol AS id, list_transform(string_split($textCol, ' '),
-       |      s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)) AS hh FROM $table),
+       |      s -> ${minietl.functions.PortableHash.sql("s")}) AS hh FROM $table),
        |sig AS (SELECT id, CAST(list_sum(list_transform(range(0, 60), b ->
        |      CASE WHEN list_sum(list_transform(hh,
        |             x -> CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0

@@ -72,10 +72,8 @@ object TextAnalysis {
     val t = tokens(trim(text))
     // sequence(1, 0) would generate a DESCENDING [1,0], so the short-doc
     // case must be guarded, not clamped
-    val eq = filter(
-      transform(sequence(lit(1), size(t) - 1),
-        i => element_at(t, i) === element_at(t, i + 1)),
-      x => x)
+    val eq = filter(sequence(lit(1), size(t) - 1),
+      i => element_at(t, i) === element_at(t, i + 1))
     when(size(t) > 1,
       round(size(eq).cast("double") / (size(t) - 1), 4))
       .otherwise(lit(0.0))
@@ -258,5 +256,5 @@ object TextAnalysis {
     */
   def fingerprintPortable(text: Column): Column =
     fingerprintWith(text,
-      t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("bigint"), lit(fpMod)))
+      t => pmod(minietl.functions.PortableHash.md5Hash60(t), lit(fpMod)))
 }

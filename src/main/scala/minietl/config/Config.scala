@@ -35,7 +35,10 @@ object Config {
   private val sinkTypes = Set("csv", "json", "jsonl", "parquet", "sql")
   private val transformerTypes =
     Set("filter", "rename", "select", "drop", "cast", "fillna", "expression",
-      "aggregate", "group", "dedupe", "sort")
+      "aggregate", "group", "dedupe", "sort",
+      // training-data pipeline stages (beyond the reference's set)
+      "hash_sample", "stratified_sample", "pii_redact", "quality_filter",
+      "exact_dedup")
   private val declaredUnsupported = Set("excel", "api")
 
   private val EnvBrace: Regex = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
@@ -147,6 +150,11 @@ object Config {
     case "expression" => Seq("expression")
     case "aggregate" | "group" => Seq("aggregations")
     case "sort" => Seq("by")
+    case "hash_sample" => Seq("key", "fraction")
+    case "stratified_sample" => Seq("key", "strata", "fractions")
+    case "pii_redact" => Seq("column")
+    case "quality_filter" => Seq("column", "min_score")
+    case "exact_dedup" => Seq("content", "key")
     case _ => Nil
   }
 
@@ -207,6 +215,19 @@ object Config {
             case None => Nil
           }
           b.sort(by, asc)
+        case "hash_sample" =>
+          b.hashSample(str(t.options, "key"), str(t.options, "fraction").toDouble)
+        case "stratified_sample" =>
+          val fractions = t.options("fractions") match {
+            case m: Map[String, Any] @unchecked => m.map { case (k, v) => k -> v.toString.toDouble }
+          }
+          b.stratifiedSample(str(t.options, "key"), str(t.options, "strata"), fractions,
+            t.options.get("default_fraction").map(_.toString.toDouble).getOrElse(0.0))
+        case "pii_redact" => b.piiRedact(str(t.options, "column"))
+        case "quality_filter" =>
+          b.qualityFilter(str(t.options, "column"), str(t.options, "min_score").toLong)
+        case "exact_dedup" =>
+          b.exactDedup(str(t.options, "content"), str(t.options, "key"))
       }
     }
 

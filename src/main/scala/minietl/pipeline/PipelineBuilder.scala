@@ -48,6 +48,24 @@ final class PipelineBuilder(name: String = "pipeline") {
   def transform(f: DataFrame => DataFrame): PipelineBuilder = add(f)
   def add(f: DataFrame => DataFrame): PipelineBuilder = { p = p.addTransformer(f); this }
 
+  // ------------------------------------------ training-data pipeline stages
+  def hashSample(key: String, fraction: Double): PipelineBuilder =
+    add(Ops.hashSample(key, fraction))
+  def stratifiedSample(key: String, strata: String, fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): PipelineBuilder =
+    add(Ops.stratifiedHashSample(key, strata, fractions, defaultFraction))
+  def piiRedact(column: String): PipelineBuilder =
+    add(df => df.withColumn(column, minietl.text.Pii.redact(
+      org.apache.spark.sql.functions.col(column))))
+  /** Keep rows whose [[minietl.text.TextAnalysis.qualityScore]] (integer
+    * basis points, 0..100000) reaches `minScore`.
+    */
+  def qualityFilter(column: String, minScore: Long): PipelineBuilder =
+    add(df => df.filter(minietl.text.TextAnalysis.qualityScore(
+      org.apache.spark.sql.functions.col(column)) >= minScore))
+  def exactDedup(contentCol: String, keyCol: String): PipelineBuilder =
+    add(df => minietl.dedup.Dedup.exact(df, contentCol, keyCol))
+
   def withSchema(schema: TableSchema): PipelineBuilder =
     { p = p.withValidator(new SchemaValidator(schema)); this }
   def withErrorMode(m: ErrorMode): PipelineBuilder = { p = p.withErrorMode(m); this }

@@ -95,6 +95,60 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(back.columns.toSet === Set("category", "v2_sum", "v2_mean", "id_count"))
   }
 
+  test("a training-data cleaning pipeline runs from YAML") {
+    val in = s"${tmp()}/docs_in"
+    val out = s"${tmp()}/docs_out"
+    Writers.csv(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away today"), // exact dup
+      (3L, "reach me at bob@corp.example.org for details about the offer"),
+      (4L, "x")) // low quality: one char
+      .toDF("doc_id", "text"), in)
+    val yaml =
+      s"""name: clean
+         |source:
+         |  type: csv
+         |  filepath: $in
+         |transformers:
+         |  - type: cast
+         |    columns: {doc_id: int64}
+         |  - type: exact_dedup
+         |    content: text
+         |    key: doc_id
+         |  - type: quality_filter
+         |    column: text
+         |    min_score: 50000
+         |  - type: pii_redact
+         |    column: text
+         |  - type: hash_sample
+         |    key: doc_id
+         |    fraction: 1.0
+         |sink:
+         |  type: parquet
+         |  filepath: $out
+         |""".stripMargin
+    Config.load(yaml).run(spark)
+    val back = Readers.parquet(spark, out).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(back.map(_._1) === Seq(1L, 3L)) // dup 2 dropped, low-quality 4 dropped
+    assert(back(1)._2.contains("<EMAIL>"))
+    assert(!back(1)._2.contains("bob@corp.example.org"))
+  }
+
+  test("unknown keys in new stage types are validation errors") {
+    val c = Config.parse(
+      """name: x
+        |source: {type: parquet, filepath: /tmp/x}
+        |transformers:
+        |  - type: stratified_sample
+        |    key: doc_id
+        |sink: {type: parquet, filepath: /tmp/y}
+        |""".stripMargin)
+    val errs = Config.validate(c)
+    assert(errs.exists(_.contains("strata")))
+    assert(errs.exists(_.contains("fractions")))
+  }
+
   test("env substitution reaches file paths inside configs") {
     val dir = tmp()
     Writers.csv(Seq((1, "x")).toDF("id", "name"), s"$dir/in")

@@ -138,9 +138,43 @@ object Config {
     val tErrs = c.transformers.zipWithIndex.flatMap { case (t, i) =>
       if (!transformerTypes.contains(t.typ)) Seq(s"transformer[$i]: unknown type '${t.typ}'")
       else requiredTransformerKey(t.typ).filterNot(t.options.contains)
-        .map(k => s"transformer[$i] ${t.typ}: missing '$k'")
+        .map(k => s"transformer[$i] ${t.typ}: missing '$k'") ++
+        valueErrors(t.typ, t.options, s"transformer[$i] ${t.typ}")
     }
     srcErrs ++ sinkErrs ++ tErrs
+  }
+
+  /** Value-level checks so config mistakes surface in the pre-run error
+    * list, not as a NumberFormatException/MatchError mid-build or a
+    * deferred require() after the source has already been read.
+    */
+  private def valueErrors(typ: String, o: Map[String, Any], at: String): Seq[String] = {
+    def numeric(key: String, min: Double, max: Double): Seq[String] = o.get(key) match {
+      case None => Nil // absence is the required-key check's job
+      case Some(v) => scala.util.Try(v.toString.toDouble).toOption match {
+        case None => Seq(s"$at: '$key' must be numeric, got '$v'")
+        case Some(d) if d < min || d > max => Seq(s"$at: '$key' out of [$min, $max]: $d")
+        case _ => Nil
+      }
+    }
+    typ match {
+      case "hash_sample" => numeric("fraction", 0.0, 1.0)
+      case "quality_filter" => numeric("min_score", 0.0, 100000.0)
+      case "stratified_sample" =>
+        (o.get("fractions") match {
+          case None => Nil
+          case Some(m: Map[String, Any] @unchecked) =>
+            m.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+              scala.util.Try(v.toString.toDouble).toOption match {
+                case None => Seq(s"$at: fraction for '$k' must be numeric, got '$v'")
+                case Some(d) if d < 0.0 || d > 1.0 => Seq(s"$at: fraction for '$k' out of [0, 1]: $d")
+                case _ => Nil
+              }
+            }
+          case Some(other) => Seq(s"$at: 'fractions' must be a mapping, got '$other'")
+        }) ++ numeric("default_fraction", 0.0, 1.0)
+      case _ => Nil
+    }
   }
 
   private def requiredTransformerKey(typ: String): Seq[String] = typ match {
@@ -220,12 +254,15 @@ object Config {
         case "stratified_sample" =>
           val fractions = t.options("fractions") match {
             case m: Map[String, Any] @unchecked => m.map { case (k, v) => k -> v.toString.toDouble }
+            case other => throw new IllegalArgumentException(
+              s"stratified_sample 'fractions' must be a mapping, got '$other'")
           }
           b.stratifiedSample(str(t.options, "key"), str(t.options, "strata"), fractions,
             t.options.get("default_fraction").map(_.toString.toDouble).getOrElse(0.0))
         case "pii_redact" => b.piiRedact(str(t.options, "column"))
         case "quality_filter" =>
-          b.qualityFilter(str(t.options, "column"), str(t.options, "min_score").toLong)
+          // toDouble.toLong: YAML may well say 50000.0 for a score threshold
+          b.qualityFilter(str(t.options, "column"), str(t.options, "min_score").toDouble.toLong)
         case "exact_dedup" =>
           b.exactDedup(str(t.options, "content"), str(t.options, "key"))
       }

@@ -317,6 +317,17 @@ object Ops {
       .unionByName(updates.select(base.columns.map(col): _*))
   }
 
+  // --------------------------------------------------------- text hygiene
+  /** Scrub PII from `column` in place ([[minietl.text.Pii.redact]]). */
+  def piiRedact(column: String): Op =
+    df => df.withColumn(column, minietl.text.Pii.redact(col(column)))
+
+  /** Keep rows whose [[minietl.text.TextAnalysis.qualityScore]] (integer
+    * basis points, 0..100000) reaches `minScore`. Scan-side filter.
+    */
+  def qualityFilter(column: String, minScore: Long): Op =
+    df => df.filter(minietl.text.TextAnalysis.qualityScore(col(column)) >= minScore)
+
   // ---------------------------------------------------------------- lambda
   /** LambdaTransformer (transformers.py:580-603): arbitrary frame function. */
   def lambda(f: DataFrame => DataFrame): Op = f

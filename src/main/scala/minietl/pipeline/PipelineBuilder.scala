@@ -54,15 +54,9 @@ final class PipelineBuilder(name: String = "pipeline") {
   def stratifiedSample(key: String, strata: String, fractions: Map[String, Double],
                        defaultFraction: Double = 0.0): PipelineBuilder =
     add(Ops.stratifiedHashSample(key, strata, fractions, defaultFraction))
-  def piiRedact(column: String): PipelineBuilder =
-    add(df => df.withColumn(column, minietl.text.Pii.redact(
-      org.apache.spark.sql.functions.col(column))))
-  /** Keep rows whose [[minietl.text.TextAnalysis.qualityScore]] (integer
-    * basis points, 0..100000) reaches `minScore`.
-    */
+  def piiRedact(column: String): PipelineBuilder = add(Ops.piiRedact(column))
   def qualityFilter(column: String, minScore: Long): PipelineBuilder =
-    add(df => df.filter(minietl.text.TextAnalysis.qualityScore(
-      org.apache.spark.sql.functions.col(column)) >= minScore))
+    add(Ops.qualityFilter(column, minScore))
   def exactDedup(contentCol: String, keyCol: String): PipelineBuilder =
     add(df => minietl.dedup.Dedup.exact(df, contentCol, keyCol))
 

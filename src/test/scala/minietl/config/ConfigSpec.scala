@@ -120,6 +120,13 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
          |    min_score: 50000
          |  - type: pii_redact
          |    column: text
+         |  - type: expression
+         |    expression: "lang = 'en'"
+         |  - type: stratified_sample
+         |    key: doc_id
+         |    strata: lang
+         |    fractions: {en: 1.0}
+         |    default_fraction: 0.0
          |  - type: hash_sample
          |    key: doc_id
          |    fraction: 1.0
@@ -129,13 +136,13 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
          |""".stripMargin
     Config.load(yaml).run(spark)
     val back = Readers.parquet(spark, out).orderBy("doc_id")
-      .as[(Long, String)].collect().toSeq
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
     assert(back.map(_._1) === Seq(1L, 3L)) // dup 2 dropped, low-quality 4 dropped
     assert(back(1)._2.contains("<EMAIL>"))
     assert(!back(1)._2.contains("bob@corp.example.org"))
   }
 
-  test("unknown keys in new stage types are validation errors") {
+  test("missing required keys in new stage types are validation errors") {
     val c = Config.parse(
       """name: x
         |source: {type: parquet, filepath: /tmp/x}
@@ -147,6 +154,35 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     val errs = Config.validate(c)
     assert(errs.exists(_.contains("strata")))
     assert(errs.exists(_.contains("fractions")))
+  }
+
+  test("bad option values surface in the pre-run error list, not mid-build") {
+    def cfg(stage: String) = Config.parse(
+      s"""name: x
+         |source: {type: parquet, filepath: /tmp/x}
+         |transformers:
+         |$stage
+         |sink: {type: parquet, filepath: /tmp/y}
+         |""".stripMargin)
+    assert(Config.validate(cfg(
+      "  - {type: hash_sample, key: id, fraction: 1.5}"))
+      .exists(_.contains("out of [0.0, 1.0]")))
+    assert(Config.validate(cfg(
+      "  - {type: quality_filter, column: text, min_score: lots}"))
+      .exists(_.contains("must be numeric")))
+    assert(Config.validate(cfg(
+      "  - {type: stratified_sample, key: id, strata: lang, fractions: 0.75}"))
+      .exists(_.contains("must be a mapping")))
+    assert(Config.validate(cfg(
+      """  - type: stratified_sample
+        |    key: id
+        |    strata: lang
+        |    fractions: {en: 2.0}""".stripMargin))
+      .exists(_.contains("fraction for 'en' out of [0, 1]")))
+    // float-form min_score is legal and builds
+    assert(Config.validate(cfg(
+      "  - {type: quality_filter, column: text, min_score: 50000.0}")) === Nil)
+    Config.build(cfg("  - {type: quality_filter, column: text, min_score: 50000.0}"))
   }
 
   test("env substitution reaches file paths inside configs") {

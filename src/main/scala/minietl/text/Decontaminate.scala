@@ -35,6 +35,11 @@ object Decontaminate {
     val tainted = grams(train)
       .join(broadcast(benchGrams), "__gram")
       .select(idCol).distinct()
-    train.join(broadcast(tainted), Seq(idCol), "left_anti")
+    // the bench gram set is small BY CONSTRUCTION, hence the explicit
+    // broadcast above; the tainted-id set is only small in the typical case
+    // (low contamination), so its join is left to AQE, which broadcasts
+    // from runtime stats and falls back to a shuffle join when a heavily
+    // contaminated corpus would blow the broadcast limit
+    train.join(tainted, Seq(idCol), "left_anti")
   }
 }

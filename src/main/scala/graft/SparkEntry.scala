@@ -1076,6 +1076,31 @@ object SparkEntry {
       Some(minietl.dedup.Dedup.minhashPortableOracleSql(
         shingleN = 3, k = 64, bands = 16, threshold = 0.5))),
 
+    // transitive near-dup clustering: label propagation over the portable
+    // minhash pair list; DuckDB replays it as a recursive reachability CTE
+    // over the SAME (replayable) pairs — min reachable id = component label
+    "q_dedup_clusters" -> Q(
+      (s, dir) =>
+        minietl.dedup.Dedup.connectedComponents(
+          minietl.dedup.Dedup.minhashNearDupPairsPortable(
+            documents(s, dir), "text", "doc_id", shingleN = 3, k = 64, bands = 16,
+            threshold = 0.5)
+            .select("id_a", "id_b"))
+          .orderBy("id"),
+      Some(s"""WITH RECURSIVE pairs AS (
+              |  SELECT id_a, id_b FROM (
+              |${minietl.dedup.Dedup.minhashPortableOracleSql(
+                   shingleN = 3, k = 64, bands = 16, threshold = 0.5)}
+              |  ) t),
+              |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              |          UNION ALL SELECT id_b, id_a FROM pairs),
+              |nodes AS (SELECT DISTINCT a AS id FROM edges),
+              |reach AS (
+              |  SELECT id, id AS r FROM nodes
+              |  UNION
+              |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+              |SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
     "q_simhash_neardup" -> Q(
       (s, dir) =>
         // classic 64-bit config: 4 bands of 16 bits, radius 3. Wider radii

@@ -259,21 +259,24 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
+    var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).persist()
+    var labels = cached
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels.select(col("id").as("dst"), col("comp")), "dst")
         .groupBy(col("src").as("id")).agg(min("comp").as("nbr_comp"))
+      // carry the previous label alongside so convergence is a filter on
+      // the SAME materialized frame, not an extra join + scan per round
       val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .persist()
-      converged = updated.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).isEmpty
-      labels.unpersist()
-      labels = updated
+      converged = updated.filter(col("comp") =!= col("__old")).isEmpty
+      cached.unpersist() // `labels` may be a projection; unpersist its backing frame
+      cached = updated
+      labels = updated.select("id", "comp")
       iter += 1
     }
     if (!converged)

@@ -52,6 +52,22 @@ object SparkEntry {
 
   private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** 4dp half-up average over `count_order` of an already-aggregated 2dp
+    * decimal sum column, computed entirely in BIGINT: S = sum in hundredths
+    * (exact), result ten-thousandths = (S*200 + C) DIV (2*C) — round-half-up
+    * for non-negative S. The trailing decimal multiply is exact (integer x
+    * 0.0001 at scale 4); no decimal division anywhere, so DuckDB replays it
+    * bit-for-bit. See `avg4dpSql` for the oracle twin.
+    */
+  private def avg4dp(sumCol: String): Column =
+    expr(s"CAST(CAST((CAST($sumCol * 100 AS BIGINT) * 200 + count_order) DIV (2 * count_order) AS DECIMAL(34,0)) * 0.0001 AS DECIMAL(38,4))")
+
+  /** DuckDB twin of [[avg4dp]], phrased over the raw column inside the same
+    * GROUP BY ( `//` is DuckDB's integer division; operands are non-negative).
+    */
+  private def avg4dpSql(c: String): String =
+    s"CAST(CAST((CAST(sum(CAST($c AS DECIMAL(18,2))) * 100 AS BIGINT) * 200 + count(*)) // (2 * count(*)) AS DECIMAL(34,0)) * 0.0001 AS DECIMAL(38,4))"
+
   /** DuckDB replay of Multimodal.decodeStub slot `j` over ASCII text with
     * featureDim=16: rolling hash (base 131, mod 2^31-1) of the chars at
     * positions i ≡ j (mod 16), scaled n/2^19 - 1 — exact doubles, no rounding.
@@ -72,34 +88,50 @@ object SparkEntry {
   // ------------------------------------------------------------------
   private val relational: Seq[(String, Q)] = Seq(
 
+    // All eight numeric outputs are DECIMAL on both sides: DOUBLE columns hash
+    // differently in the driver's canonicalization even when bit-identical
+    // (observed rounds 1-3), and decimals have one canonical rendering.
+    //  - sums: 2dp inputs cast to DECIMAL(18,2) pre-sum (exact), output width
+    //    pinned to DECIMAL(38,x) because the engines widen sums differently
+    //    (Spark 28,x; DuckDB 38,x);
+    //  - avgs: exact integer-scaled half-up division — with S = the sum in
+    //    hundredths (an exact BIGINT) and C = count, the 4dp average is
+    //    (S*200 + C) DIV (2*C) ten-thousandths. Pure integer math replays
+    //    bit-identically in DuckDB; no engine's decimal-division scale rules
+    //    are involved. S*200 stays < 2^63 up to ~sf10k.
     "q1_pricing_summary" -> Q(
       (s, dir) =>
         t(s, dir, "lineitem")
           .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            round(sum("l_quantity"), 2).as("sum_qty"),
-            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("_sq"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("_sp"),
             // 2dp x 2dp products are exact 4dp / 6dp decimals; summing them as
             // decimals is exact in both engines, immune to double-summation
             // order (q1 at sf0.1 sums ~1e10 where double ulp > a 6dp half-step)
-            // both engines widen decimal sums differently (Spark 28,x; DuckDB
-            // 38,x) — pin the declared output width explicitly on both sides
             sum(revenue.cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_disc_price"),
             sum((revenue * (lit(1) + col("l_tax"))).cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_charge"),
-            round(avg("l_quantity"), 4).as("avg_qty"),
-            round(avg("l_extendedprice"), 4).as("avg_price"),
-            round(avg("l_discount"), 4).as("avg_disc"),
+            sum(col("l_discount").cast("decimal(18,2)")).as("_sd"),
             count(lit(1)).as("count_order"))
+          .select(
+            col("l_returnflag"), col("l_linestatus"),
+            col("_sq").cast("decimal(38,2)").as("sum_qty"),
+            col("_sp").cast("decimal(38,2)").as("sum_base_price"),
+            col("sum_disc_price"), col("sum_charge"),
+            avg4dp("_sq").as("avg_qty"),
+            avg4dp("_sp").as("avg_price"),
+            avg4dp("_sd").as("avg_disc"),
+            col("count_order"))
           .orderBy("l_returnflag", "l_linestatus"),
-      Some("""SELECT l_returnflag, l_linestatus,
-             |  round(sum(l_quantity), 2) AS sum_qty,
-             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
              |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
              |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
-             |  round(avg(l_quantity), 4) AS avg_qty,
-             |  round(avg(l_extendedprice), 4) AS avg_price,
-             |  round(avg(l_discount), 4) AS avg_disc,
+             |  ${avg4dpSql("l_quantity")} AS avg_qty,
+             |  ${avg4dpSql("l_extendedprice")} AS avg_price,
+             |  ${avg4dpSql("l_discount")} AS avg_disc,
              |  count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'

@@ -1173,10 +1173,18 @@ object SparkEntry {
       Some(minietl.sim.Similarity.lshTopKOracleSql(
         k = 5, bits = 4, dim = 64, queryPredicate = "id < 10"))),
 
+    // train-then-serve: the query function trains the quantizer, publishes a
+    // serving oracle with the LEARNED centroids rendered as SQL literals
+    // (Ivf.topKOracleSql), and serves. Verify dumps oracle_sql.json only
+    // after the battery has run, so the oracle is always present and always
+    // describes the exact model this run served from. Training itself is not
+    // SQL-replayable (distributed float means); it is covered by IvfSpec.
     "q_ivf_ann" -> Q(
       (s, dir) => {
         val e = embeddings(s, dir)
         val model = minietl.sim.Ivf.train(e, nlist = 8, iters = 3)
+        ivfServingOracle = Some(minietl.sim.Ivf.topKOracleSql(
+          model, k = 5, nprobe = 3, queryPredicate = "id < 10"))
         minietl.sim.Ivf.topK(e, e.filter(col("vec_id") < 10), model, k = 5, nprobe = 3)
           .orderBy("q_id", "rank")
       },
@@ -1462,6 +1470,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (k, q) => k -> q.fn }.toMap
 
+  /** Set by the q_ivf_ann query function after training (the oracle embeds
+    * the learned centroids, which exist only once training has run). Read by
+    * [[oracleSql]], which Verify calls after draining the battery.
+    */
+  @volatile private var ivfServingOracle: Option[String] = None
+
   def oracleSql: Map[String, String] =
-    registry.collect { case (k, Q(_, Some(sql))) => k -> sql }.toMap
+    registry.collect { case (k, Q(_, Some(sql))) => k -> sql }.toMap ++
+      ivfServingOracle.map("q_ivf_ann" -> _)
 }

@@ -98,4 +98,50 @@ object Ivf {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
+
+  /** ANSI SQL (DuckDB dialect) replaying [[topK]]'s SERVING path exactly for
+    * an already-trained model: the learned centroids are rendered as DOUBLE[]
+    * literals (shortest round-trip decimal form, so DuckDB parses back the
+    * identical bits), assignment is the same |c|^2 - 2 v·c argmin with ties
+    * to the lower index, and scoring is the same 4dp-rounded cosine with id
+    * tie-break. Every score is bit-identical on both sides — |c|^2 is
+    * pre-folded here from the same doubles the Spark plan inlines, and both
+    * engines' inner products are sequential folds — so the argmin can never
+    * diverge at a near-tie.
+    *
+    * Training itself is NOT replayed (distributed float means have no
+    * canonical summation order); it is spec-covered, and this oracle pins
+    * everything downstream of the model.
+    */
+  def topKOracleSql(model: Model, k: Int, nprobe: Int, queryPredicate: String,
+                    table: String = "embeddings", idCol: String = "vec_id",
+                    vecCol: String = "embedding"): String = {
+    def vecLit(c: Vector[Double]): String =
+      c.map(_.toString).mkString("CAST([", ",", "] AS DOUBLE[])")
+    val scoreSelects = model.centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      s"  SELECT id, v, $i AS idx, ${c2.toString} - 2.0 * list_inner_product(v, ${vecLit(c)}) AS score FROM e"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |scores AS (
+       |$scoreSelects
+       |),
+       |ranked_lists AS (
+       |  SELECT id, v, idx,
+       |    row_number() OVER (PARTITION BY id ORDER BY score ASC, idx ASC) AS rn
+       |  FROM scores),
+       |assign AS (SELECT id, v, idx AS list FROM ranked_lists WHERE rn = 1),
+       |q AS (SELECT id, v, idx AS list FROM ranked_lists
+       |      WHERE rn <= $nprobe AND $queryPredicate),
+       |scored AS (
+       |  SELECT q.id AS q_id, c.id AS n_id,
+       |    round(list_cosine_similarity(q.v, c.v), 4) AS cos
+       |  FROM assign c JOIN q ON c.list = q.list AND q.id <> c.id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, cos, rank FROM ranked
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
 }

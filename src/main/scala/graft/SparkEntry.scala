@@ -1399,8 +1399,13 @@ object SparkEntry {
         minietl.text.Chunking.chunkDocuments(
           documents(s, dir), "doc_id", "text", chunkSize = 64, stride = 48)
           .orderBy("doc_id", "chunk_idx"),
+      // starts stop at the first window reaching the end (subset-duplicate
+      // guard): last = stride * ceil((len-chunk)/stride), 0 for short docs
       Some("""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
-             |s AS (SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS start FROM d)
+             |d2 AS (SELECT doc_id, tk,
+             |         CASE WHEN len(tk) > 64 THEN 48 * ((len(tk) - 64 + 47) // 48)
+             |              ELSE 0 END AS last FROM d),
+             |s AS (SELECT doc_id, tk, unnest(range(0, last + 1, 48)) AS start FROM d2)
              |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
              |  array_to_string(tk[start + 1 : start + 64], ' ') AS chunk,
              |  CAST(len(tk[start + 1 : start + 64]) AS BIGINT) AS n_tokens

@@ -153,7 +153,10 @@ object Config {
       case None => Nil // absence is the required-key check's job
       case Some(v) => scala.util.Try(v.toString.toDouble).toOption match {
         case None => Seq(s"$at: '$key' must be numeric, got '$v'")
-        case Some(d) if d < min || d > max => Seq(s"$at: '$key' out of [$min, $max]: $d")
+        // NaN fails every comparison, so `d < min || d > max` alone would
+        // wave `.nan` through to a deferred require() mid-build
+        case Some(d) if d.isNaN || d < min || d > max =>
+          Seq(s"$at: '$key' out of [$min, $max]: $d")
         case _ => Nil
       }
     }
@@ -167,7 +170,8 @@ object Config {
             m.toSeq.sortBy(_._1).flatMap { case (k, v) =>
               scala.util.Try(v.toString.toDouble).toOption match {
                 case None => Seq(s"$at: fraction for '$k' must be numeric, got '$v'")
-                case Some(d) if d < 0.0 || d > 1.0 => Seq(s"$at: fraction for '$k' out of [0, 1]: $d")
+                case Some(d) if d.isNaN || d < 0.0 || d > 1.0 =>
+                  Seq(s"$at: fraction for '$k' out of [0, 1]: $d")
                 case _ => Nil
               }
             }

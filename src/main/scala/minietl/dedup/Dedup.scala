@@ -119,7 +119,8 @@ object Dedup {
     */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           shingleN: Int = 3, k: Int = 128, bands: Int = 32,
-                          threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+                          threshold: Double = 0.8, seed: Long = 42L,
+                          maxBucketSize: Int = DefaultMaxBucket): DataFrame = {
     // Persisted because the plan references it three times (banding + two
     // candidate-fetch joins); without it the signature computation — the
     // expensive scan-side work — would run three times.
@@ -133,15 +134,51 @@ object Dedup {
     val banded = base
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, k)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    minhashPairsFromBase(base, banded, threshold)
+    minhashPairsFromBase(base, banded, threshold, maxBucketSize)
+  }
+
+  /** Default bucket-size cap for the LSH candidate self-joins. A bucket with
+    * n members yields n(n-1)/2 candidate pairs, so one degenerate key (at
+    * 100 TB: billions of empty or boilerplate documents sharing a band
+    * bucket) turns the join into an O(n^2) pair explosion that no amount of
+    * shuffle skew-handling fixes — the OUTPUT is quadratic. Buckets this
+    * populous are non-discriminative by definition (the members are
+    * near-identical under the sketch), so dropping them is principled: exact
+    * duplicates belong to [[exactDedup]], which handles them in one linear
+    * shuffle. 1000 members = ~500k pairs, a comfortable single-task unit.
+    */
+  val DefaultMaxBucket: Int = 1000
+
+  /** Drop every row belonging to a bucket with more than `maxBucketSize`
+    * members, with a logged count. The bucket census is one
+    * map-side-combinable count over the slim banded frame, and the oversized
+    * key set (degenerate keys only — tiny by construction) anti-joins back
+    * as a broadcast, so the guard adds no extra shuffle of the data.
+    */
+  private[minietl] def dropOversizedBuckets(banded: DataFrame, keyCols: Seq[String],
+                                            maxBucketSize: Int, what: String): DataFrame = {
+    require(maxBucketSize > 1, s"maxBucketSize must be > 1 (got $maxBucketSize)")
+    val oversized = banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucketSize)
+      .persist() // tiny (degenerate keys only); read by the census and the anti-join
+    val hist = oversized.agg(count(lit(1)), coalesce(sum("__bucket_n"), lit(0L))).head()
+    if (hist.getLong(0) > 0)
+      log.warn(s"$what: dropping ${hist.getLong(0)} LSH bucket(s) of more than " +
+        s"$maxBucketSize members (${hist.getLong(1)} member rows) before pair " +
+        "generation — buckets this populous are non-discriminative and would " +
+        "emit O(n^2) candidate pairs; run exact dedup first if the corpus " +
+        "carries mass duplicates")
+    banded.join(broadcast(oversized.select(keyCols.map(col): _*)), keyCols, "left_anti")
   }
 
   /** Candidate self-join + est/jac verify over a persisted (id, hsh, sig)
     * frame and its (id, band, key) banding — shared by the production and
     * portable MinHash variants so the verify tail cannot diverge.
     */
-  private def minhashPairsFromBase(base: DataFrame, banded: DataFrame,
-                                   threshold: Double): DataFrame = {
+  private def minhashPairsFromBase(base: DataFrame, rawBanded: DataFrame,
+                                   threshold: Double, maxBucketSize: Int): DataFrame = {
+    val banded = dropOversizedBuckets(rawBanded, Seq("band", "key"), maxBucketSize, "minhash")
     val pairs = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key")
         && col("a.id") < col("b.id"))
@@ -180,7 +217,8 @@ object Dedup {
     */
   def minhashNearDupPairsPortable(df: DataFrame, textCol: String, idCol: String,
                                   shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-                                  threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+                                  threshold: Double = 0.5, seed: Long = 42L,
+                                  maxBucketSize: Int = DefaultMaxBucket): DataFrame = {
     val rpb = k / bands
     require(bands * rpb == k, s"bands=$bands must divide k=$k")
     val base = df.select(col(idCol).as("id"),
@@ -192,7 +230,7 @@ object Dedup {
           struct(lit(b).as("band"), slice(col("sig"), b * rpb + 1, rpb).as("key"))): _*))
           .as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    minhashPairsFromBase(base, banded, threshold)
+    minhashPairsFromBase(base, banded, threshold, maxBucketSize)
   }
 
   /** ANSI SQL (DuckDB dialect) replaying [[minhashNearDupPairsPortable]]
@@ -202,7 +240,8 @@ object Dedup {
   def minhashPortableOracleSql(shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                                threshold: Double = 0.5, seed: Long = 42L,
                                table: String = "documents", idCol: String = "doc_id",
-                               textCol: String = "text"): String = {
+                               textCol: String = "text",
+                               maxBucketSize: Int = DefaultMaxBucket): String = {
     val rpb = k / bands
     require(bands * rpb == k, s"bands=$bands must divide k=$k")
     val (as, bs) = minietl.functions.VectorOps.hashParams(k, seed)
@@ -221,8 +260,10 @@ object Dedup {
        |         i -> list_min(list_transform(hh,
        |                x -> ((x % 2147483647) * ($aLit)[i] + ($bLit)[i]) % 2147483647))) AS sg
        |        FROM hs),
-       |bnd AS (SELECT id, u.b AS band, sg[u.b * $rpb + 1 : (u.b + 1) * $rpb] AS key
+       |bnd0 AS (SELECT id, u.b AS band, sg[u.b * $rpb + 1 : (u.b + 1) * $rpb] AS key
        |        FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) u),
+       |big AS (SELECT band, key FROM bnd0 GROUP BY band, key HAVING count(*) > $maxBucketSize),
+       |bnd AS (SELECT bnd0.* FROM bnd0 ANTI JOIN big USING (band, key)),
        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
        |ver AS (SELECT id_a, id_b,
@@ -253,9 +294,13 @@ object Dedup {
     * Iterative min-label propagation — each round is one join + one groupBy,
     * and the label frame (two longs per distinct id) is what iterates, not
     * the data; converges in O(diameter) rounds, which for near-dup clusters
-    * (small, dense) is 2-3.
+    * (small, dense) is 2-3. Min-label propagation always converges (labels
+    * only decrease, bounded below), so `maxIter` is purely a runaway guard:
+    * hitting it THROWS rather than returning partially propagated labels,
+    * because a partial labeling silently under-deduplicates chains longer
+    * than the budget — raise maxIter for graphs with diameter > maxIter.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -279,12 +324,14 @@ object Dedup {
       labels = updated.select("id", "comp")
       iter += 1
     }
-    if (!converged)
-      log.warn(s"connectedComponents stopped at maxIter=$maxIter before " +
-        "convergence: labels are PARTIALLY propagated and cluster-based " +
-        "dedup will under-deduplicate chains longer than the iteration " +
-        "budget — raise maxIter for graphs with diameter > maxIter")
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter " +
+          "rounds: labels are PARTIALLY propagated and cluster-based dedup " +
+          "would silently under-deduplicate chains longer than the budget — " +
+          "raise maxIter (label propagation needs one round per unit of " +
+          "graph diameter)")
     labels
   }
 
@@ -367,26 +414,29 @@ object Dedup {
     * by exact Hamming <= maxHamming.
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-                          maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                          maxHamming: Int = 3, bands: Int = 4,
+                          maxBucketSize: Int = DefaultMaxBucket): DataFrame = {
     require(Seq(1, 2, 4, 8, 16, 32, 64).contains(bands), s"bands must divide 64: $bands")
     require(maxHamming < bands,
       s"recall guarantee needs maxHamming < bands (got maxHamming=$maxHamming, bands=$bands)")
     simhashPairsFromSigs(
       df.select(col(idCol).as("id"), simhash(split(col(textCol), " ")).as("sig")),
-      maxHamming, bands)
+      maxHamming, bands, maxBucketSize)
   }
 
   /** Banding + Hamming verify over a pre-computed (id, sig) frame — shared
     * by the production and portable SimHash variants.
     */
-  private def simhashPairsFromSigs(base: DataFrame, maxHamming: Int, bands: Int): DataFrame = {
+  private def simhashPairsFromSigs(base: DataFrame, maxHamming: Int, bands: Int,
+                                   maxBucketSize: Int): DataFrame = {
     val chunkBits = 64 / bands
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
-    val banded = base.select(col("id"), col("sig"),
+    val banded0 = base.select(col("id"), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * chunkBits).bitwiseAND(mask).as("chunk"))): _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    val banded = dropOversizedBuckets(banded0, Seq("band", "chunk"), maxBucketSize, "simhash")
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk")
@@ -404,14 +454,15 @@ object Dedup {
     * [[simhashPortableOracleSql]] generates the replay SQL.
     */
   def simhashNearDupPairsPortable(df: DataFrame, textCol: String, idCol: String,
-                                  maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                                  maxHamming: Int = 3, bands: Int = 4,
+                                  maxBucketSize: Int = DefaultMaxBucket): DataFrame = {
     require(Seq(1, 2, 4, 8, 16, 32, 64).contains(bands), s"bands must divide 64: $bands")
     require(maxHamming < bands,
       s"recall guarantee needs maxHamming < bands (got maxHamming=$maxHamming, bands=$bands)")
     simhashPairsFromSigs(
       df.select(col(idCol).as("id"),
         minietl.functions.vec.simhash64(md5Hashes60(split(col(textCol), " "))).as("sig")),
-      maxHamming, bands)
+      maxHamming, bands, maxBucketSize)
   }
 
   /** ANSI SQL (DuckDB dialect) replaying [[simhashNearDupPairsPortable]]:
@@ -422,7 +473,8 @@ object Dedup {
     */
   def simhashPortableOracleSql(maxHamming: Int = 3, bands: Int = 4,
                                table: String = "documents", idCol: String = "doc_id",
-                               textCol: String = "text"): String = {
+                               textCol: String = "text",
+                               maxBucketSize: Int = DefaultMaxBucket): String = {
     require(Seq(1, 2, 4, 8, 16, 32, 64).contains(bands), s"bands must divide 64: $bands")
     require(maxHamming < bands,
       s"recall guarantee needs maxHamming < bands (got maxHamming=$maxHamming, bands=$bands)")
@@ -435,8 +487,10 @@ object Dedup {
        |             x -> CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
        |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sg
        |        FROM d),
-       |bnd AS (SELECT id, sg, u.b AS band, (sg >> (u.b * $chunkBits)) & $mask AS chunk
+       |bnd0 AS (SELECT id, sg, u.b AS band, (sg >> (u.b * $chunkBits)) & $mask AS chunk
        |        FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) u),
+       |big AS (SELECT band, chunk FROM bnd0 GROUP BY band, chunk HAVING count(*) > $maxBucketSize),
+       |bnd AS (SELECT bnd0.* FROM bnd0 ANTI JOIN big USING (band, chunk)),
        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sg AS sa, b.sg AS sb
        |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id)
        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming

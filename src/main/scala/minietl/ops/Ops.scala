@@ -301,13 +301,15 @@ object Ops {
     md5(concat(lit(seed), lit("#"), col(keyCol).cast("string")))
 
   // ---------------------------------------------------------------- upsert
-  /** Merge/upsert by key (SQL MERGE semantics): rows of `updates` replace
-    * ALL same-key rows of `base`; unmatched update rows are inserts;
-    * unmatched base rows pass through untouched — including duplicate-key
-    * base rows, which are NOT collapsed. Both frames must share the schema.
-    * Implemented as anti-join (drop matched base rows) + union: one shuffle
-    * of each side on the keys, no window. Duplicate keys WITHIN `updates`
-    * are all kept (like MERGE inserting each); pre-dedupe if that matters.
+  /** Upsert by key with anti-join + union semantics (NOT standard SQL
+    * MERGE, which errors when several source rows match one target row):
+    * rows of `updates` replace ALL same-key rows of `base`; unmatched
+    * update rows are inserts; unmatched base rows pass through untouched —
+    * including duplicate-key base rows, which are NOT collapsed. Duplicate
+    * keys WITHIN `updates` are ALL kept, each as its own row; pre-dedupe
+    * the updates if one-row-per-key output matters. Both frames must share
+    * the schema. Implemented as anti-join (drop matched base rows) + union:
+    * one shuffle of each side on the keys, no window.
     */
   def upsert(updates: DataFrame, keys: Seq[String]): Op = base => {
     require(keys.nonEmpty, "upsert needs at least one key column")

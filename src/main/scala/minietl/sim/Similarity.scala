@@ -152,7 +152,8 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
                          bitsPerBand: Int, bands: Int, dim: Int,
                          idCol: String = "vec_id", vecCol: String = "embedding",
-                         seed: Long = 42L): DataFrame = {
+                         seed: Long = 42L,
+                         maxBucketSize: Int = minietl.dedup.Dedup.DefaultMaxBucket): DataFrame = {
     // one splitmix stream for all bands (band b gets planes [b*bpb, (b+1)*bpb))
     // — the SQL generated by lshNearDupOracleSql slices identically
     val planes = hyperplanes(bands * bitsPerBand, dim, seed)
@@ -162,9 +163,11 @@ object Similarity {
       val slice = planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand)
       struct(lit(b).as("band"), signatureFromPlanes(col("vec"), slice).as("sig"))
     }
-    val sigs = prep
+    val sigs0 = prep
       .select(col("id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val sigs = minietl.dedup.Dedup.dropOversizedBuckets(
+      sigs0, Seq("band", "sig"), maxBucketSize, "cosineNearDup")
     val cand = sigs.as("a").join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
@@ -186,7 +189,8 @@ object Similarity {
     */
   def lshNearDupOracleSql(threshold: Double, bitsPerBand: Int, bands: Int, dim: Int,
                           table: String = "embeddings", idCol: String = "vec_id",
-                          vecCol: String = "embedding", seed: Long = 42L): String = {
+                          vecCol: String = "embedding", seed: Long = 42L,
+                          maxBucketSize: Int = minietl.dedup.Dedup.DefaultMaxBucket): String = {
     val planes = hyperplanes(bands * bitsPerBand, dim, seed)
     def planeLit(p: Array[Double]): String =
       p.map(v => if (v > 0) "1.0" else "-1.0").mkString("CAST([", ",", "] AS DOUBLE[])")
@@ -197,9 +201,11 @@ object Similarity {
       s"  SELECT id, $b AS band, CAST($sigExpr AS INT) AS sig FROM e"
     }.mkString("\n  UNION ALL\n")
     s"""WITH e AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
-       |sig AS (
+       |sig0 AS (
        |$bandSelects
        |),
+       |big AS (SELECT band, sig FROM sig0 GROUP BY band, sig HAVING count(*) > $maxBucketSize),
+       |sig AS (SELECT sig0.* FROM sig0 ANTI JOIN big USING (band, sig)),
        |cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id

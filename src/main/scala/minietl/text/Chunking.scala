@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
 object Chunking {
 
   /** Sliding token-window chunks: windows start at 0, stride, 2·stride, …
-    * while the start lies inside the document; each holds up to `chunkSize`
-    * whitespace tokens (the tail windows are shorter). Every token is
-    * covered; consecutive windows overlap by `chunkSize - stride` tokens.
+    * up to the FIRST start whose window reaches the document end; each holds
+    * up to `chunkSize` whitespace tokens (only the final window can be
+    * shorter). Every token is covered, consecutive windows overlap by
+    * `chunkSize - stride` tokens, and no window is a subset of the previous
+    * one — start generation stops once the prior window already covered the
+    * end, so a 64-token doc at chunkSize=64/stride=48 yields ONE chunk, not
+    * a second fully-contained duplicate (duplicated training text).
     *
     * Output: (id, chunk_idx, chunk, n_tokens). Row explosion is
     * size/stride per doc — a scan-side flatMap, no shuffle. A NULL text
@@ -32,10 +36,14 @@ object Chunking {
     val toks = Ops.freshName(df, "__toks")
     val start = Ops.freshName(df, "__start")
     val piece: Column = slice(col(toks), col(start) + 1, lit(chunkSize))
+    // last start = the smallest stride multiple whose window reaches the end
+    // (0 when the doc fits in one window): stride * ceil((len-chunkSize)/stride)
+    val lastStart = when(size(col(toks)) > chunkSize,
+      lit(stride) * floor((size(col(toks)) - lit(chunkSize) + lit(stride) - 1) / stride))
+      .otherwise(lit(0)).cast("int")
     df.where(col(textCol).isNotNull)
       .withColumn(toks, split(trim(col(textCol)), " "))
-      .withColumn(start,
-        explode(sequence(lit(0), greatest(size(col(toks)) - 1, lit(0)), lit(stride))))
+      .withColumn(start, explode(sequence(lit(0), lastStart, lit(stride))))
       .select(col(idCol),
         (col(start) / stride).cast("bigint").as("chunk_idx"),
         array_join(piece, " ").as("chunk"),

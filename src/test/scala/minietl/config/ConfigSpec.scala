@@ -167,6 +167,16 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(Config.validate(cfg(
       "  - {type: hash_sample, key: id, fraction: 1.5}"))
       .exists(_.contains("out of [0.0, 1.0]")))
+    // NaN fails every <|> comparison — the range check must catch it anyway
+    assert(Config.validate(cfg(
+      "  - {type: hash_sample, key: id, fraction: .nan}"))
+      .exists(_.contains("out of [0.0, 1.0]")))
+    assert(Config.validate(cfg(
+      """  - type: stratified_sample
+        |    key: id
+        |    strata: lang
+        |    fractions: {en: .nan}""".stripMargin))
+      .exists(_.contains("fraction for 'en' out of [0, 1]")))
     assert(Config.validate(cfg(
       "  - {type: quality_filter, column: text, min_score: lots}"))
       .exists(_.contains("must be numeric")))

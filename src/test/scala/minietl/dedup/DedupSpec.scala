@@ -109,20 +109,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(comps(7L) === 7L && comps(8L) === 7L)
   }
 
-  test("connectedComponents warns when maxIter stops label propagation early") {
+  test("connectedComponents throws rather than returning partial labels") {
     // chain 0-1-2-3-4: min-label propagation needs >1 round to reach the tail
     val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
-    val (comps, warns) = minietl.LogCapture.warnings("minietl.dedup.Dedup$") {
-      Dedup.connectedComponents(chain, maxIter = 1).as[(Long, Long)].collect().toMap
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1).collect()
     }
-    assert(comps(4L) !== 0L) // tail label not yet propagated
-    assert(warns.exists(_.contains("under-deduplicate")))
-    // and the converged run is quiet with fully propagated labels
-    val (full, quiet) = minietl.LogCapture.warnings("minietl.dedup.Dedup$") {
-      Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
-    }
+    assert(e.getMessage.contains("under-deduplicate"))
+    // the default budget converges and fully propagates the labels
+    val full = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
     assert(full.values.toSet === Set(0L))
-    assert(quiet.isEmpty)
   }
 
   test("minhashDedupClusters keeps one representative per transitive cluster") {
@@ -157,6 +153,43 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(r => (r._1, r._2)).toSet === Set((0L, 1L), (2L, 3L)))
     // exact-duplicate pair has jaccard exactly 1; hash basis cannot change it
     assert(rows.find(r => (r._1, r._2) == ((2L, 3L))).get._3 === 1.0)
+  }
+
+  test("oversized LSH buckets are dropped with a warning, not exploded") {
+    // degenerate corpus: 200 byte-identical boilerplate docs (every band
+    // bucket they touch holds all 200 of them) plus one planted near-dup
+    // pair of distinct docs whose buckets stay small
+    val boiler = (100L until 300L).map(i =>
+      i -> "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor")
+    val planted = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog near the quiet river bank today",
+      1L -> "the quick brown fox jumps over the lazy dog near the quiet river bank tonight")
+    val corpus = (boiler ++ planted).toDF("doc_id", "text")
+    val (pairs, warns) = minietl.LogCapture.warnings("minietl.dedup.Dedup$") {
+      Dedup.minhashNearDupPairs(corpus, "text", "doc_id",
+        shingleN = 3, k = 32, bands = 8, threshold = 0.5, maxBucketSize = 50)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    // completes without the 200*199/2-per-band pair explosion; the planted
+    // pair survives, the boilerplate mass is excluded (exact dedup's job)
+    assert(pairs === Set((0L, 1L)))
+    assert(warns.exists(w => w.contains("minhash") && w.contains("non-discriminative")))
+    // with the cap above the bucket size nothing is dropped and no warning fires
+    val (all, quiet) = minietl.LogCapture.warnings("minietl.dedup.Dedup$") {
+      Dedup.minhashNearDupPairs(corpus, "text", "doc_id",
+        shingleN = 3, k = 32, bands = 8, threshold = 0.5, maxBucketSize = 500)
+        .count()
+    }
+    assert(all === 200L * 199 / 2 + 1)
+    assert(quiet.isEmpty)
+    // simhash path shares the guard: identical docs collide on every chunk
+    val (simPairs, simWarns) = minietl.LogCapture.warnings("minietl.dedup.Dedup$") {
+      Dedup.simhashNearDupPairs(corpus, "text", "doc_id",
+        maxHamming = 3, bands = 4, maxBucketSize = 50)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    assert(!simPairs.exists(p => p._1 >= 100L && p._2 >= 100L))
+    assert(simWarns.exists(w => w.contains("simhash") && w.contains("non-discriminative")))
   }
 
   test("portable simhash finds exact pairs; signatures keep bits 60-63 clear") {

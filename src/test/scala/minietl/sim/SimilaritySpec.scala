@@ -107,6 +107,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(kept === Set(0L, 3L))
   }
 
+  test("cosineNearDupPairs drops oversized buckets with a warning") {
+    // 150 identical vectors collapse into one bucket per band; a planted
+    // near-dup pair of distinct vectors keeps its small buckets
+    val degenerate = vecs(
+      ((100L until 250L).map(i => i -> Seq(1f, 0f, 0f)) ++
+        Seq(0L -> Seq(0f, 1f, 0.01f), 1L -> Seq(0f, 1f, 0.02f))): _*)
+    val (pairs, warns) = minietl.LogCapture.warnings("minietl.dedup.Dedup$") {
+      Similarity.cosineNearDupPairs(degenerate, threshold = 0.9,
+        bitsPerBand = 2, bands = 4, dim = 3, maxBucketSize = 50)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    assert(pairs === Set((0L, 1L)))
+    assert(warns.exists(w => w.contains("cosineNearDup") && w.contains("non-discriminative")))
+  }
+
   test("lshSignature is deterministic and within [0, 2^bits)") {
     val sigs = corpus.select(Similarity.lshSignature(col("embedding"), 4, 3).as("s"))
       .as[Int].collect()

@@ -11,11 +11,28 @@ class ChunkingSpec extends AnyFunSuite with SparkTestBase {
     val out = Chunking.chunkDocuments(docs, "id", "text", chunkSize = 4, stride = 3)
       .orderBy("chunk_idx")
       .as[(Long, Long, String, Long)].collect().toSeq
+    // starts stop at 6 (the first window reaching the end) — no trailing
+    // "t10" window, which would be a strict subset of chunk 2
     assert(out === Seq(
       (1L, 0L, "t1 t2 t3 t4", 4L),
       (1L, 1L, "t4 t5 t6 t7", 4L),
-      (1L, 2L, "t7 t8 t9 t10", 4L),
-      (1L, 3L, "t10", 1L)))
+      (1L, 2L, "t7 t8 t9 t10", 4L)))
+  }
+
+  test("chunkDocuments never emits a window contained in the previous one") {
+    // 49..64-token docs at chunkSize=64/stride=48: one window covers all;
+    // the old start rule emitted a second, fully-contained window
+    val docs = Seq(
+      (1L, (1 to 49).map(_ => "w").mkString(" ")),
+      (2L, (1 to 64).map(_ => "w").mkString(" ")),
+      (3L, (1 to 65).map(_ => "w").mkString(" "))).toDF("id", "text")
+    val out = Chunking.chunkDocuments(docs, "id", "text", chunkSize = 64, stride = 48)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    // the 65-token doc's tail window still covers token 65 (starts at 48)
+    val tail = Chunking.chunkDocuments(docs, "id", "text", chunkSize = 64, stride = 48)
+      .filter("id = 3 and chunk_idx = 1").select("n_tokens").as[Long].head()
+    assert(tail === 17L)
   }
 
   test("chunkDocuments: a doc shorter than one window is a single chunk") {

@@ -31,7 +31,7 @@ object Config {
       sink: ComponentConfig,
       schema: Option[TableSchema] = None)
 
-  private val sourceTypes = Set("csv", "json", "jsonl", "parquet", "sql")
+  private val sourceTypes = Set("csv", "json", "jsonl", "parquet", "sql", "api")
   private val sinkTypes = Set("csv", "json", "jsonl", "parquet", "sql")
   private val transformerTypes =
     Set("filter", "rename", "select", "drop", "cast", "fillna", "expression",
@@ -39,7 +39,7 @@ object Config {
       // training-data pipeline stages (beyond the reference's set)
       "hash_sample", "stratified_sample", "pii_redact", "quality_filter",
       "exact_dedup")
-  private val declaredUnsupported = Set("excel", "api")
+  private val declaredUnsupported = Set("excel")
 
   private val EnvBrace: Regex = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
   private val EnvBare: Regex = """\$([A-Za-z_][A-Za-z0-9_]*)""".r
@@ -121,6 +121,22 @@ object Config {
     def checkPath(cc: ComponentConfig, what: String): Seq[String] = cc.typ match {
       case t if declaredUnsupported.contains(t) =>
         Seq(s"$what type '$t' is not supported in this build (offline; see SURVEY §7.6)")
+      case "api" if what == "source" =>
+        Seq(
+          if (!cc.options.contains("url")) Some("source api needs url") else None,
+          cc.options.get("auth").collect {
+            case m: Map[String, Any] @unchecked
+              if !Set("basic", "bearer").contains(
+                m.getOrElse("type", "").toString.toLowerCase) =>
+              "source api auth type must be basic or bearer"
+          },
+          cc.options.get("pagination").collect {
+            case m: Map[String, Any] @unchecked
+              if !Set("page", "offset").contains(
+                m.getOrElse("type", "").toString.toLowerCase) =>
+              "source api pagination type must be page or offset"
+          },
+        ).flatten
       case "sql" =>
         Seq(
           if (!cc.options.contains("connection_string")) Some(s"$what sql needs connection_string") else None,
@@ -227,6 +243,40 @@ object Config {
       case "sql" => b.fromJdbc(str(c.source.options, "connection_string"),
         c.source.options.get("table").map(_.toString),
         c.source.options.get("query").map(_.toString))
+      case "api" =>
+        val o = c.source.options
+        val pagination = o.get("pagination") match {
+          case Some(m: Map[String, Any] @unchecked) =>
+            m.getOrElse("type", "").toString.toLowerCase match {
+              case "page" => minietl.io.ApiSource.Pagination.Page(
+                pageParam = m.getOrElse("page_param", "page").toString,
+                limitParam = m.getOrElse("limit_param", "limit").toString,
+                limit = m.getOrElse("limit", 100).toString.toDouble.toInt,
+                startPage = m.getOrElse("start_page", 1).toString.toDouble.toInt)
+              case "offset" => minietl.io.ApiSource.Pagination.Offset(
+                offsetParam = m.getOrElse("offset_param", "offset").toString,
+                limitParam = m.getOrElse("limit_param", "limit").toString,
+                limit = m.getOrElse("limit", 100).toString.toDouble.toInt)
+            }
+          case _ => minietl.io.ApiSource.Pagination.None_
+        }
+        val auth = o.get("auth") match {
+          case Some(m: Map[String, Any] @unchecked) =>
+            m.getOrElse("type", "").toString.toLowerCase match {
+              case "basic" => minietl.io.ApiSource.Auth.Basic(
+                str(m, "username"), str(m, "password"))
+              case "bearer" => minietl.io.ApiSource.Auth.Bearer(str(m, "token"))
+            }
+          case _ => minietl.io.ApiSource.Auth.None_
+        }
+        b.fromSource(s => minietl.io.ApiSource.fetch(s,
+          url = str(o, "url"),
+          params = o.get("params").map(strMap).getOrElse(Map.empty),
+          headers = o.get("headers").map(strMap).getOrElse(Map.empty),
+          dataPath = o.get("data_path").map(_.toString).getOrElse(""),
+          pagination = pagination,
+          auth = auth,
+          timeoutSec = o.get("timeout").map(_.toString.toDouble.toInt).getOrElse(30)))
     }
 
     c.transformers.foreach { t =>

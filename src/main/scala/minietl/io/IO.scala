@@ -11,8 +11,11 @@ import org.apache.spark.sql.types.StructType
   */
 object Readers {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** CSVExtractor (extractors.py:19-76). Header inferred like pandas; pass an
-    * explicit schema to avoid the extra inference scan on big data.
+    * explicit schema to avoid the extra inference scan on big data (the
+    * fallback warns, like the other scale traps — ffill, as-of, packing).
     */
   def csv(spark: SparkSession, path: String,
           schema: Option[StructType] = None,
@@ -24,7 +27,11 @@ object Readers {
       .options(options)
     val withSchema = schema match {
       case Some(st) => base.schema(st)
-      case None => base.option("inferSchema", "true")
+      case None =>
+        log.warn(s"csv($path): no schema passed — falling back to " +
+          "inferSchema=true, which is a SECOND full scan of the input " +
+          "before the real read; pass an explicit StructType for large data")
+        base.option("inferSchema", "true")
     }
     withSchema.csv(path)
   }

@@ -29,41 +29,50 @@ final class PipelineBuilder(name: String = "pipeline") {
     { p = p.setSource(f); this }
 
   // -------------------------------------------------------- transformers
-  def filter(condition: String): PipelineBuilder = add(Ops.filterExpr(condition))
-  def filter(condition: Column): PipelineBuilder = add(Ops.filter(condition))
-  def rename(columns: Map[String, String]): PipelineBuilder = add(Ops.rename(columns))
+  def filter(condition: String): PipelineBuilder = add(Ops.filterExpr(condition), "filter")
+  def filter(condition: Column): PipelineBuilder = add(Ops.filter(condition), "filter")
+  def rename(columns: Map[String, String]): PipelineBuilder = add(Ops.rename(columns), "rename")
   def select(columns: Seq[String], ignoreMissing: Boolean = true): PipelineBuilder =
-    add(Ops.select(columns, ignoreMissing))
-  def drop(columns: Seq[String]): PipelineBuilder = add(Ops.drop(columns))
-  def cast(columns: Map[String, String]): PipelineBuilder = add(Ops.castCoerce(columns))
+    add(Ops.select(columns, ignoreMissing), "select")
+  def drop(columns: Seq[String]): PipelineBuilder = add(Ops.drop(columns), "drop")
+  def cast(columns: Map[String, String]): PipelineBuilder = add(Ops.castCoerce(columns), "cast")
   def fillna(value: Any, columns: Seq[String] = Nil): PipelineBuilder =
-    add(Ops.fillna(value, columns))
-  def expression(e: String): PipelineBuilder = add(Ops.expression(e))
+    add(Ops.fillna(value, columns), "fillna")
+  def expression(e: String): PipelineBuilder = add(Ops.expression(e), "expression")
   def groupAgg(groupBy: Seq[String], agg: Map[String, Seq[String]]): PipelineBuilder =
-    add(Ops.groupAgg(groupBy, agg))
+    add(Ops.groupAgg(groupBy, agg), "group_agg")
   def dedupe(subset: Seq[String] = Nil, keep: Ops.Keep = Ops.Keep.Any): PipelineBuilder =
-    add(Ops.dedupe(subset, keep))
+    add(Ops.dedupe(subset, keep), "dedupe")
   def sort(by: Seq[String], ascending: Seq[Boolean] = Nil): PipelineBuilder =
-    add(Ops.sort(by, ascending))
+    add(Ops.sort(by, ascending), "sort")
   def transform(f: DataFrame => DataFrame): PipelineBuilder = add(f)
   def add(f: DataFrame => DataFrame): PipelineBuilder = { p = p.addTransformer(f); this }
+  def add(f: DataFrame => DataFrame, label: String): PipelineBuilder =
+    { p = p.addTransformer(f, label); this }
 
   // ------------------------------------------ training-data pipeline stages
   def hashSample(key: String, fraction: Double): PipelineBuilder =
-    add(Ops.hashSample(key, fraction))
+    add(Ops.hashSample(key, fraction), "hash_sample")
   def stratifiedSample(key: String, strata: String, fractions: Map[String, Double],
                        defaultFraction: Double = 0.0): PipelineBuilder =
-    add(Ops.stratifiedHashSample(key, strata, fractions, defaultFraction))
-  def piiRedact(column: String): PipelineBuilder = add(Ops.piiRedact(column))
+    add(Ops.stratifiedHashSample(key, strata, fractions, defaultFraction), "stratified_sample")
+  def piiRedact(column: String): PipelineBuilder = add(Ops.piiRedact(column), "pii_redact")
   def qualityFilter(column: String, minScore: Long): PipelineBuilder =
-    add(Ops.qualityFilter(column, minScore))
+    add(Ops.qualityFilter(column, minScore), "quality_filter")
   def exactDedup(contentCol: String, keyCol: String): PipelineBuilder =
-    add(df => minietl.dedup.Dedup.exact(df, contentCol, keyCol))
+    add(df => minietl.dedup.Dedup.exact(df, contentCol, keyCol), "exact_dedup")
 
   def withSchema(schema: TableSchema): PipelineBuilder =
     { p = p.withValidator(new SchemaValidator(schema)); this }
   def withErrorMode(m: ErrorMode): PipelineBuilder = { p = p.withErrorMode(m); this }
   def withOnComplete(f: RunStats => Unit): PipelineBuilder = { p = p.withOnComplete(f); this }
+  def withOnStage(f: Pipeline.StageContext => Unit): PipelineBuilder =
+    { p = p.withOnStage(f); this }
+  def withOnError(f: (Pipeline.StageContext, Throwable) => Unit): PipelineBuilder =
+    { p = p.withOnError(f); this }
+  def withOnExecMetrics(
+      f: (org.apache.spark.sql.execution.QueryExecution, Long) => Unit): PipelineBuilder =
+    { p = p.withOnExecMetrics(f); this }
 
   // --------------------------------------------------------------- sinks
   def toCsv(path: String, mode: String = "overwrite"): PipelineBuilder =

@@ -24,9 +24,9 @@ object IntervalParser {
 
 /** 5-field cron: minute hour day-of-month month day-of-week, supporting
   * wildcard, slash-step, lists and ranges (reference: core/scheduler.py:48-79).
-  * The engine itself does not schedule (SURVEY §2.9 — external schedulers and
-  * streaming triggers own that); the parser exists for config parity and
-  * for computing next-fire times.
+  * [[JobScheduler]] is the in-process runner over these; production
+  * deployments typically hand the same expressions to an external
+  * scheduler (SURVEY §2.9) or use streaming triggers.
   */
 final case class CronExpr(
     minutes: Set[Int], hours: Set[Int], daysOfMonth: Set[Int],
@@ -46,6 +46,32 @@ final case class CronExpr(
     }
     t
   }
+}
+
+/** A job's schedule: a 5-field cron expression or an interval string —
+  * the same two forms the reference accepts (core/scheduler.py:240-259,
+  * cron tried first, then interval).
+  */
+sealed trait Schedule {
+  def next(after: LocalDateTime): LocalDateTime
+  def render: String
+}
+
+object Schedule {
+  final case class Cron(expr: CronExpr, render: String) extends Schedule {
+    def next(after: LocalDateTime): LocalDateTime = expr.next(after)
+  }
+  final case class Every(millis: Long, render: String) extends Schedule {
+    def next(after: LocalDateTime): LocalDateTime =
+      after.plus(millis, ChronoUnit.MILLIS)
+  }
+
+  def parse(s: String): Schedule =
+    scala.util.Try(Cron(CronParser.parse(s), s)).getOrElse {
+      scala.util.Try(Every(IntervalParser.toMillis(s), s)).getOrElse(
+        throw new IllegalArgumentException(
+          s"could not parse schedule '$s' as cron (5 fields) or interval (e.g. 30m)"))
+    }
 }
 
 object CronParser {

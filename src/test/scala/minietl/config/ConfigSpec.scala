@@ -43,14 +43,14 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(errs.exists(_.contains("sink csv needs filepath")))
   }
 
-  test("excel and api are declared unsupported with a clear message") {
+  test("excel stays declared unsupported; api is a source, not a sink") {
     val c = Config.parse(
       """source: {type: excel, filepath: a.xlsx}
         |sink: {type: api, path: http://x}
         |""".stripMargin)
     val errs = Config.validate(c)
     assert(errs.exists(_.contains("source type 'excel' is not supported")))
-    assert(errs.exists(_.contains("sink type 'api' is not supported")))
+    assert(errs.exists(_.contains("unknown sink type 'api'")))
   }
 
   test("sql source requires exactly one of query/table") {
@@ -193,6 +193,65 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(Config.validate(cfg(
       "  - {type: quality_filter, column: text, min_score: 50000.0}")) === Nil)
     Config.build(cfg("  - {type: quality_filter, column: text, min_score: 50000.0}"))
+  }
+
+  test("api source builds from config and pulls paginated records e2e") {
+    // local JDK HttpServer — the same fixture pattern as ApiSourceSpec
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/rows", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val page = q.split("&").collectFirst {
+        case kv if kv.startsWith("page=") => kv.drop(5).toInt }.getOrElse(1)
+      val start = (page - 1) * 4
+      val items = (start until math.min(start + 4, 10))
+        .map(i => s"""{"id":$i,"v":${i * 2}}""")
+      val body = s"""{"data":{"items":[${items.mkString(",")}]}}"""
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val dir = tmp()
+      val yaml =
+        s"""name: api_pipe
+           |source:
+           |  type: api
+           |  url: http://127.0.0.1:${server.getAddress.getPort}/rows
+           |  data_path: data.items
+           |  pagination: {type: page, limit: 4}
+           |transformers:
+           |  - {type: filter, condition: "v >= 4"}
+           |sink: {type: parquet, filepath: $dir/out}
+           |""".stripMargin
+      assert(Config.validate(Config.parse(yaml)) === Nil)
+      Config.load(yaml).run(spark)
+      val out = Readers.parquet(spark, s"$dir/out")
+      assert(out.count() === 8) // ids 2..9 of the 10 paginated records
+      assert(out.columns.sorted.toSeq === Seq("id", "v"))
+    } finally server.stop(0)
+
+    // value-level validation still fires pre-run
+    assert(Config.validate(Config.parse(
+      """name: x
+        |source: {type: api}
+        |transformers: []
+        |sink: {type: parquet, filepath: /tmp/y}
+        |""".stripMargin)).exists(_.contains("source api needs url")))
+    assert(Config.validate(Config.parse(
+      """name: x
+        |source: {type: api, url: "http://h/x", auth: {type: digest}}
+        |transformers: []
+        |sink: {type: parquet, filepath: /tmp/y}
+        |""".stripMargin)).exists(_.contains("auth type must be basic or bearer")))
+    assert(Config.validate(Config.parse(
+      """name: x
+        |source: {type: api, url: "http://h/x", pagination: {type: cursor}}
+        |transformers: []
+        |sink: {type: parquet, filepath: /tmp/y}
+        |""".stripMargin)).exists(_.contains("pagination type must be page or offset")))
   }
 
   test("env substitution reaches file paths inside configs") {

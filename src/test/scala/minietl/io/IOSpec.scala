@@ -19,10 +19,20 @@ class IOSpec extends AnyFunSuite with SparkTestBase {
   test("csv writer/reader round-trip with header") {
     val dir = s"${tmp()}/out"
     Writers.csv(sample, dir)
-    val back = Readers.csv(spark, dir)
+    // schema-less read falls back to inferSchema — a second full scan at
+    // scale, so it must warn (like the other scale-trap fallbacks)
+    val (back, warns) = minietl.LogCapture.warnings("minietl.io.Readers$") {
+      Readers.csv(spark, dir)
+    }
+    assert(warns.exists(_.contains("inferSchema")))
     assert(back.count() === 3)
     assert(back.columns.toSeq === Seq("id", "name", "score"))
     assert(back.filter(col("name") === "b").select("score").as[Double].collect()(0) === 2.5)
+    // an explicit schema is the scale path: no inference, no warning
+    val (_, quiet) = minietl.LogCapture.warnings("minietl.io.Readers$") {
+      Readers.csv(spark, dir, schema = Some(back.schema)).count()
+    }
+    assert(quiet.isEmpty)
   }
 
   test("jsonl writer/reader round-trip") {

@@ -84,6 +84,60 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       new Pipeline("nosink").setSource(_ => sample).run(spark))
   }
 
+  test("stage hooks fire in order with labels; errors carry their stage") {
+    val seen = scala.collection.mutable.Buffer[(Int, String)]()
+    new PipelineBuilder("hooks")
+      .fromDataFrame(sample)
+      .filter("value > 150")
+      .rename(Map("category" -> "cat"))
+      .select(Seq("id", "cat", "value"))
+      .withOnStage(ctx => seen += (ctx.index -> ctx.label))
+      .toNoop()
+      .build().run(spark)
+    assert(seen.toSeq === Seq(0 -> "filter", 1 -> "rename", 2 -> "select"))
+
+    // a stage that fails to compose reports (index, label, error), then the
+    // error-mode policy still applies: Log swallows into the stats
+    seen.clear()
+    var failed: Option[(Pipeline.StageContext, Throwable)] = None
+    val stats = new PipelineBuilder("hooks2")
+      .fromDataFrame(sample)
+      .filter("value > 150")
+      .select(Seq("no_such_column"), ignoreMissing = false)
+      .withOnStage(ctx => seen += (ctx.index -> ctx.label))
+      .withOnError((ctx, e) => failed = Some((ctx, e)))
+      .withErrorMode(ErrorMode.Log)
+      .toNoop()
+      .build().run(spark)
+    assert(stats.errors === 1)
+    assert(seen.toSeq === Seq(0 -> "filter", 1 -> "select")) // both reached
+    assert(failed.exists { case (ctx, _) => ctx.index === 1 && ctx.label === "select" })
+    // and with Raise the same failure propagates after the callback
+    failed = None
+    intercept[Exception] {
+      new PipelineBuilder("hooks3")
+        .fromDataFrame(sample)
+        .select(Seq("no_such_column"), ignoreMissing = false)
+        .withOnError((ctx, e) => failed = Some((ctx, e)))
+        .toNoop()
+        .build().run(spark)
+    }
+    assert(failed.exists(_._1.index === 0))
+  }
+
+  test("exec-metrics listener delivers the sink action's QueryExecution") {
+    val got = new java.util.concurrent.LinkedBlockingQueue[java.lang.Long](1)
+    new PipelineBuilder("metrics")
+      .fromDataFrame(sample)
+      .filter("value > 150")
+      .withOnExecMetrics((qe, durNs) => { qe.executedPlan; got.offer(durNs); () })
+      .toNoop()
+      .build().run(spark)
+    // listener delivery is async on the listener bus
+    val dur = got.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+    assert(dur != null && dur > 0)
+  }
+
   test("copy preserves stages; clear resets") {
     val b = new Pipeline("c").setSource(_ => sample).setSink(df => { df.count(); () })
     assert(b.copy().run(spark).rows === 100)

@@ -66,4 +66,81 @@ class SchedulerSpec extends AnyFunSuite {
     }
     assert(n === 2)
   }
+
+  /** Controllable clock: specs drive scheduler time explicitly. */
+  private final class TestClock(private var at: java.time.Instant) extends java.time.Clock {
+    def advanceSeconds(s: Long): Unit = at = at.plusSeconds(s)
+    override def getZone: java.time.ZoneId = java.time.ZoneOffset.UTC
+    override def withZone(z: java.time.ZoneId): java.time.Clock = this
+    override def instant(): java.time.Instant = at
+  }
+
+  private def clockAt(iso: String) =
+    new TestClock(java.time.Instant.parse(iso))
+
+  test("job runner fires interval jobs when due and reschedules from fire time") {
+    val clock = clockAt("2026-01-01T10:00:00Z")
+    val s = new JobScheduler(clock)
+    var runs = 0
+    s.add("tick", "5m", () => runs += 1)
+    assert(s.runPending() === 0) // not due yet
+    clock.advanceSeconds(5 * 60)
+    assert(s.runPending() === 1 && runs === 1)
+    assert(s.runPending() === 0) // rescheduled 5m from the fire time
+    clock.advanceSeconds(5 * 60)
+    assert(s.runPending() === 1 && runs === 2)
+    val st = s.status.head
+    assert(st.runCount === 2 && st.lastError.isEmpty &&
+      st.nextRun.contains(java.time.LocalDateTime.parse("2026-01-01T10:15:00")))
+  }
+
+  test("job runner: cron schedules, disable/enable, remove") {
+    val clock = clockAt("2026-01-01T10:00:30Z")
+    val s = new JobScheduler(clock)
+    var runs = 0
+    s.add("hourly", "0 * * * *", () => runs += 1)
+    assert(s.status.head.nextRun.contains(
+      java.time.LocalDateTime.parse("2026-01-01T11:00:00")))
+    s.disable("hourly")
+    clock.advanceSeconds(3600)
+    assert(s.runPending() === 0 && runs === 0) // disabled jobs never fire
+    s.enable("hourly")
+    assert(s.runPending() === 1 && runs === 1) // overdue + re-enabled fires now
+    s.remove("hourly")
+    assert(s.status.isEmpty)
+    s.disable("ghost"); s.enable("ghost"); s.remove("ghost") // no-ops
+  }
+
+  test("job runner: runNow bypasses the schedule; failures are recorded") {
+    val clock = clockAt("2026-01-01T10:00:00Z")
+    val s = new JobScheduler(clock)
+    var runs = 0
+    s.add("job", "1h", () => runs += 1)
+    s.add("bad", "1h", () => throw new RuntimeException("boom"))
+    s.runNow("job")
+    assert(runs === 1)
+    assert(s.status.find(_.name == "job").get.runCount === 1)
+    intercept[IllegalArgumentException](s.runNow("nope"))
+    // a failing job records its error and does not break the loop
+    clock.advanceSeconds(3601)
+    assert(s.runPending() === 2)
+    val bad = s.status.find(_.name == "bad").get
+    assert(bad.lastError.exists(_.contains("boom")) && bad.runCount === 1)
+    assert(runs === 2)
+    intercept[IllegalArgumentException](s.add("x", "not a schedule", () => ()))
+  }
+
+  test("job runner: background loop fires and stops cleanly") {
+    val clock = clockAt("2026-01-01T10:00:00Z")
+    val s = new JobScheduler(clock)
+    val fired = new java.util.concurrent.CountDownLatch(1)
+    s.add("bg", "1m", () => fired.countDown())
+    s.start()
+    assert(s.isRunning)
+    s.start() // second start is a warning no-op, not a second thread
+    clock.advanceSeconds(61)
+    assert(fired.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    s.stop()
+    assert(!s.isRunning)
+  }
 }

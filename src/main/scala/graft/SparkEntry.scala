@@ -1087,14 +1087,19 @@ object SparkEntry {
 
     // the banded-LSH scale path for embedding dedup, with a full oracle: the
     // hyperplane stream is deterministic in the seed, so the generated SQL
-    // replays the identical banding in DuckDB (Similarity.lshNearDupOracleSql)
+    // replays the identical banding in DuckDB (Similarity.lshNearDupOracleSql).
+    // 8-bit bands: bucket count per band must grow with the corpus (2^bits
+    // >> n/discrimination) or candidate volume goes quadratic — 4-bit bands
+    // put ~n/16 rows in every bucket (measured 12M candidate pairs at
+    // sf0.1); 8 bits cuts that 16x, and 32 bands keep recall high for pairs
+    // that are genuinely near (p_band = p_agree^8, OR-amplified 32x).
     "q_emb_neardup_lsh" -> Q(
       (s, dir) =>
         minietl.sim.Similarity.cosineNearDupPairs(embeddings(s, dir), threshold = 0.4,
-          bitsPerBand = 4, bands = 16, dim = 64)
+          bitsPerBand = 8, bands = 32, dim = 64)
           .orderBy("id_a", "id_b"),
       Some(minietl.sim.Similarity.lshNearDupOracleSql(
-        threshold = 0.4, bitsPerBand = 4, bands = 16, dim = 64))),
+        threshold = 0.4, bitsPerBand = 8, bands = 32, dim = 64))),
 
     // the PORTABLE variants are registered (md5-60-bit hashes → DuckDB
     // replays the whole signature/banding/verify pipeline); the xxhash64

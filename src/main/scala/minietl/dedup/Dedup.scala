@@ -124,7 +124,7 @@ object Dedup {
     // Persisted because the plan references it three times (banding + two
     // candidate-fetch joins); without it the signature computation — the
     // expensive scan-side work — would run three times.
-    val base = df.select(col(idCol).as("id"),
+    val base = spread(df).select(col(idCol).as("id"),
         shingleHashesSorted(col(textCol), shingleN).as("hsh"))
       .withColumn("sig", minhashFromHashes(col("hsh"), k, seed))
       .persist()
@@ -135,6 +135,19 @@ object Dedup {
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, k)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     minhashPairsFromBase(base, banded, threshold, maxBucketSize)
+  }
+
+  /** Spread a narrow scan across all cores when the input arrives in fewer
+    * partitions than half the default parallelism — a one-file dev corpus
+    * otherwise runs the expensive scan-side work (shingle hashing, signature
+    * computation, cache build) on a SINGLE thread (measured: 3.9 s → 0.95 s
+    * for the sf0.1 minhash base persist). At production scale inputs carry
+    * hundreds of partitions and this is a no-op, so the full-corpus shuffle
+    * it would imply never happens there.
+    */
+  private[minietl] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
   }
 
   /** Default bucket-size cap for the LSH candidate self-joins. A bucket with
@@ -150,26 +163,59 @@ object Dedup {
   val DefaultMaxBucket: Int = 1000
 
   /** Drop every row belonging to a bucket with more than `maxBucketSize`
-    * members, with a logged count. The bucket census is one
-    * map-side-combinable count over the slim banded frame, and the oversized
-    * key set (degenerate keys only — tiny by construction) anti-joins back
-    * as a broadcast, so the guard adds no extra shuffle of the data.
+    * members, with a logged census. The count is a window over exactly the
+    * (band, key) partitioning the downstream self-join shuffles on, so the
+    * guard adds ZERO extra jobs and no extra shuffle — the one exchange is
+    * shared (measured: an eager two-job census + broadcast anti-join
+    * variant cost ~2 s of fixed job latency per dedup call at sf0.1).
+    *
+    * The census itself rides the caller's action as an `observe` metric; a
+    * self-unregistering QueryExecutionListener logs the dropped-row count
+    * when that action completes (asynchronously, on the listener bus).
     */
   private[minietl] def dropOversizedBuckets(banded: DataFrame, keyCols: Seq[String],
                                             maxBucketSize: Int, what: String): DataFrame = {
     require(maxBucketSize > 1, s"maxBucketSize must be > 1 (got $maxBucketSize)")
-    val oversized = banded.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__bucket_n"))
-      .filter(col("__bucket_n") > maxBucketSize)
-      .persist() // tiny (degenerate keys only); read by the census and the anti-join
-    val hist = oversized.agg(count(lit(1)), coalesce(sum("__bucket_n"), lit(0L))).head()
-    if (hist.getLong(0) > 0)
-      log.warn(s"$what: dropping ${hist.getLong(0)} LSH bucket(s) of more than " +
-        s"$maxBucketSize members (${hist.getLong(1)} member rows) before pair " +
-        "generation — buckets this populous are non-discriminative and would " +
-        "emit O(n^2) candidate pairs; run exact dedup first if the corpus " +
-        "carries mass duplicates")
-    banded.join(broadcast(oversized.select(keyCols.map(col): _*)), keyCols, "left_anti")
+    val n = minietl.ops.Ops.freshName(banded, "__bucket_n")
+    val withN = banded.withColumn(n,
+      count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
+    val obsName = s"${what}_bucket_census_" + java.util.UUID.randomUUID().toString.take(8)
+    val observed = withN.observe(obsName,
+      sum(when(col(n) > maxBucketSize, 1L).otherwise(0L)).as("dropped_rows"),
+      coalesce(max(col(n)), lit(0L)).as("largest_bucket"))
+    censusLogger(banded.sparkSession, obsName, maxBucketSize, what)
+    observed.filter(col(n) <= maxBucketSize).drop(n)
+  }
+
+  /** Logs the bucket census of [[dropOversizedBuckets]] once the first
+    * action over the observed frame completes; unregisters itself after.
+    */
+  private def censusLogger(spark: org.apache.spark.sql.SparkSession,
+                           obsName: String, maxBucketSize: Int, what: String): Unit = {
+    val lm = spark.listenerManager
+    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private def handle(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        qe.observedMetrics.get(obsName).foreach { row =>
+          lm.unregister(this)
+          val dropped = row.getAs[Long]("dropped_rows")
+          if (dropped > 0)
+            log.warn(s"$what: dropped $dropped member rows in LSH buckets of " +
+              s"more than $maxBucketSize members (largest bucket: " +
+              s"${row.getAs[Long]("largest_bucket")}) before pair generation — " +
+              "buckets this populous are non-discriminative and would emit " +
+              "O(n^2) candidate pairs; run exact dedup first if the corpus " +
+              "carries mass duplicates")
+        }
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = handle(qe)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit =
+        // only retire on OUR query's failure — an unrelated failing query in
+        // the same session must not silence a census that has yet to run
+        if (qe.observedMetrics.contains(obsName)) lm.unregister(this)
+    })
   }
 
   /** Candidate self-join + est/jac verify over a persisted (id, hsh, sig)
@@ -221,7 +267,7 @@ object Dedup {
                                   maxBucketSize: Int = DefaultMaxBucket): DataFrame = {
     val rpb = k / bands
     require(bands * rpb == k, s"bands=$bands must divide k=$k")
-    val base = df.select(col(idCol).as("id"),
+    val base = spread(df).select(col(idCol).as("id"),
         array_sort(array_distinct(md5Hashes60(shingles(col(textCol), shingleN)))).as("hsh"))
       .withColumn("sig", minhashFromHashes(col("hsh"), k, seed))
       .persist()
@@ -300,9 +346,54 @@ object Dedup {
     * because a partial labeling silently under-deduplicates chains longer
     * than the budget — raise maxIter for graphs with diameter > maxIter.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  /** Above this many pairs the driver fast path is off. 2M edges ≈ 32 MB of
+    * longs — the same order of driver memory a broadcast join build side
+    * uses, and near-dup pair lists are SPARSE by construction (the LSH
+    * verify keeps only genuinely-similar pairs), so real corpora land under
+    * it unless they are pathologically duplicate-heavy.
+    */
+  val DriverCcMaxPairs: Long = 2000000L
+
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 100,
+                          driverPathMaxPairs: Long = DriverCcMaxPairs): DataFrame = {
+    // materialize the pair list before unioning it with its swap: the two
+    // union branches are the SAME (expensive — LSH banding + verify) plan,
+    // and an unmaterialized cache makes one job compute it twice
+    val p = pairs.persist()
+    val nPairs = p.count()
+    // size-based algorithm choice, same rationale as a broadcast join: the
+    // pair count is already materialized, so when the graph fits in driver
+    // memory, a local union-find replaces O(diameter) join+agg rounds (each
+    // a full Spark job) with one collect — measured ~2-3 s saved per
+    // cluster-dedup call at sf0.1. The distributed loop below remains the
+    // path for graphs above the threshold or with non-integral id types.
+    val idType = p.schema("id_a").dataType
+    if (nPairs <= driverPathMaxPairs &&
+        (idType == org.apache.spark.sql.types.LongType ||
+         idType == org.apache.spark.sql.types.IntegerType)) {
+      val edgeRows = p.select(col("id_a").cast("long"), col("id_b").cast("long")).collect()
+      p.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      edgeRows.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // root = smaller id
+      }
+      // with union-by-min, every root IS its component's minimum id
+      val out = parent.keysIterator.map(id => (id, find(id))).toSeq
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return out.toDF("id", "comp")
+        .select(col("id").cast(idType).as("id"), col("comp").cast(idType).as("comp"))
+    }
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).persist()
@@ -325,6 +416,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within maxIter=$maxIter " +
@@ -370,7 +462,7 @@ object Dedup {
     val width = 2 * radius + 1
     // Persisted: the bucket join and both candidate-fetch joins read it, and
     // shingling is the expensive scan-side step.
-    val base = df.select(col(idCol).as("id"), col(lenCol).as("len"),
+    val base = spread(df).select(col(idCol).as("id"), col(lenCol).as("len"),
       shingleHashesSorted(col(textCol), shingleN).as("sh")).persist()
     // The bucket join moves only (id, len, bucket); the shingle arrays join
     // back onto the surviving candidate pairs, so no array is copied per
@@ -420,7 +512,7 @@ object Dedup {
     require(maxHamming < bands,
       s"recall guarantee needs maxHamming < bands (got maxHamming=$maxHamming, bands=$bands)")
     simhashPairsFromSigs(
-      df.select(col(idCol).as("id"), simhash(split(col(textCol), " ")).as("sig")),
+      spread(df).select(col(idCol).as("id"), simhash(split(col(textCol), " ")).as("sig")),
       maxHamming, bands, maxBucketSize)
   }
 
@@ -460,7 +552,7 @@ object Dedup {
     require(maxHamming < bands,
       s"recall guarantee needs maxHamming < bands (got maxHamming=$maxHamming, bands=$bands)")
     simhashPairsFromSigs(
-      df.select(col(idCol).as("id"),
+      spread(df).select(col(idCol).as("id"),
         minietl.functions.vec.simhash64(md5Hashes60(split(col(textCol), " "))).as("sig")),
       maxHamming, bands, maxBucketSize)
   }

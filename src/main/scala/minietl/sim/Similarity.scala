@@ -144,6 +144,13 @@ object Similarity {
     * 1-(1-p^bitsPerBand)^bands, so recall is tuned by adding bands (more
     * candidates) or bits (fewer), never by widening the scan.
     *
+    * SIZE `bitsPerBand` TO THE CORPUS: expected bucket occupancy is
+    * n/2^bitsPerBand per band, and within-bucket pair volume is quadratic in
+    * occupancy — bands too coarse for the corpus (2^bits comparable to n)
+    * degenerate toward all-pairs no matter how the shuffle is planned.
+    * `maxBucketSize` back-stops the worst buckets; it does not fix a
+    * systematically coarse choice of bits.
+    *
     * Scale shape: the signature frame carries only (id, band, sig) through
     * the band shuffle (~20 B/row/band); vectors are fetched back per
     * DISTINCT confirmed candidate, and the prepared (vec, norm) frame is
@@ -157,7 +164,9 @@ object Similarity {
     // one splitmix stream for all bands (band b gets planes [b*bpb, (b+1)*bpb))
     // — the SQL generated by lshNearDupOracleSql slices identically
     val planes = hyperplanes(bands * bitsPerBand, dim, seed)
-    val prep = prepared(df, idCol, vecCol, "id", "vec", "nrm")
+    // spread: a one-file corpus would build the (vec, nrm) cache on a single
+    // thread; no-op when the input is already partitioned (see Dedup.spread)
+    val prep = prepared(minietl.dedup.Dedup.spread(df), idCol, vecCol, "id", "vec", "nrm")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until bands).map { b =>
       val slice = planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand)

@@ -102,22 +102,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   test("connectedComponents labels transitive clusters with the min id") {
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (7L, 8L), (6L, 9L))
       .toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(comps(0L) === 0L && comps(1L) === 0L && comps(2L) === 0L)
-    assert(comps(5L) === 5L && comps(6L) === 5L && comps(9L) === 5L)
-    assert(comps(7L) === 7L && comps(8L) === 7L)
+    // driver union-find fast path (default for small graphs) and the
+    // distributed label-propagation path must agree exactly
+    for (threshold <- Seq(Dedup.DriverCcMaxPairs, 0L)) {
+      val comps = Dedup.connectedComponents(pairs, driverPathMaxPairs = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(comps(0L) === 0L && comps(1L) === 0L && comps(2L) === 0L)
+      assert(comps(5L) === 5L && comps(6L) === 5L && comps(9L) === 5L)
+      assert(comps(7L) === 7L && comps(8L) === 7L)
+    }
   }
 
   test("connectedComponents throws rather than returning partial labels") {
-    // chain 0-1-2-3-4: min-label propagation needs >1 round to reach the tail
+    // chain 0-1-2-3-4 on the DISTRIBUTED path: min-label propagation needs
+    // >1 round to reach the tail (the driver path always converges exactly)
     val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 1).collect()
+      Dedup.connectedComponents(chain, maxIter = 1, driverPathMaxPairs = 0L).collect()
     }
     assert(e.getMessage.contains("under-deduplicate"))
     // the default budget converges and fully propagates the labels
-    val full = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    val full = Dedup.connectedComponents(chain, driverPathMaxPairs = 0L)
+      .as[(Long, Long)].collect().toMap
     assert(full.values.toSet === Set(0L))
   }
 
@@ -166,9 +172,11 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       1L -> "the quick brown fox jumps over the lazy dog near the quiet river bank tonight")
     val corpus = (boiler ++ planted).toDF("doc_id", "text")
     val (pairs, warns) = minietl.LogCapture.warnings("minietl.dedup.Dedup$") {
-      Dedup.minhashNearDupPairs(corpus, "text", "doc_id",
+      val p = Dedup.minhashNearDupPairs(corpus, "text", "doc_id",
         shingleN = 3, k = 32, bands = 8, threshold = 0.5, maxBucketSize = 50)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      Thread.sleep(2000) // census log arrives async on the listener bus
+      p
     }
     // completes without the 200*199/2-per-band pair explosion; the planted
     // pair survives, the boilerplate mass is excluded (exact dedup's job)
@@ -176,17 +184,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(warns.exists(w => w.contains("minhash") && w.contains("non-discriminative")))
     // with the cap above the bucket size nothing is dropped and no warning fires
     val (all, quiet) = minietl.LogCapture.warnings("minietl.dedup.Dedup$") {
-      Dedup.minhashNearDupPairs(corpus, "text", "doc_id",
+      val c = Dedup.minhashNearDupPairs(corpus, "text", "doc_id",
         shingleN = 3, k = 32, bands = 8, threshold = 0.5, maxBucketSize = 500)
         .count()
+      Thread.sleep(2000)
+      c
     }
     assert(all === 200L * 199 / 2 + 1)
     assert(quiet.isEmpty)
     // simhash path shares the guard: identical docs collide on every chunk
     val (simPairs, simWarns) = minietl.LogCapture.warnings("minietl.dedup.Dedup$") {
-      Dedup.simhashNearDupPairs(corpus, "text", "doc_id",
+      val p = Dedup.simhashNearDupPairs(corpus, "text", "doc_id",
         maxHamming = 3, bands = 4, maxBucketSize = 50)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      Thread.sleep(2000)
+      p
     }
     assert(!simPairs.exists(p => p._1 >= 100L && p._2 >= 100L))
     assert(simWarns.exists(w => w.contains("simhash") && w.contains("non-discriminative")))

@@ -114,9 +114,11 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       ((100L until 250L).map(i => i -> Seq(1f, 0f, 0f)) ++
         Seq(0L -> Seq(0f, 1f, 0.01f), 1L -> Seq(0f, 1f, 0.02f))): _*)
     val (pairs, warns) = minietl.LogCapture.warnings("minietl.dedup.Dedup$") {
-      Similarity.cosineNearDupPairs(degenerate, threshold = 0.9,
+      val p = Similarity.cosineNearDupPairs(degenerate, threshold = 0.9,
         bitsPerBand = 2, bands = 4, dim = 3, maxBucketSize = 50)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      Thread.sleep(2000) // census log arrives async on the listener bus
+      p
     }
     assert(pairs === Set((0L, 1L)))
     assert(warns.exists(w => w.contains("cosineNearDup") && w.contains("non-discriminative")))

@@ -1465,6 +1465,22 @@ object SparkEntry {
           .orderBy("lang", "source"),
       Some("""SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
              |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
+    // C4-style global paragraph dedup. The corpus has no newlines, so the
+    // query first derives line structure (a newline after every 3rd token —
+    // same regexp_replace on both engines), then drops every paragraph that
+    // appeared earlier anywhere in the corpus and reassembles the docs.
+    "q_paragraph_dedup" -> Q(
+      (s, dir) =>
+        minietl.text.ParagraphDedup.dedupParagraphs(
+          documents(s, dir).withColumn("text",
+            regexp_replace(col("text"), "((\\S+ ){2}\\S+) ", "$1\n")),
+          "text", "doc_id", delim = "\n")
+          .orderBy("doc_id"),
+      Some(minietl.text.ParagraphDedup.oracleSql(
+        "documents", "doc_id",
+        """regexp_replace(text, '((\S+ ){2}\S+) ', '\1' || chr(10), 'g')""",
+        "chr(10)") + "\nORDER BY doc_id")),
   )
 
   private val registry: Seq[(String, Q)] = relational ++ pipelineExtras

@@ -1466,6 +1466,27 @@ object SparkEntry {
       Some("""SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
              |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
 
+    // Gopher format-rule battery: every ratio threshold is an exact integer
+    // comparison, so the keep set replays bit-for-bit in DuckDB.
+    "q_gopher_rules" -> Q(
+      (s, dir) => {
+        import minietl.text.QualityRules._
+        val txt = col("text")
+        documents(s, dir)
+          .select(col("doc_id"),
+            wordCountOk(txt, 30, 100000).as("word_count_ok"),
+            meanWordLenOk(txt).as("word_len_ok"),
+            symbolRatioOk(txt).as("symbol_ok"),
+            bulletLinesOk(txt).as("bullet_ok"),
+            ellipsisLinesOk(txt).as("ellipsis_ok"),
+            alphaWordsOk(txt).as("alpha_ok"),
+            stopwordsOk(txt).as("stopword_ok"),
+            gopherKeep(txt, 30, 100000).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(minietl.text.QualityRules.oracleSql(
+        "documents", "doc_id", "text", 30, 100000) + "\nORDER BY doc_id")),
+
     // C4-style global paragraph dedup. The corpus has no newlines, so the
     // query first derives line structure (a newline after every 3rd token —
     // same regexp_replace on both engines), then drops every paragraph that

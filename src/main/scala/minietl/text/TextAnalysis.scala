@@ -96,6 +96,9 @@ object TextAnalysis {
     round((length(text) - (n - lit(1))).cast("double") / n, 4)
   }
 
+  /** The English stop list, shared with [[QualityRules]]. */
+  def enStopwords: Seq[String] = stopwords("en")
+
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "for", "it"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),

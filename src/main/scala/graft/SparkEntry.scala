@@ -1466,6 +1466,25 @@ object SparkEntry {
       Some("""SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
              |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
 
+    // Temperature sampling (kept mass per lang ∝ n^0.5): fractions are
+    // sqrt-exact doubles, so DuckDB re-derives the identical md5 thresholds
+    // from the raw counts — the full computation is replayed, not just the
+    // kept set.
+    "q_temperature_sample" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .transform(Ops.temperatureSample("doc_id", "lang", targetFraction = 0.8))
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |m AS (SELECT min(n) AS nmin FROM c),
+             |f AS (SELECT lang, 0.8 * sqrt(CAST(nmin AS DOUBLE) / n) AS frac FROM c, m)
+             |SELECT d.doc_id, d.lang, d.source
+             |FROM documents d JOIN f USING (lang)
+             |WHERE frac >= 1.0 OR md5(CAST(d.doc_id AS VARCHAR)) <
+             |  printf('%08x', CAST(floor(frac * 4294967296.0) AS BIGINT))
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // Gopher format-rule battery: every ratio threshold is an exact integer
     // comparison, so the keep set replays bit-for-bit in DuckDB.
     "q_gopher_rules" -> Q(

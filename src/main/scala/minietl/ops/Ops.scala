@@ -287,6 +287,48 @@ object Ops {
     df.filter(cond)
   }
 
+  /** Per-stratum keep-fractions for temperature sampling: kept mass per
+    * stratum becomes proportional to n^alpha (the unigram-LM data-mixing
+    * recipe — alpha < 1 flattens the source distribution so big crawls stop
+    * drowning small curated sets). The smallest stratum keeps
+    * `targetFraction`; a stratum with n rows keeps
+    * `targetFraction * (n_min/n)^(1-alpha)`.
+    *
+    * The counts aggregate collects one row per stratum to the driver —
+    * model-size (like IVF centroids), not data-size. alpha = 0.5 (the
+    * default) computes via `sqrt`, which IEEE 754 rounds exactly, so any
+    * engine replays the fractions — and therefore the md5-threshold keep
+    * set — bit-for-bit; other alphas go through `pow`, whose last-ulp
+    * behavior is libm-specific (fine for sampling, not for replay oracles).
+    */
+  def temperatureFractions(df: DataFrame, strataCol: String,
+                           targetFraction: Double,
+                           alpha: Double = 0.5): Map[String, Double] = {
+    require(targetFraction >= 0.0 && targetFraction <= 1.0,
+      s"targetFraction out of [0,1]: $targetFraction")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of (0,1]: $alpha")
+    val counts = df.groupBy(strataCol).count().collect()
+      .map(r => Option(r.get(0)).map(_.toString).getOrElse("") -> r.getLong(1))
+    require(counts.nonEmpty, "temperatureFractions on an empty frame")
+    val nMin = counts.map(_._2).min
+    counts.map { case (k, n) =>
+      val ratio = nMin.toDouble / n.toDouble
+      val scaled =
+        if (alpha == 0.5) math.sqrt(ratio) else math.pow(ratio, 1.0 - alpha)
+      k -> targetFraction * scaled
+    }.toMap
+  }
+
+  /** [[temperatureFractions]] + [[stratifiedHashSample]] in one stage: a
+    * deterministic, engine-replayable temperature sample of the corpus.
+    * One bounded counts aggregate, then a scan-side filter — no shuffle of
+    * the kept data.
+    */
+  def temperatureSample(keyCol: String, strataCol: String,
+                        targetFraction: Double, alpha: Double = 0.5): Op =
+    df => stratifiedHashSample(keyCol, strataCol,
+      temperatureFractions(df, strataCol, targetFraction, alpha))(df)
+
   /** Deterministic pre-training shuffle key: md5 of (seed, key). Sorting by
     * it is a uniform pseudo-random permutation of the corpus that any
     * engine reproduces bit-for-bit from the same seed. Use it as the ORDER

@@ -256,6 +256,26 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       base.transform(Ops.upsert(base, Seq.empty)))
   }
 
+  test("temperatureFractions flatten kept mass toward n^alpha") {
+    // strata: a=100 rows, b=400 rows, c=25 rows (the smallest)
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 500).map(i => (i.toLong, "b")) ++
+      (501 to 525).map(i => (i.toLong, "c"))).toDF("id", "g")
+    val f = Ops.temperatureFractions(df, "g", targetFraction = 0.8)
+    // smallest stratum keeps the target fraction; others scale by sqrt(nmin/n)
+    assert(f("c") === 0.8)
+    assert(f("a") === 0.8 * math.sqrt(25.0 / 100.0))
+    assert(f("b") === 0.8 * math.sqrt(25.0 / 400.0))
+    // kept mass ratio across strata approaches n^0.5 ratios: expected kept
+    // per stratum = n * f ∝ sqrt(n) -> a:b expected 40:80
+    val kept = df.transform(Ops.temperatureSample("id", "g", 0.8))
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(kept("b").toDouble / kept("a") > 1.2 &&
+      kept("b").toDouble / kept("a") < 3.2) // ~2 expected, hash noise allowed
+    assert(Ops.temperatureFractions(df, "g", 0.8, alpha = 1.0)
+      .values.toSet === Set(0.8)) // alpha=1: no flattening
+  }
+
   test("chain composes stages left-to-right") {
     val op = Ops.chain(
       Ops.filter(col("value") > 150),

@@ -1485,6 +1485,28 @@ object SparkEntry {
              |  printf('%08x', CAST(floor(frac * 4294967296.0) AS BIGINT))
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // Token-budget corpus composition: per lang, keep docs in seeded-shuffle
+    // order until 1500 tokens are spent. Integer window sum — exact replay.
+    "q_token_budget" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .withColumn("n_tokens", minietl.text.TextAnalysis.tokenCount(col("text")))
+          .transform(Ops.tokenBudget("lang", "n_tokens", budget = 1500,
+            order = Ops.shuffleKey("doc_id", "7"), cumColumn = Some("cum_tokens")))
+          .select("doc_id", "lang", "n_tokens", "cum_tokens")
+          .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    md5('7#' || CAST(doc_id AS VARCHAR)) AS sk
+             |  FROM documents),
+             |c AS (SELECT doc_id, lang, n_tokens,
+             |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY sk
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |      FROM d)
+             |SELECT doc_id, lang, n_tokens, cum_tokens
+             |FROM c WHERE cum_tokens <= 1500 ORDER BY doc_id""".stripMargin)),
+
     // Gopher format-rule battery: every ratio threshold is an exact integer
     // comparison, so the keep set replays bit-for-bit in DuckDB.
     "q_gopher_rules" -> Q(

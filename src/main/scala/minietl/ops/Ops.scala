@@ -329,6 +329,31 @@ object Ops {
     df => stratifiedHashSample(keyCol, strataCol,
       temperatureFractions(df, strataCol, targetFraction, alpha))(df)
 
+  /** Keep documents, in `order`, until each stratum's running token total
+    * exceeds `budget` — the "N tokens per source" corpus-composition step.
+    * `order` must be a total order (e.g. [[shuffleKey]] for a random-but-
+    * reproducible pick, or quality descending with a unique tie-break) or
+    * the kept set is not deterministic. Pass `cumColumn` to retain the
+    * running total in the output.
+    *
+    * Scale shape: ONE shuffle on the stratum key; each stratum's rows sort
+    * on a single task (inherent to an exact running total). Right-sized
+    * when strata are domains/sources with bounded per-stratum volume; for
+    * a handful of giant strata, split the budget across shards first
+    * (`budget/k` over a salted stratum) — exact-enough and parallel.
+    */
+  def tokenBudget(strataCol: String, tokenCol: String, budget: Long,
+                  order: Column, cumColumn: Option[String] = None): Op = df => {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(order)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = cumColumn.getOrElse("_tb_cum")
+    val out = df.withColumn(cum, sum(col(tokenCol)).over(w))
+      .filter(col(cum) <= budget)
+    if (cumColumn.isDefined) out else out.drop(cum)
+  }
+
   /** Deterministic pre-training shuffle key: md5 of (seed, key). Sorting by
     * it is a uniform pseudo-random permutation of the corpus that any
     * engine reproduces bit-for-bit from the same seed. Use it as the ORDER

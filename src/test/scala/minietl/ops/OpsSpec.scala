@@ -276,6 +276,25 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       .values.toSet === Set(0.8)) // alpha=1: no flattening
   }
 
+  test("tokenBudget keeps a prefix per stratum, by the given order") {
+    val df = Seq(
+      (1L, "a", 400L), (2L, "a", 400L), (3L, "a", 400L), (4L, "a", 400L),
+      (5L, "b", 900L), (6L, "b", 200L)).toDF("id", "g", "toks")
+    val out = df.transform(Ops.tokenBudget("g", "toks", budget = 1000,
+      order = col("id"), cumColumn = Some("cum")))
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    // a: 400, 800 kept (1200 would exceed); b: 900 kept, 1100 exceeds
+    assert(out === Seq(
+      (1L, "a", 400L, 400L), (2L, "a", 400L, 800L), (5L, "b", 900L, 900L)))
+    // without cumColumn the schema is untouched
+    assert(df.transform(Ops.tokenBudget("g", "toks", 1000, col("id")))
+      .columns.toSeq === Seq("id", "g", "toks"))
+    // order flips the kept set deterministically
+    val rev = df.transform(Ops.tokenBudget("g", "toks", 1000, col("id").desc))
+      .select("id").as[Long].collect().toSet
+    assert(rev === Set(4L, 3L, 6L))
+  }
+
   test("chain composes stages left-to-right") {
     val op = Ops.chain(
       Ops.filter(col("value") > 150),

@@ -1485,6 +1485,37 @@ object SparkEntry {
              |  printf('%08x', CAST(floor(frac * 4294967296.0) AS BIGINT))
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // Symmetric int8 quantization of the embedding column; DuckDB replays
+    // the exact element arithmetic (cast → *127/scale → half-up round), plus
+    // the integer self-dot of the codes as a 64-bit checksum per vector.
+    "q_emb_quantize" -> Q(
+      (s, dir) => {
+        import minietl.sim.Quantize._
+        embeddings(s, dir)
+          .select(col("vec_id"),
+            int8Scale(col("embedding")).as("scale"),
+            int8Codes(col("embedding")).as("codes"))
+          .withColumn("code_dot", int8Dot(col("codes"), col("codes")))
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id,
+             |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS scale,
+             |    CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |c AS (
+             |  SELECT vec_id, scale,
+             |    CASE WHEN scale = 0.0
+             |         THEN list_transform(v, x -> 0)
+             |         ELSE list_transform(v, x -> CAST(round(x * CAST(127 AS DOUBLE) / scale, 0) AS INT))
+             |    END AS codes
+             |  FROM q)
+             |SELECT vec_id, scale, codes,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(codes, x -> CAST(x AS BIGINT) * x)),
+             |    (acc, y) -> acc + y) AS BIGINT) AS code_dot
+             |FROM c ORDER BY vec_id""".stripMargin)),
+
     // Token-budget corpus composition: per lang, keep docs in seeded-shuffle
     // order until 1500 tokens are spent. Integer window sum — exact replay.
     "q_token_budget" -> Q(

@@ -38,7 +38,8 @@ object Config {
       "aggregate", "group", "dedupe", "sort",
       // training-data pipeline stages (beyond the reference's set)
       "hash_sample", "stratified_sample", "pii_redact", "quality_filter",
-      "exact_dedup")
+      "exact_dedup", "gopher_filter", "temperature_sample", "token_budget",
+      "paragraph_dedup")
   private val declaredUnsupported = Set("excel")
 
   private val EnvBrace: Regex = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
@@ -193,6 +194,14 @@ object Config {
             }
           case Some(other) => Seq(s"$at: 'fractions' must be a mapping, got '$other'")
         }) ++ numeric("default_fraction", 0.0, 1.0)
+      case "temperature_sample" =>
+        numeric("target_fraction", 0.0, 1.0) ++
+          numeric("alpha", Double.MinPositiveValue, 1.0)
+      case "token_budget" => numeric("budget", 0.0, Double.MaxValue)
+      case "gopher_filter" =>
+        numeric("min_words", 0.0, Double.MaxValue) ++
+          numeric("max_words", 0.0, Double.MaxValue)
+      case "paragraph_dedup" => numeric("min_chars", 0.0, Int.MaxValue.toDouble)
       case _ => Nil
     }
   }
@@ -209,6 +218,10 @@ object Config {
     case "pii_redact" => Seq("column")
     case "quality_filter" => Seq("column", "min_score")
     case "exact_dedup" => Seq("content", "key")
+    case "gopher_filter" => Seq("column")
+    case "temperature_sample" => Seq("key", "strata", "target_fraction")
+    case "token_budget" => Seq("strata", "tokens", "budget", "key")
+    case "paragraph_dedup" => Seq("text", "key")
     case _ => Nil
   }
 
@@ -319,6 +332,23 @@ object Config {
           b.qualityFilter(str(t.options, "column"), str(t.options, "min_score").toDouble.toLong)
         case "exact_dedup" =>
           b.exactDedup(str(t.options, "content"), str(t.options, "key"))
+        case "gopher_filter" =>
+          b.gopherFilter(str(t.options, "column"),
+            t.options.get("min_words").map(_.toString.toDouble.toLong).getOrElse(50L),
+            t.options.get("max_words").map(_.toString.toDouble.toLong).getOrElse(100000L))
+        case "temperature_sample" =>
+          b.temperatureSample(str(t.options, "key"), str(t.options, "strata"),
+            str(t.options, "target_fraction").toDouble,
+            t.options.get("alpha").map(_.toString.toDouble).getOrElse(0.5))
+        case "token_budget" =>
+          b.tokenBudget(str(t.options, "strata"), str(t.options, "tokens"),
+            str(t.options, "budget").toDouble.toLong,
+            str(t.options, "key"),
+            t.options.get("seed").map(_.toString).getOrElse("0"))
+        case "paragraph_dedup" =>
+          b.paragraphDedup(str(t.options, "text"), str(t.options, "key"),
+            t.options.get("delim").map(_.toString).getOrElse("\n"),
+            t.options.get("min_chars").map(_.toString.toDouble.toInt).getOrElse(0))
       }
     }
 

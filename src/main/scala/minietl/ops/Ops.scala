@@ -397,6 +397,14 @@ object Ops {
   def qualityFilter(column: String, minScore: Long): Op =
     df => df.filter(minietl.text.TextAnalysis.qualityScore(col(column)) >= minScore)
 
+  /** Keep rows passing every Gopher format rule
+    * ([[minietl.text.QualityRules.gopherKeep]]). Scan-side filter.
+    */
+  def gopherFilter(column: String, minWords: Long = 50,
+                   maxWords: Long = 100000): Op =
+    df => df.filter(
+      minietl.text.QualityRules.gopherKeep(col(column), minWords, maxWords))
+
   // ---------------------------------------------------------------- lambda
   /** LambdaTransformer (transformers.py:580-603): arbitrary frame function. */
   def lambda(f: DataFrame => DataFrame): Op = f

@@ -61,6 +61,20 @@ final class PipelineBuilder(name: String = "pipeline") {
     add(Ops.qualityFilter(column, minScore), "quality_filter")
   def exactDedup(contentCol: String, keyCol: String): PipelineBuilder =
     add(df => minietl.dedup.Dedup.exact(df, contentCol, keyCol), "exact_dedup")
+  def gopherFilter(column: String, minWords: Long = 50,
+                   maxWords: Long = 100000): PipelineBuilder =
+    add(Ops.gopherFilter(column, minWords, maxWords), "gopher_filter")
+  def temperatureSample(key: String, strata: String, targetFraction: Double,
+                        alpha: Double = 0.5): PipelineBuilder =
+    add(Ops.temperatureSample(key, strata, targetFraction, alpha), "temperature_sample")
+  def tokenBudget(strata: String, tokenCol: String, budget: Long,
+                  key: String, seed: String = "0"): PipelineBuilder =
+    add(Ops.tokenBudget(strata, tokenCol, budget, Ops.shuffleKey(key, seed)),
+      "token_budget")
+  def paragraphDedup(textCol: String, idCol: String, delim: String = "\n",
+                     minChars: Int = 0): PipelineBuilder =
+    add(df => minietl.text.ParagraphDedup.dedupParagraphs(
+      df, textCol, idCol, delim, minChars), "paragraph_dedup")
 
   def withSchema(schema: TableSchema): PipelineBuilder =
     { p = p.withValidator(new SchemaValidator(schema)); this }

@@ -142,6 +142,58 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(!back(1)._2.contains("bob@corp.example.org"))
   }
 
+  test("round-4 corpus stages run from YAML: gopher/temperature/budget/paragraph") {
+    val in = s"${tmp()}/docs4_in"
+    val out = s"${tmp()}/docs4_out"
+    Writers.csv(Seq(
+      (1L, "g1", "the cat and the dog ran over a hill to find food in town"),
+      (2L, "g1", "the small bird under that tree sang with great joy for everyone around it"),
+      (3L, "g1", "the cat and the dog ran over a hill to find food in town"),
+      (4L, "g2", "no stops here just words words words words words words"))
+      .toDF("doc_id", "grp", "text"), in)
+    val yaml =
+      s"""name: corpus4
+         |source: {type: csv, filepath: $in}
+         |transformers:
+         |  - type: cast
+         |    columns: {doc_id: int64}
+         |  - type: gopher_filter
+         |    column: text
+         |    min_words: 5
+         |    max_words: 100
+         |  - type: temperature_sample
+         |    key: doc_id
+         |    strata: grp
+         |    target_fraction: 1.0
+         |  - type: paragraph_dedup
+         |    text: text
+         |    key: doc_id
+         |sink: {type: parquet, filepath: $out}
+         |""".stripMargin
+    Config.load(yaml).run(spark)
+    val back = Readers.parquet(spark, out).orderBy("doc_id")
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toSeq
+    // doc 4 fails the stopword rule; docs 1-3 pass gopher and the full-rate
+    // temperature sample; doc 3 is a paragraph-level dup of doc 1
+    assert(back === Seq((1L, 1L), (2L, 1L), (3L, 0L)))
+
+    val budgetYaml =
+      s"""name: corpus4b
+         |source: {type: csv, filepath: $in}
+         |transformers:
+         |  - type: expression
+         |    expression: "n_tokens = 10"
+         |  - type: token_budget
+         |    strata: grp
+         |    tokens: n_tokens
+         |    budget: 20
+         |    key: doc_id
+         |sink: {type: parquet, filepath: ${tmp()}/docs4b_out}
+         |""".stripMargin
+    val p = Config.build(Config.parse(budgetYaml))
+    assert(p.run(spark).rows === 3) // 2 of 3 in g1, 1 of 1 in g2
+  }
+
   test("missing required keys in new stage types are validation errors") {
     val c = Config.parse(
       """name: x

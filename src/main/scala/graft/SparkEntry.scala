@@ -1485,6 +1485,51 @@ object SparkEntry {
              |  printf('%08x', CAST(floor(frac * 4294967296.0) AS BIGINT))
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // Two-stage quantized ANN: int8 approximate-cosine pre-rank over all
+    // pairs (integer dots — scales cancel), exact cosine only on the preK
+    // survivors. Both stages replay bit-for-bit in DuckDB: the code dots
+    // are small exact integers, so double list_inner_product equals the
+    // BIGINT fold.
+    "q_ann_topk_int8" -> Q(
+      (s, dir) => {
+        val e = embeddings(s, dir)
+        minietl.sim.Quantize.int8RerankTopK(
+          e, e.filter(col("vec_id") < 10), k = 5, preK = 20)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+             |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+             |c AS (SELECT vec_id, v,
+             |        CASE WHEN scale = 0.0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+             |             ELSE list_transform(v, x -> CAST(CAST(round(x * CAST(127 AS DOUBLE) / scale, 0) AS INT) AS DOUBLE))
+             |        END AS cd
+             |      FROM s),
+             |n AS (SELECT vec_id, v, cd,
+             |        sqrt(list_inner_product(v, v)) AS nrm,
+             |        sqrt(list_inner_product(cd, cd)) AS cnorm
+             |      FROM c),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |pre AS (
+             |  SELECT q.vec_id AS q_id, t.vec_id AS n_id, q.v AS qv, t.v AS tv,
+             |    q.nrm AS qn, t.nrm AS tn,
+             |    round(list_inner_product(q.cd, t.cd) / (q.cnorm * t.cnorm), 6) AS acos
+             |  FROM q, n t WHERE q.vec_id != t.vec_id),
+             |cand AS (
+             |  SELECT * FROM (
+             |    SELECT q_id, n_id, qv, tv, qn, tn,
+             |      row_number() OVER (PARTITION BY q_id ORDER BY acos DESC, n_id) AS prerank
+             |    FROM pre) WHERE prerank <= 20),
+             |fin AS (
+             |  SELECT q_id, n_id,
+             |    round(list_inner_product(qv, tv) / (qn * tn), 4) AS cos
+             |  FROM cand),
+             |ranked AS (
+             |  SELECT q_id, n_id, cos,
+             |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+             |  FROM fin)
+             |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin)),
+
     // Symmetric int8 quantization of the embedding column; DuckDB replays
     // the exact element arithmetic (cast → *127/scale → half-up round), plus
     // the integer self-dot of the codes as a 64-bit checksum per vector.

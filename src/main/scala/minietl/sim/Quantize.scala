@@ -1,6 +1,7 @@
 package minietl.sim
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Symmetric per-vector int8 quantization for embedding columns: 4× smaller
@@ -44,4 +45,50 @@ object Quantize {
   def int8Dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("bigint") * y.cast("bigint")),
       lit(0L), (acc, v) => acc + v)
+
+  /** Two-stage quantized top-k cosine: the all-pairs stage ranks by the
+    * INT8 approximate cosine (integer dots — per-vector scales cancel in
+    * the ratio), keeps `preK` candidates per query, and only those pay the
+    * full-precision cosine for the final top-`k`.
+    *
+    * Scale shape: same broadcast-queries single corpus scan as
+    * [[Similarity.bruteForceTopK]], but the scan-side pair work reads 1
+    * byte/element instead of 8 and multiplies integers — the memory-bound
+    * stage gets ~4-8× lighter, which is the whole point of quantizing a
+    * 100 TB embedding store. The exact stage touches only preK rows per
+    * query. Both stages use exactly-rounded arithmetic with total tie
+    * orders (approx cosine 6dp, id tie-break), so the result replays
+    * bit-for-bit in any engine.
+    */
+  def int8RerankTopK(corpus: DataFrame, queries: DataFrame, k: Int, preK: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(preK >= k, s"preK ($preK) must be >= k ($k)")
+    def prep(df: DataFrame, idAs: String, pfx: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+          transform(col(vecCol), x => x.cast("double")).as(s"${pfx}_vec"),
+          int8Codes(col(vecCol)).as(s"${pfx}_codes"))
+        .withColumn(s"${pfx}_norm",
+          sqrt(minietl.functions.vec.dot(col(s"${pfx}_vec"), col(s"${pfx}_vec"))))
+        .withColumn(s"${pfx}_cnorm",
+          sqrt(int8Dot(col(s"${pfx}_codes"), col(s"${pfx}_codes")).cast("double")))
+    val q = prep(queries, "q_id", "q")
+    val c = prep(corpus, "n_id", "n")
+    val pre = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("acos",
+        round(int8Dot(col("q_codes"), col("n_codes")).cast("double") /
+          (col("q_cnorm") * col("n_cnorm")), 6))
+    val wPre = Window.partitionBy("q_id").orderBy(col("acos").desc, col("n_id").asc)
+    val candidates = pre
+      .withColumn("prerank", row_number().over(wPre))
+      .filter(col("prerank") <= preK)
+    val wFin = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    candidates
+      .withColumn("cos",
+        round(minietl.functions.vec.dot(col("q_vec"), col("n_vec")) /
+          (col("q_norm") * col("n_norm")), 4))
+      .withColumn("rank", row_number().over(wFin).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
 }

@@ -36,6 +36,27 @@ class QuantizeSpec extends AnyFunSuite with SparkTestBase {
     assert(err <= 1.0 / 254.0 + 1e-12) // half a quantization step
   }
 
+  test("int8RerankTopK with full preK equals exact brute-force top-k") {
+    val rng = new scala.util.Random(7)
+    val corpus = (1L to 60L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") <= 3)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .orderBy("q_id", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val quant = Quantize.int8RerankTopK(corpus, queries, k = 5, preK = 59)
+      .orderBy("q_id", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(quant === exact) // preK = all candidates -> rerank IS brute force
+    // narrow preK still recalls most of the exact top-5 (int8 error ~1%)
+    val narrow = Quantize.int8RerankTopK(corpus, queries, k = 5, preK = 10)
+      .as[(Long, Long, Double, Long)].collect().map(t => (t._1, t._2)).toSet
+    val hits = exact.map(t => (t._1, t._2)).count(narrow.contains)
+    assert(hits >= 12, s"recall too low: $hits/15")
+    assertThrows[IllegalArgumentException](
+      Quantize.int8RerankTopK(corpus, queries, k = 5, preK = 4))
+  }
+
   test("int8Dot is the exact integer dot of the codes") {
     val d = vecs.filter(col("vec_id") === 1)
       .select(Quantize.int8Dot(

@@ -38,6 +38,22 @@ object VectorOps {
     s
   }
 
+  /** Sequential integer dot product of two int arrays (int8 quantization
+    * codes); 64-bit exact. Same null/length contract as [[dot]].
+    */
+  def dotInt(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0
+    var s = 0L
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getInt(i).toLong * b.getInt(i).toLong
+      i += 1
+    }
+    s
+  }
+
   /** Jaccard similarity of two SORTED distinct long arrays by merge-walk —
     * zero allocation per pair, O(|a|+|b|).
     */
@@ -229,6 +245,29 @@ case class DotProductDouble(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd 64-bit integer dot product of two array<int> columns. */
+case class DotProductInt(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot_int"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotInt(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotIntRes")
+      s"""
+         |java.lang.Long $r = minietl.functions.VectorOps.dotInt($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd Jaccard similarity of two sorted distinct array<bigint> columns. */
 case class JaccardSortedLong(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -339,6 +378,9 @@ object vec {
 
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.minietl.ColumnBridge.column(DotProductDouble(expr(a), expr(b)))
+
+  def dotInt(a: Column, b: Column): Column =
+    org.apache.spark.sql.minietl.ColumnBridge.column(DotProductInt(expr(a), expr(b)))
 
   def jaccardSorted(a: Column, b: Column): Column =
     org.apache.spark.sql.minietl.ColumnBridge.column(JaccardSortedLong(expr(a), expr(b)))

@@ -40,11 +40,13 @@ object Quantize {
 
   /** Integer dot product of two code arrays — a 64-bit exact sum, the cheap
     * pre-ranking score for quantized ANN (rescale by
-    * `scaleA * scaleB / (127*127)` to approximate the real dot).
+    * `scaleA * scaleB / (127*127)` to approximate the real dot). A native
+    * codegen expression ([[minietl.functions.DotProductInt]]): inside the
+    * all-pairs pre-rank join this runs per PAIR, where an interpreted
+    * higher-order fold would dominate the query.
     */
   def int8Dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("bigint") * y.cast("bigint")),
-      lit(0L), (acc, v) => acc + v)
+    minietl.functions.vec.dotInt(a, b)
 
   /** Two-stage quantized top-k cosine: the all-pairs stage ranks by the
     * INT8 approximate cosine (integer dots — per-vector scales cancel in

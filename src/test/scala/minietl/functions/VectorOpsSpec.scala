@@ -15,6 +15,17 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(VectorOps.dot(arr(), arr()) === 0.0)
   }
 
+  test("dotInt: exact 64-bit fold, null on length mismatch") {
+    val iarr = (xs: Seq[Int]) => new GenericArrayData(xs.toArray)
+    assert(VectorOps.dotInt(iarr(Seq(64, -127, 32)), iarr(Seq(64, -127, 32))) ===
+      (64L * 64 + 127L * 127 + 32L * 32))
+    assert(VectorOps.dotInt(iarr(Seq(1, 2)), iarr(Seq(1, 2, 3))) === null)
+    assert(VectorOps.dotInt(iarr(Nil), iarr(Nil)) === 0L)
+    // no 32-bit overflow: 20000 * 127 * 127 > Int.MaxValue
+    val big = iarr(Seq.fill(20000)(127))
+    assert(VectorOps.dotInt(big, big) === 20000L * 127 * 127)
+  }
+
   test("jaccardSorted: merge-walk intersection over sorted distinct arrays") {
     assert(VectorOps.jaccardSorted(larr(1, 2, 3), larr(2, 3, 4)) === 0.5)
     assert(VectorOps.jaccardSorted(larr(1, 2), larr(3, 4)) === 0.0)

@@ -47,6 +47,42 @@ object SparkEntry {
     else df
   }
 
+  /** events as an unbounded file stream: the file-stream source monitors
+    * directories and the testdata table is a single file, so it is staged
+    * into a temp dir via symlink. Same nanos→micros rebuild as [[events]].
+    */
+  private def stagedEventStream(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir) // pins the nanosAsLong conf before the stream reads
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_${math.abs(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream0 = s.readStream.schema(rawSchema).parquet(streamDir.toString)
+    if (rawSchema("ts").dataType == LongType)
+      // integer DIV, same as events(): double division drifts ±1µs
+      stream0.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else stream0
+  }
+
+  /** Drain a streaming aggregate to a memory sink in complete mode with an
+    * AvailableNow trigger (one batch over the staged file) and return the
+    * result table.
+    */
+  private def drainCompleteMode(s: SparkSession, agg: DataFrame,
+                                prefix: String): DataFrame = {
+    val qname = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+  }
+
   private def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   private def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 
@@ -1218,34 +1254,11 @@ object SparkEntry {
     // memory sink — result must match the batch oracle exactly.
     "q_stream_window" -> Q(
       (s, dir) => {
-        events(s, dir) // pins the nanosAsLong conf before the stream reads
-        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        // The file-stream source monitors directories; the testdata table is
-        // a single file, so stage it into a temp dir via symlink.
-        val streamDir = java.nio.file.Paths.get(
-          s"/tmp/graft_stream_${math.abs(dir.hashCode)}")
-        java.nio.file.Files.createDirectories(streamDir)
-        val link = streamDir.resolve("events.parquet")
-        if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(
-            link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-        val stream0 = s.readStream.schema(rawSchema).parquet(streamDir.toString)
-        val stream =
-          if (rawSchema("ts").dataType == LongType)
-            // integer DIV, same as events(): double division drifts ±1µs
-            stream0.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-          else stream0
         val agg = minietl.streaming.Streaming.tumblingAgg(
-          stream, tsCol = "ts", watermarkDelay = "0 seconds",
+          stagedEventStream(s, dir), tsCol = "ts", watermarkDelay = "0 seconds",
           windowDuration = "5 minutes", keys = Seq("event_type"),
           aggs = Map("value" -> Seq("sum", "count")))
-        val qname = s"stream_win_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        val q = agg.writeStream.format("memory").queryName(qname)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(qname)
+        drainCompleteMode(s, agg, "stream_win")
           .select(col("window.start").as("win_start"), col("event_type"),
             round(col("value_sum"), 2).as("value_sum"), col("value_count"))
           .orderBy("win_start", "event_type")
@@ -1253,6 +1266,38 @@ object SparkEntry {
       Some("""SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS win_start,
              |  event_type, round(sum(value), 2) AS value_sum, count(value) AS value_count
              |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
+    // Session windows through the STREAMING path (variable-length gap-merged
+    // state in the session store), drained AvailableNow and checked against
+    // the same lag/islands oracle as the batch q_sessionize.
+    "q_stream_sessionize" -> Q(
+      (s, dir) => {
+        val agg = minietl.streaming.Streaming.sessionAgg(
+          stagedEventStream(s, dir), tsCol = "ts", watermarkDelay = "0 seconds",
+          gap = "30 minutes", keys = Seq("user_id"),
+          aggs = Map("value" -> Seq("sum", "count")))
+        drainCompleteMode(s, agg, "stream_sess")
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("value_count").as("n_events"),
+            round(col("value_sum"), 2).as("total"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, value, event_id,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, ts, value,
+             |    sum(CASE WHEN prev_ts IS NULL
+             |             OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM o)
+             |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+             |  count(*) AS n_events, round(sum(value), 2) AS total
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
 
     // Gopher/C4-style intra-document repetition signals (scan-side arrays)
     "q_repetition_stats" -> Q(

@@ -1511,6 +1511,45 @@ object SparkEntry {
       Some("""SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
              |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
 
+    // Data-quality constraint battery: six checks, ONE aggregation pass
+    // over the frame; the oracle recomputes every aggregate and verdict.
+    "q_quality_checks" -> Q(
+      (s, dir) => {
+        import minietl.schema.Checks._
+        report(t(s, dir, "lineitem"), Seq(
+          complete("l_orderkey"),
+          unique("l_orderkey"),
+          inRange("l_discount", 0.0, 0.1),
+          isIn("l_returnflag", Seq("A", "N", "R")),
+          satisfies("l_quantity <= 50", col("l_quantity") <= 50, 1.0),
+          countBetween(1L, 10000000000L)))
+          .orderBy("check_name")
+      },
+      Some("""WITH a AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nulls,
+             |    CAST(count(l_orderkey) - count(DISTINCT l_orderkey) AS DOUBLE) AS dups,
+             |    CAST(sum(CASE WHEN l_discount IS NOT NULL
+             |                  AND (l_discount < 0.0 OR l_discount > 0.1)
+             |             THEN 1 ELSE 0 END) AS DOUBLE) AS oor,
+             |    CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+             |                  AND l_returnflag NOT IN ('A', 'N', 'R')
+             |             THEN 1 ELSE 0 END) AS DOUBLE) AS outside,
+             |    avg(CAST(CASE WHEN l_quantity <= 50 THEN 1 ELSE 0 END AS DOUBLE)) AS satisfied,
+             |    CAST(count(*) AS DOUBLE) AS n
+             |  FROM lineitem)
+             |SELECT * FROM (
+             |  SELECT 'complete(l_orderkey)' AS check_name, nulls = 0 AS passed,
+             |         nulls AS observed FROM a
+             |  UNION ALL SELECT 'unique(l_orderkey)', dups = 0, dups FROM a
+             |  UNION ALL SELECT 'inRange(l_discount, [0.0, 0.1])', oor = 0, oor FROM a
+             |  UNION ALL SELECT 'isIn(l_returnflag)', outside = 0, outside FROM a
+             |  UNION ALL SELECT 'satisfies(l_quantity <= 50 >= 1.0)',
+             |         satisfied >= 1.0, satisfied FROM a
+             |  UNION ALL SELECT 'countBetween(1, 10000000000)',
+             |         n >= 1 AND n <= 10000000000, n FROM a)
+             |ORDER BY check_name""".stripMargin)),
+
     // Temperature sampling (kept mass per lang ∝ n^0.5): fractions are
     // sqrt-exact doubles, so DuckDB re-derives the identical md5 thresholds
     // from the raw counts — the full computation is replayed, not just the

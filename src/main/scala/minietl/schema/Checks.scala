@@ -84,15 +84,37 @@ object Checks {
     v => { val n = asLong(v); n >= lo && n <= hi },
     v => s"observed ${asLong(v)} rows")
 
-  /** Evaluate all checks in one job; one aggregated row feeds every verdict. */
-  def run(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
+  /** One aggregation job; one aggregated row feeds every verdict. */
+  private def evaluate(df: DataFrame, checks: Seq[Check]): Seq[(Check, Any)] = {
     require(checks.nonEmpty, "no checks given")
     val aggs = checks.zipWithIndex.map { case (c, i) => c.agg.as(s"__c$i") }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    checks.zipWithIndex.map { case (c, i) =>
-      val v = row.get(i)
+    checks.zipWithIndex.map { case (c, i) => (c, row.get(i)) }
+  }
+
+  /** Evaluate all checks in one job; one aggregated row feeds every verdict. */
+  def run(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] =
+    evaluate(df, checks).map { case (c, v) =>
       CheckResult(c.name, c.passes(v), c.describe(v))
     }
+
+  /** [[run]] as a one-row-per-check DataFrame (check_name, passed, observed)
+    * — the shape a quality dashboard or the oracle battery consumes. The
+    * observed aggregates are exact cross-engine: counting checks are
+    * integers, ratio checks divide an exact 0/1 sum by the row count (both
+    * exactly rounded IEEE ops).
+    */
+  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    evaluate(df, checks).map { case (c, v) =>
+      val observed = v match {
+        case null => None
+        case n: Number => Some(n.doubleValue())
+        case _ => None
+      }
+      (c.name, c.passes(v), observed)
+    }.toDF("check_name", "passed", "observed")
   }
 
   /** Throw on any failed check (for pipeline gating). */

@@ -56,6 +56,20 @@ class ChecksSpec extends AnyFunSuite with SparkTestBase {
     assert(results.forall(_.passed), results.filterNot(_.passed).toString)
   }
 
+  test("report mirrors run as a (check_name, passed, observed) frame") {
+    val checks = Seq(
+      Checks.complete("id"), Checks.unique("id"),
+      Checks.satisfies("pos", col("score") >= 0, 1.0))
+    val rep = Checks.report(df, checks).orderBy("check_name")
+      .as[(String, Boolean, Option[Double])].collect().toSeq
+    val byName = Checks.run(df, checks).map(r => r.name -> r.passed).toMap
+    assert(rep.map(_._1).toSet === byName.keySet)
+    rep.foreach { case (name, passed, obs) =>
+      assert(passed === byName(name))
+      assert(obs.isDefined) // all three aggregates observe a number
+    }
+  }
+
   test("checks integrate as a pipeline gate") {
     val p = new minietl.pipeline.PipelineBuilder("gated")
       .fromDataFrame(df)

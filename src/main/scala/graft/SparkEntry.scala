@@ -674,6 +674,37 @@ object SparkEntry {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // Nearest-direction as-of (pandas merge_asof direction='nearest', ties
+    // prefer backward): both arms ride one shuffle+sort; the oracle picks
+    // per left row via a correlated LATERAL ordered by absolute gap.
+    "q_asof_nearest" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cts"), col("value").as("cval"))
+        minietl.ops.Joins.asof(purchases, clicks, on = Seq("user_id"),
+            leftTs = "ts", rightTs = "cts",
+            rightPayload = Seq("cts" -> "click_ts", "cval" -> "click_value"),
+            direction = minietl.ops.Joins.Nearest)
+          .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"),
+            round(col("click_value"), 2).as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+             |  CAST(n.cts AS TIMESTAMP) AS click_ts,
+             |  round(n.cval, 2) AS click_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |LEFT JOIN LATERAL (
+             |  SELECT c.ts AS cts, c.value AS cval
+             |  FROM events c
+             |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+             |  ORDER BY CASE WHEN c.ts <= p.ts THEN p.ts - c.ts ELSE c.ts - p.ts END,
+             |           CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END
+             |  LIMIT 1) n ON TRUE
+             |ORDER BY p.event_id""".stripMargin)),
+
     // Range join (bin-explode equi-join, no nested loop — Joins.rangeJoin
     // scaladoc): event values against overlapping width-10 value bands.
     "q_range_join" -> Q(

@@ -28,6 +28,10 @@ object Joins {
   case object Backward extends AsofDirection
   /** match the EARLIEST right row with right.ts >= left.ts */
   case object Forward extends AsofDirection
+  /** match whichever of the Backward/Forward candidates is closer in time;
+    * equal distance prefers Backward (pandas `merge_asof` tie rule)
+    */
+  case object Nearest extends AsofDirection
 
   /** As-of join (pandas `merge_asof` semantics, left-outer): every left row,
     * plus the payload of the single right row nearest in time on the chosen
@@ -60,9 +64,11 @@ object Joins {
     // right rows sort inside the frame at equal ts (inclusive match):
     // Backward looks at preceding rows, so right must sort BEFORE left;
     // Forward looks at following rows, so right must sort AFTER left.
+    // Nearest sorts right BEFORE left: the equal-ts right is then caught by
+    // its backward arm at distance zero, which no forward match can beat.
     val (lRank, rRank) = direction match {
-      case Backward => (1, 0)
-      case Forward  => (0, 1)
+      case Forward => (0, 1)
+      case _       => (1, 0)
     }
     val lSide = left.select(
       on.map(col) ++ Seq(
@@ -77,27 +83,39 @@ object Joins {
 
     val base = if (on.nonEmpty) Window.partitionBy(on.map(col): _*) else Window.partitionBy()
     val ordered = base.orderBy(col("__ts"), col("__side"))
-    val w = direction match {
-      case Backward => ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      case Forward  => ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    }
-    val pick = direction match {
-      case Backward => last(col("__r"), ignoreNulls = true).over(w)
-      case Forward  => first(col("__r"), ignoreNulls = true).over(w)
-    }
+    def backPick = last(col("__r"), ignoreNulls = true)
+      .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    def fwdPick = first(col("__r"), ignoreNulls = true)
+      .over(ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing))
 
-    val matched = lSide.unionByName(rSide)
-      .withColumn("__m", pick)
-      .where(col("__side") === lRank)
+    val union = lSide.unionByName(rSide)
+    val matched = direction match {
+      case Backward => union.withColumn("__m", backPick)
+      case Forward  => union.withColumn("__m", fwdPick)
+      case Nearest  =>
+        // both arms ride the SAME sort/partition: one Exchange + Sort, two
+        // Window nodes — not two shuffles
+        val both = union.withColumn("__mb", backPick).withColumn("__mf", fwdPick)
+        val gapB = col("__ts") - col("__mb")(rightTs)
+        val gapF = col("__mf")(rightTs) - col("__ts")
+        val okB = col("__mb").isNotNull && tolerance.map(gapB <= _).getOrElse(lit(true))
+        val okF = col("__mf").isNotNull && tolerance.map(gapF <= _).getOrElse(lit(true))
+        both.withColumn("__m",
+            when(okB && okF, when(gapF < gapB, col("__mf")).otherwise(col("__mb")))
+              .when(okB, col("__mb"))
+              .when(okF, col("__mf")))
+          .drop("__mb", "__mf")
+    }
+    val sided = matched.where(col("__side") === lRank)
 
-    val withinTol = tolerance match {
-      case None => matched
-      case Some(tol) =>
+    val withinTol = (direction, tolerance) match {
+      case (Nearest, _) | (_, None) => sided // Nearest applied it per arm
+      case (_, Some(tol)) =>
         val gap = direction match {
-          case Backward => col("__ts") - col("__m")(rightTs)
-          case Forward  => col("__m")(rightTs) - col("__ts")
+          case Forward => col("__m")(rightTs) - col("__ts")
+          case _       => col("__ts") - col("__m")(rightTs)
         }
-        matched.withColumn("__m", when(col("__m").isNotNull && gap <= tol, col("__m")))
+        sided.withColumn("__m", when(col("__m").isNotNull && gap <= tol, col("__m")))
     }
 
     withinTol.select(

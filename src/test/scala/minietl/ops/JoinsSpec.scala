@@ -59,6 +59,43 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
       Seq((5L, None), (20L, Some(2.0)), (25L, Some(2.0)), (99L, None)))
   }
 
+  test("asof nearest picks the closer side; ties prefer backward") {
+    val out = Joins.asof(trades, quotes, on = Seq("sym"),
+        leftTs = "tts", rightTs = "qts",
+        rightPayload = Seq("px" -> "px"), direction = Joins.Nearest)
+      .orderBy("sym", "tts")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      ("A", 5L, Some(1.0)),   // only forward exists (gap 5)
+      ("A", 20L, Some(2.0)),  // exact hit
+      ("A", 25L, Some(2.0)),  // back gap 5 == fwd gap 5 → backward wins
+      ("A", 99L, Some(3.0)),  // only backward exists
+      ("B", 14L, Some(9.0)),  // forward gap 1
+      ("C", 50L, None)))
+  }
+
+  test("asof nearest applies tolerance to each arm before choosing") {
+    val out = Joins.asof(trades, quotes, on = Seq("sym"),
+        leftTs = "tts", rightTs = "qts",
+        rightPayload = Seq("px" -> "px"), direction = Joins.Nearest,
+        tolerance = Some(lit(4L)))
+      .orderBy("sym", "tts")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    // A@25: both arms at gap 5 > 4 → null; A@5 fwd gap 5 > 4 → null
+    assert(out.collect { case ("A", t, p) => (t, p) } ===
+      Seq((5L, None), (20L, Some(2.0)), (25L, None), (99L, None)))
+  }
+
+  test("asof nearest still runs on one exchange (two window arms, no join)") {
+    val out = Joins.asof(trades, quotes, on = Seq("sym"),
+      leftTs = "tts", rightTs = "qts", rightPayload = Seq("px" -> "px"),
+      direction = Joins.Nearest)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in plan:\n$plan")
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"more than one exchange:\n$plan")
+  }
+
   test("asof plan is a single shuffle, not a join") {
     val out = Joins.asof(trades, quotes, on = Seq("sym"),
       leftTs = "tts", rightTs = "qts", rightPayload = Seq("px" -> "px"))

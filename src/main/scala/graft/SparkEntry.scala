@@ -674,6 +674,27 @@ object SparkEntry {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // Trailing 1-hour rolling aggregates per user (time-range window over
+    // exact integer microseconds; the value sum is a DECIMAL so window
+    // accumulation order cannot flip low bits).
+    "q_rolling_agg" -> Q(
+      (s, dir) => {
+        val w = Ops.rollingWindow(Seq("user_id"), "ts", rangeSeconds = 3600)
+        events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("value").cast("decimal(18,2)")).over(w)
+              .cast("decimal(38,2)").as("sum_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS sum_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
     // Nearest-direction as-of (pandas merge_asof direction='nearest', ties
     // prefer backward): both arms ride one shuffle+sort; the oracle picks
     // per left row via a correlated LATERAL ordered by absolute gap.

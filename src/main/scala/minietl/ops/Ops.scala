@@ -329,6 +329,23 @@ object Ops {
     df => stratifiedHashSample(keyCol, strataCol,
       temperatureFractions(df, strataCol, targetFraction, alpha))(df)
 
+  /** Trailing time-range window per key: the WindowSpec for rolling
+    * aggregates ("events in the last hour per user"). Ordered by EXACT
+    * integer microseconds — fractional-seconds range bounds differ between
+    * engines, integer micros replay everywhere. One shuffle on the keys;
+    * each aggregate is an O(n) sliding accumulation per partition.
+    */
+  def rollingWindow(keys: Seq[String], tsCol: String,
+                    rangeSeconds: Long): org.apache.spark.sql.expressions.WindowSpec = {
+    require(rangeSeconds >= 0, s"rangeSeconds must be >= 0: $rangeSeconds")
+    val base =
+      if (keys.nonEmpty)
+        org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+      else org.apache.spark.sql.expressions.Window.partitionBy()
+    base.orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-rangeSeconds * 1000000L, 0L)
+  }
+
   /** Keep documents, in `order`, until each stratum's running token total
     * exceeds `budget` — the "N tokens per source" corpus-composition step.
     * `order` must be a total order (e.g. [[shuffleKey]] for a random-but-

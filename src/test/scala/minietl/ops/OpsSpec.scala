@@ -295,6 +295,19 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rev === Set(4L, 3L, 6L))
   }
 
+  test("rollingWindow: trailing range is inclusive of the bound, per key") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+      ("u1", ts(0), 1L), ("u1", ts(50), 2L), ("u1", ts(60), 4L),
+      ("u1", ts(200), 8L), ("u2", ts(55), 16L)).toDF("u", "ts", "v")
+    val w = Ops.rollingWindow(Seq("u"), "ts", rangeSeconds = 60)
+    val out = df.select(col("u"), col("ts"), sum("v").over(w).as("s"))
+      .orderBy("u", "ts").as[(String, java.sql.Timestamp, Long)].collect().toSeq
+    // u1@60 includes 0 (exactly 60 s back — inclusive), 50, 60; u1@200 only itself
+    assert(out.map(_._3) === Seq(1L, 3L, 7L, 8L, 16L))
+    assertThrows[IllegalArgumentException](Ops.rollingWindow(Nil, "ts", -1))
+  }
+
   test("chain composes stages left-to-right") {
     val op = Ops.chain(
       Ops.filter(col("value") > 150),

@@ -1755,6 +1755,133 @@ object SparkEntry {
         "documents", "doc_id",
         """regexp_replace(text, '((\S+ ){2}\S+) ', '\1' || chr(10), 'g')""",
         "chr(10)") + "\nORDER BY doc_id")),
+
+    // Ordered funnel signup → click → purchase per user: every stage is a
+    // prefix-scan window over ONE (user, ts, event_id) sort; the oracle
+    // replays the identical prefix-min recurrence.
+    "q_funnel" -> Q(
+      (s, dir) =>
+        minietl.events.EventAnalytics.funnel(events(s, dir), "user_id",
+            "event_type", "ts", "event_id", Seq("signup", "click", "purchase"))
+          .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             |               event_id FROM events),
+             |w1 AS (SELECT *,
+             |  CASE WHEN event_type = 'signup' THEN ts END AS c1,
+             |  min(CASE WHEN event_type = 'signup' THEN ts END)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS UNBOUNDED PRECEDING) AS r1 FROM e),
+             |w2 AS (SELECT *,
+             |  CASE WHEN event_type = 'click' AND r1 <= ts THEN ts END AS c2 FROM w1),
+             |w2m AS (SELECT *, min(c2)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS UNBOUNDED PRECEDING) AS r2 FROM w2),
+             |w3 AS (SELECT *,
+             |  CASE WHEN event_type = 'purchase' AND r2 <= ts THEN ts END AS c3 FROM w2m)
+             |SELECT user_id, min(c1) AS t_signup, min(c2) AS t_click,
+             |  min(c3) AS t_purchase,
+             |  CAST((CASE WHEN min(c1) IS NOT NULL THEN 1 ELSE 0 END)
+             |     + (CASE WHEN min(c2) IS NOT NULL THEN 1 ELSE 0 END)
+             |     + (CASE WHEN min(c3) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
+             |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Weekly cohort retention heat-map cells (all-integer offsets).
+    "q_cohort_retention" -> Q(
+      (s, dir) =>
+        minietl.events.EventAnalytics.cohortRetention(events(s, dir), "user_id", "ts")
+          .orderBy("cohort_week", "week_offset"),
+      Some("""WITH a AS (SELECT user_id,
+             |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+             |f AS (SELECT user_id, day,
+             |        min(day) OVER (PARTITION BY user_id) AS first_day FROM a)
+             |SELECT CAST(date_trunc('week', first_day) AS DATE) AS cohort_week,
+             |  CAST(date_diff('day', first_day, day) // 7 AS BIGINT) AS week_offset,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+             |FROM f GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // Daily purchase totals resampled to a dense per-user calendar with
+    // forward-fill; gap days ride the lag window (no dense-spine join).
+    "q_resample_ffill" -> Q(
+      (s, dir) =>
+        minietl.events.EventAnalytics.resampleDaily(
+            events(s, dir).where(col("event_type") === "purchase"),
+            "user_id", "ts", "value")
+          .orderBy("user_id", "day"),
+      Some("""WITH daily AS (
+             |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS day_total
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |l AS (SELECT *, lag(day) OVER w AS prev_day,
+             |        lag(day_total) OVER w AS prev_total
+             |      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+             |x AS (SELECT user_id, day, day_total, prev_total,
+             |        CAST(unnest(generate_series(
+             |          CAST(coalesce(prev_day + 1, day) AS TIMESTAMP),
+             |          CAST(day AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+             |      FROM l)
+             |SELECT user_id, d AS day, (d = day) AS observed,
+             |  CASE WHEN d = day THEN day_total ELSE prev_total END AS day_total
+             |FROM x ORDER BY user_id, day""".stripMargin)),
+
+    // kNN majority-vote classification over the labeled embedding corpus
+    // (top-10 cosine neighbors; deterministic vote tie-break).
+    "q_knn_label" -> Q(
+      (s, dir) => {
+        val e = embeddings(s, dir)
+        minietl.sim.Similarity.knnClassify(e, e.filter(col("vec_id") < 20),
+            k = 10, labelCol = "label")
+          .orderBy("q_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+             |           FROM embeddings),
+             |q AS (SELECT * FROM e WHERE vec_id < 20),
+             |scored AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label,
+             |    round(list_cosine_similarity(q.v, c.v), 4) AS cos
+             |  FROM q, e c WHERE q.vec_id != c.vec_id),
+             |ranked AS (SELECT *, row_number()
+             |  OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk FROM scored),
+             |votes AS (SELECT q_id, CAST(label AS BIGINT) AS lbl,
+             |    CAST(count(*) AS BIGINT) AS votes, max(cos) AS best_cos
+             |  FROM ranked WHERE rk <= 10 GROUP BY 1, 2)
+             |SELECT q_id, lbl AS pred_label, votes FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY q_id
+             |    ORDER BY votes DESC, best_cos DESC, lbl) AS rn FROM votes)
+             |WHERE rn = 1 ORDER BY q_id""".stripMargin)),
+
+    // Hashing-trick featurization: dim-32 TF vector + distinct-slot count
+    // under the portable md5-60-bit hash contract — full DuckDB replay.
+    "q_feature_hash" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .select(col("doc_id"),
+            minietl.text.FeatureHash.tfVector(col("text"), 32).as("tf"),
+            minietl.text.FeatureHash.nnz(col("text"), 32).as("nnz"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |${minietl.text.FeatureHash.oracleExpr("text", 32)} AS tf,
+              |${minietl.text.FeatureHash.nnzOracleExpr("text", 32)} AS nnz
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Canonical text normalization over a deterministically uglified input
+    // (tabs, doubled spaces, uppercase) so the scrub is actually exercised.
+    "q_text_normalize" -> Q(
+      (s, dir) => {
+        val ugly = concat(lit("\t "), upper(col("text")), lit("  \n"))
+        documents(s, dir)
+          .select(col("doc_id"),
+            minietl.text.TextAnalysis.normalizeText(ugly).as("norm_text"),
+            minietl.text.TextAnalysis.tokenCount(
+              minietl.text.TextAnalysis.normalizeText(ugly)).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val ugly = "chr(9) || ' ' || upper(text) || '  ' || chr(10)"
+        val norm = minietl.text.TextAnalysis.normalizeOracleExpr(ugly)
+        s"""SELECT doc_id, $norm AS norm_text,
+           |  CAST(len(string_split($norm, ' ')) AS BIGINT) AS n_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
   )
 
   private val registry: Seq[(String, Q)] = relational ++ pipelineExtras

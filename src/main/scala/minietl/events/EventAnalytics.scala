@@ -1,0 +1,106 @@
+package minietl.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over an immutable event log — funnel completion,
+  * cohort retention, and calendar resampling with forward-fill. These are
+  * supersets of the reference's capabilities (SURVEY §2.8): mini-etl's
+  * transformer set has no ordered-sequence operators at all
+  * (reference mini_etl/components/transformers.py covers only row-local and
+  * group-agg transforms).
+  *
+  * Scale notes (100 TB event logs):
+  *  - [[funnel]] is ONE shuffle: every stage is a prefix-scan window over the
+  *    same (entity, ts, tie) sort, and the final per-entity aggregate reuses
+  *    the window's hash partitioning — no joins, no second exchange, no
+  *    per-entity collect.
+  *  - [[cohortRetention]] shuffles twice (entity window, then the cohort-cell
+  *    aggregate whose cardinality is weeks², i.e. tiny).
+  *  - [[resampleDaily]] is the lag-gap-fill formulation: two exchanges (daily
+  *    pre-aggregate, entity window) and row growth bounded by the emitted
+  *    calendar spine — it never materializes a dense spine × join like the
+  *    naive generate-series-then-outer-join plan.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: for each entity, the earliest `stages(0)` event, then the
+    * earliest `stages(1)` event at-or-after it, and so on. Emits one row per
+    * entity with a `t_<stage>` timestamp per stage (null once the funnel is
+    * abandoned) and `depth` = number of stages reached.
+    *
+    * Events with identical timestamps are ordered by `tieCol` (must be
+    * unique) so the stage attribution is deterministic: a same-instant
+    * predecessor event only counts if it sorts before the successor.
+    */
+  def funnel(df: DataFrame, entityCol: String, typeCol: String, tsCol: String,
+             tieCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size, s"duplicate funnel stages: $stages")
+    val w = Window.partitionBy(entityCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var cur = df
+    var prevReach: Option[Column] = None
+    stages.zipWithIndex.foreach { case (stage, i) =>
+      val cand = prevReach match {
+        case None    => when(col(typeCol) === stage, col(tsCol))
+        case Some(p) => when(col(typeCol) === stage && p <= col(tsCol), col(tsCol))
+      }
+      cur = cur.withColumn(s"__cand_$i", cand)
+      // prefix min INCLUDING the current row: "stage k-1 already reached by
+      // the time this row fires" — evaluated inside the same sorted pass
+      prevReach = Some(min(col(s"__cand_$i")).over(w))
+    }
+    val stageMins = stages.zipWithIndex.map { case (stage, i) =>
+      min(col(s"__cand_$i")).as(s"t_$stage")
+    }
+    val agged = cur.groupBy(col(entityCol)).agg(stageMins.head, stageMins.tail: _*)
+    val depth = stages.map(s => when(col(s"t_$s").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    agged.withColumn("depth", depth.cast("bigint"))
+  }
+
+  /** Weekly cohort retention: cohort = ISO week (Monday) of the entity's first
+    * activity day; a (cohort_week, week_offset) cell counts the distinct
+    * entities active `week_offset` weeks after their first day. Offsets are
+    * whole-day integer division — no float anywhere.
+    */
+  def cohortRetention(df: DataFrame, entityCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy(entityCol)
+    df.select(col(entityCol), to_date(col(tsCol)).as("__day"))
+      .withColumn("__first", min(col("__day")).over(w))
+      .select(col(entityCol),
+        date_trunc("week", col("__first")).cast("date").as("cohort_week"),
+        expr("CAST(datediff(__day, __first) DIV 7 AS BIGINT)").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col(entityCol)).as("n_active"))
+  }
+
+  /** Daily resample with forward-fill: per entity, one row per calendar day
+    * from its first to its last active day; `day_total` is the day's exact
+    * DECIMAL sum of `valueCol` when observed, else the previous observed
+    * day's total (classic ffill). `observed` marks real vs filled rows.
+    *
+    * Gap-fill rides the lag window: each observed day emits itself plus the
+    * gap days since the previous observation (carrying that previous total),
+    * so no dense spine is ever joined against the fact table.
+    */
+  def resampleDaily(df: DataFrame, entityCol: String, tsCol: String,
+                    valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(entityCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(38,2)").as("day_total"))
+    val w = Window.partitionBy(entityCol).orderBy(col("day").asc)
+    daily
+      .withColumn("__prev_day", lag(col("day"), 1).over(w))
+      .withColumn("__prev_total", lag(col("day_total"), 1).over(w))
+      .select(col(entityCol), col("day"), col("day_total"), col("__prev_total"),
+        explode(sequence(coalesce(date_add(col("__prev_day"), 1), col("day")),
+          col("day"))).as("__d"))
+      .select(col(entityCol), col("__d").as("day"),
+        (col("__d") === col("day")).as("observed"),
+        when(col("__d") === col("day"), col("day_total"))
+          .otherwise(col("__prev_total")).as("day_total"))
+  }
+}

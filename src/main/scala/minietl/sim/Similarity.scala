@@ -284,4 +284,30 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** k-nearest-neighbor label vote: classify each query vector by the
+    * majority label among its top-k cosine neighbors in the labeled corpus.
+    * Ties break by (votes desc, best neighbor cosine desc, label asc) —
+    * fully deterministic and engine-replayable.
+    *
+    * Plan shape: one corpus scan (the broadcast-queries top-k of
+    * [[bruteForceTopK]]), then a label join on the k×|queries| survivor set
+    * (tiny — AQE broadcasts it) and a vote aggregate whose cardinality is
+    * |queries|×|labels|. The 100 TB cost is the corpus scan; everything
+    * after it is query-batch-sized.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int, labelCol: String,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val top = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    val labels = corpus.select(col(idCol).as("n_id"),
+      col(labelCol).cast("bigint").as("label"))
+    val votes = top.join(labels, "n_id")
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), max(col("cos")).as("best_cos"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("votes").desc, col("best_cos").desc, col("label").asc)
+    votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+  }
 }

@@ -47,6 +47,26 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("ngram"))
       .limit(k)
 
+  /** Canonical whitespace/case normalization, the standard pre-dedup scrub:
+    * ASCII-lowercase, control chars (C0 + DEL) to spaces, whitespace runs
+    * collapsed to single spaces, ends trimmed. Pure scan-side codegen.
+    *
+    * Portable by construction: both regexes are in the Java∩RE2 dialect
+    * subset (explicit char classes, no \s shorthand whose members differ
+    * between engines), and `lower` agrees across engines on ASCII — the
+    * reference corpus is verified pure-ASCII; non-ASCII case folding is
+    * engine-specific and outside this contract.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x1f\\x7f]", " "),
+      "[ ]+", " "))
+
+  /** DuckDB twin of [[normalizeText]] over SQL fragment `textSql`. */
+  def normalizeOracleExpr(textSql: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($textSql), " +
+      s"'[\\x00-\\x1f\\x7f]', ' ', 'g'), '[ ]+', ' ', 'g'))"
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
 
   def regexTokenCount(text: Column): Column = size(regexTokens(text)).cast("bigint")

@@ -1,0 +1,111 @@
+package minietl.events
+
+import java.sql.Timestamp
+
+import minietl.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val log = Seq(
+    // user 1: full funnel in order
+    (1L, 10L, "signup", "2024-01-01 10:00:00", 5.0),
+    (1L, 11L, "click", "2024-01-01 11:00:00", 1.0),
+    (1L, 12L, "purchase", "2024-01-02 09:00:00", 20.0),
+    // user 2: purchase BEFORE any click — funnel stops at signup
+    (2L, 20L, "purchase", "2024-01-01 08:00:00", 9.0),
+    (2L, 21L, "signup", "2024-01-01 09:00:00", 0.0),
+    (2L, 22L, "view", "2024-01-03 09:00:00", 0.0),
+    // user 3: clicks but never signs up — depth 0
+    (3L, 30L, "click", "2024-01-05 10:00:00", 2.0),
+    (3L, 31L, "purchase", "2024-01-05 11:00:00", 7.0)
+  ).toDF("user_id", "event_id", "event_type", "ts_s", "value")
+    .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+
+  test("funnel attributes stages in order and stops on abandonment") {
+    val out = EventAnalytics.funnel(log, "user_id", "event_type", "ts",
+      "event_id", Seq("signup", "click", "purchase"))
+      .orderBy("user_id").collect()
+    assert(out.length === 3)
+    val u1 = out(0)
+    assert(u1.getAs[Timestamp]("t_signup") === ts("2024-01-01 10:00:00"))
+    assert(u1.getAs[Timestamp]("t_click") === ts("2024-01-01 11:00:00"))
+    assert(u1.getAs[Timestamp]("t_purchase") === ts("2024-01-02 09:00:00"))
+    assert(u1.getAs[Long]("depth") === 3L)
+    val u2 = out(1) // the pre-signup purchase must not count
+    assert(u2.getAs[Timestamp]("t_signup") === ts("2024-01-01 09:00:00"))
+    assert(u2.getAs[Timestamp]("t_click") === null)
+    assert(u2.getAs[Timestamp]("t_purchase") === null)
+    assert(u2.getAs[Long]("depth") === 1L)
+    val u3 = out(2) // no signup at all
+    assert(u3.getAs[Timestamp]("t_signup") === null)
+    assert(u3.getAs[Long]("depth") === 0L)
+  }
+
+  test("funnel counts a later same-type event once a predecessor lands") {
+    // second purchase happens after the click → that one is attributed
+    val extra = log.unionByName(Seq(
+      (2L, 23L, "click", ts("2024-01-02 09:00:00"), 1.0),
+      (2L, 24L, "purchase", ts("2024-01-02 10:00:00"), 3.0)
+    ).toDF("user_id", "event_id", "event_type", "ts", "value"))
+    val u2 = EventAnalytics.funnel(extra, "user_id", "event_type", "ts",
+      "event_id", Seq("signup", "click", "purchase"))
+      .where(col("user_id") === 2L).collect()(0)
+    assert(u2.getAs[Timestamp]("t_click") === ts("2024-01-02 09:00:00"))
+    assert(u2.getAs[Timestamp]("t_purchase") === ts("2024-01-02 10:00:00"))
+    assert(u2.getAs[Long]("depth") === 3L)
+  }
+
+  test("funnel rejects duplicate stages") {
+    val e = intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(log, "user_id", "event_type", "ts", "event_id",
+        Seq("click", "click"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("cohortRetention computes ISO-week cohorts and whole-week offsets") {
+    val out = EventAnalytics.cohortRetention(log, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset").collect()
+    // users 1+2 first seen Mon 2024-01-01 (cohort 2024-01-01); user 2 active
+    // again on Jan 3 (offset 0); user 3 first seen Fri Jan 5 (same ISO week)
+    assert(out.map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("2024-01-01", 0L, 3L)))
+  }
+
+  test("cohortRetention separates later weeks") {
+    val two = Seq(
+      (1L, 1L, "view", ts("2024-01-01 10:00:00"), 0.0),
+      (1L, 2L, "view", ts("2024-01-09 10:00:00"), 0.0), // 8 days → offset 1
+      (2L, 3L, "view", ts("2024-01-10 10:00:00"), 0.0) // cohort week Jan 8
+    ).toDF("user_id", "event_id", "event_type", "ts", "value")
+    val out = EventAnalytics.cohortRetention(two, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq(("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+
+  test("resampleDaily fills calendar gaps with the previous observed total") {
+    val out = EventAnalytics.resampleDaily(
+      log.where(col("user_id") === 2L), "user_id", "ts", "value")
+      .orderBy("day").collect()
+      .map(r => (r.getDate(1).toString, r.getBoolean(2),
+        Option(r.getDecimal(3)).map(_.toPlainString).orNull))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", true, "9.00"), // purchase 9.0 + signup 0.0
+      ("2024-01-02", false, "9.00"), // gap day carries Jan 1 total
+      ("2024-01-03", true, "0.00")))
+  }
+
+  test("resampleDaily emits one dense row per day per entity") {
+    val out = EventAnalytics.resampleDaily(log, "user_id", "ts", "value")
+    // user 1: Jan 1-2 (2 rows); user 2: Jan 1-3 (3); user 3: Jan 5 (1)
+    assert(out.count() === 6L)
+    assert(out.where(!col("observed")).count() === 1L)
+  }
+}

@@ -124,6 +124,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(warns.exists(w => w.contains("cosineNearDup") && w.contains("non-discriminative")))
   }
 
+  test("knnClassify votes the majority neighbor label with deterministic ties") {
+    // labeled corpus: x-axis cluster labeled 1, y-axis cluster labeled 2
+    val labeled = Seq(
+      (10L, Seq(1f, 0f, 0f), 1),
+      (11L, Seq(0.95f, 0.05f, 0f), 1),
+      (12L, Seq(0.9f, 0.1f, 0f), 1),
+      (20L, Seq(0f, 1f, 0f), 2),
+      (21L, Seq(0.05f, 0.95f, 0f), 2),
+      (0L, Seq(0.98f, 0.02f, 0f), 9) // query's own row, excluded by id
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(labeled,
+      labeled.where(col("vec_id") === 0L), k = 3, labelCol = "label")
+      .collect()(0)
+    assert(out.getAs[Long]("q_id") === 0L)
+    assert(out.getAs[Long]("pred_label") === 1L)
+    assert(out.getAs[Long]("votes") === 3L)
+  }
+
+  test("knnClassify tie-break prefers the closer, then smaller, label") {
+    val labeled = Seq(
+      (1L, Seq(1f, 0f), 7), // cos 1.0 with query
+      (2L, Seq(0.5f, 0.5f), 3), // cos ~0.707
+      (0L, Seq(1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(labeled,
+      labeled.where(col("vec_id") === 0L), k = 2, labelCol = "label")
+      .collect()(0)
+    // one vote each → best_cos decides: label 7 (cos 1.0) beats 3 (0.7071)
+    assert(out.getAs[Long]("pred_label") === 7L)
+    assert(out.getAs[Long]("votes") === 1L)
+  }
+
   test("lshSignature is deterministic and within [0, 2^bits)") {
     val sigs = corpus.select(Similarity.lshSignature(col("embedding"), 4, 3).as("s"))
       .as[Int].collect()

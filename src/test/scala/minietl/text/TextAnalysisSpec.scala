@@ -17,6 +17,14 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(one(TextAnalysis.regexTokenCount(lit("Hello, world!"))).getLong(0) === 4L)
   }
 
+  test("normalizeText lowercases, scrubs control chars, collapses spaces") {
+    assert(one(TextAnalysis.normalizeText(lit("\t Hello  WORLD \n")))
+      .getString(0) === "hello world")
+    assert(one(TextAnalysis.normalizeText(lit("already clean")))
+      .getString(0) === "already clean")
+    assert(one(TextAnalysis.normalizeText(lit(""))).getString(0) === "")
+  }
+
   test("uniqueTokenRatio flags repetition") {
     assert(one(TextAnalysis.uniqueTokenRatio(lit("a a a a"))).getDouble(0) === 0.25)
     assert(one(TextAnalysis.uniqueTokenRatio(lit("a b c d"))).getDouble(0) === 1.0)

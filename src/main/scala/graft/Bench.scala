@@ -2,10 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query at SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. A full pass at sf0.001 first warms the JVM (JIT,
-  * codegen cache, parquet footer reads) so the timed numbers measure the
-  * queries, not startup — otherwise the first timed query absorbs ~5 s of
-  * one-time cost.
+  * prints one JSON line. Untimed warm-up passes at sf0.001 AND sf0.01 first
+  * warm the JVM so the timed numbers measure the queries, not startup.
+  * Two scales because they warm different things: sf0.001 compiles the
+  * plans (Catalyst + codegen classes); sf0.01 supplies enough loop
+  * iterations to push the string-heavy hot loops (explode+agg, LSH plane
+  * dots) through C2 — measured: q_tfidf at sf0.1 is 11.4 s after an
+  * sf0.001-only warm-up but 2.3 s after sf0.001+sf0.01.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,11 +22,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, "/root/testdata/sf0.001").count(); () }
-      catch { case _: Throwable => () }
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { warmDir =>
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count(); () }
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
     }
-    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1849,6 +1849,47 @@ object SparkEntry {
              |    ORDER BY votes DESC, best_cos DESC, lbl) AS rn FROM votes)
              |WHERE rn = 1 ORDER BY q_id""".stripMargin)),
 
+    // Per-type 3-sigma outlier flags with the division/sqrt-free EXACT
+    // decision (n·x−S)² > k²(n·Q−S²) in cents — no float in the flag.
+    "q_sigma_outliers" -> Q(
+      (s, dir) =>
+        minietl.events.EventAnalytics.sigmaOutliers(events(s, dir),
+            Seq("event_type"), "value", k = 3)
+          .select(col("event_id"), col("event_type"),
+            (round(col("value"), 2) + lit(0.0)).as("value"),
+            col("group_n"), col("is_outlier"))
+          .orderBy("event_id"),
+      Some("""WITH b AS (SELECT event_id, event_type, value,
+             |            CAST(round(value * 100, 0) AS BIGINT) AS xc FROM events),
+             |w AS (SELECT *,
+             |        CAST(count(xc) OVER g AS BIGINT) AS n,
+             |        CAST(sum(xc) OVER g AS BIGINT) AS s,
+             |        CAST(sum(xc * xc) OVER g AS BIGINT) AS q
+             |      FROM b WINDOW g AS (PARTITION BY event_type)),
+             |d AS (SELECT *, n * xc - s AS dev FROM w)
+             |SELECT event_id, event_type, round(value, 2) + 0.0 AS value,
+             |  n AS group_n,
+             |  coalesce(CAST(dev AS DECIMAL(19,0)) * CAST(dev AS DECIMAL(19,0)) >
+             |    (CAST(n AS DECIMAL(16,0)) * CAST(q AS DECIMAL(19,0)) -
+             |     CAST(s AS DECIMAL(17,0)) * CAST(s AS DECIMAL(18,0)))
+             |      * CAST(9 AS DECIMAL(2,0)), false) AS is_outlier
+             |FROM d ORDER BY event_id""".stripMargin)),
+
+    // Decile bucketing (equal-frequency binning) per event type — a
+    // standard-SQL superset op; ntile ties resolve by the unique order key.
+    "q_ntile" -> Q(
+      (s, dir) =>
+        events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            ntile(10).over(Window.partitionBy("event_type")
+              .orderBy(col("value").asc, col("event_id").asc))
+              .cast("bigint").as("decile"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, event_type,
+             |  CAST(ntile(10) OVER (PARTITION BY event_type
+             |    ORDER BY value, event_id) AS BIGINT) AS decile
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Hashing-trick featurization: dim-32 TF vector + distinct-slot count
     // under the portable md5-60-bit hash contract — full DuckDB replay.
     "q_feature_hash" -> Q(

@@ -77,6 +77,50 @@ object EventAnalytics {
       .agg(countDistinct(col(entityCol)).as("n_active"))
   }
 
+  /** Per-group k-sigma outlier flags with an EXACT keep decision: the classic
+    * |x - mean| > k·stddev test, algebraically cleared of division and
+    * square root —
+    *
+    *   (n·x - S)² > k² · (n·Q - S²)        with S = Σx, Q = Σx²
+    *
+    * — and evaluated in integer cents (BIGINT) and bounded-width DECIMALs,
+    * so the flag replays bit-for-bit in any engine: no float enters the
+    * decision (same discipline as the Gopher rules and quality score).
+    *
+    * Plan shape: ONE shuffle (the group window); everything else is
+    * scan-side arithmetic. n=1 groups are never outliers (0 > 0).
+    *
+    * Width budget (documented, asserted nowhere hot): works while
+    * |n·x_cents - S_cents| < 2⁶³, n < 10¹⁶, |S_cents| < 10¹⁷ and the
+    * variance numerator fits 36 digits — true for any group under ~10¹¹
+    * rows of ≤ $10⁵ values, i.e. comfortably past 100 TB per group.
+    */
+  def sigmaOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                    k: Int = 3): DataFrame = {
+    require(groupCols.nonEmpty, "sigmaOutliers needs at least one group column")
+    require(k > 0 && k <= 9, s"k must be in [1, 9], got $k")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val xc = round(col(valueCol) * 100, 0).cast("bigint")
+    val d19 = "decimal(19,0)"
+    val out = df
+      .withColumn("__xc", xc)
+      .withColumn("__n", count(col("__xc")).over(w))
+      .withColumn("__s", sum(col("__xc")).over(w))
+      .withColumn("__q", sum(col("__xc") * col("__xc")).over(w))
+      // dev = n·x - S (BIGINT, exact); dev² via (19,0)×(19,0) → 38 digits
+      .withColumn("__dev", col("__n") * col("__xc") - col("__s"))
+      .withColumn("__dev2", col("__dev").cast(d19) * col("__dev").cast(d19))
+      // variance numerator n·Q - S² at width 36 (so ×k², width 2, stays
+      // inside every engine's 38-digit product-width cap)
+      .withColumn("__varnum",
+        col("__n").cast("decimal(16,0)") * col("__q").cast(d19) -
+          col("__s").cast("decimal(17,0)") * col("__s").cast("decimal(18,0)"))
+      .withColumn("__thresh", col("__varnum") * lit(k * k).cast("decimal(2,0)"))
+      .withColumn("is_outlier", coalesce(col("__dev2") > col("__thresh"), lit(false)))
+    out.drop("__xc", "__s", "__q", "__dev", "__dev2", "__varnum", "__thresh")
+      .withColumnRenamed("__n", "group_n")
+  }
+
   /** Daily resample with forward-fill: per entity, one row per calendar day
     * from its first to its last active day; `day_total` is the day's exact
     * DECIMAL sum of `valueCol` when observed, else the previous observed

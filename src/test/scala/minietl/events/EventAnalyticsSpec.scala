@@ -90,6 +90,30 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       ("2024-01-08", 0L, 1L)))
   }
 
+  test("sigmaOutliers flags only the extreme value, exactly") {
+    // 20 ones + one 100: z(100) = 20/sqrt(21-ish) > 3; z(1) << 3
+    val rows = ((1 to 20).map(i => (i.toLong, "a", 1.0)) :+ (99L, "a", 100.0)) ++
+      Seq((200L, "b", 42.42)) // singleton group: never an outlier (0 > 0)
+    val out = EventAnalytics.sigmaOutliers(
+      rows.toDF("event_id", "event_type", "value"), Seq("event_type"), "value", k = 3)
+    val flagged = out.where(col("is_outlier")).select("event_id")
+      .as[Long].collect().toSet
+    assert(flagged === Set(99L))
+    assert(out.where(col("event_type") === "b").select("group_n")
+      .as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("sigmaOutliers keep decision is float-free (cents discipline)") {
+    // values that are NOT exactly representable as doubles still flag
+    // consistently because the decision runs on rounded integer cents
+    val rows = (1 to 30).map(i => (i.toLong, "g", 0.1 + (i % 3) * 0.01)) :+
+      (999L, "g", 7.77)
+    val out = EventAnalytics.sigmaOutliers(
+      rows.toDF("event_id", "event_type", "value"), Seq("event_type"), "value", k = 3)
+    assert(out.where(col("is_outlier")).select("event_id")
+      .as[Long].collect().toSeq === Seq(999L))
+  }
+
   test("resampleDaily fills calendar gaps with the previous observed total") {
     val out = EventAnalytics.resampleDaily(
       log.where(col("user_id") === 2L), "user_id", "ts", "value")

@@ -39,7 +39,7 @@ object Config {
       // training-data pipeline stages (beyond the reference's set)
       "hash_sample", "stratified_sample", "pii_redact", "quality_filter",
       "exact_dedup", "gopher_filter", "temperature_sample", "token_budget",
-      "paragraph_dedup")
+      "paragraph_dedup", "normalize_text", "feature_hash", "sigma_outlier_filter")
   private val declaredUnsupported = Set("excel")
 
   private val EnvBrace: Regex = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
@@ -202,6 +202,8 @@ object Config {
         numeric("min_words", 0.0, Double.MaxValue) ++
           numeric("max_words", 0.0, Double.MaxValue)
       case "paragraph_dedup" => numeric("min_chars", 0.0, Int.MaxValue.toDouble)
+      case "feature_hash" => numeric("dim", 1.0, 1048576.0)
+      case "sigma_outlier_filter" => numeric("k", 1.0, 9.0)
       case _ => Nil
     }
   }
@@ -222,6 +224,9 @@ object Config {
     case "temperature_sample" => Seq("key", "strata", "target_fraction")
     case "token_budget" => Seq("strata", "tokens", "budget", "key")
     case "paragraph_dedup" => Seq("text", "key")
+    case "normalize_text" => Seq("column")
+    case "feature_hash" => Seq("column", "out_column", "dim")
+    case "sigma_outlier_filter" => Seq("group_by", "value")
     case _ => Nil
   }
 
@@ -349,6 +354,14 @@ object Config {
           b.paragraphDedup(str(t.options, "text"), str(t.options, "key"),
             t.options.get("delim").map(_.toString).getOrElse("\n"),
             t.options.get("min_chars").map(_.toString.toDouble.toInt).getOrElse(0))
+        case "normalize_text" => b.normalizeText(str(t.options, "column"))
+        case "feature_hash" =>
+          b.featureHash(str(t.options, "column"), str(t.options, "out_column"),
+            str(t.options, "dim").toDouble.toInt)
+        case "sigma_outlier_filter" =>
+          b.sigmaOutlierFilter(strSeq(t.options("group_by")),
+            str(t.options, "value"),
+            t.options.get("k").map(_.toString.toDouble.toInt).getOrElse(3))
       }
     }
 

@@ -75,6 +75,21 @@ final class PipelineBuilder(name: String = "pipeline") {
                      minChars: Int = 0): PipelineBuilder =
     add(df => minietl.text.ParagraphDedup.dedupParagraphs(
       df, textCol, idCol, delim, minChars), "paragraph_dedup")
+  def normalizeText(column: String): PipelineBuilder =
+    add(df => df.withColumn(column,
+      minietl.text.TextAnalysis.normalizeText(df(column))), "normalize_text")
+  def featureHash(column: String, outColumn: String, dim: Int): PipelineBuilder =
+    add(df => df.withColumn(outColumn,
+      minietl.text.FeatureHash.tfVector(df(column), dim)), "feature_hash")
+  /** Keeps rows within k sigma of their group mean (drops flagged outliers
+    * and the helper columns — a pure corpus-cleaning filter stage).
+    */
+  def sigmaOutlierFilter(groupBy: Seq[String], valueCol: String,
+                         k: Int = 3): PipelineBuilder =
+    add(df => minietl.events.EventAnalytics
+      .sigmaOutliers(df, groupBy, valueCol, k)
+      .where(!org.apache.spark.sql.functions.col("is_outlier"))
+      .drop("group_n", "is_outlier"), "sigma_outlier_filter")
 
   def withSchema(schema: TableSchema): PipelineBuilder =
     { p = p.withValidator(new SchemaValidator(schema)); this }

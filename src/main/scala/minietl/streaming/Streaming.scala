@@ -131,6 +131,38 @@ object Streaming {
       .dropDuplicatesWithinWatermark(keys)
   }
 
+  /** Stream-stream inner equi-join bounded by an event-time interval: a
+    * right row matches a left row with the same keys when its timestamp is
+    * within [leftTs - lookback, leftTs + lookahead]. Both sides carry
+    * watermarks, so join state for either side is dropped once the
+    * watermark passes the interval bound — state size tracks the interval
+    * and the delay, not stream history; this is the unbounded analog of the
+    * batch `Joins.rangeJoin`/`Joins.asof` family (clickstream enrichment at
+    * ingest). Timestamp columns must be named differently on the two sides
+    * (Spark's stream-stream join needs the range condition to reference
+    * both by name).
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String],
+      leftTs: String, rightTs: String,
+      watermarkDelay: String,
+      lookback: String, lookahead: String): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin needs at least one key column")
+    require(leftTs != rightTs,
+      "leftTs and rightTs must be distinct column names (the range " +
+        "predicate references both sides)")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val range =
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookback") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $lookahead")
+    val joined = l.join(r, keyCond && range, "inner")
+    // drop the right-side duplicate key columns (equi-join keys are equal)
+    keys.foldLeft(joined)((df, k) => df.drop(r(k)))
+  }
+
   /** Reference Scheduler intervals ("30s", "5m", "2h", "1d" —
     * core/scheduler.py:110-149) → a processing-time trigger.
     */

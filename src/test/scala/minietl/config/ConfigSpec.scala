@@ -194,6 +194,49 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(p.run(spark).rows === 3) // 2 of 3 in g1, 1 of 1 in g2
   }
 
+  test("normalize/feature-hash/sigma-outlier stages run from YAML") {
+    val in = s"${tmp()}/docs5_in"
+    val out = s"${tmp()}/docs5_out"
+    Writers.csv(Seq(
+      (1L, "THE Cat  AND the dog", 1.0),
+      (2L, "the cat and the dog", 1.01),
+      (3L, "words here", 0.99),
+      (4L, "more words", 100.0)) // 3-sigma value outlier in one group
+      .toDF("doc_id", "text", "score")
+      .withColumn("grp", org.apache.spark.sql.functions.lit("g")), in)
+    // pad the group so the lone extreme value can exceed 3 sigma
+    val pad = (10L to 29L).map(i => (i, "filler text", 1.0, "g"))
+    Writers.csv(pad.toDF("doc_id", "text", "score", "grp"), in, mode = "append")
+    val yaml =
+      s"""name: corpus5
+         |source: {type: csv, filepath: $in}
+         |transformers:
+         |  - type: cast
+         |    columns: {doc_id: int64, score: double}
+         |  - type: sigma_outlier_filter
+         |    group_by: [grp]
+         |    value: score
+         |    k: 3
+         |  - type: normalize_text
+         |    column: text
+         |  - type: feature_hash
+         |    column: text
+         |    out_column: tf
+         |    dim: 16
+         |sink: {type: parquet, filepath: $out}
+         |""".stripMargin
+    Config.load(yaml).run(spark)
+    val back = Readers.parquet(spark, out)
+    assert(back.count() === 23) // 24 rows minus the sigma outlier
+    assert(back.where($"doc_id" === 4L).count() === 0)
+    val r1 = back.where($"doc_id" === 1L).select("text", "tf").collect()(0)
+    assert(r1.getString(0) === "the cat and the dog")
+    assert(r1.getSeq[Long](1).length === 16)
+    // docs 1 and 2 vectorize identically after normalization
+    val r2 = back.where($"doc_id" === 2L).select("tf").collect()(0)
+    assert(r1.getSeq[Long](1) === r2.getSeq[Long](0))
+  }
+
   test("missing required keys in new stage types are validation errors") {
     val c = Config.parse(
       """name: x

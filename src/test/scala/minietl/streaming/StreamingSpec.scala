@@ -115,6 +115,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("intervalJoin matches rows within the event-time interval only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, String, Long)]
+    val buys = MemoryStream[(Timestamp, String, Double)]
+    val joined = Streaming.intervalJoin(
+      buys.toDF().toDF("bts", "k", "amount"),
+      clicks.toDF().toDF("cts", "k", "click_id"),
+      keys = Seq("k"), leftTs = "bts", rightTs = "cts",
+      watermarkDelay = "10 minutes",
+      lookback = "5 minutes", lookahead = "0 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      clicks.addData((ts(0), "u1", 100L), (ts(20), "u1", 101L), (ts(1), "u2", 200L))
+      buys.addData((ts(3), "u1", 9.99), (ts(30), "u1", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("ij")
+        .select(col("click_id"), col("amount")).as[(Long, Double)].collect().toSet
+      // buy@10:03 matches u1's click@10:00 (3 min back); buy@10:30 is 10 min
+      // after click@10:20 — outside the 5-minute lookback; u2 never buys
+      assert(rows === Set((100L, 9.99)))
+    } finally q.stop()
+  }
+
+  test("intervalJoin rejects identical timestamp column names") {
+    val df = Seq((ts(0), "a")).toDF("ts", "k")
+    intercept[IllegalArgumentException] {
+      Streaming.intervalJoin(df, df, Seq("k"), "ts", "ts", "1 minute",
+        "1 minute", "0 minute")
+    }
+  }
+
   test("foreachBatchSink invokes the callback per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Int]

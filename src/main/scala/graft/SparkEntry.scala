@@ -1890,6 +1890,76 @@ object SparkEntry {
              |    ORDER BY value, event_id) AS BIGINT) AS decile
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Wide → long unpivot (reshape superset; the reference has pivot only
+    // in spirit). The oracle replays as the canonical UNION ALL.
+    "q_melt" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+          .transform(Ops.melt(Seq("l_orderkey", "l_linenumber"),
+            Seq("l_quantity", "l_discount", "l_tax"), "metric", "value"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+            (round(col("value"), 2) + lit(0.0)).as("value"))
+          .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+             |  round(l_quantity, 2) + 0.0 AS value FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_discount',
+             |  round(l_discount, 2) + 0.0 FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_tax',
+             |  round(l_tax, 2) + 0.0 FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
+    // SCD2 history build: collapse each user's event-type runs into
+    // [valid_from, valid_to) intervals; ONE shuffle (see Ops.scd2).
+    "q_scd2" -> Q(
+      (s, dir) =>
+        events(s, dir)
+          .select("user_id", "event_type", "ts", "event_id")
+          .transform(Ops.scd2(Seq("user_id"), "ts", "event_id",
+            Seq("event_type")))
+          .orderBy("user_id", "valid_from", "event_type"),
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             |               event_id FROM events),
+             |k AS (SELECT *, lag(event_type) OVER w AS prev FROM e
+             |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |c AS (SELECT * FROM k WHERE prev IS NULL OR prev != event_type),
+             |f AS (SELECT user_id, event_type, ts AS valid_from,
+             |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |          AS valid_to
+             |      FROM c)
+             |SELECT user_id, event_type, valid_from, valid_to,
+             |  (valid_to IS NULL) AS is_current
+             |FROM f ORDER BY user_id, valid_from, event_type""".stripMargin)),
+
+    // Tokenizer-vocabulary build (count-ranked ids) + order-preserving
+    // document encoding with OOV=0 — the full pipeline replays in DuckDB
+    // (zipped unnests for positions, list(... ORDER BY pos) for sequences).
+    "q_vocab_encode" -> Q(
+      (s, dir) => {
+        val docs = documents(s, dir)
+        val vocab = minietl.text.TextAnalysis.buildVocab(docs, "text", minCount = 5)
+        minietl.text.TextAnalysis.encodeDocs(docs, "doc_id", "text", vocab)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+             |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+             |  FROM documents),
+             |cnt AS (SELECT term, count(*) AS term_count FROM t
+             |        GROUP BY term HAVING count(*) >= 5),
+             |v AS (SELECT term, CAST(row_number() OVER
+             |        (ORDER BY term_count DESC, term) AS BIGINT) AS term_id
+             |      FROM cnt),
+             |enc AS (SELECT t.doc_id, t.pos, coalesce(v.term_id, 0) AS tid
+             |        FROM t LEFT JOIN v USING (term))
+             |SELECT doc_id, list(tid ORDER BY pos) AS token_ids,
+             |  CAST(len(list(tid ORDER BY pos)) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_filter(list(tid ORDER BY pos), x -> x = 0))
+             |    AS BIGINT) AS n_oov
+             |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Hashing-trick featurization: dim-32 TF vector + distinct-slot count
     // under the portable md5-60-bit hash contract — full DuckDB replay.
     "q_feature_hash" -> Q(

@@ -422,6 +422,47 @@ object Ops {
     df => df.filter(
       minietl.text.QualityRules.gopherKeep(col(column), minWords, maxWords))
 
+  // --------------------------------------------------------------- reshape
+  /** Wide → long (melt/unpivot): one output row per (id row, value column).
+    * Value columns must share a type (Spark's unpivot contract). Scan-side
+    * row growth — no shuffle.
+    */
+  def melt(ids: Seq[String], values: Seq[String],
+           variableName: String = "variable",
+           valueName: String = "value"): Op = df => {
+    require(values.nonEmpty, "melt needs at least one value column")
+    df.unpivot(ids.map(col).toArray, values.map(col).toArray,
+      variableName, valueName)
+  }
+
+  /** Slowly-changing-dimension (type 2) history build from an event/change
+    * log: per key, consecutive runs of identical tracked values collapse to
+    * one row with a [valid_from, valid_to) interval; the last row per key is
+    * open-ended (`valid_to` null, `is_current` true).
+    *
+    * ONE shuffle: the run-collapse lag and the interval lead are windows
+    * over the same (keys, ts, tie) sort, and the filter between them
+    * preserves partitioning AND order. Ties on ts break by `tieCol`
+    * (must be unique) so interval boundaries are deterministic.
+    */
+  def scd2(keys: Seq[String], tsCol: String, tieCol: String,
+           tracked: Seq[String]): Op = df => {
+    require(keys.nonEmpty, "scd2 needs at least one key column")
+    require(tracked.nonEmpty, "scd2 needs at least one tracked column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val changed = tracked
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _) || lag(col(tsCol), 1).over(w).isNull
+    df.withColumn("__changed", changed)
+      .where(col("__changed"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keys ++ tracked).map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
+
   // ---------------------------------------------------------------- lambda
   /** LambdaTransformer (transformers.py:580-603): arbitrary frame function. */
   def lambda(f: DataFrame => DataFrame): Op = f

@@ -116,6 +116,47 @@ object TextAnalysis {
     round((length(text) - (n - lit(1))).cast("double") / n, 4)
   }
 
+  /** Frequency-ranked vocabulary over the whitespace tokens of `textCol`:
+    * (term, term_count, term_id) with ids assigned 1..V by (count desc,
+    * term asc) — the standard tokenizer-vocab ordering, fully
+    * deterministic. `minCount` prunes the long tail before ranking.
+    *
+    * Scale note: counting shuffles O(distinct terms); the rank itself is a
+    * GLOBAL row_number — correct here because a vocabulary is model-sized
+    * (like IVF centroids), bounded by |distinct terms over minCount|, not
+    * by the corpus. Do not point this at a column where that set is
+    * corpus-sized (e.g. raw shingles).
+    */
+  def buildVocab(docs: DataFrame, textCol: String, minCount: Long = 1): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("term_count"))
+      .where(col("term_count") >= minCount)
+      .withColumn("term_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("term_count").desc, col("term").asc)).cast("bigint"))
+
+  /** Encode each document as its vocabulary-id sequence (order-preserving;
+    * out-of-vocabulary tokens → 0). Emits (idCol, token_ids, n_tokens,
+    * n_oov). The vocabulary side is broadcast — it is model-sized by
+    * construction ([[buildVocab]]); the corpus is scanned once, exploded,
+    * and regrouped on the doc id (ONE shuffle of (id, pos, term_id)
+    * triples — bytes, not text, after the join prunes the term strings).
+    */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+                 vocab: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+    val ids = toks
+      .join(broadcast(vocab.select(col("term"), col("term_id"))), Seq("term"), "left")
+      .select(col(idCol), col("pos"), coalesce(col("term_id"), lit(0L)).as("tid"))
+    ids.groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+        s => s("tid")).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("bigint"))
+      .withColumn("n_oov",
+        size(filter(col("token_ids"), x => x === 0L)).cast("bigint"))
+  }
+
   /** The English stop list, shared with [[QualityRules]]. */
   def enStopwords: Seq[String] = stopwords("en")
 

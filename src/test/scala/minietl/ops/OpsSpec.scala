@@ -240,6 +240,43 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq((1L, "a", 10L), (1L, "a2", 11L), (2L, "B!", 99L)))
   }
 
+  test("melt reshapes wide columns to long rows") {
+    val df = Seq((1L, 10.0, 0.5), (2L, 20.0, 0.7)).toDF("id", "qty", "disc")
+    val out = df.transform(Ops.melt(Seq("id"), Seq("qty", "disc"), "m", "v"))
+      .orderBy("id", "m").as[(Long, String, Double)].collect().toSeq
+    assert(out === Seq((1L, "disc", 0.5), (1L, "qty", 10.0),
+      (2L, "disc", 0.7), (2L, "qty", 20.0)))
+  }
+
+  test("scd2 collapses runs into validity intervals with an open current row") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val log = Seq(
+      (1L, 1L, "bronze", ts(0)), (1L, 2L, "bronze", ts(5)), // same run
+      (1L, 3L, "gold", ts(10)), (1L, 4L, "bronze", ts(20)), // back and forth
+      (2L, 5L, "silver", ts(3))
+    ).toDF("k", "eid", "tier", "ts")
+    val out = log.transform(Ops.scd2(Seq("k"), "ts", "eid", Seq("tier")))
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getTimestamp(3)).map(_.toString).orNull, r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1L, "bronze", "2024-01-01 10:10:00.0", false),
+      (1L, "gold", "2024-01-01 10:20:00.0", false),
+      (1L, "bronze", null, true),
+      (2L, "silver", null, true)))
+  }
+
+  test("scd2 treats null tracked values with null-safe change detection") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val log = Seq(
+      (1L, 1L, Some("a"), ts(0)), (1L, 2L, None, ts(1)),
+      (1L, 3L, None, ts(2)), (1L, 4L, Some("a"), ts(3))
+    ).toDF("k", "eid", "attr", "ts")
+    val out = log.transform(Ops.scd2(Seq("k"), "ts", "eid", Seq("attr")))
+    // a -> null -> (null collapses) -> a : three intervals
+    assert(out.count() === 3L)
+  }
+
   test("shuffleKey propagates a NULL key to a NULL shuffle key") {
     val df = Seq(Some(1L), None, None).toDF("id")
     val keys = df.select(Ops.shuffleKey("id", "s").as("k")).collect().map(r =>

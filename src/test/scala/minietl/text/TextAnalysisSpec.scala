@@ -134,6 +134,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(one(TextAnalysis.consecDupFraction(lit("solo"))).getDouble(0) === 0.0)
   }
 
+  test("buildVocab ranks by count desc then term; encodeDocs preserves order with OOV=0") {
+    val docs = Seq((1L, "b a b c"), (2L, "b a zz")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, "text", minCount = 2)
+    val v = vocab.orderBy("term_id").select("term", "term_count", "term_id")
+      .as[(String, Long, Long)].collect().toSeq
+    // b:3, a:2 survive minCount=2; c and zz pruned
+    assert(v === Seq(("b", 3L, 1L), ("a", 2L, 2L)))
+    val enc = TextAnalysis.encodeDocs(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id").collect()
+    assert(enc(0).getSeq[Long](1) === Seq(1L, 2L, 1L, 0L)) // b a b c
+    assert(enc(1).getSeq[Long](1) === Seq(1L, 2L, 0L)) // b a zz
+    assert(enc(1).getAs[Long]("n_oov") === 1L)
+    assert(enc(0).getAs[Long]("n_tokens") === 4L)
+  }
+
   test("topNgrams counts corpus-wide with a deterministic tie-broken cut") {
     import spark.implicits._
     val docs = Seq("x y x y", "x y z", "z w").toDF("text")

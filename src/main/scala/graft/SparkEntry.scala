@@ -1890,6 +1890,78 @@ object SparkEntry {
              |    ORDER BY value, event_id) AS BIGINT) AS decile
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // n-gram containment (quote/subset detection — high containment, low
+    // Jaccard): inverted-index candidates with a posting-length cap, exact
+    // merge-walk verify. Hash-invariant counts, so the string-shingle
+    // DuckDB replay is exact.
+    "q_ngram_containment" -> Q(
+      (s, dir) =>
+        minietl.dedup.Dedup.ngramContainmentPairs(
+          documents(s, dir), "text", "doc_id", shingleN = 3, threshold = 0.5,
+          maxPostingLen = 100)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH d AS (SELECT doc_id, text t, string_split(text, ' ') toks
+             |           FROM documents),
+             |s AS (SELECT doc_id,
+             |        CASE WHEN len(toks) < 3 THEN [t]
+             |             ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+             |               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END sh
+             |      FROM d),
+             |p AS (SELECT doc_id, unnest(sh) AS g FROM s),
+             |pc AS (SELECT *, count(*) OVER (PARTITION BY g) AS plen FROM p),
+             |pk AS (SELECT doc_id, g FROM pc WHERE plen <= 100),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM pk a JOIN pk b ON a.g = b.g AND a.doc_id < b.doc_id),
+             |j AS (SELECT id_a, id_b,
+             |        len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+             |        len(sa.sh) AS na, len(sb.sh) AS nb
+             |      FROM cand
+             |      JOIN s sa ON sa.doc_id = cand.id_a
+             |      JOIN s sb ON sb.doc_id = cand.id_b)
+             |SELECT id_a, id_b,
+             |  round(CAST(inter AS DOUBLE) / na, 4) AS cont_a,
+             |  round(CAST(inter AS DOUBLE) / nb, 4) AS cont_b
+             |FROM j
+             |WHERE greatest(round(CAST(inter AS DOUBLE) / na, 4),
+             |               round(CAST(inter AS DOUBLE) / nb, 4)) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Per-type percentile winsorization (heavy-tail clipping) — percentile
+    // interpolation parity with quantile_cont is proven by q_percentile.
+    "q_winsorize" -> Q(
+      (s, dir) =>
+        events(s, dir)
+          .transform(Ops.winsorize(Seq("event_type"), "value", lo = 0.05, hi = 0.95))
+          .select(col("event_id"), col("event_type"),
+            (round(col("value"), 2) + lit(0.0)).as("value"),
+            (round(col("value_w"), 2) + lit(0.0)).as("value_w"))
+          .orderBy("event_id"),
+      Some("""WITH p AS (SELECT event_type,
+             |        quantile_cont(value, 0.05) AS lo,
+             |        quantile_cont(value, 0.95) AS hi
+             |      FROM events GROUP BY event_type)
+             |SELECT e.event_id, e.event_type,
+             |  round(e.value, 2) + 0.0 AS value,
+             |  round(greatest(least(e.value, p.hi), p.lo), 2) + 0.0 AS value_w
+             |FROM events e JOIN p USING (event_type)
+             |ORDER BY event_id""".stripMargin)),
+
+    // Fixed-width histogram (20 × 25-unit bins, top bin clamps): portable
+    // floor arithmetic, exact DECIMAL mass per bin.
+    "q_histogram" -> Q(
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(col("event_type"),
+            least(floor(col("value") / 25), lit(19)).cast("bigint").as("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("mass"))
+          .orderBy("event_type", "bin"),
+      Some("""SELECT event_type,
+             |  CAST(least(floor(value / 25), 19) AS BIGINT) AS bin,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS mass
+             |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin)),
+
     // Wide → long unpivot (reshape superset; the reference has pivot only
     // in spirit). The oracle replays as the canonical UNION ALL.
     "q_melt" -> Q(

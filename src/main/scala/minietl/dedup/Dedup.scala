@@ -485,6 +485,52 @@ object Dedup {
       .select("id_a", "id_b", "jac")
   }
 
+  /** n-gram CONTAINMENT pairs: |A∩B| / |A| (and /|B|) — detects quotes and
+    * subset documents that Jaccard misses (a short doc fully inside a long
+    * one has tiny Jaccard but containment 1.0). Because containment pairs
+    * can have arbitrarily different lengths, length blocking would defeat
+    * the point; candidates come from a shingle inverted index instead:
+    * pairs sharing at least one shingle whose posting list is at most
+    * `maxPostingLen` long. Over-shared shingles are boilerplate — dropping
+    * them is the posting-list twin of the LSH bucket cap (logged the same
+    * way); a contained pair is only missed if EVERY shared shingle is
+    * boilerplate. Survivor pairs are verified exactly with the native
+    * merge-walk intersection over the full sorted shingle arrays.
+    *
+    * Shuffles: posting explode (one), candidate-pair aggregate (one),
+    * two id-keyed array fetch joins. Per-shingle join fan-out is bounded
+    * by maxPostingLen².
+    */
+  def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
+                            shingleN: Int = 3, threshold: Double = 0.5,
+                            maxPostingLen: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val base = spread(df).select(col(idCol).as("id"),
+      shingleHashesSorted(col(textCol), shingleN).as("sh")).persist()
+    val posts = base.select(col("id"), explode(col("sh")).as("g"))
+    // posting-length census rides the window over the explode shuffle
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val kept = posts.withColumn("__plen", count(lit(1)).over(w))
+      .where(col("__plen") <= maxPostingLen)
+      .select("id", "g")
+    val cand = kept.join(kept.select(col("g"), col("id").as("id_b")), "g")
+      .where(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("__inter",
+        minietl.functions.vec.intersectSorted(col("sh_a"), col("sh_b")))
+      .withColumn("cont_a",
+        round(col("__inter").cast("double") / size(col("sh_a")), 4))
+      .withColumn("cont_b",
+        round(col("__inter").cast("double") / size(col("sh_b")), 4))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("id_a", "id_b", "cont_a", "cont_b")
+  }
+
   // ---------------------------------------------------------------- simhash
   /** 64-bit SimHash of a token array: per bit position, sum +1/-1 votes of
     * each token's xxhash64 bit; the sign of the sum sets the output bit.

@@ -54,6 +54,26 @@ object VectorOps {
     s
   }
 
+  /** Intersection size of two SORTED distinct long arrays by merge-walk —
+    * zero allocation per pair, O(|a|+|b|). The building block for
+    * containment scoring (|A∩B| / |A|).
+    */
+  def intersectSortedCount(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** Jaccard similarity of two SORTED distinct long arrays by merge-walk —
     * zero allocation per pair, O(|a|+|b|).
     */
@@ -291,6 +311,29 @@ case class JaccardSortedLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd merge-walk intersection count over sorted long arrays. */
+case class IntersectSortedCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "intersect_sorted_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.intersectSortedCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("interRes")
+      s"""
+         |java.lang.Long $r = minietl.functions.VectorOps.intersectSortedCount($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd k-lane MinHash signature over an xxhash64'd shingle array. */
 case class MinHashSignature64(child: Expression, k: Int, seed: Long)
   extends UnaryExpression {
@@ -384,6 +427,9 @@ object vec {
 
   def jaccardSorted(a: Column, b: Column): Column =
     org.apache.spark.sql.minietl.ColumnBridge.column(JaccardSortedLong(expr(a), expr(b)))
+
+  def intersectSorted(a: Column, b: Column): Column =
+    org.apache.spark.sql.minietl.ColumnBridge.column(IntersectSortedCount(expr(a), expr(b)))
 
   def minhashEstimate(a: Column, b: Column): Column =
     org.apache.spark.sql.minietl.ColumnBridge.column(MinHashEstimate(expr(a), expr(b)))

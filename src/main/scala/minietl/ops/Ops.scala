@@ -422,6 +422,29 @@ object Ops {
     df => df.filter(
       minietl.text.QualityRules.gopherKeep(col(column), minWords, maxWords))
 
+  /** Winsorize (percentile clipping): clip `valueCol` into its per-group
+    * [lo, hi] percentile band, emitted as `<valueCol>_w` beside the raw
+    * value — the standard heavy-tail tamer before averaging noisy metrics.
+    * The percentile frame is group-cardinality (model-sized) and is
+    * broadcast back; the data side is scanned twice (once for the
+    * percentiles, once for the clip) but never shuffled. Null values stay
+    * null (greatest/least would otherwise resurrect them as the lo bound).
+    */
+  def winsorize(groupCols: Seq[String], valueCol: String,
+                lo: Double = 0.01, hi: Double = 0.99): Op = df => {
+    require(groupCols.nonEmpty, "winsorize needs at least one group column")
+    require(0.0 <= lo && lo < hi && hi <= 1.0,
+      s"need 0 <= lo < hi <= 1, got lo=$lo hi=$hi")
+    val pcts = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, $lo)").as("__lo"),
+        expr(s"percentile($valueCol, $hi)").as("__hi"))
+    df.join(broadcast(pcts), groupCols)
+      .withColumn(s"${valueCol}_w",
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(greatest(least(col(valueCol), col("__hi")), col("__lo"))))
+      .drop("__lo", "__hi")
+  }
+
   // --------------------------------------------------------------- reshape
   /** Wide → long (melt/unpivot): one output row per (id row, value column).
     * Value columns must share a type (Spark's unpivot contract). Scan-side

@@ -82,6 +82,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept === Set(0L, 2L, 4L, 5L, 6L, 7L, 8L, 9L))
   }
 
+  test("ngramContainmentPairs finds a quote that Jaccard misses") {
+    // doc 20 is a verbatim quote of doc 0's opening — containment(20→0) = 1
+    // but Jaccard is low because doc 0 is much longer
+    val quote = 20L -> "the quick brown fox jumps over the lazy dog"
+    val corpus = (texts :+ quote).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Dedup.ngramContainmentPairs(corpus, "text", "doc_id",
+      shingleN = 3, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.contains((0L, 20L)))
+    val (contA, contB) = out((0L, 20L))
+    assert(contB === 1.0) // every shingle of the quote is inside doc 0
+    assert(contA < 0.9) // the long doc is NOT contained in the quote
+    // the exact duplicates are mutually contained
+    assert(out((2L, 3L)) === ((1.0, 1.0)))
+  }
+
+  test("ngramContainmentPairs drops over-shared shingles via the posting cap") {
+    // every doc shares the same boilerplate header; with the cap at 3 the
+    // header shingles are non-discriminative and produce no candidates
+    val boiler = (0L to 9L).map(i =>
+      (i, s"common header line here then unique tail $i ${i * 7} ${i * 13}"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentPairs(boiler, "text", "doc_id",
+      shingleN = 3, threshold = 0.5, maxPostingLen = 3)
+    assert(out.count() === 0L)
+  }
+
   test("ngramJaccardPairs matches a brute-force oracle under length blocking") {
     val radius = 30
     val expected = (for {

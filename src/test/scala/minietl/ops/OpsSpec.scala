@@ -240,6 +240,17 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq((1L, "a", 10L), (1L, "a2", 11L), (2L, "B!", 99L)))
   }
 
+  test("winsorize clips into the per-group percentile band; nulls stay null") {
+    val df = ((1 to 99).map(i => (i.toLong, "g", Some(i.toDouble))) ++
+      Seq((100L, "g", Some(10000.0)), (101L, "g", Option.empty[Double])))
+      .toDF("id", "grp", "v")
+    val out = df.transform(Ops.winsorize(Seq("grp"), "v", lo = 0.0, hi = 0.9))
+    val clipped = out.where($"id" === 100L).select("v_w").collect()(0).getDouble(0)
+    assert(clipped < 10000.0) // the extreme row is pulled down to P90
+    assert(out.where($"id" === 101L).select("v_w").collect()(0).isNullAt(0))
+    assert(out.where($"id" === 50L).select("v_w").collect()(0).getDouble(0) === 50.0)
+  }
+
   test("melt reshapes wide columns to long rows") {
     val df = Seq((1L, 10.0, 0.5), (2L, 20.0, 0.7)).toDF("id", "qty", "disc")
     val out = df.transform(Ops.melt(Seq("id"), Seq("qty", "disc"), "m", "v"))

@@ -83,6 +83,20 @@ object SparkEntry {
     s.table(qname)
   }
 
+  /** Drain a streaming frame to a memory sink in APPEND mode (stream-stream
+    * joins and watermark-finalized aggregates) with an AvailableNow trigger.
+    */
+  private def drainAppendMode(s: SparkSession, df: DataFrame,
+                              prefix: String): DataFrame = {
+    val qname = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = df.writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+  }
+
   private def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   private def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 
@@ -1350,6 +1364,36 @@ object SparkEntry {
              |  count(*) AS n_events, round(sum(value), 2) AS total
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Stream-stream event-time interval join through the STREAMING path
+    // (join state bounded by watermark + interval), drained AvailableNow in
+    // append mode and checked against the batch range-join oracle: every
+    // click in the hour before each purchase.
+    "q_stream_interval_join" -> Q(
+      (s, dir) => {
+        val purchases = stagedEventStream(s, dir)
+          .where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = stagedEventStream(s, dir)
+          .where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cts"),
+            col("event_id").as("click_id"), col("value").as("cval"))
+        val joined = minietl.streaming.Streaming.intervalJoin(
+          purchases, clicks, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "cts", watermarkDelay = "2 hours",
+          lookback = "1 hour", lookahead = "0 seconds")
+        drainAppendMode(s, joined, "stream_ij")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("click_id"), round(col("cval"), 2).as("click_value"))
+          .orderBy("event_id", "click_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+             |  c.event_id AS click_id, round(c.value, 2) AS click_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id
+             | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+             |ORDER BY p.event_id, click_id""".stripMargin)),
 
     // Gopher/C4-style intra-document repetition signals (scan-side arrays)
     "q_repetition_stats" -> Q(

@@ -39,7 +39,8 @@ object Config {
       // training-data pipeline stages (beyond the reference's set)
       "hash_sample", "stratified_sample", "pii_redact", "quality_filter",
       "exact_dedup", "gopher_filter", "temperature_sample", "token_budget",
-      "paragraph_dedup", "normalize_text", "feature_hash", "sigma_outlier_filter")
+      "paragraph_dedup", "normalize_text", "feature_hash", "sigma_outlier_filter",
+      "winsorize")
   private val declaredUnsupported = Set("excel")
 
   private val EnvBrace: Regex = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
@@ -204,6 +205,7 @@ object Config {
       case "paragraph_dedup" => numeric("min_chars", 0.0, Int.MaxValue.toDouble)
       case "feature_hash" => numeric("dim", 1.0, 1048576.0)
       case "sigma_outlier_filter" => numeric("k", 1.0, 9.0)
+      case "winsorize" => numeric("lo", 0.0, 1.0) ++ numeric("hi", 0.0, 1.0)
       case _ => Nil
     }
   }
@@ -227,6 +229,7 @@ object Config {
     case "normalize_text" => Seq("column")
     case "feature_hash" => Seq("column", "out_column", "dim")
     case "sigma_outlier_filter" => Seq("group_by", "value")
+    case "winsorize" => Seq("group_by", "value")
     case _ => Nil
   }
 
@@ -362,6 +365,10 @@ object Config {
           b.sigmaOutlierFilter(strSeq(t.options("group_by")),
             str(t.options, "value"),
             t.options.get("k").map(_.toString.toDouble.toInt).getOrElse(3))
+        case "winsorize" =>
+          b.winsorize(strSeq(t.options("group_by")), str(t.options, "value"),
+            t.options.get("lo").map(_.toString.toDouble).getOrElse(0.01),
+            t.options.get("hi").map(_.toString.toDouble).getOrElse(0.99))
       }
     }
 

@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SQL registration for the native expressions, so `spark.sql` users can
-  * call them directly (`vec_dot`, `jaccard_sorted`, `minhash_signature`,
-  * `simhash64`, `shingle_hashes`, `minhash_estimate`).
+  * call them directly (`vec_dot`, `jaccard_sorted`, `intersect_sorted_count`,
+  * `minhash_signature`, `simhash64`, `shingle_hashes`, `minhash_estimate`).
   *
   * Two entry points:
   *  - [[MinietlExtensions]] for `spark.sql.extensions=minietl.functions.MinietlExtensions`
@@ -35,6 +35,10 @@ object MinietlFunctions {
     "jaccard_sorted" -> { args =>
       require(args.size == 2, "jaccard_sorted(a, b)")
       JaccardSortedLong(args(0), args(1))
+    },
+    "intersect_sorted_count" -> { args =>
+      require(args.size == 2, "intersect_sorted_count(a, b)")
+      IntersectSortedCount(args(0), args(1))
     },
     "minhash_signature" -> { args =>
       require(args.size == 3, "minhash_signature(hashes, k, seed)")

@@ -81,6 +81,9 @@ final class PipelineBuilder(name: String = "pipeline") {
   def featureHash(column: String, outColumn: String, dim: Int): PipelineBuilder =
     add(df => df.withColumn(outColumn,
       minietl.text.FeatureHash.tfVector(df(column), dim)), "feature_hash")
+  def winsorize(groupBy: Seq[String], valueCol: String,
+                lo: Double = 0.01, hi: Double = 0.99): PipelineBuilder =
+    add(Ops.winsorize(groupBy, valueCol, lo, hi), "winsorize")
   /** Keeps rows within k sigma of their group mean (drops flagged outliers
     * and the helper columns — a pure corpus-cleaning filter stage).
     */

@@ -237,6 +237,33 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(r1.getSeq[Long](1) === r2.getSeq[Long](0))
   }
 
+  test("winsorize stage clips from YAML and validates its bounds") {
+    val in = s"${tmp()}/w_in"
+    val out = s"${tmp()}/w_out"
+    Writers.csv(((1 to 99).map(i => (i.toLong, "g", i.toDouble)) :+
+      (100L, "g", 9999.0)).toDF("id", "grp", "v"), in)
+    Config.load(
+      s"""name: w
+         |source: {type: csv, filepath: $in}
+         |transformers:
+         |  - type: cast
+         |    columns: {id: int64, v: double}
+         |  - {type: winsorize, group_by: [grp], value: v, lo: 0.0, hi: 0.9}
+         |sink: {type: parquet, filepath: $out}
+         |""".stripMargin).run(spark)
+    val clipped = Readers.parquet(spark, out).where($"id" === 100L)
+      .select("v_w").collect()(0).getDouble(0)
+    assert(clipped < 9999.0)
+    val errs = Config.validate(Config.parse(
+      """name: x
+        |source: {type: parquet, filepath: /tmp/x}
+        |transformers:
+        |  - {type: winsorize, group_by: [g], value: v, hi: 1.5}
+        |sink: {type: parquet, filepath: /tmp/y}
+        |""".stripMargin))
+    assert(errs.exists(_.contains("out of [0.0, 1.0]")))
+  }
+
   test("missing required keys in new stage types are validation errors") {
     val c = Config.parse(
       """name: x

@@ -54,6 +54,28 @@ class IOSpec extends AnyFunSuite with SparkTestBase {
     assert(sub.toSet === Set("name=a", "name=b", "name=c"))
   }
 
+  test("scan plans prove partition pruning, predicate pushdown, and schema pruning") {
+    val dir = s"${tmp()}/out"
+    Writers.parquet(sample, dir, partitionBy = Seq("name"))
+    // partition-column filter + narrow projection + data-column predicate
+    val q = Readers.parquet(spark, dir)
+      .where(col("name") === "b" && col("score") > 1.0)
+      .select("id")
+    val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    // partition pruning: the name=b filter must be a PartitionFilter, not a
+    // post-scan Filter over all partitions
+    assert(scan.contains("PartitionFilters") && scan.contains("name"),
+      s"partition filter missing from scan:\n$scan")
+    // predicate pushdown: the score predicate reaches the parquet reader
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(score"),
+      s"pushed filter missing from scan:\n$scan")
+    // schema pruning: only id+score are read (name comes from the partition
+    // path; the projection needs id, the residual filter needs score)
+    assert(scan.contains("ReadSchema") && !scan.contains("name:string"),
+      s"read schema not pruned:\n$scan")
+    assert(q.as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("append mode accumulates rows; overwrite replaces") {
     val dir = s"${tmp()}/out"
     Writers.parquet(sample, dir)

@@ -100,7 +100,10 @@ object EventAnalytics {
     require(groupCols.nonEmpty, "sigmaOutliers needs at least one group column")
     require(k > 0 && k <= 9, s"k must be in [1, 9], got $k")
     val w = Window.partitionBy(groupCols.map(col): _*)
-    val xc = round(col(valueCol) * 100, 0).cast("bigint")
+    // try_cast: under ANSI a NaN/±Inf/overflow value would fail the job
+    // mid-scan; here it degrades to a null cent value, which the count/sum
+    // windows skip and the coalesce reports as not-an-outlier
+    val xc = expr(s"try_cast(round(`$valueCol` * 100, 0) AS BIGINT)")
     val d19 = "decimal(19,0)"
     val out = df
       .withColumn("__xc", xc)

@@ -114,6 +114,14 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .as[Long].collect().toSeq === Seq(999L))
   }
 
+  test("sigmaOutliers degrades NaN values to unflagged instead of failing under ANSI") {
+    val rows = Seq((1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", Double.NaN))
+    val out = EventAnalytics.sigmaOutliers(
+      rows.toDF("event_id", "event_type", "value"), Seq("event_type"), "value")
+    assert(out.where(col("is_outlier")).count() === 0L)
+    assert(out.count() === 3L) // the NaN row itself is kept, just never flagged
+  }
+
   test("resampleDaily fills calendar gaps with the previous observed total") {
     val out = EventAnalytics.resampleDaily(
       log.where(col("user_id") === 2L), "user_id", "ts", "value")

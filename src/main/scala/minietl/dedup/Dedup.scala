@@ -509,11 +509,14 @@ object Dedup {
     val base = spread(df).select(col(idCol).as("id"),
       shingleHashesSorted(col(textCol), shingleN).as("sh")).persist()
     val posts = base.select(col("id"), explode(col("sh")).as("g"))
-    // posting-length census rides the window over the explode shuffle
+    // posting-length census rides the window over the explode shuffle;
+    // persisted because the self-join reads it twice (without it the whole
+    // explode+census chain — the expensive part — runs once per side)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val kept = posts.withColumn("__plen", count(lit(1)).over(w))
       .where(col("__plen") <= maxPostingLen)
       .select("id", "g")
+      .persist()
     val cand = kept.join(kept.select(col("g"), col("id").as("id_b")), "g")
       .where(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))

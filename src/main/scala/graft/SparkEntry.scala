@@ -17,6 +17,11 @@ import minietl.schema.{ColumnSpec, SchemaValidator, TableSchema}
   * Determinism rules used throughout:
   *  - every floating aggregate is round()ed (2dp for sums, 4dp for ratios)
   *    so double summation order cannot flip the hash;
+  *  - values that land EXACTLY on a rounding half-boundary (e.g. medians of
+  *    cent-quantized data: X.5 cents) must NOT go through round() at all —
+  *    engines disagree on half-boundary doubles (Spark rounds the shortest
+  *    decimal rendering, others the scaled product); emit them as a DECIMAL
+  *    of sufficient scale instead (see q_impute_median);
   *  - every query has a total ORDER BY with a unique tie-break key;
   *  - integer-ish derived columns are cast to BIGINT on both sides
   *    (Spark length/row_number return INT, DuckDB returns BIGINT).
@@ -1933,6 +1938,51 @@ object SparkEntry {
              |  CAST(ntile(10) OVER (PARTITION BY event_type
              |    ORDER BY value, event_id) AS BIGINT) AS decile
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Deterministic per-group mode (ties to smallest value — total order).
+    "q_group_mode" -> Q(
+      (s, dir) =>
+        events(s, dir)
+          .transform(Ops.modePerGroup(Seq("user_id"), "event_type"))
+          .orderBy("user_id"),
+      Some("""WITH c AS (SELECT user_id, event_type, count(*) AS n
+             |           FROM events GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY n DESC, event_type) AS rn FROM c)
+             |SELECT user_id, event_type AS mode_value,
+             |  CAST(n AS BIGINT) AS mode_count
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // Group-median imputation of deterministically planted nulls (the
+    // FillNA family extended to group statistics). Exactness discipline,
+    // measured the hard way (28/10000 rows flipped without it):
+    //  - quantize to integer CENTS before the median — engines phrase the
+    //    even-count interpolation differently (l*(1-d)+h*d vs l+d*(h-l)),
+    //    an ulp apart on non-representable decimals, but midpoints of
+    //    integer-valued doubles are exact under both phrasings;
+    //  - emit the cent value as DECIMAL(18,1), NOT a rounded double —
+    //    round() itself disagrees across engines on true half-boundaries
+    //    (Spark rounds the shortest decimal rendering, others the scaled
+    //    product), while .0/.5 cents cast to a scale-1 decimal exactly.
+    "q_impute_median" -> Q(
+      (s, dir) =>
+        events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            when(col("event_type") === "error", lit(null))
+              .otherwise(round(col("value") * 100, 0)).as("v"))
+          .transform(Ops.imputeGroup("v", Seq("user_id"), "median"))
+          .select(col("event_id"), col("user_id"),
+            col("v").cast("decimal(18,1)").as("v_cents"))
+          .orderBy("event_id"),
+      Some("""WITH b AS (SELECT event_id, user_id,
+             |            CASE WHEN event_type = 'error' THEN NULL
+             |                 ELSE round(value * 100, 0) END AS v FROM events),
+             |m AS (SELECT user_id, quantile_cont(v, 0.5) AS med
+             |      FROM b GROUP BY user_id)
+             |SELECT b.event_id, b.user_id,
+             |  CAST(coalesce(b.v, m.med) AS DECIMAL(18,1)) AS v_cents
+             |FROM b LEFT JOIN m USING (user_id)
+             |ORDER BY event_id""".stripMargin)),
 
     // n-gram containment (quote/subset detection — high containment, low
     // Jaccard): inverted-index candidates with a posting-length cap, exact

@@ -40,7 +40,7 @@ object Config {
       "hash_sample", "stratified_sample", "pii_redact", "quality_filter",
       "exact_dedup", "gopher_filter", "temperature_sample", "token_budget",
       "paragraph_dedup", "normalize_text", "feature_hash", "sigma_outlier_filter",
-      "winsorize")
+      "winsorize", "impute")
   private val declaredUnsupported = Set("excel")
 
   private val EnvBrace: Regex = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
@@ -230,6 +230,7 @@ object Config {
     case "feature_hash" => Seq("column", "out_column", "dim")
     case "sigma_outlier_filter" => Seq("group_by", "value")
     case "winsorize" => Seq("group_by", "value")
+    case "impute" => Seq("group_by", "value", "strategy")
     case _ => Nil
   }
 
@@ -369,6 +370,9 @@ object Config {
           b.winsorize(strSeq(t.options("group_by")), str(t.options, "value"),
             t.options.get("lo").map(_.toString.toDouble).getOrElse(0.01),
             t.options.get("hi").map(_.toString.toDouble).getOrElse(0.99))
+        case "impute" =>
+          b.impute(strSeq(t.options("group_by")), str(t.options, "value"),
+            str(t.options, "strategy"))
       }
     }
 

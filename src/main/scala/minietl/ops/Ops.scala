@@ -422,6 +422,56 @@ object Ops {
     df => df.filter(
       minietl.text.QualityRules.gopherKeep(col(column), minWords, maxWords))
 
+  /** Deterministic per-group mode of `valueCol` (nulls excluded): the most
+    * frequent value, ties to the smallest value — a total order, so the
+    * answer is reproducible across engines and partitionings. Two shuffles
+    * ((group, value) count, then the per-group argmax window rides that
+    * partitioning only when group ⊇ keys — in general a second exchange on
+    * the group alone).
+    */
+  def modePerGroup(groupCols: Seq[String], valueCol: String): DataFrame => DataFrame = df => {
+    require(groupCols.nonEmpty, "modePerGroup needs at least one group column")
+    val counted = df.where(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__n").desc, col(valueCol).asc)
+    counted.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(groupCols.map(col) :+ col(valueCol).as("mode_value") :+
+        col("__n").as("mode_count"): _*)
+  }
+
+  /** Impute nulls in `valueCol` from a per-group statistic: "median"
+    * (percentile 0.5) or "mode" (most frequent, ties to smallest).
+    * The statistic frame is group-cardinality → broadcast back; a group
+    * that is entirely null keeps its nulls (left join, null fill).
+    *
+    * Cross-engine caveat for "median": engines phrase the even-count
+    * interpolation differently (`l*(1-d)+h*d` vs `l+d*(h-l)`), which can
+    * differ by an ulp on non-representable decimals. Quantize to an
+    * integer scale first when a bit-exact replay matters — integer-valued
+    * midpoints are exact under both phrasings (see q_impute_median).
+    */
+  def imputeGroup(valueCol: String, groupCols: Seq[String],
+                  strategy: String): Op = df => {
+    require(groupCols.nonEmpty, "imputeGroup needs at least one group column")
+    val stats = strategy match {
+      case "median" =>
+        df.groupBy(groupCols.map(col): _*)
+          .agg(expr(s"percentile(`$valueCol`, 0.5)").as("__fill"))
+      case "mode" =>
+        modePerGroup(groupCols, valueCol)(df)
+          .select(groupCols.map(col) :+ col("mode_value").as("__fill"): _*)
+      case other => throw new IllegalArgumentException(
+        s"imputeGroup strategy must be 'median' or 'mode', got '$other'")
+    }
+    df.join(broadcast(stats), groupCols, "left")
+      .withColumn(valueCol,
+        coalesce(col(valueCol), col("__fill").cast(df.schema(valueCol).dataType)))
+      .drop("__fill")
+  }
+
   /** Winsorize (percentile clipping): clip `valueCol` into its per-group
     * [lo, hi] percentile band, emitted as `<valueCol>_w` beside the raw
     * value — the standard heavy-tail tamer before averaging noisy metrics.

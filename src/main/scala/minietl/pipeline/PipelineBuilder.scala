@@ -84,6 +84,8 @@ final class PipelineBuilder(name: String = "pipeline") {
   def winsorize(groupBy: Seq[String], valueCol: String,
                 lo: Double = 0.01, hi: Double = 0.99): PipelineBuilder =
     add(Ops.winsorize(groupBy, valueCol, lo, hi), "winsorize")
+  def impute(groupBy: Seq[String], valueCol: String, strategy: String): PipelineBuilder =
+    add(Ops.imputeGroup(valueCol, groupBy, strategy), "impute")
   /** Keeps rows within k sigma of their group mean (drops flagged outliers
     * and the helper columns — a pure corpus-cleaning filter stage).
     */

@@ -240,6 +240,33 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq((1L, "a", 10L), (1L, "a2", 11L), (2L, "B!", 99L)))
   }
 
+  test("modePerGroup picks the most frequent value, ties to smallest") {
+    val df = Seq((1L, "b"), (1L, "b"), (1L, "a"), (2L, "x"), (2L, "y"))
+      .toDF("k", "v")
+    val out = df.transform(Ops.modePerGroup(Seq("k"), "v"))
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    // group 2 ties 1-1 → smallest value "x" wins
+    assert(out === Seq((1L, "b", 2L), (2L, "x", 1L)))
+  }
+
+  test("imputeGroup fills nulls from the group median or mode") {
+    val df = Seq((1L, "g", Some(10.0)), (2L, "g", Some(20.0)),
+      (3L, "g", Some(30.0)), (4L, "g", None), (5L, "h", None))
+      .toDF("id", "grp", "v")
+    val med = df.transform(Ops.imputeGroup("v", Seq("grp"), "median"))
+      .orderBy("id").select("v").collect()
+    assert(med(3).getDouble(0) === 20.0)
+    assert(med(4).isNullAt(0)) // all-null group keeps its nulls
+    val mode = Seq((1L, "g", Some(7L)), (2L, "g", Some(7L)), (3L, "g", Some(9L)),
+      (4L, "g", None)).toDF("id", "grp", "v")
+      .transform(Ops.imputeGroup("v", Seq("grp"), "mode"))
+      .orderBy("id").select("v").collect()
+    assert(mode(3).getLong(0) === 7L)
+    intercept[IllegalArgumentException] {
+      df.transform(Ops.imputeGroup("v", Seq("grp"), "mean"))
+    }
+  }
+
   test("winsorize clips into the per-group percentile band; nulls stay null") {
     val df = ((1 to 99).map(i => (i.toLong, "g", Some(i.toDouble))) ++
       Seq((100L, "g", Some(10000.0)), (101L, "g", Option.empty[Double])))

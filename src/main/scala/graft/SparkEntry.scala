@@ -1939,6 +1939,45 @@ object SparkEntry {
              |    ORDER BY value, event_id) AS BIGINT) AS decile
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Exact sample covariance of (quantity, price) per return flag: the
+    // accumulator n·Σxy − Σx·Σy is computed entirely in integers/decimals
+    // (quantity integral, price in cents), so the statistic's numerator is
+    // bit-exact; only the final normalized value is a (4dp-rounded) double.
+    "q_covariance" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("bigint").as("x"),
+            round(col("l_extendedprice") * 100, 0).cast("bigint").as("y"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+          .select(col("l_returnflag"), col("n"),
+            (expr("CAST(n AS DECIMAL(16,0)) * CAST(sxy AS DECIMAL(19,0))") -
+              expr("CAST(sx AS DECIMAL(17,0)) * CAST(sy AS DECIMAL(18,0))"))
+              .cast("decimal(38,0)").as("cov_num"),
+            round(
+              expr("CAST(CAST(n AS DECIMAL(16,0)) * CAST(sxy AS DECIMAL(19,0)) - CAST(sx AS DECIMAL(17,0)) * CAST(sy AS DECIMAL(18,0)) AS DOUBLE)") /
+                (col("n").cast("double") * (col("n") - 1).cast("double") * 100),
+              4).as("cov"))
+          .orderBy("l_returnflag"),
+      Some("""WITH b AS (SELECT l_returnflag,
+             |            CAST(l_quantity AS BIGINT) AS x,
+             |            CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+             |          FROM lineitem),
+             |a AS (SELECT l_returnflag, count(*) AS n, sum(x * y) AS sxy,
+             |        sum(x) AS sx, sum(y) AS sy
+             |      FROM b GROUP BY l_returnflag),
+             |c AS (SELECT l_returnflag, n,
+             |        CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+             |          - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num
+             |      FROM a)
+             |SELECT l_returnflag, n,
+             |  CAST(num AS DECIMAL(38,0)) AS cov_num,
+             |  round(CAST(num AS DOUBLE)
+             |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 100), 4) AS cov
+             |FROM c ORDER BY l_returnflag""".stripMargin)),
+
     // Deterministic per-group mode (ties to smallest value — total order).
     "q_group_mode" -> Q(
       (s, dir) =>

@@ -466,9 +466,17 @@ object Ops {
       case other => throw new IllegalArgumentException(
         s"imputeGroup strategy must be 'median' or 'mode', got '$other'")
     }
+    // median of an even-count integral column is fractional: fill with the
+    // NEAREST value rather than letting the cast truncate toward zero
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val targetType = df.schema(valueCol).dataType
+    val fill = targetType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        round(col("__fill"), 0).cast(targetType)
+      case _ => col("__fill").cast(targetType)
+    }
     df.join(broadcast(stats), groupCols, "left")
-      .withColumn(valueCol,
-        coalesce(col(valueCol), col("__fill").cast(df.schema(valueCol).dataType)))
+      .withColumn(valueCol, coalesce(col(valueCol), fill))
       .drop("__fill")
   }
 

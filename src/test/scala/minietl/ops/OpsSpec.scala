@@ -265,6 +265,12 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       df.transform(Ops.imputeGroup("v", Seq("grp"), "mean"))
     }
+    // fractional median on an integral column fills nearest, not truncated
+    val intMed = Seq((1L, "g", Some(1L)), (2L, "g", Some(2L)), (3L, "g", None))
+      .toDF("id", "grp", "v")
+      .transform(Ops.imputeGroup("v", Seq("grp"), "median"))
+      .orderBy("id").select("v").collect()
+    assert(intMed(2).getLong(0) === 2L) // median 1.5 → 2, not 1
   }
 
   test("winsorize clips into the per-group percentile band; nulls stay null") {

@@ -1939,6 +1939,31 @@ object SparkEntry {
              |    ORDER BY value, event_id) AS BIGINT) AS decile
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Time-weighted average value per user (TWAP): exact microsecond ×
+    // cent integer accumulators; only the final ratio is a double.
+    "q_twap" -> Q(
+      (s, dir) =>
+        minietl.events.EventAnalytics.timeWeightedAvg(
+          events(s, dir), "user_id", "ts", "value", "event_id")
+          .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             |            CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |          FROM events),
+             |d AS (SELECT user_id, cents,
+             |        epoch_us(lead(ts) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id)) - epoch_us(ts) AS dur
+             |      FROM e),
+             |a AS (SELECT user_id,
+             |        CAST(sum(CAST(cents * dur AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS num,
+             |        CAST(sum(CAST(dur AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS den,
+             |        count(*) AS n_intervals
+             |      FROM d WHERE dur IS NOT NULL AND cents IS NOT NULL
+             |      GROUP BY user_id)
+             |SELECT user_id,
+             |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100, 4) AS twap,
+             |  CAST(den AS BIGINT) AS total_dur_us, n_intervals
+             |FROM a ORDER BY user_id""".stripMargin)),
+
     // Exact sample covariance of (quantity, price) per return flag: the
     // accumulator n·Σxy − Σx·Σy is computed entirely in integers/decimals
     // (quantity integral, price in cents), so the statistic's numerator is

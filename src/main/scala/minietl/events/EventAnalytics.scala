@@ -124,6 +124,38 @@ object EventAnalytics {
       .withColumnRenamed("__n", "group_n")
   }
 
+  /** Time-weighted average of `valueCol` per entity: each observation holds
+    * its value until the next one, so the mean weights by holding duration
+    * (the standard TWAP), computed on EXACT integer accumulators —
+    * microsecond durations × cent values summed as bounded-width decimals;
+    * only the final ratio is a double. The last observation per entity has
+    * no successor and contributes no interval (entities with a single
+    * observation yield a null twap).
+    *
+    * ONE shuffle: the lead window and the per-entity aggregate share the
+    * entity hash partitioning.
+    */
+  def timeWeightedAvg(df: DataFrame, entityCol: String, tsCol: String,
+                      valueCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.select(col(entityCol), col(tsCol), col(tieCol),
+        expr(s"try_cast(round(`$valueCol` * 100, 0) AS BIGINT)").as("__cents"))
+      .withColumn("__dur",
+        unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol)))
+      .where(col("__dur").isNotNull && col("__cents").isNotNull)
+      .groupBy(col(entityCol))
+      .agg(
+        sum((col("__cents") * col("__dur")).cast("decimal(28,0)"))
+          .cast("decimal(38,0)").as("__num"),
+        sum(col("__dur").cast("decimal(28,0)")).cast("decimal(38,0)").as("__den"),
+        count(lit(1)).as("n_intervals"))
+      .select(col(entityCol),
+        round(col("__num").cast("double") / col("__den").cast("double") / 100, 4)
+          .as("twap"),
+        col("__den").cast("bigint").as("total_dur_us"),
+        col("n_intervals"))
+  }
+
   /** Daily resample with forward-fill: per entity, one row per calendar day
     * from its first to its last active day; `day_total` is the day's exact
     * DECIMAL sum of `valueCol` when observed, else the previous observed

@@ -134,6 +134,25 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       ("2024-01-03", true, "0.00")))
   }
 
+  test("timeWeightedAvg weights values by holding duration, exactly") {
+    val rows = Seq(
+      // value 10 held 60 s, value 20 held 30 s → twap = (10*60+20*30)/90
+      (1L, 1L, "x", ts("2024-01-01 10:00:00"), 10.0),
+      (1L, 2L, "x", ts("2024-01-01 10:01:00"), 20.0),
+      (1L, 3L, "x", ts("2024-01-01 10:01:30"), 99.0), // terminal: no interval
+      (2L, 4L, "x", ts("2024-01-01 10:00:00"), 5.0) // single obs → no row
+    ).toDF("user_id", "event_id", "event_type", "ts", "value")
+    val out = EventAnalytics.timeWeightedAvg(rows, "user_id", "ts", "value", "event_id")
+      .collect()
+    assert(out.length === 1)
+    val u1 = out(0)
+    assert(u1.getLong(0) === 1L)
+    // (10*60 + 20*30)/90 = 13.333..., rounded at 4dp by the operator
+    assert(u1.getDouble(1) === 13.3333)
+    assert(u1.getLong(2) === 90L * 1000000L)
+    assert(u1.getLong(3) === 2L)
+  }
+
   test("resampleDaily emits one dense row per day per entity") {
     val out = EventAnalytics.resampleDaily(log, "user_id", "ts", "value")
     // user 1: Jan 1-2 (2 rows); user 2: Jan 1-3 (3); user 3: Jan 5 (1)

@@ -292,6 +292,13 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       (2L, "disc", 0.7), (2L, "qty", 20.0)))
   }
 
+  test("melt keeps null value rows (unlike pandas melt dropna)") {
+    val df = Seq((1L, Some(10.0), Option.empty[Double])).toDF("id", "a", "b")
+    val out = df.transform(Ops.melt(Seq("id"), Seq("a", "b"), "m", "v"))
+    assert(out.count() === 2L)
+    assert(out.where($"m" === "b").select("v").collect()(0).isNullAt(0))
+  }
+
   test("scd2 collapses runs into validity intervals with an open current row") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val log = Seq(

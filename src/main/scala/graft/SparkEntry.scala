@@ -1939,6 +1939,54 @@ object SparkEntry {
              |    ORDER BY value, event_id) AS BIGINT) AS decile
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // RFM segmentation (recency / frequency / monetary quintiles): exact
+    // integer recency vs the corpus max day, BIGINT frequency, DECIMAL
+    // monetary; quintiles via ntile with unique tie orders. Higher score =
+    // better customer on every axis. The quintile windows are GLOBAL
+    // (single-task) — correct for entity-level aggregates up to ~10^8
+    // entities; beyond that, replace the exact ntile with percentile
+    // thresholds (Ops.winsorize pattern) to keep the cut distributed.
+    "q_rfm" -> Q(
+      (s, dir) => {
+        val p = events(s, dir).where(col("event_type") === "purchase")
+        val perUser = p.groupBy("user_id").agg(
+          max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("monetary"))
+        val maxDay = p.agg(max(to_date(col("ts"))).as("__max_day"))
+        val scored = perUser.crossJoin(broadcast(maxDay))
+          .withColumn("recency_days",
+            datediff(col("__max_day"), col("last_day")).cast("bigint"))
+        def quint(order: Column) =
+          ntile(5).over(Window.orderBy(order, col("user_id").asc)).cast("bigint")
+        scored
+          .withColumn("r_score", quint(col("recency_days").desc))
+          .withColumn("f_score", quint(col("frequency").asc))
+          .withColumn("m_score", quint(col("monetary").asc))
+          .select(col("user_id"), col("recency_days"), col("frequency"),
+            col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+            (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+              .as("rfm_segment"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |            value FROM events WHERE event_type = 'purchase'),
+             |u AS (SELECT user_id, max(day) AS last_day,
+             |        CAST(count(*) AS BIGINT) AS frequency,
+             |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS monetary
+             |      FROM p GROUP BY user_id),
+             |mx AS (SELECT max(day) AS max_day FROM p),
+             |s AS (SELECT u.*, CAST(date_diff('day', last_day, max_day) AS BIGINT)
+             |        AS recency_days FROM u CROSS JOIN mx),
+             |q AS (SELECT *,
+             |  CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT) AS r_score,
+             |  CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_score,
+             |  CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_score
+             |  FROM s)
+             |SELECT user_id, recency_days, frequency, monetary, r_score, f_score,
+             |  m_score, r_score * 100 + f_score * 10 + m_score AS rfm_segment
+             |FROM q ORDER BY user_id""".stripMargin)),
+
     // Time-weighted average value per user (TWAP): exact microsecond ×
     // cent integer accumulators; only the final ratio is a double.
     "q_twap" -> Q(

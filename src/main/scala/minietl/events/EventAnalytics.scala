@@ -40,6 +40,8 @@ object EventAnalytics {
     require(stages.distinct.size == stages.size, s"duplicate funnel stages: $stages")
     val w = Window.partitionBy(entityCol).orderBy(col(tsCol).asc, col(tieCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val candNames = stages.indices.map(i =>
+      minietl.ops.Ops.freshName(df, s"__cand_$i"))
     var cur = df
     var prevReach: Option[Column] = None
     stages.zipWithIndex.foreach { case (stage, i) =>
@@ -47,13 +49,13 @@ object EventAnalytics {
         case None    => when(col(typeCol) === stage, col(tsCol))
         case Some(p) => when(col(typeCol) === stage && p <= col(tsCol), col(tsCol))
       }
-      cur = cur.withColumn(s"__cand_$i", cand)
+      cur = cur.withColumn(candNames(i), cand)
       // prefix min INCLUDING the current row: "stage k-1 already reached by
       // the time this row fires" — evaluated inside the same sorted pass
-      prevReach = Some(min(col(s"__cand_$i")).over(w))
+      prevReach = Some(min(col(candNames(i))).over(w))
     }
     val stageMins = stages.zipWithIndex.map { case (stage, i) =>
-      min(col(s"__cand_$i")).as(s"t_$stage")
+      min(col(candNames(i))).as(s"t_$stage")
     }
     val agged = cur.groupBy(col(entityCol)).agg(stageMins.head, stageMins.tail: _*)
     val depth = stages.map(s => when(col(s"t_$s").isNotNull, 1L).otherwise(0L))
@@ -65,6 +67,13 @@ object EventAnalytics {
     * activity day; a (cohort_week, week_offset) cell counts the distinct
     * entities active `week_offset` weeks after their first day. Offsets are
     * whole-day integer division — no float anywhere.
+    *
+    * Offset semantics: `week_offset` counts ELAPSED 7-day periods since the
+    * entity's own first-activity day (datediff DIV 7), not calendar-week
+    * differences — two entities in one cohort cell can cross a calendar
+    * boundary at different offsets. This is the per-entity-anchored
+    * convention; for the calendar-anchored one, replace the offset with
+    * `datediff(date_trunc(week, day), cohort_week) DIV 7`.
     */
   def cohortRetention(df: DataFrame, entityCol: String, tsCol: String): DataFrame = {
     val w = Window.partitionBy(entityCol)
@@ -103,54 +112,65 @@ object EventAnalytics {
     // try_cast: under ANSI a NaN/±Inf/overflow value would fail the job
     // mid-scan; here it degrades to a null cent value, which the count/sum
     // windows skip and the coalesce reports as not-an-outlier
-    val xc = expr(s"try_cast(round(`$valueCol` * 100, 0) AS BIGINT)")
+    val xcExpr = expr(s"try_cast(round(`$valueCol` * 100, 0) AS BIGINT)")
     val d19 = "decimal(19,0)"
+    // collision-proof temp names (an input column named __xc etc. would
+    // otherwise be silently clobbered)
+    val Seq(xc, n, s_, q, dev, dev2, varnum, thresh) =
+      Seq("__xc", "__n", "__s", "__q", "__dev", "__dev2", "__varnum", "__thresh")
+        .map(minietl.ops.Ops.freshName(df, _))
     val out = df
-      .withColumn("__xc", xc)
-      .withColumn("__n", count(col("__xc")).over(w))
-      .withColumn("__s", sum(col("__xc")).over(w))
-      .withColumn("__q", sum(col("__xc") * col("__xc")).over(w))
+      .withColumn(xc, xcExpr)
+      .withColumn(n, count(col(xc)).over(w))
+      .withColumn(s_, sum(col(xc)).over(w))
+      .withColumn(q, sum(col(xc) * col(xc)).over(w))
       // dev = n·x - S (BIGINT, exact); dev² via (19,0)×(19,0) → 38 digits
-      .withColumn("__dev", col("__n") * col("__xc") - col("__s"))
-      .withColumn("__dev2", col("__dev").cast(d19) * col("__dev").cast(d19))
+      .withColumn(dev, col(n) * col(xc) - col(s_))
+      .withColumn(dev2, col(dev).cast(d19) * col(dev).cast(d19))
       // variance numerator n·Q - S² at width 36 (so ×k², width 2, stays
       // inside every engine's 38-digit product-width cap)
-      .withColumn("__varnum",
-        col("__n").cast("decimal(16,0)") * col("__q").cast(d19) -
-          col("__s").cast("decimal(17,0)") * col("__s").cast("decimal(18,0)"))
-      .withColumn("__thresh", col("__varnum") * lit(k * k).cast("decimal(2,0)"))
-      .withColumn("is_outlier", coalesce(col("__dev2") > col("__thresh"), lit(false)))
-    out.drop("__xc", "__s", "__q", "__dev", "__dev2", "__varnum", "__thresh")
-      .withColumnRenamed("__n", "group_n")
+      .withColumn(varnum,
+        col(n).cast("decimal(16,0)") * col(q).cast(d19) -
+          col(s_).cast("decimal(17,0)") * col(s_).cast("decimal(18,0)"))
+      .withColumn(thresh, col(varnum) * lit(k * k).cast("decimal(2,0)"))
+      .withColumn("is_outlier", coalesce(col(dev2) > col(thresh), lit(false)))
+    out.drop(xc, s_, q, dev, dev2, varnum, thresh)
+      .withColumnRenamed(n, "group_n")
   }
 
   /** Time-weighted average of `valueCol` per entity: each observation holds
     * its value until the next one, so the mean weights by holding duration
     * (the standard TWAP), computed on EXACT integer accumulators —
-    * microsecond durations × cent values summed as bounded-width decimals;
-    * only the final ratio is a double. The last observation per entity has
-    * no successor and contributes no interval (entities with a single
-    * observation yield a null twap).
+    * microsecond durations × cent values multiplied and summed as
+    * bounded-width decimals (cast BEFORE the multiply: a $10⁵ value held a
+    * month already overflows the int64 product); only the final ratio is a
+    * double. The last observation per entity has no successor and
+    * contributes no interval, so a single-observation entity produces NO
+    * output row; an entity whose retained observations all share one
+    * timestamp has zero total duration and reports a null twap (not NaN).
     *
     * ONE shuffle: the lead window and the per-entity aggregate share the
     * entity hash partitioning.
     */
   def timeWeightedAvg(df: DataFrame, entityCol: String, tsCol: String,
                       valueCol: String, tieCol: String): DataFrame = {
+    val cents = minietl.ops.Ops.freshName(df, "__cents")
+    val dur = minietl.ops.Ops.freshName(df, "__dur")
     val w = Window.partitionBy(entityCol).orderBy(col(tsCol).asc, col(tieCol).asc)
     df.select(col(entityCol), col(tsCol), col(tieCol),
-        expr(s"try_cast(round(`$valueCol` * 100, 0) AS BIGINT)").as("__cents"))
-      .withColumn("__dur",
+        expr(s"try_cast(round(`$valueCol` * 100, 0) AS BIGINT)").as(cents))
+      .withColumn(dur,
         unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol)))
-      .where(col("__dur").isNotNull && col("__cents").isNotNull)
+      .where(col(dur).isNotNull && col(cents).isNotNull)
       .groupBy(col(entityCol))
       .agg(
-        sum((col("__cents") * col("__dur")).cast("decimal(28,0)"))
+        sum(col(cents).cast("decimal(12,0)") * col(dur).cast("decimal(16,0)"))
           .cast("decimal(38,0)").as("__num"),
-        sum(col("__dur").cast("decimal(28,0)")).cast("decimal(38,0)").as("__den"),
+        sum(col(dur).cast("decimal(28,0)")).cast("decimal(38,0)").as("__den"),
         count(lit(1)).as("n_intervals"))
       .select(col(entityCol),
-        round(col("__num").cast("double") / col("__den").cast("double") / 100, 4)
+        when(col("__den") === 0, lit(null)).otherwise(
+          round(col("__num").cast("double") / col("__den").cast("double") / 100, 4))
           .as("twap"),
         col("__den").cast("bigint").as("total_dur_us"),
         col("n_intervals"))
@@ -170,16 +190,21 @@ object EventAnalytics {
     val daily = df
       .groupBy(col(entityCol), to_date(col(tsCol)).as("day"))
       .agg(sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(38,2)").as("day_total"))
+    // daily's schema is (entity, day, day_total), so temp names below can
+    // only collide with those three — freshName guards regardless
+    val prevDay = minietl.ops.Ops.freshName(daily, "__prev_day")
+    val prevTotal = minietl.ops.Ops.freshName(daily, "__prev_total")
+    val d = minietl.ops.Ops.freshName(daily, "__d")
     val w = Window.partitionBy(entityCol).orderBy(col("day").asc)
     daily
-      .withColumn("__prev_day", lag(col("day"), 1).over(w))
-      .withColumn("__prev_total", lag(col("day_total"), 1).over(w))
-      .select(col(entityCol), col("day"), col("day_total"), col("__prev_total"),
-        explode(sequence(coalesce(date_add(col("__prev_day"), 1), col("day")),
-          col("day"))).as("__d"))
-      .select(col(entityCol), col("__d").as("day"),
-        (col("__d") === col("day")).as("observed"),
-        when(col("__d") === col("day"), col("day_total"))
-          .otherwise(col("__prev_total")).as("day_total"))
+      .withColumn(prevDay, lag(col("day"), 1).over(w))
+      .withColumn(prevTotal, lag(col("day_total"), 1).over(w))
+      .select(col(entityCol), col("day"), col("day_total"), col(prevTotal),
+        explode(sequence(coalesce(date_add(col(prevDay), 1), col("day")),
+          col("day"))).as(d))
+      .select(col(entityCol), col(d).as("day"),
+        (col(d) === col("day")).as("observed"),
+        when(col(d) === col("day"), col("day_total"))
+          .otherwise(col(prevTotal)).as("day_total"))
   }
 }

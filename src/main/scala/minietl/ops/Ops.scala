@@ -194,7 +194,6 @@ object Ops {
     case object None_ extends Keep
   }
 
-  /** A helper-column name not colliding with any input column. */
   /** A helper-column name not colliding with any column of `df`. */
   private[minietl] def freshName(df: DataFrame, base: String): String =
     Iterator.iterate(base)(_ + "_").dropWhile(df.columns.contains).next()
@@ -257,6 +256,10 @@ object Ops {
     */
   def hashSample(keyCol: String, fraction: Double): Op = df => {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    // null keys have no hash and are DROPPED for 0 < fraction < 1 (the null
+    // predicate filters false — identically in any replay engine); at
+    // fraction >= 1 the frame passes through untouched, nulls included.
+    // Coalesce the key first if null-key rows must participate.
     if (fraction >= 1.0) df else df.filter(hashKeep(keyCol, fraction))
   }
 
@@ -281,6 +284,9 @@ object Ops {
                            defaultFraction: Double = 0.0): Op = df => {
     (fractions.values ++ Seq(defaultFraction)).foreach(f =>
       require(f >= 0.0 && f <= 1.0, s"fraction out of [0,1]: $f"))
+    // a NULL stratum matches no fractions key (string keys cannot be null)
+    // and falls to defaultFraction — documented; temperatureSample
+    // normalizes nulls into their own stratum before calling this
     val cond = fractions.toSeq.sortBy(_._1).foldLeft(hashKeep(keyCol, defaultFraction)) {
       case (acc, (k, f)) => when(col(strataCol) === k, hashKeep(keyCol, f)).otherwise(acc)
     }
@@ -325,9 +331,17 @@ object Ops {
     * the kept data.
     */
   def temperatureSample(keyCol: String, strataCol: String,
-                        targetFraction: Double, alpha: Double = 0.5): Op =
-    df => stratifiedHashSample(keyCol, strataCol,
-      temperatureFractions(df, strataCol, targetFraction, alpha))(df)
+                        targetFraction: Double, alpha: Double = 0.5): Op = df => {
+    // normalize NULL strata into their own stratum (a NUL-prefixed sentinel
+    // no real category uses) — otherwise the fraction computed for nulls
+    // could never match in stratifiedHashSample's equality chain and every
+    // null-stratum row would silently fall to defaultFraction = 0
+    val tmp = freshName(df, "__strata_norm")
+    val norm = df.withColumn(tmp,
+      coalesce(col(strataCol).cast("string"), lit("\u0000null")))
+    stratifiedHashSample(keyCol, tmp,
+      temperatureFractions(norm, tmp, targetFraction, alpha))(norm).drop(tmp)
+  }
 
   /** Trailing time-range window per key: the WindowSpec for rolling
     * aggregates ("events in the last hour per user"). Ordered by EXACT
@@ -365,8 +379,11 @@ object Ops {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCol).orderBy(order)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = cumColumn.getOrElse("_tb_cum")
-    val out = df.withColumn(cum, sum(col(tokenCol)).over(w))
+    val cum = cumColumn.getOrElse(freshName(df, "_tb_cum"))
+    // null token counts contribute 0 — without the coalesce a null-token
+    // doc sorting FIRST in its stratum gets a null running sum and is
+    // dropped, while the same doc mid-stream is kept (order-dependent)
+    val out = df.withColumn(cum, sum(coalesce(col(tokenCol), lit(0L))).over(w))
       .filter(col(cum) <= budget)
     if (cumColumn.isDefined) out else out.drop(cum)
   }
@@ -494,8 +511,8 @@ object Ops {
     require(0.0 <= lo && lo < hi && hi <= 1.0,
       s"need 0 <= lo < hi <= 1, got lo=$lo hi=$hi")
     val pcts = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, $lo)").as("__lo"),
-        expr(s"percentile($valueCol, $hi)").as("__hi"))
+      .agg(expr(s"percentile(`$valueCol`, $lo)").as("__lo"),
+        expr(s"percentile(`$valueCol`, $hi)").as("__hi"))
     df.join(broadcast(pcts), groupCols)
       .withColumn(s"${valueCol}_w",
         when(col(valueCol).isNull, lit(null))
@@ -535,8 +552,9 @@ object Ops {
     val changed = tracked
       .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
       .reduce(_ || _) || lag(col(tsCol), 1).over(w).isNull
-    df.withColumn("__changed", changed)
-      .where(col("__changed"))
+    val changedCol = freshName(df, "__changed")
+    df.withColumn(changedCol, changed)
+      .where(col(changedCol))
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)

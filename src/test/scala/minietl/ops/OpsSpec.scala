@@ -364,6 +364,27 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       .values.toSet === Set(0.8)) // alpha=1: no flattening
   }
 
+  test("temperatureSample keeps null-stratum rows as their own stratum") {
+    val df = ((1 to 40).map(i => (i.toLong, Some("a"))) ++
+      (41 to 80).map(i => (i.toLong, Option.empty[String]))).toDF("id", "g")
+    val kept = df.transform(Ops.temperatureSample("id", "g", 1.0))
+    // equal-size strata at target 1.0 → EVERY row kept, null stratum too
+    assert(kept.count() === 80L)
+    assert(kept.where($"g".isNull).count() === 40L)
+    // and the temp normalization column does not leak into the output
+    assert(kept.columns.toSeq === Seq("id", "g"))
+  }
+
+  test("tokenBudget treats null token counts as zero, order-independently") {
+    val df = Seq((1L, "a", Option.empty[Long]), (2L, "a", Some(10L)),
+      (3L, "a", Some(10L))).toDF("id", "g", "toks")
+    val kept = df.transform(
+      Ops.tokenBudget("g", "toks", budget = 20, order = col("id")))
+      .select("id").as[Long].collect().toSet
+    // null-token doc sorts FIRST and still participates (contributes 0)
+    assert(kept === Set(1L, 2L, 3L))
+  }
+
   test("tokenBudget keeps a prefix per stratum, by the given order") {
     val df = Seq(
       (1L, "a", 400L), (2L, "a", 400L), (3L, "a", 400L), (4L, "a", 400L),

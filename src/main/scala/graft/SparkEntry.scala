@@ -1544,6 +1544,30 @@ object SparkEntry {
              |WHERE doc_id % 17 != 0 AND doc_id NOT IN (SELECT doc_id FROM tainted)
              |ORDER BY doc_id""".stripMargin)),
 
+    // bloom-prefiltered decontamination: same exact semantics, the bench
+    // grams travel as ONE fixed-size sketch instead of a string broadcast;
+    // false positives only pay verify work, so the exact oracle applies
+    "q_decontaminate_bloom" -> Q(
+      (s, dir) => {
+        val d = documents(s, dir)
+        minietl.text.Decontaminate.decontaminateBloom(
+          d.filter(col("doc_id") % 13 =!= 0), d.filter(col("doc_id") % 13 === 0),
+          "doc_id", "text", n = 4)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+             |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),
+             |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+             |             tk[i+3])) AS gram
+             |      FROM toks),
+             |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0),
+             |tainted AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram)
+             |            WHERE g.doc_id % 13 != 0)
+             |SELECT doc_id, lang, source FROM documents
+             |WHERE doc_id % 13 != 0 AND doc_id NOT IN (SELECT doc_id FROM tainted)
+             |ORDER BY doc_id""".stripMargin)),
+
     // sliding context-window chunking (64-token windows, stride 48)
     "q_chunk_docs" -> Q(
       (s, dir) =>
@@ -1923,6 +1947,35 @@ object SparkEntry {
              |     CAST(s AS DECIMAL(17,0)) * CAST(s AS DECIMAL(18,0)))
              |      * CAST(9 AS DECIMAL(2,0)), false) AS is_outlier
              |FROM d ORDER BY event_id""".stripMargin)),
+
+    // Robust MAD outlier flags: 2·median and 4·MAD carried as exact
+    // BIGINTs (integer midpoints are exact under both interpolation
+    // phrasings), all-integer flag decision — no float in the verdict.
+    "q_mad_outliers" -> Q(
+      (s, dir) =>
+        minietl.events.EventAnalytics.madOutliers(events(s, dir),
+            Seq("event_type"), "value", k = 3)
+          .select(col("event_id"), col("event_type"),
+            (round(col("value"), 2) + lit(0.0)).as("value"),
+            col("group_n"), col("median_x2_cents"), col("mad_x4_cents"),
+            col("is_outlier"))
+          .orderBy("event_id"),
+      Some("""WITH b AS (SELECT event_id, event_type, value,
+             |            CAST(round(value * 100, 0) AS BIGINT) AS xc FROM events),
+             |m AS (SELECT event_type,
+             |        CAST(2 * median(xc) AS BIGINT) AS median_x2_cents,
+             |        CAST(count(xc) AS BIGINT) AS group_n
+             |      FROM b GROUP BY 1),
+             |d AS (SELECT b.*, m.median_x2_cents, m.group_n,
+             |        abs(2 * xc - m.median_x2_cents) AS dev2
+             |      FROM b JOIN m USING (event_type)),
+             |md AS (SELECT event_type,
+             |         CAST(2 * median(dev2) AS BIGINT) AS mad_x4_cents
+             |       FROM d GROUP BY 1)
+             |SELECT event_id, event_type, round(value, 2) + 0.0 AS value,
+             |  group_n, median_x2_cents, mad_x4_cents,
+             |  coalesce(2 * dev2 > 3 * mad_x4_cents, false) AS is_outlier
+             |FROM d JOIN md USING (event_type) ORDER BY event_id""".stripMargin)),
 
     // Decile bucketing (equal-frequency binning) per event type — a
     // standard-SQL superset op; ntile ties resolve by the unique order key.

@@ -138,6 +138,56 @@ object EventAnalytics {
       .withColumnRenamed(n, "group_n")
   }
 
+  /** Per-group MAD (median-absolute-deviation) outlier flags — the robust
+    * companion to [[sigmaOutliers]]: |x - median| > k·MAD is immune to the
+    * outliers themselves inflating the yardstick, which is exactly what
+    * heavy-tailed metrics do to a k-sigma test.
+    *
+    * Exactness discipline: values are cents (BIGINT); the median of an
+    * integer set is either an integer or an exact .5, so 2·median is an
+    * exact integer under BOTH interpolation phrasings (`l·(1-d)+h·d` vs
+    * `l+d·(h-l)` collapse at d=0.5 while values < 2⁵²). The frame carries
+    * `median_x2_cents` = 2·median and `mad_x4_cents` = 4·MAD as BIGINTs
+    * and decides with the all-integer comparison
+    *
+    *   2·|2x - 2·median|  >  k·(4·MAD)
+    *
+    * — no float touches the flag, so it replays bit-for-bit cross-engine.
+    *
+    * Plan shape: two group aggregations (the second depends on the first's
+    * medians) with group-cardinality frames broadcast back; the data is
+    * scanned, never shuffled. Exact `percentile` holds per-group state
+    * O(distinct values); beyond ~10⁹ distinct cents per group switch to
+    * `approx_percentile` (the flag then inherits its rank error).
+    *
+    * Standard MAD caveat: a group where over half the values are identical
+    * has MAD = 0 and every other value flags — that is the statistic, not
+    * a bug. Null values never flag. n=1 groups never flag (dev = 0).
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int = 3): DataFrame = {
+    require(groupCols.nonEmpty, "madOutliers needs at least one group column")
+    require(k > 0 && k <= 9, s"k must be in [1, 9], got $k")
+    val Seq(xc, dev2) =
+      Seq("__xc", "__dev2").map(minietl.ops.Ops.freshName(df, _))
+    val base = df.withColumn(xc,
+      expr(s"try_cast(round(`$valueCol` * 100, 0) AS BIGINT)"))
+    val med = base.groupBy(groupCols.map(col): _*)
+      .agg((lit(2.0) * expr(s"percentile(`$xc`, 0.5)")).cast("bigint")
+          .as("median_x2_cents"),
+        count(col(xc)).as("group_n"))
+    val withMed = base.join(broadcast(med), groupCols, "left")
+      .withColumn(dev2, abs(lit(2) * col(xc) - col("median_x2_cents")))
+    val mad = withMed.groupBy(groupCols.map(col): _*)
+      .agg((lit(2.0) * expr(s"percentile(`$dev2`, 0.5)")).cast("bigint")
+        .as("mad_x4_cents"))
+    withMed.join(broadcast(mad), groupCols, "left")
+      .withColumn("is_outlier",
+        coalesce(lit(2) * col(dev2) > lit(k) * col("mad_x4_cents"),
+          lit(false)))
+      .drop(xc, dev2)
+  }
+
   /** Time-weighted average of `valueCol` per entity: each observation holds
     * its value until the next one, so the mean weights by holding duration
     * (the standard TWAP), computed on EXACT integer accumulators —

@@ -42,4 +42,51 @@ object Decontaminate {
     // contaminated corpus would blow the broadcast limit
     train.join(tainted, Seq(idCol), "left_anti")
   }
+
+  /** Bloom-prefiltered decontamination — same EXACT result as
+    * [[decontaminate]], different 100 TB cost profile.
+    *
+    * The string-broadcast path above ships every distinct bench gram to
+    * every executor; a large eval suite (or a wide shingle) can make that
+    * broadcast hundreds of MB. Here the bench grams are folded into ONE
+    * fixed-size Bloom filter (Spark's native `BloomFilterAggregate`, the
+    * same sketch runtime row-level filtering uses), embedded as a binary
+    * literal, and probed scan-side with the codegen'd
+    * `BloomFilterMightContain` — the training corpus pays one hash probe
+    * per gram and only bloom-POSITIVE grams (true hits + the fpp tail)
+    * reach the exact string-equality verify join. False positives cost
+    * only verify work, never correctness: the final anti-join key set is
+    * identical to the exact path's.
+    *
+    * The collected sketch is model-sized (`numBits/8` bytes, independent
+    * of corpus size), the same bounded-driver-state shape as
+    * [[minietl.sim.Ivf]] centroids.
+    */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         estimatedGrams: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.minietl.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.types.BinaryType
+    require(n >= 2, s"decontamination shingle width must be >= 2, got $n")
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+        explode(TextAnalysis.ngrams(TextAnalysis.tokens(trim(col(textCol))), n))
+          .as("__gram"))
+    val benchGrams = grams(bench).select("__gram").distinct()
+    val sketch = benchGrams
+      .agg(column(new BloomFilterAggregate(
+        expression(xxhash64(col("__gram"))), estimatedGrams)
+        .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    if (sketch == null) return train // empty bench: nothing can be tainted
+    val mightContain = column(new BloomFilterMightContain(
+      Literal(sketch, BinaryType), expression(xxhash64(col("__gram")))))
+    val tainted = grams(train)
+      .filter(mightContain)
+      .join(broadcast(benchGrams), "__gram")
+      .select(idCol).distinct()
+    train.join(tainted, Seq(idCol), "left_anti")
+  }
 }

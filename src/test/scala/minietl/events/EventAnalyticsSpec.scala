@@ -122,6 +122,43 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() === 3L) // the NaN row itself is kept, just never flagged
   }
 
+  test("madOutliers flags by median distance, robust to the outlier itself") {
+    // one extreme among n=7: a lone outlier's population-z converges to
+    // √(n²/(n−1)) = √8.17 < 3 as it grows, so k=3 sigma NEVER flags it —
+    // the outlier masks itself by inflating sigma. MAD is immune.
+    val rows = ((1 to 6).map(i => (i.toLong, "a", 10.0 + (i % 3))) :+
+      (99L, "a", 10000.0)) :+ (200L, "b", 5.0) // singleton: never flags
+    val df = rows.toDF("event_id", "event_type", "value")
+    val sigma = EventAnalytics.sigmaOutliers(df, Seq("event_type"), "value", k = 3)
+      .where(col("is_outlier")).select("event_id").as[Long].collect().toSet
+    val mad = EventAnalytics.madOutliers(df, Seq("event_type"), "value", k = 3)
+      .where(col("is_outlier")).select("event_id").as[Long].collect().toSet
+    assert(sigma === Set.empty[Long]) // masked: the outlier inflates sigma
+    assert(mad === Set(99L)) // MAD is not fooled
+  }
+
+  test("madOutliers carries exact 2·median / 4·MAD integers") {
+    // even count: median of {10, 20, 30, 40} = 25 (a .5-free midpoint),
+    // deviations {30, 10, 10, 30} in 2x-cents → 4·MAD = 2·median{…} = 4000
+    val rows = Seq((1L, "g", 10.0), (2L, "g", 20.0), (3L, "g", 30.0), (4L, "g", 40.0))
+    val out = EventAnalytics.madOutliers(
+        rows.toDF("event_id", "event_type", "value"), Seq("event_type"), "value")
+      .select("median_x2_cents", "mad_x4_cents").distinct().collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 5000L) // 2 × 2500 cents
+    assert(out(0).getLong(1) === 4000L) // 4 × 1000 cents = 4 × $10 MAD
+  }
+
+  test("madOutliers leaves null and NaN values unflagged") {
+    val rows = Seq((1L, "g", 1.0), (2L, "g", 1.0), (3L, "g", Double.NaN),
+      (4L, "g", 50.0))
+    val out = EventAnalytics.madOutliers(
+      rows.toDF("event_id", "event_type", "value"), Seq("event_type"), "value")
+    assert(out.count() === 4L)
+    assert(out.where(col("is_outlier")).select("event_id")
+      .as[Long].collect().toSeq === Seq(4L)) // MAD=0 group: any deviation flags
+  }
+
   test("resampleDaily fills calendar gaps with the previous observed total") {
     val out = EventAnalytics.resampleDaily(
       log.where(col("user_id") === 2L), "user_id", "ts", "value")

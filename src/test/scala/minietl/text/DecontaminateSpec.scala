@@ -31,4 +31,36 @@ class DecontaminateSpec extends AnyFunSuite with SparkTestBase {
     val bench = Seq((9L, "one two three four five")).toDF("id", "text")
     assert(Decontaminate.decontaminate(train, bench, "id", "text", n = 3).count() === 1)
   }
+
+  test("bloom path returns the exact path's result") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely different words live here today"),
+      (3L, "a quick brown fox jumps too"),
+      (4L, "short one")).toDF("id", "text")
+    val bench = Seq((100L, "quick brown fox jumps around")).toDF("id", "text")
+    val exact = Decontaminate.decontaminate(train, bench, "id", "text", n = 4)
+      .select("id").as[Long].collect().sorted.toSeq
+    val bloom = Decontaminate.decontaminateBloom(train, bench, "id", "text", n = 4)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(bloom === exact)
+    assert(bloom === Seq(2L, 4L))
+  }
+
+  test("bloom path with an undersized sketch stays exact (fps only cost verify work)") {
+    val train = (1L to 200L).map(i => (i, s"alpha token$i beta token$i gamma")).toDF("id", "text")
+    val bench = Seq((0L, "alpha token7 beta token7 gamma")).toDF("id", "text")
+    // estimatedGrams=1 forces a tiny, saturated filter: many false positives,
+    // but the string verify join must still keep the result exact
+    val out = Decontaminate.decontaminateBloom(train, bench, "id", "text", n = 3,
+      estimatedGrams = 1L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out === (1L to 200L).filterNot(_ == 7L))
+  }
+
+  test("bloom path with an empty benchmark keeps everything") {
+    val train = Seq((1L, "alpha beta gamma delta")).toDF("id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Decontaminate.decontaminateBloom(train, bench, "id", "text", n = 3).count() === 1)
+  }
 }

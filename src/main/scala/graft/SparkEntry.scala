@@ -1792,6 +1792,46 @@ object SparkEntry {
              |SELECT doc_id, lang, n_tokens, cum_tokens
              |FROM c WHERE cum_tokens <= 1500 ORDER BY doc_id""".stripMargin)),
 
+    // Nucleus (top-p) corpus selection: per language, the smallest
+    // best-quality-first doc set carrying 60% of the stratum's total
+    // quality mass; the keep decision is exact integer/decimal arithmetic
+    "q_top_p_select" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .withColumn("quality_bp",
+            minietl.text.TextAnalysis.qualityScore(col("text")))
+          .transform(Ops.topPSelect("lang", "quality_bp", pBasisPoints = 6000,
+            order = Seq(col("quality_bp").desc, col("doc_id").asc),
+            cumColumn = Some("cum_mass")))
+          .select("doc_id", "lang", "quality_bp", "cum_mass")
+          .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    CAST(length(text) AS BIGINT) AS L,
+             |    CAST(greatest(len(string_split(text, ' ')), 1) AS BIGINT) AS n,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS u,
+             |    CAST(len(list_filter(string_split(lower(text), ' '),
+             |      t -> list_contains(['the','a','and','of','to','in','is','that','for','it'], t))) AS BIGINT) AS k,
+             |    CAST(len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS BIGINT) AS p
+             |  FROM documents),
+             |q AS (SELECT doc_id, lang,
+             |        3 * least(L * 20, 10000)
+             |          + 3 * CAST(floor(u * 10000.0 / n) AS BIGINT)
+             |          + 3 * least(CAST(floor(k * 50000.0 / n) AS BIGINT), 10000)
+             |          + (10000 - CAST(floor(p * 10000.0 / greatest(L, 1)) AS BIGINT))
+             |          AS quality_bp
+             |      FROM d),
+             |w AS (SELECT doc_id, lang, quality_bp,
+             |        CAST(sum(quality_bp) OVER (PARTITION BY lang
+             |          ORDER BY quality_bp DESC, doc_id
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass,
+             |        CAST(sum(quality_bp) OVER (PARTITION BY lang) AS BIGINT) AS total
+             |      FROM q)
+             |SELECT doc_id, lang, quality_bp, cum_mass FROM w
+             |WHERE CAST(cum_mass - quality_bp AS HUGEINT) * 10000 <
+             |      6000 * CAST(total AS HUGEINT)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Gopher format-rule battery: every ratio threshold is an exact integer
     // comparison, so the keep set replays bit-for-bit in DuckDB.
     "q_gopher_rules" -> Q(

@@ -388,6 +388,47 @@ object Ops {
     if (cumColumn.isDefined) out else out.drop(cum)
   }
 
+  /** Nucleus (top-p) selection per stratum: keep the smallest prefix of
+    * rows, in `order`, whose cumulative `massCol` reaches
+    * `pBasisPoints`/10000 of the stratum's TOTAL mass — "the best docs
+    * carrying p of the quality mass per source", the mass-weighted
+    * companion to [[tokenBudget]]'s absolute cap. A row is kept iff the
+    * mass BEFORE it is strictly under the target, so the boundary row that
+    * crosses the threshold is included and zero-mass rows sorted after the
+    * nucleus are not. `order` must be a total order (mass descending with
+    * a unique tie-break) or the kept set is not deterministic.
+    *
+    * The decision is exact integer arithmetic (mass as BIGINT, the
+    * comparison widened to DECIMAL so stratum totals up to 10¹⁸ survive
+    * the ×10⁴) — no float ratio, replays bit-for-bit cross-engine.
+    *
+    * Scale shape: ONE shuffle on the stratum key; both windows (running
+    * and total) share that partitioning. Like [[tokenBudget]], each
+    * stratum's exact running sum sorts on a single task — split giant
+    * strata with a salted sub-budget when that bites.
+    */
+  def topPSelect(strataCol: String, massCol: String, pBasisPoints: Int,
+                 order: Seq[Column], cumColumn: Option[String] = None): Op = df => {
+    require(pBasisPoints >= 0 && pBasisPoints <= 10000,
+      s"pBasisPoints must be in [0, 10000], got $pBasisPoints")
+    require(order.nonEmpty, "topPSelect needs at least one order column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
+    val cum = cumColumn.getOrElse(freshName(df, "_tp_cum"))
+    val total = freshName(df, "_tp_total")
+    // null mass contributes 0, same reasoning as tokenBudget's coalesce
+    val m = coalesce(col(massCol).cast("long"), lit(0L))
+    val out = df
+      .withColumn(cum, sum(m).over(w))
+      .withColumn(total, sum(m).over(wAll))
+      .filter((col(cum) - m).cast("decimal(20,0)") * lit(10000).cast("decimal(5,0)") <
+        lit(pBasisPoints).cast("decimal(5,0)") * col(total).cast("decimal(20,0)"))
+      .drop(total)
+    if (cumColumn.isDefined) out else out.drop(cum)
+  }
+
   /** Deterministic pre-training shuffle key: md5 of (seed, key). Sorting by
     * it is a uniform pseudo-random permutation of the corpus that any
     * engine reproduces bit-for-bit from the same seed. Use it as the ORDER

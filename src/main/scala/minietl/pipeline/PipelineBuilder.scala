@@ -71,6 +71,13 @@ final class PipelineBuilder(name: String = "pipeline") {
                   key: String, seed: String = "0"): PipelineBuilder =
     add(Ops.tokenBudget(strata, tokenCol, budget, Ops.shuffleKey(key, seed)),
       "token_budget")
+  def topPSelect(strata: String, massCol: String, pBasisPoints: Int,
+                 tieBreakCol: String): PipelineBuilder = {
+    import org.apache.spark.sql.functions.col
+    // best-mass-first nucleus with a unique tie-break = deterministic set
+    add(Ops.topPSelect(strata, massCol, pBasisPoints,
+      Seq(col(massCol).desc, col(tieBreakCol).asc)), "top_p_select")
+  }
   def paragraphDedup(textCol: String, idCol: String, delim: String = "\n",
                      minChars: Int = 0): PipelineBuilder =
     add(df => minietl.text.ParagraphDedup.dedupParagraphs(

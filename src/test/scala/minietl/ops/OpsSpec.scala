@@ -375,6 +375,44 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.columns.toSeq === Seq("id", "g"))
   }
 
+  test("topPSelect keeps the smallest prefix reaching p of the stratum mass") {
+    val df = Seq(
+      // stratum a: masses 50, 30, 20 (total 100); p=0.6 → 50 alone is not
+      // enough (50 < 60), 50+30 crosses → keep ids 1, 2
+      (1L, "a", 50L), (2L, "a", 30L), (3L, "a", 20L),
+      // stratum b: one row carries everything → kept alone
+      (4L, "b", 10L)).toDF("id", "g", "mass")
+    val kept = df.transform(Ops.topPSelect("g", "mass", 6000,
+        Seq(col("mass").desc, col("id").asc)))
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 4L))
+  }
+
+  test("topPSelect boundary row is included, zero-mass tail is not") {
+    val df = Seq((1L, "a", 60L), (2L, "a", 40L), (3L, "a", 0L))
+      .toDF("id", "g", "mass")
+    // p = 1.0: the full-mass prefix is ids 1+2; the zero-mass row after
+    // the nucleus never makes it in (cum_before == total is not < total)
+    val all = df.transform(Ops.topPSelect("g", "mass", 10000,
+        Seq(col("mass").desc, col("id").asc)))
+      .select("id").as[Long].collect().toSet
+    assert(all === Set(1L, 2L))
+    // p = 0: nothing qualifies (strict inequality against zero target)
+    assert(df.transform(Ops.topPSelect("g", "mass", 0,
+      Seq(col("mass").desc, col("id").asc))).count() === 0L)
+  }
+
+  test("topPSelect treats null mass as zero and keeps the cum column on request") {
+    val df = Seq((1L, "a", Some(70L)), (2L, "a", Option.empty[Long]),
+      (3L, "a", Some(30L))).toDF("id", "g", "mass")
+    val out = df.transform(Ops.topPSelect("g", "mass", 8000,
+        Seq(col("mass").desc_nulls_last, col("id").asc),
+        cumColumn = Some("cum")))
+      .orderBy("id").select("id", "cum").as[(Long, Long)].collect().toSeq
+    // 70 (cum 70, before 0 < 80) kept; 30 (before 70 < 80) kept → cum 100
+    assert(out === Seq((1L, 70L), (3L, 100L)))
+  }
+
   test("tokenBudget treats null token counts as zero, order-independently") {
     val df = Seq((1L, "a", Option.empty[Long]), (2L, "a", Some(10L)),
       (3L, "a", Some(10L))).toDF("id", "g", "toks")

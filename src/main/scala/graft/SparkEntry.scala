@@ -1636,6 +1636,26 @@ object SparkEntry {
       Some("""SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
              |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
 
+    // Corpus vocabulary health per language: type-token and hapax ratios
+    // as floored basis points — all-integer, two hash aggs, no collect
+    "q_vocab_stats" -> Q(
+      (s, dir) =>
+        minietl.text.TextAnalysis.vocabStats(
+            documents(s, dir), "text", Seq("lang"))
+          .orderBy("lang"),
+      Some("""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+             |           FROM documents),
+             |c AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS tc
+             |      FROM t GROUP BY 1, 2),
+             |a AS (SELECT lang, CAST(sum(tc) AS BIGINT) AS n_tokens,
+             |        CAST(count(*) AS BIGINT) AS n_terms,
+             |        CAST(sum(CASE WHEN tc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+             |      FROM c GROUP BY 1)
+             |SELECT lang, n_tokens, n_terms, n_hapax,
+             |  CAST(floor((n_terms * 10000) / n_tokens) AS BIGINT) AS ttr_bp,
+             |  CAST(floor((n_hapax * 10000) / n_terms) AS BIGINT) AS hapax_bp
+             |FROM a ORDER BY lang""".stripMargin)),
+
     // Data-quality constraint battery: six checks, ONE aggregation pass
     // over the frame; the oracle recomputes every aggregate and verdict.
     "q_quality_checks" -> Q(

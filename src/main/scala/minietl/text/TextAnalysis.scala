@@ -135,6 +135,34 @@ object TextAnalysis {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("term_count").desc, col("term").asc)).cast("bigint"))
 
+  /** Per-group corpus vocabulary health: token volume, distinct terms,
+    * hapax legomena (terms occurring exactly once) and the derived
+    * type-token / hapax ratios as floored basis points — the standard
+    * quick read on corpus diversity and crawl-dup contamination (a
+    * near-duplicated corpus shows a collapsing TTR; an OCR-noisy one, a
+    * ballooning hapax share). All-integer outputs replay bit-for-bit.
+    *
+    * Scale shape: explode → two hash aggregations. The first shuffles
+    * O(distinct (group, term)) counted pairs — bytes per distinct term,
+    * not per token (map-side partial aggregation absorbs the token
+    * volume); the second is group-cardinality. Nothing is collected.
+    */
+  def vocabStats(docs: DataFrame, textCol: String,
+                 groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "vocabStats needs at least one group column")
+    val g = groupCols.map(col)
+    docs.select(g :+ explode(tokens(col(textCol))).as("__term"): _*)
+      .groupBy(g :+ col("__term"): _*).agg(count(lit(1)).as("__tc"))
+      .groupBy(g: _*)
+      .agg(sum(col("__tc")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(when(col("__tc") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_bp",
+        floor(col("n_terms") * lit(10000L) / col("n_tokens")).cast("bigint"))
+      .withColumn("hapax_bp",
+        floor(col("n_hapax") * lit(10000L) / col("n_terms")).cast("bigint"))
+  }
+
   /** Encode each document as its vocabulary-id sequence (order-preserving;
     * out-of-vocabulary tokens → 0). Emits (idCol, token_ids, n_tokens,
     * n_oov). The vocabulary side is broadcast — it is model-sized by

@@ -157,4 +157,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     // "x y" appears 3×; the 1-count grams cut lexicographically
     assert(top === Seq(("x y", 3L), ("y x", 1L), ("y z", 1L)))
   }
+
+  test("vocabStats computes exact token/term/hapax counts and floored ratios") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "a b a c"), // en: tokens {a:3, b:2, c:1} with next row
+      ("en", "a b"),
+      ("fr", "q q q")).toDF("lang", "text")
+    val out = TextAnalysis.vocabStats(docs, "text", Seq("lang"))
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // en: 6 tokens, 3 terms, 1 hapax → ttr 5000 bp, hapax 3333 bp
+    // fr: 3 tokens, 1 term, 0 hapax → ttr 3333 bp, hapax 0 bp
+    assert(out === Seq(
+      ("en", 6L, 3L, 1L, 5000L, 3333L),
+      ("fr", 3L, 1L, 0L, 3333L, 0L)))
+  }
 }

@@ -2037,6 +2037,47 @@ object SparkEntry {
              |  coalesce(2 * dev2 > 3 * mad_x4_cents, false) AS is_outlier
              |FROM d JOIN md USING (event_type) ORDER BY event_id""".stripMargin)),
 
+    // Day-over-day growth per event type: exact cent totals and deltas,
+    // floored basis-point ratio — pandas pct_change made replay-exact
+    "q_pct_change" -> Q(
+      (s, dir) =>
+        minietl.events.EventAnalytics.periodOverPeriod(events(s, dir),
+            Seq("event_type"), "ts", "value")
+          .orderBy("event_type", "day"),
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |            CAST(round(value * 100, 0) AS BIGINT) AS xc FROM events),
+             |a AS (SELECT event_type, day, CAST(sum(xc) AS BIGINT) AS value_cents
+             |      FROM d GROUP BY 1, 2),
+             |w AS (SELECT *, lag(value_cents) OVER (PARTITION BY event_type
+             |        ORDER BY day) AS prev_cents FROM a)
+             |SELECT event_type, day, value_cents, prev_cents,
+             |  value_cents - prev_cents AS delta_cents,
+             |  CASE WHEN prev_cents > 0
+             |       THEN CAST(floor((value_cents * 10000) / prev_cents) AS BIGINT)
+             |  END AS ratio_bp
+             |FROM w ORDER BY event_type, day""".stripMargin)),
+
+    // Levenshtein fuzzy-dup pairs on 40-char document heads: first-token
+    // blocking + lossless length blocking + banded threshold verify
+    "q_edit_distance_pairs" -> Q(
+      (s, dir) => {
+        val p = documents(s, dir).select(col("doc_id"),
+          substring(col("text"), 1, 40).as("head"),
+          split(col("text"), " ")(0).as("blk"))
+        minietl.dedup.Dedup.editDistancePairs(p, "doc_id", "head",
+            maxDist = 4, blockCols = Seq("blk"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH p AS (SELECT doc_id AS id, substr(text, 1, 40) AS nm,
+             |            CAST(length(substr(text, 1, 40)) AS BIGINT) AS len,
+             |            string_split(text, ' ')[1] AS blk FROM documents)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+             |FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+             |  AND abs(a.len - b.len) <= 4
+             |WHERE levenshtein(a.nm, b.nm) <= 4
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Decile bucketing (equal-frequency binning) per event type — a
     // standard-SQL superset op; ntile ties resolve by the unique order key.
     "q_ntile" -> Q(

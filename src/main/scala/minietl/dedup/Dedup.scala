@@ -637,4 +637,52 @@ object Dedup {
        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming ORDER BY id_a, id_b""".stripMargin
   }
+
+  // ------------------------------------------------------- edit distance
+  /** Levenshtein fuzzy-duplicate pairs — the near-dup family for SHORT
+    * strings (titles, names, identifiers) where character-level edits
+    * matter and shingle methods are too coarse. Emits (id_a, id_b, dist)
+    * for every candidate pair with edit distance <= `maxDist`.
+    *
+    * Candidates are pairs that (a) agree on every `blockCols` column
+    * (caller-chosen blocking, e.g. a first token or a phonetic key — an
+    * explicit recall trade documented in the result, exactly like LSH
+    * banding), and (b) differ in length by at most `maxDist` (a pair
+    * needing k edits differs by at most k characters in length — this
+    * block is lossless). The length block is the same 3-probe bucket
+    * equi-join as [[ngramJaccardPairs]]: no nested loop, no pair dedup.
+    * Verification uses the BANDED threshold levenshtein, O(len·maxDist)
+    * per pair instead of O(len²). Null ids, texts, or block keys never
+    * pair.
+    *
+    * Strings travel with the bucket join (they are short by contract —
+    * this is NOT for document bodies; a 4 KB text would make every
+    * candidate comparison O(len·maxDist) on megabyte shuffles. Fuzzy-match
+    * long texts with minhash/simhash/containment instead).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, blockCols: Seq[String] = Nil): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val width = 2 * maxDist + 1
+    val base = spread(df)
+      .select(col(idCol).as("id") +: col(textCol).as("txt") +:
+        blockCols.map(col): _*)
+      .withColumn("len", length(col("txt")).cast("long"))
+      .where(col("id").isNotNull && col("txt").isNotNull)
+    val bucket = floor(col("len") / width)
+    val probes = base.withColumn("__bucket",
+      explode(array(bucket - 1, bucket, bucket + 1)))
+    val build = base.withColumn("__bucket", bucket)
+      .select(col("__bucket") +: col("id").as("id_b") +: col("txt").as("txt_b") +:
+        col("len").as("len_b") +: blockCols.map(c => col(c).as(s"__${c}_b")): _*)
+    val blockCond = blockCols
+      .map(c => col(c) === col(s"__${c}_b"))
+      .foldLeft(col("id") < col("id_b") &&
+        abs(col("len") - col("len_b")) <= maxDist)(_ && _)
+    probes.join(build, probes("__bucket") === build("__bucket") && blockCond)
+      .withColumn("dist",
+        levenshtein(col("txt"), col("txt_b"), maxDist).cast("bigint"))
+      .where(col("dist") >= 0) // the threshold variant returns -1 past it
+      .select(col("id").as("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -188,6 +188,36 @@ object EventAnalytics {
       .drop(xc, dev2)
   }
 
+  /** Day-over-day change per group (pandas `pct_change` at day grain, made
+    * replay-exact): daily totals in integer cents, the previous OBSERVED
+    * day's total, the exact cent delta, and the growth ratio as floored
+    * basis points (cur·10⁴/prev — the only division, identical
+    * correctly-rounded IEEE in every engine since both operands are exact
+    * integers). `ratio_bp` is null on each group's first day and whenever
+    * prev <= 0 (a sign-crossing ratio is meaningless). The lag steps over
+    * observed days; run [[resampleDaily]] first when calendar-adjacent
+    * comparison across gap days is wanted.
+    *
+    * Shape: one partial+final aggregation to day grain, then a lag window
+    * over the (small) per-group day series — the window input is already
+    * group×days, not raw events.
+    */
+  def periodOverPeriod(df: DataFrame, groupCols: Seq[String], tsCol: String,
+                       valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "periodOverPeriod needs at least one group column")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("day"))
+    df.select(groupCols.map(col) :+ to_date(col(tsCol)).as("day") :+
+        expr(s"try_cast(round(`$valueCol` * 100, 0) AS BIGINT)").as("__xc"): _*)
+      .groupBy(groupCols.map(col) :+ col("day"): _*)
+      .agg(sum(col("__xc")).as("value_cents"))
+      .withColumn("prev_cents", lag(col("value_cents"), 1).over(w))
+      .withColumn("delta_cents", col("value_cents") - col("prev_cents"))
+      .withColumn("ratio_bp",
+        when(col("prev_cents") > 0,
+          floor(col("value_cents") * lit(10000L) / col("prev_cents"))
+            .cast("bigint")))
+  }
+
   /** Time-weighted average of `valueCol` per entity: each observation holds
     * its value until the next one, so the mean weights by holding duration
     * (the standard TWAP), computed on EXACT integer accumulators —

@@ -242,4 +242,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .as[Long].collect()
     sigs.foreach(s => assert((s >>> 60) === 0L, s"bits 60-63 set in $s"))
   }
+
+  test("editDistancePairs finds fuzzy dups within maxDist, ordered and deduped") {
+    val docs = Seq(
+      (1L, "spark engine"), (2L, "spork engine"), // dist 1
+      (3L, "spark enginx"), // dist 1 of #1, dist 2 of #2
+      (4L, "completely unrelated text"), // blocked by length
+      (5L, "spark")).toDF("id", "txt") // Δlen 7 > maxDist: lossless length block
+    val out = Dedup.editDistancePairs(docs, "id", "txt", maxDist = 2)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L)))
+  }
+
+  test("editDistancePairs honors caller blocking and skips nulls") {
+    val docs = Seq(
+      (1L, "abcd", "g1"), (2L, "abce", "g2"), // same dist-1 pair, split by block
+      (3L, "abcf", "g1"), // pairs with 1 under g1
+      (4L, null.asInstanceOf[String], "g1")).toDF("id", "txt", "blk")
+    val out = Dedup.editDistancePairs(docs, "id", "txt", maxDist = 2,
+        blockCols = Seq("blk"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 3L, 1L)))
+  }
 }

@@ -159,6 +159,34 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .as[Long].collect().toSeq === Seq(4L)) // MAD=0 group: any deviation flags
   }
 
+  test("periodOverPeriod computes exact cent deltas and floored bp ratios") {
+    val rows = Seq(
+      (1L, "buy", ts("2024-01-01 09:00:00"), 10.0),
+      (2L, "buy", ts("2024-01-01 17:00:00"), 10.0), // day 1 total 20.00
+      (3L, "buy", ts("2024-01-02 12:00:00"), 25.0), // +5.00, 12500 bp
+      (4L, "buy", ts("2024-01-04 12:00:00"), 5.0) // observed-day lag: vs Jan 2
+    ).toDF("event_id", "event_type", "ts", "value")
+    val out = EventAnalytics.periodOverPeriod(rows, Seq("event_type"), "ts", "value")
+      .orderBy("day")
+      .select("value_cents", "delta_cents", "ratio_bp")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(out === Seq(
+      (2000L, None, None), // first day: no previous
+      (2500L, Some(500L), Some(12500L)),
+      (500L, Some(-2000L), Some(2000L)))) // 500*10000/2500 = 2000 bp
+  }
+
+  test("periodOverPeriod nulls the ratio when the previous total is not positive") {
+    val rows = Seq(
+      (1L, "x", ts("2024-01-01 10:00:00"), -3.0),
+      (2L, "x", ts("2024-01-02 10:00:00"), 7.0)
+    ).toDF("event_id", "event_type", "ts", "value")
+    val out = EventAnalytics.periodOverPeriod(rows, Seq("event_type"), "ts", "value")
+      .orderBy("day").select("delta_cents", "ratio_bp")
+      .as[(Option[Long], Option[Long])].collect().toSeq
+    assert(out === Seq((None, None), (Some(1000L), None)))
+  }
+
   test("resampleDaily fills calendar gaps with the previous observed total") {
     val out = EventAnalytics.resampleDaily(
       log.where(col("user_id") === 2L), "user_id", "ts", "value")

@@ -40,7 +40,7 @@ object Config {
       "hash_sample", "stratified_sample", "pii_redact", "quality_filter",
       "exact_dedup", "gopher_filter", "temperature_sample", "token_budget",
       "paragraph_dedup", "normalize_text", "feature_hash", "sigma_outlier_filter",
-      "winsorize", "impute")
+      "winsorize", "impute", "mad_outlier_filter", "top_p_select")
   private val declaredUnsupported = Set("excel")
 
   private val EnvBrace: Regex = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
@@ -205,6 +205,8 @@ object Config {
       case "paragraph_dedup" => numeric("min_chars", 0.0, Int.MaxValue.toDouble)
       case "feature_hash" => numeric("dim", 1.0, 1048576.0)
       case "sigma_outlier_filter" => numeric("k", 1.0, 9.0)
+      case "mad_outlier_filter" => numeric("k", 1.0, 9.0)
+      case "top_p_select" => numeric("p_basis_points", 0.0, 10000.0)
       case "winsorize" => numeric("lo", 0.0, 1.0) ++ numeric("hi", 0.0, 1.0)
       case _ => Nil
     }
@@ -229,6 +231,8 @@ object Config {
     case "normalize_text" => Seq("column")
     case "feature_hash" => Seq("column", "out_column", "dim")
     case "sigma_outlier_filter" => Seq("group_by", "value")
+    case "mad_outlier_filter" => Seq("group_by", "value")
+    case "top_p_select" => Seq("strata", "mass", "p_basis_points", "tie_break")
     case "winsorize" => Seq("group_by", "value")
     case "impute" => Seq("group_by", "value", "strategy")
     case _ => Nil
@@ -366,6 +370,14 @@ object Config {
           b.sigmaOutlierFilter(strSeq(t.options("group_by")),
             str(t.options, "value"),
             t.options.get("k").map(_.toString.toDouble.toInt).getOrElse(3))
+        case "mad_outlier_filter" =>
+          b.madOutlierFilter(strSeq(t.options("group_by")),
+            str(t.options, "value"),
+            t.options.get("k").map(_.toString.toDouble.toInt).getOrElse(3))
+        case "top_p_select" =>
+          b.topPSelect(str(t.options, "strata"), str(t.options, "mass"),
+            str(t.options, "p_basis_points").toDouble.toInt,
+            str(t.options, "tie_break"))
         case "winsorize" =>
           b.winsorize(strSeq(t.options("group_by")), str(t.options, "value"),
             t.options.get("lo").map(_.toString.toDouble).getOrElse(0.01),

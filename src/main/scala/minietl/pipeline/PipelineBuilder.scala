@@ -103,6 +103,14 @@ final class PipelineBuilder(name: String = "pipeline") {
       .where(!org.apache.spark.sql.functions.col("is_outlier"))
       .drop("group_n", "is_outlier"), "sigma_outlier_filter")
 
+  def madOutlierFilter(groupBy: Seq[String], valueCol: String,
+                       k: Int = 3): PipelineBuilder =
+    add(df => minietl.events.EventAnalytics
+      .madOutliers(df, groupBy, valueCol, k)
+      .where(!org.apache.spark.sql.functions.col("is_outlier"))
+      .drop("group_n", "median_x2_cents", "mad_x4_cents", "is_outlier"),
+      "mad_outlier_filter")
+
   def withSchema(schema: TableSchema): PipelineBuilder =
     { p = p.withValidator(new SchemaValidator(schema)); this }
   def withErrorMode(m: ErrorMode): PipelineBuilder = { p = p.withErrorMode(m); this }

@@ -264,6 +264,41 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(errs.exists(_.contains("out of [0.0, 1.0]")))
   }
 
+  test("mad_outlier_filter and top_p_select run from YAML") {
+    val in = s"${tmp()}/mt_in"
+    val out = s"${tmp()}/mt_out"
+    // one extreme among 7 clustered values: sigma would mask it (z limit
+    // √(49/6) < 3), the MAD stage must drop it; then top-p keeps the
+    // best-mass prefix carrying 80% of what survives
+    Writers.csv(((1L to 6L).map(i => (i, "g", 10.0 + (i % 3))) :+
+      (99L, "g", 10000.0)).toDF("id", "grp", "v"), in)
+    Config.load(
+      s"""name: mt
+         |source: {type: csv, filepath: $in}
+         |transformers:
+         |  - type: cast
+         |    columns: {id: int64, v: double}
+         |  - {type: mad_outlier_filter, group_by: [grp], value: v, k: 3}
+         |  - {type: top_p_select, strata: grp, mass: id, p_basis_points: 5000,
+         |     tie_break: id}
+         |sink: {type: parquet, filepath: $out}
+         |""".stripMargin).run(spark)
+    val kept = Readers.parquet(spark, out).select("id")
+      .as[Long].collect().toSet
+    // MAD drops 99; ids 1..6 have mass 21, p=0.5 → target 10.5: 6 (before
+    // 0), 5 (before 6) kept; 4 would start at 11 ≥ 10.5 → stop
+    assert(kept === Set(6L, 5L))
+    val errs = Config.validate(Config.parse(
+      """name: x
+        |source: {type: parquet, filepath: /tmp/x}
+        |transformers:
+        |  - {type: top_p_select, strata: g, mass: m, p_basis_points: 20000,
+        |     tie_break: id}
+        |sink: {type: parquet, filepath: /tmp/y}
+        |""".stripMargin))
+    assert(errs.exists(_.contains("out of [0.0, 10000.0]")))
+  }
+
   test("missing required keys in new stage types are validation errors") {
     val c = Config.parse(
       """name: x

@@ -2057,6 +2057,35 @@ object SparkEntry {
              |  END AS ratio_bp
              |FROM w ORDER BY event_type, day""".stripMargin)),
 
+    // Benford first-digit audit per event type: exact digit counts over
+    // positive cent values plus floored basis-point shares — the classic
+    // fabricated-data screen, integer end to end
+    "q_benford" -> Q(
+      (s, dir) => {
+        val counted = events(s, dir)
+          .withColumn("__xc", expr("try_cast(round(value * 100, 0) AS BIGINT)"))
+          .where(col("__xc") > 0)
+          .withColumn("digit",
+            substring(col("__xc").cast("string"), 1, 1).cast("bigint"))
+          .groupBy("event_type", "digit").agg(count(lit(1)).as("n"))
+        counted
+          .withColumn("share_bp",
+            floor(col("n") * lit(10000L) /
+              sum("n").over(Window.partitionBy("event_type"))).cast("bigint"))
+          .orderBy("event_type", "digit")
+      },
+      Some("""WITH b AS (SELECT event_type,
+             |            CAST(round(value * 100, 0) AS BIGINT) AS xc FROM events),
+             |d AS (SELECT event_type,
+             |        CAST(substr(CAST(xc AS VARCHAR), 1, 1) AS BIGINT) AS digit
+             |      FROM b WHERE xc > 0),
+             |c AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+             |      FROM d GROUP BY 1, 2)
+             |SELECT event_type, digit, n,
+             |  CAST(floor((n * 10000) / sum(n) OVER (PARTITION BY event_type))
+             |    AS BIGINT) AS share_bp
+             |FROM c ORDER BY event_type, digit""".stripMargin)),
+
     // Levenshtein fuzzy-dup pairs on 40-char document heads: first-token
     // blocking + lossless length blocking + banded threshold verify
     "q_edit_distance_pairs" -> Q(

@@ -2234,6 +2234,62 @@ object SparkEntry {
              |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 100), 4) AS cov
              |FROM c ORDER BY l_returnflag""".stripMargin)),
 
+    // Exact Pearson correlation: cov/var numerators as exact decimals
+    // (n·Σxy−ΣxΣy etc.; Σy² widened to DECIMAL — cent-squared sums pass
+    // 2⁶³), the coefficient derived from them in identical IEEE double
+    // ops on both engines. Built-in corr() is NOT replayable (float
+    // accumulation order); this is.
+    "q_correlation" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("bigint").as("x"),
+            round(col("l_extendedprice") * 100, 0).cast("bigint").as("y"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y").cast("decimal(20,0)") * col("y")).as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            expr("CAST(CAST(n AS DECIMAL(16,0)) * CAST(sxy AS DECIMAL(19,0)) - CAST(sx AS DECIMAL(17,0)) * CAST(sy AS DECIMAL(18,0)) AS DECIMAL(38,0))")
+              .as("cov_num"),
+            expr("CAST(CAST(n AS DECIMAL(16,0)) * CAST(sxx AS DECIMAL(19,0)) - CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0)) AS DECIMAL(38,0))")
+              .as("varx_num"),
+            expr("CAST(CAST(n AS DECIMAL(10,0)) * syy - CAST(sy AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS DECIMAL(38,0))")
+              .as("vary_num"))
+          .withColumn("corr",
+            when(col("varx_num") > 0 && col("vary_num") > 0,
+              round(col("cov_num").cast("double") /
+                sqrt(col("varx_num").cast("double") *
+                  col("vary_num").cast("double")), 4) + lit(0.0)))
+          .orderBy("l_returnflag"),
+      Some("""WITH b AS (SELECT l_returnflag,
+             |            CAST(l_quantity AS BIGINT) AS x,
+             |            CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+             |          FROM lineitem),
+             |a AS (SELECT l_returnflag, count(*) AS n, sum(x * y) AS sxy,
+             |        sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             |        sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+             |      FROM b GROUP BY 1),
+             |c AS (SELECT l_returnflag, n,
+             |        CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+             |          - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS covn,
+             |        CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+             |          - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS vxn,
+             |        CAST(n AS HUGEINT) * syy
+             |          - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS vyn
+             |      FROM a)
+             |SELECT l_returnflag, n,
+             |  CAST(covn AS DECIMAL(38,0)) AS cov_num,
+             |  CAST(vxn AS DECIMAL(38,0)) AS varx_num,
+             |  CAST(vyn AS DECIMAL(38,0)) AS vary_num,
+             |  CASE WHEN vxn > 0 AND vyn > 0 THEN
+             |    round(CAST(covn AS DOUBLE)
+             |      / sqrt(CAST(vxn AS DOUBLE) * CAST(vyn AS DOUBLE)), 4) + 0.0
+             |  END AS corr
+             |FROM c ORDER BY l_returnflag""".stripMargin)),
+
     // Deterministic per-group mode (ties to smallest value — total order).
     "q_group_mode" -> Q(
       (s, dir) =>

@@ -24,7 +24,16 @@ import minietl.schema.{ColumnSpec, SchemaValidator, TableSchema}
   *    of sufficient scale instead (see q_impute_median);
   *  - every query has a total ORDER BY with a unique tie-break key;
   *  - integer-ish derived columns are cast to BIGINT on both sides
-  *    (Spark length/row_number return INT, DuckDB returns BIGINT).
+  *    (Spark length/row_number return INT, DuckDB returns BIGINT);
+  *  - DRIVER-OUTPUT-TYPE CONTRACT: final columns must be DOUBLE / BIGINT /
+  *    STRING / BOOL / DATE / TIMESTAMP — never DECIMAL or ARRAY. The driver
+  *    reads the Spark parquet through pandas (DECIMAL → Python Decimal,
+  *    ARRAY → numpy array) but the DuckDB oracle through .df() (DECIMAL →
+  *    float64), so a wide-decimal output hash-mismatches on trailing zeros
+  *    and an array output crashes the row sort. Decimals and arrays are for
+  *    INTERNAL exactness only; render decimals through [[decToDouble]] (or a
+  *    scaled BIGINT / digit STRING past 2^63) and arrays through array_join.
+  *    Enforced by EntryContractSpec over every registered query's schema.
   */
 object SparkEntry {
 
@@ -107,21 +116,44 @@ object SparkEntry {
 
   private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** Render an EXACT scale-`s` decimal as float64 deterministically across
+    * engines: scale to a BIGINT (exact — the decimal has no digits below
+    * scale s), then BIGINT→DOUBLE (IEEE round-to-nearest in both the JVM and
+    * DuckDB) and divide by the exactly-representable power of ten (correctly
+    * rounded in both). Spark's own decimal→double (BigDecimal.doubleValue,
+    * single-rounded) and DuckDB's (int128→double then divide, double-rounded)
+    * can differ by an ulp past 2^53 — phrasing BOTH sides as the same two
+    * IEEE ops removes the engine difference entirely. Width bound: the scaled
+    * value must fit 2^63, i.e. |x| < 9.2e18 / 10^s (scale 6 ⇒ |x| < 9.2e12 —
+    * orders of magnitude above any battery SF's aggregates).
+    * See [[decToDoubleSql]] for the oracle twin.
+    */
+  private def decToDouble(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    (c * lit(p.toLong)).cast("bigint").cast("double") / lit(p)
+  }
+
+  /** DuckDB twin of [[decToDouble]] over SQL fragment `sql`. */
+  private def decToDoubleSql(sql: String, scale: Int): String = {
+    val p = math.pow(10, scale).toLong
+    s"CAST(CAST(($sql) * $p AS BIGINT) AS DOUBLE) / $p.0"
+  }
+
   /** 4dp half-up average over `count_order` of an already-aggregated 2dp
     * decimal sum column, computed entirely in BIGINT: S = sum in hundredths
     * (exact), result ten-thousandths = (S*200 + C) DIV (2*C) — round-half-up
-    * for non-negative S. The trailing decimal multiply is exact (integer x
-    * 0.0001 at scale 4); no decimal division anywhere, so DuckDB replays it
-    * bit-for-bit. See `avg4dpSql` for the oracle twin.
+    * for non-negative S. The trailing BIGINT→DOUBLE / 10000.0 is the
+    * [[decToDouble]] two-step, bit-identical on both engines. See
+    * `avg4dpSql` for the oracle twin.
     */
   private def avg4dp(sumCol: String): Column =
-    expr(s"CAST(CAST((CAST($sumCol * 100 AS BIGINT) * 200 + count_order) DIV (2 * count_order) AS DECIMAL(34,0)) * 0.0001 AS DECIMAL(38,4))")
+    expr(s"CAST((CAST($sumCol * 100 AS BIGINT) * 200 + count_order) DIV (2 * count_order) AS DOUBLE) / 10000.0")
 
   /** DuckDB twin of [[avg4dp]], phrased over the raw column inside the same
     * GROUP BY ( `//` is DuckDB's integer division; operands are non-negative).
     */
   private def avg4dpSql(c: String): String =
-    s"CAST(CAST((CAST(sum(CAST($c AS DECIMAL(18,2))) * 100 AS BIGINT) * 200 + count(*)) // (2 * count(*)) AS DECIMAL(34,0)) * 0.0001 AS DECIMAL(38,4))"
+    s"CAST((CAST(sum(CAST($c AS DECIMAL(18,2))) * 100 AS BIGINT) * 200 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0"
 
   /** DuckDB replay of Multimodal.decodeStub slot `j` over ASCII text with
     * featureDim=16: rolling hash (base 131, mod 2^31-1) of the chars at
@@ -143,17 +175,15 @@ object SparkEntry {
   // ------------------------------------------------------------------
   private val relational: Seq[(String, Q)] = Seq(
 
-    // All eight numeric outputs are DECIMAL on both sides: DOUBLE columns hash
-    // differently in the driver's canonicalization even when bit-identical
-    // (observed rounds 1-3), and decimals have one canonical rendering.
-    //  - sums: 2dp inputs cast to DECIMAL(18,2) pre-sum (exact), output width
-    //    pinned to DECIMAL(38,x) because the engines widen sums differently
-    //    (Spark 28,x; DuckDB 38,x);
+    // All eight numeric outputs ACCUMULATE as exact decimals and RENDER as
+    // float64 (the driver-output-type contract in the header):
+    //  - sums: 2dp inputs cast to DECIMAL(18,2) pre-sum (exact, immune to
+    //    double-summation order — q1 at sf0.1 sums ~1e10 where double ulp >
+    //    a 6dp half-step), then the decToDouble two-step renders the exact
+    //    value as the same float64 on both engines;
     //  - avgs: exact integer-scaled half-up division — with S = the sum in
     //    hundredths (an exact BIGINT) and C = count, the 4dp average is
-    //    (S*200 + C) DIV (2*C) ten-thousandths. Pure integer math replays
-    //    bit-identically in DuckDB; no engine's decimal-division scale rules
-    //    are involved. S*200 stays < 2^63 up to ~sf10k.
+    //    (S*200 + C) DIV (2*C) ten-thousandths, then BIGINT→DOUBLE/10⁴.
     "q1_pricing_summary" -> Q(
       (s, dir) =>
         t(s, dir, "lineitem")
@@ -162,28 +192,27 @@ object SparkEntry {
           .agg(
             sum(col("l_quantity").cast("decimal(18,2)")).as("_sq"),
             sum(col("l_extendedprice").cast("decimal(18,2)")).as("_sp"),
-            // 2dp x 2dp products are exact 4dp / 6dp decimals; summing them as
-            // decimals is exact in both engines, immune to double-summation
-            // order (q1 at sf0.1 sums ~1e10 where double ulp > a 6dp half-step)
-            sum(revenue.cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_disc_price"),
-            sum((revenue * (lit(1) + col("l_tax"))).cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_charge"),
+            // 2dp x 2dp products are exact 4dp / 6dp decimals
+            sum(revenue.cast("decimal(18,4)")).as("_sdp"),
+            sum((revenue * (lit(1) + col("l_tax"))).cast("decimal(18,6)")).as("_sc"),
             sum(col("l_discount").cast("decimal(18,2)")).as("_sd"),
             count(lit(1)).as("count_order"))
           .select(
             col("l_returnflag"), col("l_linestatus"),
-            col("_sq").cast("decimal(38,2)").as("sum_qty"),
-            col("_sp").cast("decimal(38,2)").as("sum_base_price"),
-            col("sum_disc_price"), col("sum_charge"),
+            decToDouble(col("_sq"), 2).as("sum_qty"),
+            decToDouble(col("_sp"), 2).as("sum_base_price"),
+            decToDouble(col("_sdp"), 4).as("sum_disc_price"),
+            decToDouble(col("_sc"), 6).as("sum_charge"),
             avg4dp("_sq").as("avg_qty"),
             avg4dp("_sp").as("avg_price"),
             avg4dp("_sd").as("avg_disc"),
             col("count_order"))
           .orderBy("l_returnflag", "l_linestatus"),
       Some(s"""SELECT l_returnflag, l_linestatus,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-             |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-             |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+             |  ${decToDoubleSql("sum(CAST(l_quantity AS DECIMAL(18,2)))", 2)} AS sum_qty,
+             |  ${decToDoubleSql("sum(CAST(l_extendedprice AS DECIMAL(18,2)))", 2)} AS sum_base_price,
+             |  ${decToDoubleSql("sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))", 4)} AS sum_disc_price,
+             |  ${decToDoubleSql("sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))", 6)} AS sum_charge,
              |  ${avg4dpSql("l_quantity")} AS avg_qty,
              |  ${avg4dpSql("l_extendedprice")} AS avg_price,
              |  ${avg4dpSql("l_discount")} AS avg_disc,
@@ -694,21 +723,22 @@ object SparkEntry {
              |ORDER BY p.event_id""".stripMargin)),
 
     // Trailing 1-hour rolling aggregates per user (time-range window over
-    // exact integer microseconds; the value sum is a DECIMAL so window
-    // accumulation order cannot flip low bits).
+    // exact integer microseconds; the value sum ACCUMULATES as a DECIMAL so
+    // window accumulation order cannot flip low bits, and RENDERS as float64
+    // via the decToDouble two-step).
     "q_rolling_agg" -> Q(
       (s, dir) => {
         val w = Ops.rollingWindow(Seq("user_id"), "ts", rangeSeconds = 3600)
         events(s, dir)
           .select(col("event_id"), col("user_id"), col("ts"),
             count(lit(1)).over(w).as("n_1h"),
-            sum(col("value").cast("decimal(18,2)")).over(w)
-              .cast("decimal(38,2)").as("sum_1h"))
+            decToDouble(sum(col("value").cast("decimal(18,2)")).over(w), 2)
+              .as("sum_1h"))
           .orderBy("event_id")
       },
-      Some("""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      Some(s"""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
              |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
-             |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS sum_1h
+             |  ${decToDoubleSql("sum(CAST(value AS DECIMAL(18,2))) OVER w", 2)} AS sum_1h
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -1768,8 +1798,13 @@ object SparkEntry {
         embeddings(s, dir)
           .select(col("vec_id"),
             int8Scale(col("embedding")).as("scale"),
-            int8Codes(col("embedding")).as("codes"))
-          .withColumn("code_dot", int8Dot(col("codes"), col("codes")))
+            int8Codes(col("embedding")).as("__codes"))
+          .withColumn("code_dot", int8Dot(col("__codes"), col("__codes")))
+          // driver contract: no ARRAY output columns — render as CSV string
+          .select(col("vec_id"), col("scale"),
+            array_join(transform(col("__codes"), _.cast("string")), ",")
+              .as("codes"),
+            col("code_dot"))
           .orderBy("vec_id")
       },
       Some("""WITH q AS (
@@ -1784,7 +1819,8 @@ object SparkEntry {
              |         ELSE list_transform(v, x -> CAST(round(x * CAST(127 AS DOUBLE) / scale, 0) AS INT))
              |    END AS codes
              |  FROM q)
-             |SELECT vec_id, scale, codes,
+             |SELECT vec_id, scale,
+             |  array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), ',') AS codes,
              |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
              |    list_transform(codes, x -> CAST(x AS BIGINT) * x)),
              |    (acc, y) -> acc + y) AS BIGINT) AS code_dot
@@ -1939,8 +1975,10 @@ object SparkEntry {
         minietl.events.EventAnalytics.resampleDaily(
             events(s, dir).where(col("event_type") === "purchase"),
             "user_id", "ts", "value")
+          // library emits the exact DECIMAL(38,2); render per driver contract
+          .withColumn("day_total", decToDouble(col("day_total"), 2))
           .orderBy("user_id", "day"),
-      Some("""WITH daily AS (
+      Some(s"""WITH daily AS (
              |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
              |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS day_total
              |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
@@ -1953,7 +1991,7 @@ object SparkEntry {
              |          CAST(day AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
              |      FROM l)
              |SELECT user_id, d AS day, (d = day) AS observed,
-             |  CASE WHEN d = day THEN day_total ELSE prev_total END AS day_total
+             |  ${decToDoubleSql("CASE WHEN d = day THEN day_total ELSE prev_total END", 2)} AS day_total
              |FROM x ORDER BY user_id, day""".stripMargin)),
 
     // kNN majority-vote classification over the labeled embedding corpus
@@ -2147,12 +2185,14 @@ object SparkEntry {
           .withColumn("f_score", quint(col("frequency").asc))
           .withColumn("m_score", quint(col("monetary").asc))
           .select(col("user_id"), col("recency_days"), col("frequency"),
-            col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+            // ntile above ranked the exact decimal; the OUTPUT is float64
+            decToDouble(col("monetary"), 2).as("monetary"),
+            col("r_score"), col("f_score"), col("m_score"),
             (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
               .as("rfm_segment"))
           .orderBy("user_id")
       },
-      Some("""WITH p AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      Some(s"""WITH p AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
              |            value FROM events WHERE event_type = 'purchase'),
              |u AS (SELECT user_id, max(day) AS last_day,
              |        CAST(count(*) AS BIGINT) AS frequency,
@@ -2166,7 +2206,9 @@ object SparkEntry {
              |  CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_score,
              |  CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_score
              |  FROM s)
-             |SELECT user_id, recency_days, frequency, monetary, r_score, f_score,
+             |SELECT user_id, recency_days, frequency,
+             |  ${decToDoubleSql("monetary", 2)} AS monetary,
+             |  r_score, f_score,
              |  m_score, r_score * 100 + f_score * 10 + m_score AS rfm_segment
              |FROM q ORDER BY user_id""".stripMargin)),
 
@@ -2199,6 +2241,10 @@ object SparkEntry {
     // accumulator n·Σxy − Σx·Σy is computed entirely in integers/decimals
     // (quantity integral, price in cents), so the statistic's numerator is
     // bit-exact; only the final normalized value is a (4dp-rounded) double.
+    // The numerator passes 2^63 at large SF, so it is EMITTED AS A STRING
+    // (integer digits render identically from DECIMAL(38,0) and HUGEINT) —
+    // the driver contract forbids wide-DECIMAL output columns and a float64
+    // rendering would be lossy past 2^53.
     "q_covariance" -> Q(
       (s, dir) =>
         t(s, dir, "lineitem")
@@ -2211,7 +2257,7 @@ object SparkEntry {
           .select(col("l_returnflag"), col("n"),
             (expr("CAST(n AS DECIMAL(16,0)) * CAST(sxy AS DECIMAL(19,0))") -
               expr("CAST(sx AS DECIMAL(17,0)) * CAST(sy AS DECIMAL(18,0))"))
-              .cast("decimal(38,0)").as("cov_num"),
+              .cast("decimal(38,0)").cast("string").as("cov_num"),
             round(
               expr("CAST(CAST(n AS DECIMAL(16,0)) * CAST(sxy AS DECIMAL(19,0)) - CAST(sx AS DECIMAL(17,0)) * CAST(sy AS DECIMAL(18,0)) AS DOUBLE)") /
                 (col("n").cast("double") * (col("n") - 1).cast("double") * 100),
@@ -2229,7 +2275,7 @@ object SparkEntry {
              |          - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num
              |      FROM a)
              |SELECT l_returnflag, n,
-             |  CAST(num AS DECIMAL(38,0)) AS cov_num,
+             |  CAST(num AS VARCHAR) AS cov_num,
              |  round(CAST(num AS DOUBLE)
              |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 100), 4) AS cov
              |FROM c ORDER BY l_returnflag""".stripMargin)),
@@ -2252,17 +2298,24 @@ object SparkEntry {
             sum(col("x") * col("x")).as("sxx"),
             sum(col("y").cast("decimal(20,0)") * col("y")).as("syy"))
           .select(col("l_returnflag"), col("n"),
+            // exact DECIMAL(38,0) numerators; kept internal for the corr
+            // derivation, emitted as strings per the driver-output contract
             expr("CAST(CAST(n AS DECIMAL(16,0)) * CAST(sxy AS DECIMAL(19,0)) - CAST(sx AS DECIMAL(17,0)) * CAST(sy AS DECIMAL(18,0)) AS DECIMAL(38,0))")
-              .as("cov_num"),
+              .as("_cov_num"),
             expr("CAST(CAST(n AS DECIMAL(16,0)) * CAST(sxx AS DECIMAL(19,0)) - CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0)) AS DECIMAL(38,0))")
-              .as("varx_num"),
+              .as("_varx_num"),
             expr("CAST(CAST(n AS DECIMAL(10,0)) * syy - CAST(sy AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS DECIMAL(38,0))")
-              .as("vary_num"))
+              .as("_vary_num"))
           .withColumn("corr",
-            when(col("varx_num") > 0 && col("vary_num") > 0,
-              round(col("cov_num").cast("double") /
-                sqrt(col("varx_num").cast("double") *
-                  col("vary_num").cast("double")), 4) + lit(0.0)))
+            when(col("_varx_num") > 0 && col("_vary_num") > 0,
+              round(col("_cov_num").cast("double") /
+                sqrt(col("_varx_num").cast("double") *
+                  col("_vary_num").cast("double")), 4) + lit(0.0)))
+          .select(col("l_returnflag"), col("n"),
+            col("_cov_num").cast("string").as("cov_num"),
+            col("_varx_num").cast("string").as("varx_num"),
+            col("_vary_num").cast("string").as("vary_num"),
+            col("corr"))
           .orderBy("l_returnflag"),
       Some("""WITH b AS (SELECT l_returnflag,
              |            CAST(l_quantity AS BIGINT) AS x,
@@ -2281,9 +2334,9 @@ object SparkEntry {
              |          - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS vyn
              |      FROM a)
              |SELECT l_returnflag, n,
-             |  CAST(covn AS DECIMAL(38,0)) AS cov_num,
-             |  CAST(vxn AS DECIMAL(38,0)) AS varx_num,
-             |  CAST(vyn AS DECIMAL(38,0)) AS vary_num,
+             |  CAST(covn AS VARCHAR) AS cov_num,
+             |  CAST(vxn AS VARCHAR) AS varx_num,
+             |  CAST(vyn AS VARCHAR) AS vary_num,
              |  CASE WHEN vxn > 0 AND vyn > 0 THEN
              |    round(CAST(covn AS DOUBLE)
              |      / sqrt(CAST(vxn AS DOUBLE) * CAST(vyn AS DOUBLE)), 4) + 0.0
@@ -2311,10 +2364,11 @@ object SparkEntry {
     //    even-count interpolation differently (l*(1-d)+h*d vs l+d*(h-l)),
     //    an ulp apart on non-representable decimals, but midpoints of
     //    integer-valued doubles are exact under both phrasings;
-    //  - emit the cent value as DECIMAL(18,1), NOT a rounded double —
-    //    round() itself disagrees across engines on true half-boundaries
-    //    (Spark rounds the shortest decimal rendering, others the scaled
-    //    product), while .0/.5 cents cast to a scale-1 decimal exactly.
+    //  - emit the cent value via the scaled-BIGINT two-step (×10 is exact —
+    //    .0/.5 cents are dyadic — then BIGINT→DOUBLE/10), NOT a rounded
+    //    double: round() itself disagrees across engines on true
+    //    half-boundaries (Spark rounds the shortest decimal rendering,
+    //    others the scaled product).
     "q_impute_median" -> Q(
       (s, dir) =>
         events(s, dir)
@@ -2323,7 +2377,7 @@ object SparkEntry {
               .otherwise(round(col("value") * 100, 0)).as("v"))
           .transform(Ops.imputeGroup("v", Seq("user_id"), "median"))
           .select(col("event_id"), col("user_id"),
-            col("v").cast("decimal(18,1)").as("v_cents"))
+            ((col("v") * 10).cast("bigint").cast("double") / 10.0).as("v_cents"))
           .orderBy("event_id"),
       Some("""WITH b AS (SELECT event_id, user_id,
              |            CASE WHEN event_type = 'error' THEN NULL
@@ -2331,7 +2385,7 @@ object SparkEntry {
              |m AS (SELECT user_id, quantile_cont(v, 0.5) AS med
              |      FROM b GROUP BY user_id)
              |SELECT b.event_id, b.user_id,
-             |  CAST(coalesce(b.v, m.med) AS DECIMAL(18,1)) AS v_cents
+             |  CAST(CAST(coalesce(b.v, m.med) * 10 AS BIGINT) AS DOUBLE) / 10.0 AS v_cents
              |FROM b LEFT JOIN m USING (user_id)
              |ORDER BY event_id""".stripMargin)),
 
@@ -2392,19 +2446,20 @@ object SparkEntry {
              |ORDER BY event_id""".stripMargin)),
 
     // Fixed-width histogram (20 × 25-unit bins, top bin clamps): portable
-    // floor arithmetic, exact DECIMAL mass per bin.
+    // floor arithmetic; mass accumulates as an exact DECIMAL per bin and
+    // renders as float64 (decToDouble two-step).
     "q_histogram" -> Q(
       (s, dir) =>
         events(s, dir)
           .groupBy(col("event_type"),
             least(floor(col("value") / 25), lit(19)).cast("bigint").as("bin"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("mass"))
+            decToDouble(sum(col("value").cast("decimal(18,2)")), 2).as("mass"))
           .orderBy("event_type", "bin"),
-      Some("""SELECT event_type,
+      Some(s"""SELECT event_type,
              |  CAST(least(floor(value / 25), 19) AS BIGINT) AS bin,
              |  count(*) AS n,
-             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS mass
+             |  ${decToDoubleSql("sum(CAST(value AS DECIMAL(18,2)))", 2)} AS mass
              |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin)),
 
     // Wide → long unpivot (reshape superset; the reference has pivot only
@@ -2458,6 +2513,9 @@ object SparkEntry {
         val docs = documents(s, dir)
         val vocab = minietl.text.TextAnalysis.buildVocab(docs, "text", minCount = 5)
         minietl.text.TextAnalysis.encodeDocs(docs, "doc_id", "text", vocab)
+          // driver contract: no ARRAY output columns — render as CSV string
+          .withColumn("token_ids",
+            array_join(transform(col("token_ids"), _.cast("string")), ","))
           .orderBy("doc_id")
       },
       Some("""WITH t AS (
@@ -2471,7 +2529,9 @@ object SparkEntry {
              |      FROM cnt),
              |enc AS (SELECT t.doc_id, t.pos, coalesce(v.term_id, 0) AS tid
              |        FROM t LEFT JOIN v USING (term))
-             |SELECT doc_id, list(tid ORDER BY pos) AS token_ids,
+             |SELECT doc_id,
+             |  array_to_string(list_transform(list(tid ORDER BY pos),
+             |    x -> CAST(x AS VARCHAR)), ',') AS token_ids,
              |  CAST(len(list(tid ORDER BY pos)) AS BIGINT) AS n_tokens,
              |  CAST(len(list_filter(list(tid ORDER BY pos), x -> x = 0))
              |    AS BIGINT) AS n_oov
@@ -2483,11 +2543,16 @@ object SparkEntry {
       (s, dir) =>
         documents(s, dir)
           .select(col("doc_id"),
-            minietl.text.FeatureHash.tfVector(col("text"), 32).as("tf"),
+            // driver contract: no ARRAY output columns — CSV-string render
+            array_join(transform(
+              minietl.text.FeatureHash.tfVector(col("text"), 32),
+              _.cast("string")), ",").as("tf"),
             minietl.text.FeatureHash.nnz(col("text"), 32).as("nnz"))
           .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
-              |${minietl.text.FeatureHash.oracleExpr("text", 32)} AS tf,
+              |array_to_string(list_transform(
+              |${minietl.text.FeatureHash.oracleExpr("text", 32)},
+              |  x -> CAST(x AS VARCHAR)), ',') AS tf,
               |${minietl.text.FeatureHash.nnzOracleExpr("text", 32)} AS nnz
               |FROM documents ORDER BY doc_id""".stripMargin)),
 

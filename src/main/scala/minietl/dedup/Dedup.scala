@@ -20,10 +20,31 @@ import org.apache.spark.sql.functions._
   * Everything is built from codegen'd built-ins (xxhash64, higher-order
   * array functions); signatures are computed scan-side and are tiny relative
   * to the documents, so the shuffles move kilobytes per row, not the text.
+  *
+  * CACHE LIFETIME CONTRACT: the pair-finding functions
+  * ([[minhashNearDupPairs]], [[minhashNearDupPairsPortable]],
+  * [[ngramJaccardPairs]], [[ngramContainmentPairs]]) `persist()` their
+  * signature/posting frames because the returned LAZY plan references them
+  * two or three times — and a lazy return cannot unpersist behind itself.
+  * The caches live until the caller releases them: run one invocation to
+  * completion and call `spark.catalog.clearCache()` (what the Verify/Bench
+  * batteries do between entries), or wrap the materialization in
+  * [[releasingCaches]]. [[minhashDedupClusters]] materializes internally and
+  * therefore cleans up its own caches.
   */
 object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Run `body` (which should MATERIALIZE a frame built by one of the
+    * persisting functions above — write, collect, count), then drop every
+    * cache in the session. Coarse by design: Spark offers no safe hook to
+    * unpersist a lazy plan's caches after its first job, so this trades
+    * cache granularity for a guaranteed no-leak bound. Callers managing
+    * their own unrelated caches should unpersist explicitly instead.
+    */
+  def releasingCaches[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T =
+    try body finally spark.catalog.clearCache()
 
   // ---------------------------------------------------------------- exact
   /** Exact dedup on a content column: keeps the row with the smallest

@@ -108,6 +108,7 @@ object EventAnalytics {
                     k: Int = 3): DataFrame = {
     require(groupCols.nonEmpty, "sigmaOutliers needs at least one group column")
     require(k > 0 && k <= 9, s"k must be in [1, 9], got $k")
+    minietl.ops.Ops.requireAbsent(df, "sigmaOutliers", "group_n", "is_outlier")
     val w = Window.partitionBy(groupCols.map(col): _*)
     // try_cast: under ANSI a NaN/±Inf/overflow value would fail the job
     // mid-scan; here it degrades to a null cent value, which the count/sum
@@ -168,6 +169,8 @@ object EventAnalytics {
                   k: Int = 3): DataFrame = {
     require(groupCols.nonEmpty, "madOutliers needs at least one group column")
     require(k > 0 && k <= 9, s"k must be in [1, 9], got $k")
+    minietl.ops.Ops.requireAbsent(df, "madOutliers",
+      "median_x2_cents", "mad_x4_cents", "group_n", "is_outlier")
     val Seq(xc, dev2) =
       Seq("__xc", "__dev2").map(minietl.ops.Ops.freshName(df, _))
     val base = df.withColumn(xc,
@@ -244,7 +247,13 @@ object EventAnalytics {
       .where(col(dur).isNotNull && col(cents).isNotNull)
       .groupBy(col(entityCol))
       .agg(
-        sum(col(cents).cast("decimal(12,0)") * col(dur).cast("decimal(16,0)"))
+        // width budget: cents is ANY int64 (19 digits) and dur up to 10^16 µs
+        // (~317 years), so the (19,0)×(16,0) product is an exact (36,0) —
+        // no per-observation magnitude cap, unlike a narrower cast which
+        // would null the product under non-ANSI while dur still reached the
+        // denominator, silently biasing the TWAP downward. Only a per-entity
+        // SUM beyond 38 digits (≥10³⁸ cent·µs) could overflow the total.
+        sum(col(cents).cast("decimal(19,0)") * col(dur).cast("decimal(16,0)"))
           .cast("decimal(38,0)").as("__num"),
         sum(col(dur).cast("decimal(28,0)")).cast("decimal(38,0)").as("__den"),
         count(lit(1)).as("n_intervals"))

@@ -198,6 +198,19 @@ object Ops {
   private[minietl] def freshName(df: DataFrame, base: String): String =
     Iterator.iterate(base)(_ + "_").dropWhile(df.columns.contains).next()
 
+  /** Guard for operators with FIXED output column names (mode_value,
+    * group_n, ...): an input frame already carrying one would end up with a
+    * duplicate/ambiguous column or a silently clobbered value, so fail fast
+    * with the operator's name instead. (Helper columns use [[freshName]];
+    * this is for the documented outputs, whose names are the API.)
+    */
+  private[minietl] def requireAbsent(df: DataFrame, op: String, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$op emits fixed output column(s) ${clash.mkString(", ")} which already " +
+        s"exist on the input — rename them before applying $op")
+  }
+
   /** DeduplicateTransformer (transformers.py:522-547). `First`/`Last` need an
     * explicit ordering (pandas relies on physical row order, which Spark does
     * not have — SURVEY §7.6); both run as one shuffle on the key columns.
@@ -278,12 +291,22 @@ object Ops {
     * runs/partitionings/engines) and NESTED across fractions — raising a
     * stratum's fraction only ever adds rows, never swaps them. Scan-side
     * filter, no shuffle.
+    *
+    * Scale bound: the fractions map renders as one CASE chain evaluated
+    * scan-side, so it must be STRATUM-cardinality (languages, domains,
+    * sources — tens to thousands), not data-cardinality. Past ~10⁴ entries
+    * the expression tree itself strains codegen/driver planning — warned,
+    * because the right tool there is a broadcast-joined fractions table.
     */
   def stratifiedHashSample(keyCol: String, strataCol: String,
                            fractions: Map[String, Double],
                            defaultFraction: Double = 0.0): Op = df => {
     (fractions.values ++ Seq(defaultFraction)).foreach(f =>
       require(f >= 0.0 && f <= 1.0, s"fraction out of [0,1]: $f"))
+    if (fractions.size > 10000)
+      log.warn(s"stratifiedHashSample with ${fractions.size} strata builds a " +
+        "CASE chain that size — use a broadcast-joined fractions table for " +
+        "data-cardinality strata")
     // a NULL stratum matches no fractions key (string keys cannot be null)
     // and falls to defaultFraction — documented; temperatureSample
     // normalizes nulls into their own stratum before calling this
@@ -300,12 +323,17 @@ object Ops {
     * `targetFraction`; a stratum with n rows keeps
     * `targetFraction * (n_min/n)^(1-alpha)`.
     *
-    * The counts aggregate collects one row per stratum to the driver —
-    * model-size (like IVF centroids), not data-size. alpha = 0.5 (the
-    * default) computes via `sqrt`, which IEEE 754 rounds exactly, so any
-    * engine replays the fractions — and therefore the md5-threshold keep
-    * set — bit-for-bit; other alphas go through `pow`, whose last-ulp
-    * behavior is libm-specific (fine for sampling, not for replay oracles).
+    * The counts aggregate collects ONE ROW PER STRATUM to the driver —
+    * model-size (like IVF centroids), not data-size: bounded by the stratum
+    * cardinality (languages, domains, sources), never the row count. That
+    * bound is the caller's contract; past ~10⁵ strata the collect (and the
+    * CASE chain [[stratifiedHashSample]] would build from it) stops being
+    * model-sized, so it warns — like the un-partitioned ffill/asof guards.
+    * alpha = 0.5 (the default) computes via `sqrt`, which IEEE 754 rounds
+    * exactly, so any engine replays the fractions — and therefore the
+    * md5-threshold keep set — bit-for-bit; other alphas go through `pow`,
+    * whose last-ulp behavior is libm-specific (fine for sampling, not for
+    * replay oracles).
     */
   def temperatureFractions(df: DataFrame, strataCol: String,
                            targetFraction: Double,
@@ -316,6 +344,11 @@ object Ops {
     val counts = df.groupBy(strataCol).count().collect()
       .map(r => Option(r.get(0)).map(_.toString).getOrElse("") -> r.getLong(1))
     require(counts.nonEmpty, "temperatureFractions on an empty frame")
+    if (counts.length > 100000)
+      log.warn(s"temperatureFractions collected ${counts.length} strata to " +
+        "the driver — this operator is designed for stratum-cardinality " +
+        "(model-sized) keys; a data-cardinality stratum column belongs in a " +
+        "distributed join, not a driver map")
     val nMin = counts.map(_._2).min
     counts.map { case (k, n) =>
       val ratio = nMin.toDouble / n.toDouble
@@ -489,15 +522,19 @@ object Ops {
     */
   def modePerGroup(groupCols: Seq[String], valueCol: String): DataFrame => DataFrame = df => {
     require(groupCols.nonEmpty, "modePerGroup needs at least one group column")
+    requireAbsent(df.select(groupCols.map(col): _*), "modePerGroup",
+      "mode_value", "mode_count")
+    val n = freshName(df, "__n")
+    val rn = freshName(df, "__rn")
     val counted = df.where(col(valueCol).isNotNull)
       .groupBy((groupCols :+ valueCol).map(col): _*)
-      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as(n))
     val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col("__n").desc, col(valueCol).asc)
-    counted.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
+      .orderBy(col(n).desc, col(valueCol).asc)
+    counted.withColumn(rn, row_number().over(w))
+      .where(col(rn) === 1)
       .select(groupCols.map(col) :+ col(valueCol).as("mode_value") :+
-        col("__n").as("mode_count"): _*)
+        col(n).as("mode_count"): _*)
   }
 
   /** Impute nulls in `valueCol` from a per-group statistic: "median"
@@ -514,13 +551,14 @@ object Ops {
   def imputeGroup(valueCol: String, groupCols: Seq[String],
                   strategy: String): Op = df => {
     require(groupCols.nonEmpty, "imputeGroup needs at least one group column")
+    val fillCol = freshName(df, "__fill")
     val stats = strategy match {
       case "median" =>
         df.groupBy(groupCols.map(col): _*)
-          .agg(expr(s"percentile(`$valueCol`, 0.5)").as("__fill"))
+          .agg(expr(s"percentile(`$valueCol`, 0.5)").as(fillCol))
       case "mode" =>
         modePerGroup(groupCols, valueCol)(df)
-          .select(groupCols.map(col) :+ col("mode_value").as("__fill"): _*)
+          .select(groupCols.map(col) :+ col("mode_value").as(fillCol): _*)
       case other => throw new IllegalArgumentException(
         s"imputeGroup strategy must be 'median' or 'mode', got '$other'")
     }
@@ -530,12 +568,12 @@ object Ops {
     val targetType = df.schema(valueCol).dataType
     val fill = targetType match {
       case LongType | IntegerType | ShortType | ByteType =>
-        round(col("__fill"), 0).cast(targetType)
-      case _ => col("__fill").cast(targetType)
+        round(col(fillCol), 0).cast(targetType)
+      case _ => col(fillCol).cast(targetType)
     }
     df.join(broadcast(stats), groupCols, "left")
       .withColumn(valueCol, coalesce(col(valueCol), fill))
-      .drop("__fill")
+      .drop(fillCol)
   }
 
   /** Winsorize (percentile clipping): clip `valueCol` into its per-group
@@ -551,14 +589,17 @@ object Ops {
     require(groupCols.nonEmpty, "winsorize needs at least one group column")
     require(0.0 <= lo && lo < hi && hi <= 1.0,
       s"need 0 <= lo < hi <= 1, got lo=$lo hi=$hi")
+    requireAbsent(df, "winsorize", s"${valueCol}_w")
+    val loCol = freshName(df, "__lo")
+    val hiCol = freshName(df, "__hi")
     val pcts = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile(`$valueCol`, $lo)").as("__lo"),
-        expr(s"percentile(`$valueCol`, $hi)").as("__hi"))
+      .agg(expr(s"percentile(`$valueCol`, $lo)").as(loCol),
+        expr(s"percentile(`$valueCol`, $hi)").as(hiCol))
     df.join(broadcast(pcts), groupCols)
       .withColumn(s"${valueCol}_w",
         when(col(valueCol).isNull, lit(null))
-          .otherwise(greatest(least(col(valueCol), col("__hi")), col("__lo"))))
-      .drop("__lo", "__hi")
+          .otherwise(greatest(least(col(valueCol), col(hiCol)), col(loCol))))
+      .drop(loCol, hiCol)
   }
 
   // --------------------------------------------------------------- reshape

@@ -58,6 +58,13 @@ object Decontaminate {
     * only verify work, never correctness: the final anti-join key set is
     * identical to the exact path's.
     *
+    * The verify join is deliberately a SHUFFLE hash join (not a broadcast):
+    * re-broadcasting the full bench gram set here would reintroduce the
+    * very bottleneck the sketch removes. Both verify inputs are small —
+    * the bench grams by construction, the training side because the bloom
+    * probe already dropped every gram the sketch has never seen — so the
+    * verify shuffle moves only the contaminated tail plus the fpp noise.
+    *
     * The collected sketch is model-sized (`numBits/8` bytes, independent
     * of corpus size), the same bounded-driver-state shape as
     * [[minietl.sim.Ivf]] centroids.
@@ -85,7 +92,7 @@ object Decontaminate {
       Literal(sketch, BinaryType), expression(xxhash64(col("__gram")))))
     val tainted = grams(train)
       .filter(mightContain)
-      .join(broadcast(benchGrams), "__gram")
+      .join(benchGrams.hint("shuffle_hash"), "__gram")
       .select(idCol).distinct()
     train.join(tainted, Seq(idCol), "left_anti")
   }

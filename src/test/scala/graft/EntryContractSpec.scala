@@ -1,0 +1,39 @@
+package graft
+
+import minietl.SparkTestBase
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Enforces the driver-output-type contract from SparkEntry's header: every
+  * registered query's FINAL columns must be DOUBLE / BIGINT / INT / STRING /
+  * BOOL / DATE / TIMESTAMP. DECIMAL outputs hash-mismatch in the driver
+  * (pandas reads them as Python Decimal, the DuckDB oracle's .df() renders
+  * float64 — `Decimal('8784.30') != 8784.3`); ARRAY / MAP / STRUCT outputs
+  * crash the driver's pandas row sort (`unhashable type: numpy.ndarray`).
+  * Decimals and arrays remain welcome INTERNALLY for exactness.
+  *
+  * Schemas are resolved lazily against sf0.001 — batch queries never
+  * execute; the three streaming queries drain their one AvailableNow batch.
+  */
+class EntryContractSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def violation(dt: DataType): Boolean = dt match {
+    case _: DecimalType => true
+    case _: ArrayType | _: MapType | _: StructType => true
+    case FloatType => true // float32 renders differently from float64
+    case _ => false
+  }
+
+  test("every registered query emits only driver-safe output column types") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val schema = fn(spark, sfDir).schema
+      schema.fields.collect {
+        case f if violation(f.dataType) => s"$name.${f.name}: ${f.dataType.sql}"
+      }
+    }
+    assert(bad.isEmpty,
+      s"driver-unsafe output columns (see SparkEntry header contract):\n  ${bad.mkString("\n  ")}")
+  }
+}

@@ -455,6 +455,46 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalArgumentException](Ops.rollingWindow(Nil, "ts", -1))
   }
 
+  test("fixed-output-name operators reject colliding input columns; helper names stay fresh") {
+    // winsorize's documented output <value>_w collides -> fail fast
+    val clash = Seq(("a", 1.0, 0.0)).toDF("g", "v", "v_w")
+    val e = intercept[IllegalArgumentException] {
+      clash.transform(Ops.winsorize(Seq("g"), "v"))
+    }
+    assert(e.getMessage.contains("v_w") && e.getMessage.contains("winsorize"))
+    // helper-column collisions are routed through freshName, not clobbered:
+    // an input __n/__rn/__fill/__lo/__hi survives every operator untouched
+    val tricky = Seq(("a", 1.0, 9L, 9L, 9.0, 9.0, 9.0), ("a", 1.0, 9L, 9L, 9.0, 9.0, 9.0),
+        ("a", 2.0, 9L, 9L, 9.0, 9.0, 9.0))
+      .toDF("g", "v", "__n", "__rn", "__fill", "__lo", "__hi")
+    val mode = tricky.transform(Ops.modePerGroup(Seq("g"), "v")).collect()
+    assert(mode.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ===
+      Seq(("a", 1.0, 2L)))
+    val imp = Seq(("a", Some(1.0), 9.0), ("a", None, 9.0), ("a", Some(3.0), 9.0))
+      .toDF("g", "v", "__fill")
+      .transform(Ops.imputeGroup("v", Seq("g"), "median"))
+    assert(imp.columns.toSeq === Seq("g", "v", "__fill"))
+    assert(imp.orderBy("v").select("v").as[Double].collect().toSeq === Seq(1.0, 2.0, 3.0))
+    val win = tricky.transform(Ops.winsorize(Seq("g"), "v", 0.25, 0.75))
+    assert(win.columns.count(_ == "__lo") === 1 && win.columns.contains("v_w"))
+  }
+
+  test("temperatureFractions warns when the strata collect stops being model-sized") {
+    // the >100k guard exists for data-cardinality keys; exercise the quiet
+    // path cheaply and the warn path at the boundary via a direct call
+    val small = Seq(("a", "k1"), ("b", "k2")).toDF("s", "k")
+    val (_, quiet) = minietl.LogCapture.warnings("minietl.ops.Ops$") {
+      Ops.temperatureFractions(small, "s", 0.5)
+    }
+    assert(quiet.isEmpty)
+    val big = spark.range(100001).selectExpr("cast(id as string) as s")
+    val (fracs, warns) = minietl.LogCapture.warnings("minietl.ops.Ops$") {
+      Ops.temperatureFractions(big, "s", 0.5)
+    }
+    assert(fracs.size === 100001)
+    assert(warns.exists(m => m.contains("strata") && m.contains("driver")))
+  }
+
   test("chain composes stages left-to-right") {
     val op = Ops.chain(
       Ops.filter(col("value") > 150),

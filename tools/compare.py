@@ -1,79 +1,109 @@
 #!/usr/bin/env python3
 """Dev-loop oracle checker (driver-side tooling only, not engine code).
 
-Mimics the driver's correctness gate: reads each query result parquet from
-`outDir`, runs the corresponding oracle SQL in DuckDB over the testdata
-parquet tables, sorts columns by name and rows by value, and compares.
+Predicts the driver's correctness gate by replaying BOTH of its read paths
+exactly (diagnosed in VERDICT r4 "What's wrong" #1-3):
 
-Usage: python3 tools/compare.py <sfDir> <outDir>
+  * the Spark result parquet is read with ``pandas.read_parquet`` — DECIMAL
+    columns arrive as Python ``Decimal`` objects, ARRAY columns as numpy
+    arrays (which crash ``sort_values``, the driver's observed ``err``);
+  * the DuckDB oracle is materialized via ``.df()`` — every DECIMAL becomes
+    float64, HUGEINT becomes float64/object.
+
+Rows are sorted in pandas over all columns (sorted by name), then every cell
+is canonicalized to a string WITH NO ROUNDING — ``Decimal('8784.30')`` and
+``8784.3`` deliberately do NOT match, exactly like the driver's hash. A query
+is green here iff it is green in CORRECTNESS_r{N}.json.
+
+Usage: python3 tools/compare.py <sfDir> <outDir> [only,names]
 """
+import datetime
 import json
 import math
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
+def cell(v):
+    """Canonical string for one value — type-sensitive, no rounding."""
     if v is None:
-        return None
+        return "<NULL>"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
-    if isinstance(v, int):
-        return float(v) if False else v
-    return v
+        return repr(v)  # shortest round-trip rendering; py3 str==repr
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        ts = pd.Timestamp(v)
+        if ts is pd.NaT:
+            return "<NULL>"
+        # DATE columns read via pandas are datetime.date; via DuckDB .df()
+        # they are midnight datetime64 — the driver treats those as equal
+        # (its date-output queries are green), so render midnight as a date
+        return ts.date().isoformat() if ts == ts.normalize() else ts.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    # numpy scalars (int64, bool_, float64) stringify like their python twins;
+    # Decimal stringifies with its trailing zeros (that is the point)
+    try:
+        if pd.isna(v):
+            return "<NULL>"
+    except (TypeError, ValueError):
+        pass  # arrays etc. — let str() show them (driver crashes earlier)
+    return str(v)
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(norm(r[i]) for i in order))
-    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
-    return out
+def canon_frame(df):
+    """Driver order: columns sorted by (lowercased) name, rows sorted over
+    all columns in pandas — the same call that raises TypeError on
+    numpy-array cells in the driver."""
+    df = df.rename(columns={c: c.lower() for c in df.columns})
+    cols = sorted(df.columns)
+    df = df[cols]
+    df = df.sort_values(by=cols, na_position="last", kind="mergesort")
+    return cols, [tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok, bad = [], []
     for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
         try:
-            res = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            spark_cols = [c.lower() for c in res.columns]
-            spark_rows = res.fetchall()
-            o = con.sql(sql)
-            o_cols = [c.lower() for c in o.columns]
-            o_rows = o.fetchall()
+            spark_df = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
-            bad.append((name, f"EXEC ERROR: {e}"))
+            bad.append((name, f"SPARK READ ERROR: {e}"))
             continue
-        if sorted(spark_cols) != sorted(o_cols):
-            bad.append((name, f"COLS spark={sorted(spark_cols)} oracle={sorted(o_cols)}"))
+        try:
+            oracle_df = con.sql(sql).df()
+        except Exception as e:
+            bad.append((name, f"ORACLE ERROR: {e}"))
             continue
-        # the driver's hash covers physical types too (BIGINT vs HUGEINT,
-        # DECIMAL(28,x) vs DECIMAL(38,x) fail it even when values match)
-        s_types = dict(zip(spark_cols, [str(t) for t in res.types]))
-        o_types = dict(zip(o_cols, [str(t) for t in o.types]))
-        tmism = {c: (s_types[c], o_types[c]) for c in s_types if s_types[c] != o_types[c]}
-        if tmism:
-            bad.append((name, f"TYPES differ: {tmism}"))
+        try:
+            s_cols, s_rows = canon_frame(spark_df)
+            o_cols, o_rows = canon_frame(oracle_df)
+        except Exception as e:
+            bad.append((name, f"CANON ERROR (driver would err too): {type(e).__name__}: {e}"))
             continue
-        a, b = canon(spark_rows, spark_cols), canon(o_rows, o_cols)
-        if len(a) != len(b):
-            bad.append((name, f"ROWS spark={len(a)} oracle={len(b)}"))
+        if s_cols != o_cols:
+            bad.append((name, f"COLS spark={s_cols} oracle={o_cols}"))
             continue
-        mism = [(i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y]
+        if len(s_rows) != len(o_rows):
+            bad.append((name, f"ROWS spark={len(s_rows)} oracle={len(o_rows)}"))
+            continue
+        mism = [(i, x, y) for i, (x, y) in enumerate(zip(s_rows, o_rows)) if x != y]
         if mism:
             i, x, y = mism[0]
-            bad.append((name, f"VALUES {len(mism)}/{len(a)} differ; first @{i}:\n  spark : {x}\n  oracle: {y}"))
+            bad.append((name, f"VALUES {len(mism)}/{len(s_rows)} differ; first @{i}:\n"
+                              f"  spark : {x}\n  oracle: {y}"))
         else:
             ok.append(name)
     for n in ok:
@@ -85,4 +115,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))

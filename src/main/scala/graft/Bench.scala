@@ -20,6 +20,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // tmpfs checkpoints for the streaming entries: the stream-stream join
+      // commits offsets/state for 32 partitions x 4 stores per batch, and
+      // those fsyncs against disk /tmp are fixed cost, not data work. A real
+      // cluster points this at durable storage instead (HDFS/S3); the
+      // provider/commit path is identical either way.
+      .config("spark.sql.streaming.checkpointLocation",
+        BatteryCheckpoints.freshBase("bench"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { warmDir =>

@@ -47,7 +47,8 @@ object SparkEntry {
     *
     * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at SESSION
     * construction (Verify/Bench/Scratch set it); query functions never
-    * mutate session conf.
+    * mutate session conf (sole scoped-and-restored exception:
+    * [[withStreamStateParts]]).
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
@@ -82,34 +83,120 @@ object SparkEntry {
     else stream0
   }
 
+  /** Stage events as THREE mtime-ordered parquet files read back with
+    * maxFilesPerTrigger=1, so AvailableNow runs three data micro-batches in
+    * a deterministic order — the late-data rig for q_stream_late_data.
+    *
+    * Why three: since the multi-stateful-operator watermark fix
+    * (Spark ≥ 3.4), a micro-batch filters LATE ROWS with the PREVIOUS
+    * batch's watermark and EVICTS/EMITS with the current one. A two-file
+    * replay therefore drops nothing (the late batch filters against the
+    * initial 1970 watermark — measured via StreamProbe). The choreography
+    * that actually exercises both sides, with G = global max ts:
+    *
+    *   batch 0 "bulk":     even event_ids with ts ≤ G - 2h;
+    *   batch 1 "vanguard": all rows in (G-2h, G-1h] — its EXECUTION runs
+    *                       with eviction watermark W(0) = max(bulk) - 1h,
+    *                       which is exactly the watermark the NEXT batch
+    *                       filters late rows with (the filter lags the
+    *                       probe-displayed eviction watermark by one more
+    *                       batch: batch N filters with W(N-2), measured);
+    *   batch 2 "replay":   the odd stragglers (ts ≤ G-2h, now LATE: every
+    *                       row whose 1h window closed at-or-before
+    *                       Wf = W(0) is dropped) + the final hour
+    *                       (ts > G-1h, including G itself — pushes the
+    *                       closing eviction watermark to We = G - 1h > Wf,
+    *                       so windows in (Wf, We] show ACCEPTED late rows
+    *                       in the output).
+    *
+    * Both watermarks are pure ms-floored functions of the data, so the
+    * whole drop/emit choreography replays exactly in the DuckDB oracle.
+    */
+  private def stagedLateEventStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Path, Paths}
+    val ev = events(s, dir).select("event_id", "ts", "value")
+    val gmax = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val stageDir = Paths.get(s"/tmp/graft_latestream_${math.abs(dir.hashCode)}")
+    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.delete(f); () })
+    }
+    deleteTree(stageDir)
+    Files.createDirectories(stageDir)
+    val now = System.currentTimeMillis()
+    val c2 = expr(s"TIMESTAMP '$gmax' - INTERVAL 2 HOURS")
+    val c1 = expr(s"TIMESTAMP '$gmax' - INTERVAL 1 HOUR")
+    val even = pmod(col("event_id"), lit(2)) === 0
+    def writeSplit(pred: Column, name: String, mtimeMs: Long): Unit = {
+      val tmp = stageDir.resolve(s"_tmp_$name")
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+      Files.move(part, stageDir.resolve(name))
+      deleteTree(tmp)
+      Files.setLastModifiedTime(stageDir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    writeSplit(even && col("ts") <= c2, "0_bulk.parquet", now - 240000)
+    writeSplit(col("ts") > c2 && col("ts") <= c1, "1_vanguard.parquet", now - 120000)
+    writeSplit((!even && col("ts") <= c2) || col("ts") > c1, "2_replay.parquet", now)
+    s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir.toString)
+  }
+
+  /** Run a streaming drain with the state partition count scoped DOWN for
+    * its lifetime, restoring the session conf afterwards (the one sanctioned
+    * exception to "query functions never mutate session conf" — the battery
+    * is sequential and the previous value is always restored).
+    *
+    * Why: a stateful operator spins up one state-store instance per shuffle
+    * partition per store (a stream-stream join has FOUR stores per
+    * partition), and each instance pays fixed per-batch commit machinery.
+    * State partitioning should track STATE SIZE, not the session's batch
+    * CPU count — the battery's streams buffer ~40k rows, where 8 partitions
+    * is plenty (measured on the interval join at sf0.1: 13.1 s → 6.8 s
+    * total drain, cumulative store commit 75 s → 3.3 s). A production
+    * deployment sizes this knob to its own state volume; the semantics are
+    * partition-count-invariant (verified: identical oracle results).
+    */
+  private def withStreamStateParts[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Drain a streaming aggregate to a memory sink in complete mode with an
     * AvailableNow trigger (one batch over the staged file) and return the
     * result table.
     */
   private def drainCompleteMode(s: SparkSession, agg: DataFrame,
-                                prefix: String): DataFrame = {
-    val qname = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream.format("memory").queryName(qname)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(qname)
-  }
+                                prefix: String): DataFrame =
+    withStreamStateParts(s) {
+      val qname = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+    }
 
   /** Drain a streaming frame to a memory sink in APPEND mode (stream-stream
     * joins and watermark-finalized aggregates) with an AvailableNow trigger.
     */
   private def drainAppendMode(s: SparkSession, df: DataFrame,
-                              prefix: String): DataFrame = {
-    val qname = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = df.writeStream.format("memory").queryName(qname)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(qname)
-  }
+                              prefix: String): DataFrame =
+    withStreamStateParts(s) {
+      val qname = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = df.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+    }
 
   private def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   private def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
@@ -1429,6 +1516,57 @@ object SparkEntry {
              |  ON p.user_id = c.user_id
              | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
              |ORDER BY p.event_id, click_id""".stripMargin)),
+
+    // Watermark LATE-DATA semantics made oracle-checkable (the only battery
+    // query verifying watermark behavior, not just windowed-agg arithmetic).
+    // Three mtime-ordered micro-batches (see stagedLateEventStream): the
+    // replay batch's odd stragglers are filtered against Wf = max(bulk
+    // ts) - 1h (the watermark the PREVIOUS batch executed with — batch N
+    // filters with W(N-2) under Spark ≥3.4's split late-filter/eviction
+    // watermarks, probed), dropped iff their 1h window closed at-or-before
+    // Wf; the
+    // final no-data batch emits (append mode) exactly the windows the
+    // closing watermark We = G - 1h has passed. Output: full windows from
+    // the bulk, a (Wf, We] band where accepted late rows are visible, and
+    // counts missing the dropped stragglers below Wf.
+    "q_stream_late_data" -> Q(
+      (s, dir) => {
+        val agg = stagedLateEventStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
+        drainAppendMode(s, agg, "stream_late")
+          .select(col("window.start").as("win_start"),
+            col("n_events"), col("cents"))
+          .orderBy("win_start")
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value
+             |          FROM events),
+             |g AS (SELECT max(ts) AS gmax FROM e),
+             |b AS (SELECT max(ts) AS bmax FROM e, g
+             |      WHERE event_id % 2 = 0 AND ts <= gmax - INTERVAL 2 HOUR),
+             |wf AS (SELECT (epoch_us(bmax) // 1000 - 3600000) * 1000 AS us FROM b),
+             |we AS (SELECT (epoch_us(gmax) // 1000 - 3600000) * 1000 AS us FROM g),
+             |kept AS (
+             |  SELECT ts, value FROM e, g
+             |  WHERE event_id % 2 = 0 AND ts <= gmax - INTERVAL 2 HOUR
+             |  UNION ALL
+             |  SELECT ts, value FROM e, g
+             |  WHERE ts > gmax - INTERVAL 2 HOUR AND ts <= gmax - INTERVAL 1 HOUR
+             |  UNION ALL
+             |  SELECT ts, value FROM e, g, wf
+             |  WHERE ((event_id % 2 = 1 AND ts <= gmax - INTERVAL 2 HOUR)
+             |         OR ts > gmax - INTERVAL 1 HOUR)
+             |    AND epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) > wf.us),
+             |agg AS (SELECT date_trunc('hour', ts) AS win_start,
+             |          count(*) AS n_events,
+             |          CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |        FROM kept GROUP BY 1)
+             |SELECT CAST(win_start AS TIMESTAMP) AS win_start, n_events, cents
+             |FROM agg, we
+             |WHERE epoch_us(win_start + INTERVAL 1 HOUR) <= we.us
+             |ORDER BY win_start""".stripMargin)),
 
     // Gopher/C4-style intra-document repetition signals (scan-side arrays)
     "q_repetition_stats" -> Q(

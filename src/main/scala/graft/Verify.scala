@@ -17,6 +17,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // tmpfs scratch checkpoints for the streaming entries (see
+      // BatteryCheckpoints — production uses durable storage instead)
+      .config("spark.sql.streaming.checkpointLocation",
+        BatteryCheckpoints.freshBase("verify"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -26,17 +26,30 @@ object Main {
     args.toList match {
       case "run" :: path :: Nil =>
         val text = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
-        val cfg = Config.parse(text)
-        val errs = Config.validate(cfg)
-        if (errs.nonEmpty) (1, errs.mkString("invalid config:\n  ", "\n  ", ""))
-        else {
-          val stats = Config.build(cfg).run(spark())
-          (0, f"pipeline '${cfg.name}' complete: ${stats.rows} rows in " +
-            f"${stats.durationSec}%.2fs (${stats.rowsPerSecond}%.0f rows/sec)")
+        if (Config.isDagConfig(text)) {
+          val cfg = Config.parseDag(text)
+          val errs = Config.validateDag(cfg)
+          if (errs.nonEmpty) (1, errs.mkString("invalid config:\n  ", "\n  ", ""))
+          else {
+            val counts = Config.buildDag(cfg).run(spark())
+            (0, s"dag '${cfg.name}' complete: " +
+              counts.toSeq.sortBy(_._1).map { case (k, n) => s"$k=$n rows" }.mkString(", "))
+          }
+        } else {
+          val cfg = Config.parse(text)
+          val errs = Config.validate(cfg)
+          if (errs.nonEmpty) (1, errs.mkString("invalid config:\n  ", "\n  ", ""))
+          else {
+            val stats = Config.build(cfg).run(spark())
+            (0, f"pipeline '${cfg.name}' complete: ${stats.rows} rows in " +
+              f"${stats.durationSec}%.2fs (${stats.rowsPerSecond}%.0f rows/sec)")
+          }
         }
       case "validate" :: path :: Nil =>
         val text = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
-        val errs = Config.validate(Config.parse(text))
+        val errs =
+          if (Config.isDagConfig(text)) Config.validateDag(Config.parseDag(text))
+          else Config.validate(Config.parse(text))
         if (errs.isEmpty) (0, "valid") else (1, errs.mkString("\n"))
       case "init" :: path :: Nil =>
         if (Files.exists(Paths.get(path))) (1, s"$path already exists")
@@ -47,10 +60,17 @@ object Main {
       case "info" :: Nil =>
         (0,
           """minietl-spark
-            |  sources:      csv, json, jsonl, parquet, sql  (excel/api: unsupported offline)
+            |  sources:      csv, json, jsonl, parquet, sql, api  (excel: unsupported offline)
             |  transformers: filter, rename, select, drop, cast, fillna,
-            |                expression, aggregate|group, dedupe, sort
+            |                expression, aggregate|group, dedupe, sort,
+            |                hash_sample, stratified_sample, temperature_sample,
+            |                token_budget, top_p_select, pii_redact, quality_filter,
+            |                gopher_filter, exact_dedup, paragraph_dedup,
+            |                normalize_text, feature_hash, sigma_outlier_filter,
+            |                mad_outlier_filter, winsorize, impute
             |  sinks:        csv, json, jsonl, parquet, sql
+            |  dag form:     a `dag:` root key declares multi-source graphs
+            |                (transform/merge/branch nodes, many sinks)
             |""".stripMargin)
       case _ => (2, usage)
     }

@@ -14,9 +14,14 @@ import minietl.schema.{ColumnSpec, TableSchema}
   *  - transformers: filter, rename, select, drop, cast, fillna, expression,
   *    aggregate|group (config.py:81-87, 299-342)
   *  - sinks: csv, json, jsonl, parquet, sql (config.py:77-78, 344-378)
-  * `excel` and `api` are declared unsupported here (offline build, SURVEY
-  * §7.6) and fail validation with an explicit message rather than at run
-  * time.
+  * `excel` is declared unsupported (offline build, SURVEY §7.6) and fails
+  * validation with an explicit message rather than at run time; `api` is a
+  * real source (ApiSource / RestDataSource).
+  *
+  * Beyond the reference's single linear pipeline, a `dag:` root key
+  * describes a multi-source PipelineDAG (sources / transform / merge /
+  * branch nodes / sinks) — see [[parseDag]] — closing the asymmetry where
+  * DAGs existed only in code.
   *
   * Env-var interpolation `${VAR}` / `$VAR` in the raw text before parsing
   * (config.py:103,158-168).
@@ -120,47 +125,58 @@ object Config {
     * (config.py:63-88).
     */
   def validate(c: PipelineConfig): Seq[String] = {
-    def checkPath(cc: ComponentConfig, what: String): Seq[String] = cc.typ match {
+    val srcErrs = checkEndpoint(c.source, "source")
+    val sinkErrs = checkEndpoint(c.sink, "sink")
+    val tErrs = c.transformers.zipWithIndex.flatMap { case (t, i) =>
+      checkTransformer(t, s"transformer[$i]")
+    }
+    srcErrs ++ sinkErrs ++ tErrs
+  }
+
+  /** Source/sink component check, shared by the linear and DAG validators.
+    * `what` is "source" or "sink" (possibly suffixed with the node id).
+    */
+  private def checkEndpoint(cc: ComponentConfig, what: String): Seq[String] = {
+    val kind = if (what.startsWith("source")) "source" else "sink"
+    cc.typ match {
       case t if declaredUnsupported.contains(t) =>
         Seq(s"$what type '$t' is not supported in this build (offline; see SURVEY §7.6)")
-      case "api" if what == "source" =>
+      case "api" if kind == "source" =>
         Seq(
-          if (!cc.options.contains("url")) Some("source api needs url") else None,
+          if (!cc.options.contains("url")) Some(s"$what api needs url") else None,
           cc.options.get("auth").collect {
             case m: Map[String, Any] @unchecked
               if !Set("basic", "bearer").contains(
                 m.getOrElse("type", "").toString.toLowerCase) =>
-              "source api auth type must be basic or bearer"
+              s"$what api auth type must be basic or bearer"
           },
           cc.options.get("pagination").collect {
             case m: Map[String, Any] @unchecked
               if !Set("page", "offset").contains(
                 m.getOrElse("type", "").toString.toLowerCase) =>
-              "source api pagination type must be page or offset"
+              s"$what api pagination type must be page or offset"
           },
         ).flatten
       case "sql" =>
         Seq(
           if (!cc.options.contains("connection_string")) Some(s"$what sql needs connection_string") else None,
-          if (what == "source" && cc.options.contains("query") == cc.options.contains("table"))
-            Some("source sql needs exactly one of query/table") else None,
-          if (what == "sink" && !cc.options.contains("table")) Some("sink sql needs table") else None,
+          if (kind == "source" && cc.options.contains("query") == cc.options.contains("table"))
+            Some(s"$what sql needs exactly one of query/table") else None,
+          if (kind == "sink" && !cc.options.contains("table")) Some(s"$what sql needs table") else None,
         ).flatten
-      case t if (if (what == "source") sourceTypes else sinkTypes).contains(t) =>
+      case t if (if (kind == "source") sourceTypes else sinkTypes).contains(t) =>
         if (cc.options.contains("filepath") || cc.options.contains("path")) Nil
         else Seq(s"$what $t needs filepath")
-      case t => Seq(s"unknown $what type '$t'")
+      case t => Seq(s"unknown $kind type '$t' ($what)")
     }
-    val srcErrs = checkPath(c.source, "source")
-    val sinkErrs = checkPath(c.sink, "sink")
-    val tErrs = c.transformers.zipWithIndex.flatMap { case (t, i) =>
-      if (!transformerTypes.contains(t.typ)) Seq(s"transformer[$i]: unknown type '${t.typ}'")
-      else requiredTransformerKey(t.typ).filterNot(t.options.contains)
-        .map(k => s"transformer[$i] ${t.typ}: missing '$k'") ++
-        valueErrors(t.typ, t.options, s"transformer[$i] ${t.typ}")
-    }
-    srcErrs ++ sinkErrs ++ tErrs
   }
+
+  /** Transformer component check, shared by the linear and DAG validators. */
+  private def checkTransformer(t: ComponentConfig, at: String): Seq[String] =
+    if (!transformerTypes.contains(t.typ)) Seq(s"$at: unknown type '${t.typ}'")
+    else requiredTransformerKey(t.typ).filterNot(t.options.contains)
+      .map(k => s"$at ${t.typ}: missing '$k'") ++
+      valueErrors(t.typ, t.options, s"$at ${t.typ}")
 
   /** Value-level checks so config mistakes surface in the pre-run error
     * list, not as a NumberFormatException/MatchError mid-build or a
@@ -251,26 +267,23 @@ object Config {
     case m: Map[String, Any] @unchecked => m.map { case (k, vv) => k -> vv.toString }
   }
 
-  /** Config → runnable [[Pipeline]] (mirrors build_pipeline,
-    * config.py:231-378). Fails on validation errors.
+  /** Source component → reader function. Shared by the linear [[build]]
+    * and the DAG [[buildDag]] so a source means the same thing in both
+    * shapes. Assumes the component already passed validation.
     */
-  def build(c: PipelineConfig): Pipeline = {
-    val errs = validate(c)
-    require(errs.isEmpty, s"invalid config: ${errs.mkString("; ")}")
-    val b = new PipelineBuilder(c.name)
-
-    c.source.typ match {
-      case "csv" => b.fromCsv(path(c.source.options),
-        strMap(c.source.options.getOrElse("options", Map.empty[String, Any])))
-      case "json" => b.fromJson(path(c.source.options), lines = false)
-      case "jsonl" => b.fromJson(path(c.source.options), lines = true)
-      case "parquet" => b.fromParquet(path(c.source.options),
-        c.source.options.get("columns").map(strSeq).getOrElse(Nil))
-      case "sql" => b.fromJdbc(str(c.source.options, "connection_string"),
-        c.source.options.get("table").map(_.toString),
-        c.source.options.get("query").map(_.toString))
+  private def sourceFn(cc: ComponentConfig): org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame = {
+    import minietl.io.Readers
+    val o = cc.options
+    cc.typ match {
+      case "csv" => s => Readers.csv(s, path(o),
+        options = strMap(o.getOrElse("options", Map.empty[String, Any])))
+      case "json" => s => Readers.json(s, path(o), lines = false)
+      case "jsonl" => s => Readers.json(s, path(o), lines = true)
+      case "parquet" => s => Readers.parquet(s, path(o),
+        o.get("columns").map(strSeq).getOrElse(Nil))
+      case "sql" => s => Readers.jdbc(s, str(o, "connection_string"),
+        o.get("table").map(_.toString), o.get("query").map(_.toString))
       case "api" =>
-        val o = c.source.options
         val pagination = o.get("pagination") match {
           case Some(m: Map[String, Any] @unchecked) =>
             m.getOrElse("type", "").toString.toLowerCase match {
@@ -295,118 +308,339 @@ object Config {
             }
           case _ => minietl.io.ApiSource.Auth.None_
         }
-        b.fromSource(s => minietl.io.ApiSource.fetch(s,
+        s => minietl.io.ApiSource.fetch(s,
           url = str(o, "url"),
           params = o.get("params").map(strMap).getOrElse(Map.empty),
           headers = o.get("headers").map(strMap).getOrElse(Map.empty),
           dataPath = o.get("data_path").map(_.toString).getOrElse(""),
           pagination = pagination,
           auth = auth,
-          timeoutSec = o.get("timeout").map(_.toString.toDouble.toInt).getOrElse(30)))
+          timeoutSec = o.get("timeout").map(_.toString.toDouble.toInt).getOrElse(30))
+    }
+  }
+
+  /** Transformer component → frame function (same Ops mappings as the
+    * [[PipelineBuilder]] methods). Shared by [[build]] and [[buildDag]].
+    */
+  private def transformFn(t: ComponentConfig): org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    t.typ match {
+      case "filter" => Ops.filterExpr(str(t.options, "condition"))
+      case "rename" => Ops.rename(strMap(t.options("columns")))
+      case "select" => Ops.select(strSeq(t.options("columns")))
+      case "drop" => Ops.drop(strSeq(t.options("columns")))
+      case "cast" => Ops.castCoerce(strMap(t.options("columns")))
+      case "fillna" => Ops.fillna(t.options.getOrElse("value", 0),
+        t.options.get("columns").map(strSeq).getOrElse(Nil))
+      case "expression" => Ops.expression(str(t.options, "expression"))
+      case "aggregate" | "group" =>
+        val aggs = t.options("aggregations") match {
+          case m: Map[String, Any] @unchecked => m.map { case (k, v) => k -> strSeq(v) }
+        }
+        Ops.groupAgg(t.options.get("group_by").map(strSeq).getOrElse(Nil), aggs)
+      case "dedupe" => Ops.dedupe(t.options.get("subset").map(strSeq).getOrElse(Nil))
+      case "sort" =>
+        val by = strSeq(t.options("by"))
+        val asc = t.options.get("ascending") match {
+          case Some(l: List[Any] @unchecked) => l.map(_.toString.toBoolean)
+          case Some(s) => Seq.fill(by.size)(s.toString.toBoolean)
+          case None => Nil
+        }
+        Ops.sort(by, asc)
+      case "hash_sample" =>
+        Ops.hashSample(str(t.options, "key"), str(t.options, "fraction").toDouble)
+      case "stratified_sample" =>
+        val fractions = t.options("fractions") match {
+          case m: Map[String, Any] @unchecked => m.map { case (k, v) => k -> v.toString.toDouble }
+          case other => throw new IllegalArgumentException(
+            s"stratified_sample 'fractions' must be a mapping, got '$other'")
+        }
+        Ops.stratifiedHashSample(str(t.options, "key"), str(t.options, "strata"), fractions,
+          t.options.get("default_fraction").map(_.toString.toDouble).getOrElse(0.0))
+      case "pii_redact" => Ops.piiRedact(str(t.options, "column"))
+      case "quality_filter" =>
+        // toDouble.toLong: YAML may well say 50000.0 for a score threshold
+        Ops.qualityFilter(str(t.options, "column"), str(t.options, "min_score").toDouble.toLong)
+      case "exact_dedup" =>
+        df => minietl.dedup.Dedup.exact(df, str(t.options, "content"), str(t.options, "key"))
+      case "gopher_filter" =>
+        Ops.gopherFilter(str(t.options, "column"),
+          t.options.get("min_words").map(_.toString.toDouble.toLong).getOrElse(50L),
+          t.options.get("max_words").map(_.toString.toDouble.toLong).getOrElse(100000L))
+      case "temperature_sample" =>
+        Ops.temperatureSample(str(t.options, "key"), str(t.options, "strata"),
+          str(t.options, "target_fraction").toDouble,
+          t.options.get("alpha").map(_.toString.toDouble).getOrElse(0.5))
+      case "token_budget" =>
+        Ops.tokenBudget(str(t.options, "strata"), str(t.options, "tokens"),
+          str(t.options, "budget").toDouble.toLong,
+          Ops.shuffleKey(str(t.options, "key"),
+            t.options.get("seed").map(_.toString).getOrElse("0")))
+      case "paragraph_dedup" =>
+        df => minietl.text.ParagraphDedup.dedupParagraphs(
+          df, str(t.options, "text"), str(t.options, "key"),
+          t.options.get("delim").map(_.toString).getOrElse("\n"),
+          t.options.get("min_chars").map(_.toString.toDouble.toInt).getOrElse(0))
+      case "normalize_text" =>
+        val c = str(t.options, "column")
+        df => df.withColumn(c, minietl.text.TextAnalysis.normalizeText(df(c)))
+      case "feature_hash" =>
+        val c = str(t.options, "column")
+        val out = str(t.options, "out_column")
+        val dim = str(t.options, "dim").toDouble.toInt
+        df => df.withColumn(out, minietl.text.FeatureHash.tfVector(df(c), dim))
+      case "sigma_outlier_filter" =>
+        val (g, v) = (strSeq(t.options("group_by")), str(t.options, "value"))
+        val k = t.options.get("k").map(_.toString.toDouble.toInt).getOrElse(3)
+        df => minietl.events.EventAnalytics.sigmaOutliers(df, g, v, k)
+          .where(!org.apache.spark.sql.functions.col("is_outlier"))
+          .drop("group_n", "is_outlier")
+      case "mad_outlier_filter" =>
+        val (g, v) = (strSeq(t.options("group_by")), str(t.options, "value"))
+        val k = t.options.get("k").map(_.toString.toDouble.toInt).getOrElse(3)
+        df => minietl.events.EventAnalytics.madOutliers(df, g, v, k)
+          .where(!org.apache.spark.sql.functions.col("is_outlier"))
+          .drop("group_n", "median_x2_cents", "mad_x4_cents", "is_outlier")
+      case "top_p_select" =>
+        import org.apache.spark.sql.functions.col
+        val mass = str(t.options, "mass")
+        Ops.topPSelect(str(t.options, "strata"), mass,
+          str(t.options, "p_basis_points").toDouble.toInt,
+          Seq(col(mass).desc, col(str(t.options, "tie_break")).asc))
+      case "winsorize" =>
+        Ops.winsorize(strSeq(t.options("group_by")), str(t.options, "value"),
+          t.options.get("lo").map(_.toString.toDouble).getOrElse(0.01),
+          t.options.get("hi").map(_.toString.toDouble).getOrElse(0.99))
+      case "impute" =>
+        Ops.imputeGroup(str(t.options, "value"), strSeq(t.options("group_by")),
+          str(t.options, "strategy"))
     }
 
-    c.transformers.foreach { t =>
-      t.typ match {
-        case "filter" => b.filter(str(t.options, "condition"))
-        case "rename" => b.rename(strMap(t.options("columns")))
-        case "select" => b.select(strSeq(t.options("columns")))
-        case "drop" => b.drop(strSeq(t.options("columns")))
-        case "cast" => b.cast(strMap(t.options("columns")))
-        case "fillna" => b.fillna(t.options.getOrElse("value", 0),
-          t.options.get("columns").map(strSeq).getOrElse(Nil))
-        case "expression" => b.expression(str(t.options, "expression"))
-        case "aggregate" | "group" =>
-          val aggs = t.options("aggregations") match {
-            case m: Map[String, Any] @unchecked => m.map { case (k, v) => k -> strSeq(v) }
-          }
-          b.groupAgg(t.options.get("group_by").map(strSeq).getOrElse(Nil), aggs)
-        case "dedupe" => b.dedupe(t.options.get("subset").map(strSeq).getOrElse(Nil))
-        case "sort" =>
-          val by = strSeq(t.options("by"))
-          val asc = t.options.get("ascending") match {
-            case Some(l: List[Any] @unchecked) => l.map(_.toString.toBoolean)
-            case Some(s) => Seq.fill(by.size)(s.toString.toBoolean)
-            case None => Nil
-          }
-          b.sort(by, asc)
-        case "hash_sample" =>
-          b.hashSample(str(t.options, "key"), str(t.options, "fraction").toDouble)
-        case "stratified_sample" =>
-          val fractions = t.options("fractions") match {
-            case m: Map[String, Any] @unchecked => m.map { case (k, v) => k -> v.toString.toDouble }
-            case other => throw new IllegalArgumentException(
-              s"stratified_sample 'fractions' must be a mapping, got '$other'")
-          }
-          b.stratifiedSample(str(t.options, "key"), str(t.options, "strata"), fractions,
-            t.options.get("default_fraction").map(_.toString.toDouble).getOrElse(0.0))
-        case "pii_redact" => b.piiRedact(str(t.options, "column"))
-        case "quality_filter" =>
-          // toDouble.toLong: YAML may well say 50000.0 for a score threshold
-          b.qualityFilter(str(t.options, "column"), str(t.options, "min_score").toDouble.toLong)
-        case "exact_dedup" =>
-          b.exactDedup(str(t.options, "content"), str(t.options, "key"))
-        case "gopher_filter" =>
-          b.gopherFilter(str(t.options, "column"),
-            t.options.get("min_words").map(_.toString.toDouble.toLong).getOrElse(50L),
-            t.options.get("max_words").map(_.toString.toDouble.toLong).getOrElse(100000L))
-        case "temperature_sample" =>
-          b.temperatureSample(str(t.options, "key"), str(t.options, "strata"),
-            str(t.options, "target_fraction").toDouble,
-            t.options.get("alpha").map(_.toString.toDouble).getOrElse(0.5))
-        case "token_budget" =>
-          b.tokenBudget(str(t.options, "strata"), str(t.options, "tokens"),
-            str(t.options, "budget").toDouble.toLong,
-            str(t.options, "key"),
-            t.options.get("seed").map(_.toString).getOrElse("0"))
-        case "paragraph_dedup" =>
-          b.paragraphDedup(str(t.options, "text"), str(t.options, "key"),
-            t.options.get("delim").map(_.toString).getOrElse("\n"),
-            t.options.get("min_chars").map(_.toString.toDouble.toInt).getOrElse(0))
-        case "normalize_text" => b.normalizeText(str(t.options, "column"))
-        case "feature_hash" =>
-          b.featureHash(str(t.options, "column"), str(t.options, "out_column"),
-            str(t.options, "dim").toDouble.toInt)
-        case "sigma_outlier_filter" =>
-          b.sigmaOutlierFilter(strSeq(t.options("group_by")),
-            str(t.options, "value"),
-            t.options.get("k").map(_.toString.toDouble.toInt).getOrElse(3))
-        case "mad_outlier_filter" =>
-          b.madOutlierFilter(strSeq(t.options("group_by")),
-            str(t.options, "value"),
-            t.options.get("k").map(_.toString.toDouble.toInt).getOrElse(3))
-        case "top_p_select" =>
-          b.topPSelect(str(t.options, "strata"), str(t.options, "mass"),
-            str(t.options, "p_basis_points").toDouble.toInt,
-            str(t.options, "tie_break"))
-        case "winsorize" =>
-          b.winsorize(strSeq(t.options("group_by")), str(t.options, "value"),
-            t.options.get("lo").map(_.toString.toDouble).getOrElse(0.01),
-            t.options.get("hi").map(_.toString.toDouble).getOrElse(0.99))
-        case "impute" =>
-          b.impute(strSeq(t.options("group_by")), str(t.options, "value"),
-            str(t.options, "strategy"))
-      }
-    }
+  /** The [[Pipeline]] stage label for a transformer type (kept identical to
+    * the labels the fluent builder methods emit).
+    */
+  private def transformLabel(typ: String): String =
+    if (typ == "aggregate" || typ == "group") "group_agg" else typ
 
+  /** Sink component → writer function. Shared by [[build]] and [[buildDag]]. */
+  private def sinkFn(cc: ComponentConfig): org.apache.spark.sql.DataFrame => Unit = {
+    import minietl.io.Writers
+    val o = cc.options
+    val mode = o.get("mode").map(_.toString).getOrElse("overwrite")
+    cc.typ match {
+      case "csv" => df => Writers.csv(df, path(o), mode)
+      case "json" | "jsonl" => df => Writers.json(df, path(o), mode)
+      case "parquet" => df => Writers.parquet(df, path(o), mode,
+        partitionBy = o.get("partition_cols").map(strSeq).getOrElse(Nil))
+      case "sql" => df => Writers.jdbc(df, str(o, "connection_string"),
+        str(o, "table"), o.get("if_exists").map(_.toString).getOrElse("append"))
+    }
+  }
+
+  /** Config → runnable [[Pipeline]] (mirrors build_pipeline,
+    * config.py:231-378). Fails on validation errors.
+    */
+  def build(c: PipelineConfig): Pipeline = {
+    val errs = validate(c)
+    require(errs.isEmpty, s"invalid config: ${errs.mkString("; ")}")
+    val b = new PipelineBuilder(c.name)
+    b.fromSource(sourceFn(c.source))
+    c.transformers.foreach(t => b.add(transformFn(t), transformLabel(t.typ)))
     c.schema.foreach(b.withSchema)
-
-    val mode = c.sink.options.get("mode").map(_.toString).getOrElse("overwrite")
-    c.sink.typ match {
-      case "csv" => b.toCsv(path(c.sink.options), mode)
-      case "json" | "jsonl" => b.toJson(path(c.sink.options), mode)
-      case "parquet" => b.toParquet(path(c.sink.options), mode,
-        c.sink.options.get("partition_cols").map(strSeq).getOrElse(Nil))
-      case "sql" => b.toJdbc(str(c.sink.options, "connection_string"),
-        str(c.sink.options, "table"),
-        c.sink.options.get("if_exists").map(_.toString).getOrElse("append"))
-    }
-
+    b.toSink(sinkFn(c.sink))
     b.build()
   }
 
   /** One-call load: YAML text → runnable pipeline. */
   def load(text: String, env: Map[String, String] = sys.env): Pipeline =
     build(parse(text, env))
+
+  // ------------------------------------------------------------- DAG form
+  /** One interior node of a `dag:` config: exactly one of `transform`,
+    * `merge`, `branch` is set; `inputs` are upstream node refs (a branch
+    * output is addressed as `id.true` / `id.false`).
+    */
+  final case class DagNodeConfig(
+      id: String,
+      inputs: Seq[String],
+      transform: Option[ComponentConfig],
+      merge: Option[Map[String, Any]],
+      branch: Option[String])
+
+  final case class DagConfig(
+      name: String,
+      sources: Seq[(String, ComponentConfig)],
+      nodes: Seq[DagNodeConfig],
+      sinks: Seq[(String, String, ComponentConfig)]) // (id, input ref, sink)
+
+  /** Parse the `dag:` YAML form:
+    * {{{
+    * name: my_dag
+    * dag:
+    *   sources:
+    *     orders:   {type: parquet, path: /data/orders.parquet}
+    *     customer: {type: parquet, path: /data/customer.parquet}
+    *   nodes:
+    *     - id: big
+    *       input: orders
+    *       transform: {type: filter, condition: "o_totalprice > 1000"}
+    *     - id: joined
+    *       inputs: [big, customer]
+    *       merge: {strategy: join, keys: [o_custkey], how: inner}
+    *     - id: split
+    *       input: joined
+    *       branch: {condition: "c_acctbal > 0"}
+    *   sinks:
+    *     rich: {input: split.true,  type: parquet, path: /out/rich}
+    *     poor: {input: split.false, type: parquet, path: /out/poor}
+    * }}}
+    * Node order in the YAML is declaration order only — execution order is
+    * the DAG's topological sort.
+    */
+  def parseDag(text: String, env: Map[String, String] = sys.env): DagConfig = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val raw = asScala(yaml.load[Any](substituteEnv(text, env))) match {
+      case m: Map[String, Any] @unchecked => m
+      case other => throw new IllegalArgumentException(s"config root must be a mapping, got $other")
+    }
+    val name = raw.getOrElse("name", "dag").toString
+    val dag = raw.get("dag") match {
+      case Some(m: Map[String, Any] @unchecked) => m
+      case _ => throw new IllegalArgumentException("dag config needs a 'dag' mapping")
+    }
+    def section(key: String): Seq[(String, Map[String, Any])] = dag.get(key) match {
+      case Some(m: Map[String, Any] @unchecked) => m.toSeq.sortBy(_._1).map {
+        case (id, mm: Map[String, Any] @unchecked) => id -> mm
+        case (id, other) => throw new IllegalArgumentException(s"$key '$id' must be a mapping: $other")
+      }
+      case None => Nil
+      case other => throw new IllegalArgumentException(s"'$key' must be a mapping: $other")
+    }
+    val sources = section("sources").map { case (id, m) => id -> component(m, s"source $id") }
+    require(sources.nonEmpty, "dag config needs at least one source")
+    val nodes = dag.get("nodes") match {
+      case Some(l: List[Any] @unchecked) => l.map {
+        case m: Map[String, Any] @unchecked =>
+          val id = m.getOrElse("id",
+            throw new IllegalArgumentException("dag node is missing 'id'")).toString
+          val inputs = (m.get("inputs"), m.get("input")) match {
+            case (Some(l2: List[Any] @unchecked), _) => l2.map(_.toString)
+            case (_, Some(s)) => Seq(s.toString)
+            case _ => Nil
+          }
+          val transform = m.get("transform").map {
+            case tm: Map[String, Any] @unchecked => component(tm, s"node $id transform")
+            case other => throw new IllegalArgumentException(s"node $id 'transform' must be a mapping: $other")
+          }
+          val merge = m.get("merge").map {
+            case mm: Map[String, Any] @unchecked => mm
+            case other => throw new IllegalArgumentException(s"node $id 'merge' must be a mapping: $other")
+          }
+          val branch = m.get("branch").map {
+            case bm: Map[String, Any] @unchecked => bm.getOrElse("condition",
+              throw new IllegalArgumentException(s"node $id branch needs 'condition'")).toString
+            case other => other.toString // `branch: "cond"` shorthand
+          }
+          DagNodeConfig(id, inputs, transform, merge, branch)
+        case other => throw new IllegalArgumentException(s"dag node must be a mapping: $other")
+      }
+      case None => Nil
+      case other => throw new IllegalArgumentException(s"'nodes' must be a list: $other")
+    }
+    val sinks = section("sinks").map { case (id, m) =>
+      val input = m.getOrElse("input",
+        throw new IllegalArgumentException(s"sink $id needs 'input'")).toString
+      (id, input, component(m - "input", s"sink $id"))
+    }
+    require(sinks.nonEmpty, "dag config needs at least one sink")
+    DagConfig(name, sources, nodes, sinks)
+  }
+
+  /** Error list for the DAG form: component-level checks here (shared with
+    * the linear validator), structural checks (ports, arity, cycles) by
+    * [[minietl.dag.PipelineDAG.validate]] after assembly in [[buildDag]].
+    */
+  def validateDag(c: DagConfig): Seq[String] = {
+    val ids = c.sources.map(_._1) ++ c.nodes.map(_.id) ++ c.sinks.map(_._1)
+    val dupErrs = ids.groupBy(identity).collect {
+      case (id, occ) if occ.size > 1 => s"duplicate dag node id: $id"
+    }.toSeq
+    val srcErrs = c.sources.flatMap { case (id, cc) => checkEndpoint(cc, s"source $id") }
+    val nodeErrs = c.nodes.flatMap { n =>
+      val kinds = Seq(n.transform.isDefined, n.merge.isDefined, n.branch.isDefined).count(identity)
+      val shape =
+        if (kinds != 1) Seq(s"node ${n.id}: exactly one of transform/merge/branch required")
+        else Nil
+      val tErrs = n.transform.toSeq.flatMap(t => checkTransformer(t, s"node ${n.id}"))
+      val mErrs = n.merge.toSeq.flatMap { m =>
+        m.getOrElse("strategy", "concat").toString.toLowerCase match {
+          case "concat" | "union" => Nil
+          case "join" =>
+            if (m.get("keys").map(strSeq).exists(_.nonEmpty)) Nil
+            else Seq(s"node ${n.id}: merge join needs 'keys'")
+          case other => Seq(s"node ${n.id}: unknown merge strategy '$other'")
+        }
+      }
+      val inErrs =
+        if (n.merge.isDefined && n.inputs.size < 2)
+          Seq(s"node ${n.id}: merge needs at least 2 inputs")
+        else if (n.merge.isEmpty && n.inputs.size != 1)
+          Seq(s"node ${n.id}: needs exactly one input")
+        else Nil
+      shape ++ tErrs ++ mErrs ++ inErrs
+    }
+    val sinkErrs = c.sinks.flatMap { case (id, _, cc) => checkEndpoint(cc, s"sink $id") }
+    dupErrs ++ srcErrs ++ nodeErrs ++ sinkErrs
+  }
+
+  /** DagConfig → assembled [[minietl.dag.PipelineDAG]]. Component semantics
+    * are identical to the linear build (same sourceFn/transformFn/sinkFn);
+    * the DAG contributes topology: merges (concat / union / equi-join fold),
+    * true/false branch ports, many sources, many sinks. Run with
+    * `dag.run(spark)` or embed one node via `dag.frame(spark, "id")`.
+    */
+  def buildDag(c: DagConfig): minietl.dag.PipelineDAG = {
+    val errs = validateDag(c)
+    require(errs.isEmpty, s"invalid dag config: ${errs.mkString("; ")}")
+    val dag = new minietl.dag.PipelineDAG
+    c.sources.foreach { case (id, cc) => dag.addSource(id, sourceFn(cc)) }
+    c.nodes.foreach { n =>
+      n.transform.foreach(t => dag.addTransform(n.id, transformFn(t)))
+      n.merge.foreach { m =>
+        val strategy = m.getOrElse("strategy", "concat").toString.toLowerCase match {
+          case "concat" => minietl.dag.MergeStrategy.Concat
+          case "union" => minietl.dag.MergeStrategy.Union
+          case "join" => minietl.dag.MergeStrategy.Join(strSeq(m("keys")),
+            m.getOrElse("how", "full_outer").toString)
+        }
+        dag.addMerge(n.id, strategy)
+      }
+      n.branch.foreach(cond =>
+        dag.addBranch(n.id, org.apache.spark.sql.functions.expr(
+          minietl.ops.ExpressionDialect.translate(cond))))
+    }
+    c.sinks.foreach { case (id, _, cc) => dag.addSink(id, sinkFn(cc)) }
+    def connectRef(ref: String, to: String): Unit = ref.split('.') match {
+      case Array(from) => dag.connect(from, to); ()
+      case Array(from, port) => dag.connect(from, to, port); ()
+      case _ => throw new IllegalArgumentException(s"bad input ref: $ref")
+    }
+    c.nodes.foreach(n => n.inputs.foreach(connectRef(_, n.id)))
+    c.sinks.foreach { case (id, input, _) => connectRef(input, id) }
+    val structural = dag.validate()
+    require(structural.isEmpty, s"invalid dag structure: ${structural.mkString("; ")}")
+    dag
+  }
+
+  /** One-call load of the `dag:` form: YAML text → assembled DAG. */
+  def loadDag(text: String, env: Map[String, String] = sys.env): minietl.dag.PipelineDAG =
+    buildDag(parseDag(text, env))
+
+  /** True when the YAML's root has a `dag:` mapping (the multi-source form). */
+  def isDagConfig(text: String, env: Map[String, String] = sys.env): Boolean =
+    asScala(new org.yaml.snakeyaml.Yaml().load[Any](substituteEnv(text, env))) match {
+      case m: Map[String, Any] @unchecked => m.contains("dag")
+      case _ => false
+    }
 
   /** Sample config (reference: config.py:381-416 generate_sample_config). */
   val sample: String =

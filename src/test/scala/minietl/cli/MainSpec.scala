@@ -45,6 +45,32 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     assert(Readers.parquet(spark, s"$dir/out").count() === 2)
   }
 
+  test("run and validate route dag: configs through the DAG build") {
+    val dir = tmp()
+    Writers.parquet(Seq((1, 10.0), (2, 20.0)).toDF("k", "v"), s"$dir/a")
+    Writers.parquet(Seq((1, "x"), (2, "y")).toDF("k", "n"), s"$dir/b")
+    val cfg = s"$dir/d.yaml"
+    Files.write(java.nio.file.Paths.get(cfg),
+      s"""name: cli_dag
+         |dag:
+         |  sources:
+         |    a: {type: parquet, path: $dir/a}
+         |    b: {type: parquet, path: $dir/b}
+         |  nodes:
+         |    - id: j
+         |      inputs: [a, b]
+         |      merge: {strategy: join, keys: [k], how: inner}
+         |  sinks:
+         |    out: {input: j, type: parquet, path: $dir/out}
+         |""".stripMargin.getBytes)
+    val (vc, vout) = Main.execute(Seq("validate", cfg), () => spark)
+    assert(vc === 0, vout)
+    val (code, out) = Main.execute(Seq("run", cfg), () => spark)
+    assert(code === 0, out)
+    assert(out.contains("dag 'cli_dag' complete") && out.contains("out=2 rows"))
+    assert(Readers.parquet(spark, s"$dir/out").count() === 2)
+  }
+
   test("info lists registered types; unknown command prints usage") {
     val (c, out) = Main.execute(Seq("info"), () => spark)
     assert(c === 0 && out.contains("transformers"))

@@ -411,6 +411,85 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
         |""".stripMargin)).exists(_.contains("pagination type must be page or offset")))
   }
 
+  test("a dag: YAML assembles and runs a multi-source join + branch to two sinks") {
+    val dir = tmp()
+    Writers.parquet(Seq((1, 100.0), (2, 2000.0), (3, 1500.0)).toDF("k", "total"), s"$dir/orders")
+    Writers.parquet(Seq((1, "alice", 5.0), (2, "bob", -3.0), (3, "carol", 9.0))
+      .toDF("k", "name", "bal"), s"$dir/cust")
+    val yaml =
+      s"""name: multi
+         |dag:
+         |  sources:
+         |    orders: {type: parquet, path: $dir/orders}
+         |    cust:   {type: parquet, path: $dir/cust}
+         |  nodes:
+         |    - id: big
+         |      input: orders
+         |      transform: {type: filter, condition: "total > 1000"}
+         |    - id: joined
+         |      inputs: [big, cust]
+         |      merge: {strategy: join, keys: [k], how: inner}
+         |    - id: split
+         |      input: joined
+         |      branch: {condition: "bal > 0"}
+         |  sinks:
+         |    pos: {input: split.true,  type: parquet, path: $dir/pos}
+         |    neg: {input: split.false, type: parquet, path: $dir/neg}
+         |""".stripMargin
+    assert(Config.isDagConfig(yaml) && !Config.isDagConfig(Config.sample))
+    val dag = Config.loadDag(yaml)
+    val counts = dag.run(spark)
+    assert(counts === Map("pos" -> 1L, "neg" -> 1L))
+    val pos = Readers.parquet(spark, s"$dir/pos", Nil).collect()
+    assert(pos.map(_.getAs[String]("name")).toSeq === Seq("carol"))
+    val neg = Readers.parquet(spark, s"$dir/neg", Nil).collect()
+    assert(neg.map(_.getAs[String]("name")).toSeq === Seq("bob"))
+  }
+
+  test("dag: validation catches component and structural errors before running") {
+    val errs = Config.validateDag(Config.parseDag(
+      """name: bad
+        |dag:
+        |  sources:
+        |    a: {type: teleport, path: x}
+        |  nodes:
+        |    - id: m
+        |      input: a
+        |      merge: {strategy: join}
+        |    - id: t
+        |      inputs: [a, m]
+        |      transform: {type: filter}
+        |  sinks:
+        |    out: {input: t, type: csv}
+        |""".stripMargin))
+    assert(errs.exists(_.contains("unknown source type 'teleport'")))
+    assert(errs.exists(_.contains("merge needs at least 2 inputs")))
+    assert(errs.exists(_.contains("merge join needs 'keys'")))
+    assert(errs.exists(_.contains("needs exactly one input")))
+    assert(errs.exists(_.contains("missing 'condition'")))
+    assert(errs.exists(_.contains("sink out csv needs filepath")))
+    // structural errors (cycle) surface from the assembled DAG
+    val cyclic = intercept[IllegalArgumentException] {
+      Config.loadDag(
+        """name: cyc
+          |dag:
+          |  sources:
+          |    a: {type: parquet, path: /tmp/x}
+          |  nodes:
+          |    - id: t1
+          |      input: t2
+          |      transform: {type: drop, columns: [z]}
+          |    - id: t2
+          |      input: t1
+          |      transform: {type: drop, columns: [z]}
+          |  sinks:
+          |    out: {input: t2, type: parquet, path: /tmp/y}
+          |""".stripMargin)
+    }
+    assert(cyclic.getMessage.contains("cycle") ||
+      cyclic.getMessage.contains("needs exactly one input"))
+  }
+
   test("env substitution reaches file paths inside configs") {
     val dir = tmp()
     Writers.csv(Seq((1, "x")).toDF("id", "name"), s"$dir/in")

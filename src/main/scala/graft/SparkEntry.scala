@@ -145,6 +145,26 @@ object SparkEntry {
       .parquet(stageDir.toString)
   }
 
+  /** Stage events WITH injected duplicates (every event_id divisible by 10
+    * re-emitted once, identical payload) as a single parquet file read back
+    * as a stream — the rig for q_stream_dedup. The duplicate copies are
+    * byte-identical rows, so whichever copy the dedup state keeps, the
+    * surviving row is the same and the output is deterministic.
+    */
+  private def stagedDupEventStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Path, Paths}
+    val ev = events(s, dir).select("event_id", "ts", "event_type", "value")
+    val stageDir = Paths.get(s"/tmp/graft_dupstream_${math.abs(dir.hashCode)}")
+    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.delete(f); () })
+    }
+    deleteTree(stageDir)
+    ev.unionAll(ev.where(pmod(col("event_id"), lit(10)) === 0))
+      .coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
+    s.readStream.schema(ev.schema).parquet(stageDir.toString)
+  }
+
   /** Run a streaming drain with the state partition count scoped DOWN for
     * its lifetime, restoring the session conf afterwards (the one sanctioned
     * exception to "query functions never mutate session conf" — the battery
@@ -1568,6 +1588,29 @@ object SparkEntry {
              |WHERE epoch_us(win_start + INTERVAL 1 HOUR) <= we.us
              |ORDER BY win_start""".stripMargin)),
 
+    // Streaming watermark-bounded exact dedup through the STREAMING path
+    // (dropDuplicatesWithinWatermark state keyed on event_id, dropped once
+    // the watermark passes): the staged file re-emits every 10th event, the
+    // dedup collapses the copies, and the windowed per-type counts come out
+    // identical to the clean batch table. One AvailableNow batch holds the
+    // whole file, so all copies land within the dedup state's lifetime.
+    "q_stream_dedup" -> Q(
+      (s, dir) => {
+        val deduped = minietl.streaming.Streaming.dedupWithinWatermark(
+          stagedDupEventStream(s, dir), tsCol = "ts",
+          watermarkDelay = "24 hours", keys = Seq("event_id"))
+        drainAppendMode(s, deduped, "stream_dedup")
+          .groupBy(date_trunc("hour", col("ts")).as("win_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
+          .orderBy("win_start", "event_type")
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+             |  event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
     // Gopher/C4-style intra-document repetition signals (scan-side arrays)
     "q_repetition_stats" -> Q(
       (s, dir) =>
@@ -2091,6 +2134,137 @@ object SparkEntry {
              |     + (CASE WHEN min(c2) IS NOT NULL THEN 1 ELSE 0 END)
              |     + (CASE WHEN min(c3) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
              |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // First-order Markov transition matrix of the per-user event sequence:
+    // integer transition counts, probability = exact IEEE division of two
+    // BIGINTs (identical in any engine — no rounding needed).
+    "q_markov_transitions" -> Q(
+      (s, dir) =>
+        minietl.events.EventAnalytics.markovTransitions(events(s, dir),
+            "user_id", "event_type", "ts", "event_id")
+          .orderBy("from_type", "to_type"),
+      Some("""WITH o AS (SELECT event_type, lead(event_type)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |  FROM events)
+             |SELECT event_type AS from_type, next_type AS to_type,
+             |  count(*) AS n,
+             |  CAST(count(*) AS DOUBLE)
+             |    / CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+             |FROM o WHERE next_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin)),
+
+    // KMV (bottom-k) distinct-count sketch audit over three key columns:
+    // fixed-size sketch vs exact distinct. The estimate is one IEEE
+    // multiply-divide over exactly-agreed integers — engine-portable with
+    // no tolerance. user_id has fewer distinct values than k at every SF,
+    // exercising the exact-degrade path; the other two exercise the
+    // estimator path at sf >= 0.01.
+    "q_kmv_distinct" -> Q(
+      (s, dir) => {
+        def audit(df: DataFrame, field: String, colName: String): DataFrame =
+          minietl.sketch.Sketches.kmvDistinct(df, colName, 256)
+            .crossJoin(broadcast(
+              df.agg(countDistinct(col(colName)).as("n_exact"))))
+            .select(lit(field).as("field"), col("n_exact"),
+              col("n_kept"), col("estimate"))
+        audit(events(s, dir), "events.event_id", "event_id")
+          .unionAll(audit(events(s, dir), "events.user_id", "user_id"))
+          .unionAll(audit(t(s, dir, "lineitem"), "lineitem.l_partkey", "l_partkey"))
+          .orderBy("field")
+      },
+      Some("""WITH src AS (
+             |  SELECT 'events.event_id' AS field, CAST(event_id AS VARCHAR) AS v FROM events
+             |  UNION ALL
+             |  SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events
+             |  UNION ALL
+             |  SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem),
+             |h AS (SELECT DISTINCT field,
+             |    CAST(concat('0x', substring(md5(v), 1, 15)) AS BIGINT) AS h
+             |  FROM src WHERE v IS NOT NULL),
+             |k AS (SELECT field, h,
+             |    row_number() OVER (PARTITION BY field ORDER BY h) AS rn FROM h),
+             |sk AS (SELECT field, count(*) AS n_kept, max(h) AS kth
+             |  FROM k WHERE rn <= 256 GROUP BY field),
+             |ex AS (SELECT field, count(DISTINCT v) AS n_exact FROM src GROUP BY field)
+             |SELECT sk.field, ex.n_exact, sk.n_kept,
+             |  CASE WHEN sk.n_kept < 256 THEN CAST(sk.n_kept AS DOUBLE)
+             |       ELSE 255.0 * 1152921504606846976.0 / CAST(sk.kth AS DOUBLE)
+             |  END AS estimate
+             |FROM sk JOIN ex USING (field) ORDER BY field""".stripMargin)),
+
+    // Count-min sketch heavy hitters over document tokens: the true top-20
+    // tokens' exact counts next to their sketch estimates (cms_n >= exact_n
+    // by construction; the 4x1024 sketch is fixed-size however large the
+    // corpus — that is the 100 TB point).
+    "q_countmin_topk" -> Q(
+      (s, dir) => {
+        val toks = documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("tok"))
+        minietl.sketch.Sketches.countMinTopK(toks, "tok",
+            depth = 4, width = 1024, k = 20)
+          .orderBy(col("exact_n").desc, col("token").asc)
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |lanes AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(lane)),
+             |sketch AS (
+             |  SELECT lane,
+             |    CAST(concat('0x', substring(md5(concat(lane, ':', tok)), 1, 15))
+             |      AS BIGINT) % 1024 AS bucket,
+             |    count(*) AS n
+             |  FROM toks CROSS JOIN lanes GROUP BY 1, 2),
+             |top AS (SELECT tok AS token, count(*) AS exact_n FROM toks
+             |  GROUP BY tok ORDER BY exact_n DESC, token LIMIT 20)
+             |SELECT t.token, t.exact_n, min(s.n) AS cms_n
+             |FROM top t CROSS JOIN lanes l
+             |JOIN sketch s ON s.lane = l.lane
+             | AND s.bucket = CAST(concat('0x',
+             |       substring(md5(concat(l.lane, ':', t.token)), 1, 15))
+             |     AS BIGINT) % 1024
+             |GROUP BY t.token, t.exact_n
+             |ORDER BY exact_n DESC, token""".stripMargin)),
+
+    // Integer fixed-point PageRank over the part co-purchase graph (parts
+    // sharing an order), 3 damped iterations. All arithmetic is truncating
+    // 64-bit integer — order-independent, so the DuckDB replay of the same
+    // three unrolled iterations is bit-identical (float PageRank could
+    // never hash-match across engines).
+    "q_pagerank" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = minietl.graph.PageRank.coOccurrenceEdges(
+          li, "l_orderkey", "l_partkey")
+        minietl.graph.PageRank.pageRankFixedPoint(s, edges, iterations = 3)
+          .orderBy(col("rank_fp").desc, col("node").asc)
+          .limit(20)
+          .select(col("node").as("part"), col("rank_fp"))
+      },
+      Some("""WITH edges AS (
+             |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+             |  FROM lineitem l1 JOIN lineitem l2
+             |    ON l1.l_orderkey = l2.l_orderkey
+             |   AND l1.l_partkey <> l2.l_partkey),
+             |deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+             |nn AS (SELECT count(*) AS n FROM deg),
+             |r0 AS (SELECT node, 1000000000000 // nn.n AS rank_fp FROM deg, nn),
+             |b AS (SELECT (15 * 1000000000000 // 100) // n AS base FROM nn),
+             |r1 AS (SELECT e.dst AS node,
+             |    b.base + 85 * CAST(sum(r.rank_fp // d.outdeg) AS BIGINT) // 100 AS rank_fp
+             |  FROM edges e JOIN r0 r ON e.src = r.node
+             |  JOIN deg d ON d.node = r.node CROSS JOIN b
+             |  GROUP BY e.dst, b.base),
+             |r2 AS (SELECT e.dst AS node,
+             |    b.base + 85 * CAST(sum(r.rank_fp // d.outdeg) AS BIGINT) // 100 AS rank_fp
+             |  FROM edges e JOIN r1 r ON e.src = r.node
+             |  JOIN deg d ON d.node = r.node CROSS JOIN b
+             |  GROUP BY e.dst, b.base),
+             |r3 AS (SELECT e.dst AS node,
+             |    b.base + 85 * CAST(sum(r.rank_fp // d.outdeg) AS BIGINT) // 100 AS rank_fp
+             |  FROM edges e JOIN r2 r ON e.src = r.node
+             |  JOIN deg d ON d.node = r.node CROSS JOIN b
+             |  GROUP BY e.dst, b.base)
+             |SELECT node AS part, rank_fp FROM r3
+             |ORDER BY rank_fp DESC, part LIMIT 20""".stripMargin)),
 
     // Weekly cohort retention heat-map cells (all-integer offsets).
     "q_cohort_retention" -> Q(

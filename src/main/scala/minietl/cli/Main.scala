@@ -60,7 +60,7 @@ object Main {
       case "info" :: Nil =>
         (0,
           """minietl-spark
-            |  sources:      csv, json, jsonl, parquet, sql, api  (excel: unsupported offline)
+            |  sources:      csv, json, jsonl, parquet, orc, excel, sql, api
             |  transformers: filter, rename, select, drop, cast, fillna,
             |                expression, aggregate|group, dedupe, sort,
             |                hash_sample, stratified_sample, temperature_sample,
@@ -68,7 +68,7 @@ object Main {
             |                gopher_filter, exact_dedup, paragraph_dedup,
             |                normalize_text, feature_hash, sigma_outlier_filter,
             |                mad_outlier_filter, winsorize, impute
-            |  sinks:        csv, json, jsonl, parquet, sql
+            |  sinks:        csv, json, jsonl, parquet, orc, excel, sql
             |  dag form:     a `dag:` root key declares multi-source graphs
             |                (transform/merge/branch nodes, many sinks)
             |""".stripMargin)

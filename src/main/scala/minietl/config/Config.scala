@@ -14,9 +14,10 @@ import minietl.schema.{ColumnSpec, TableSchema}
   *  - transformers: filter, rename, select, drop, cast, fillna, expression,
   *    aggregate|group (config.py:81-87, 299-342)
   *  - sinks: csv, json, jsonl, parquet, sql (config.py:77-78, 344-378)
-  * `excel` is declared unsupported (offline build, SURVEY §7.6) and fails
-  * validation with an explicit message rather than at run time; `api` is a
-  * real source (ApiSource / RestDataSource).
+  * `excel` is a real source AND sink via the dependency-free XLSX subset
+  * reader/writer ([[minietl.io.Excel]] — driver-buffered, like the
+  * reference's pandas path); `api` is a real source
+  * (ApiSource / RestDataSource).
   *
   * Beyond the reference's single linear pipeline, a `dag:` root key
   * describes a multi-source PipelineDAG (sources / transform / merge /
@@ -36,8 +37,8 @@ object Config {
       sink: ComponentConfig,
       schema: Option[TableSchema] = None)
 
-  private val sourceTypes = Set("csv", "json", "jsonl", "parquet", "sql", "api")
-  private val sinkTypes = Set("csv", "json", "jsonl", "parquet", "sql")
+  private val sourceTypes = Set("csv", "json", "jsonl", "parquet", "orc", "excel", "sql", "api")
+  private val sinkTypes = Set("csv", "json", "jsonl", "parquet", "orc", "excel", "sql")
   private val transformerTypes =
     Set("filter", "rename", "select", "drop", "cast", "fillna", "expression",
       "aggregate", "group", "dedupe", "sort",
@@ -46,7 +47,7 @@ object Config {
       "exact_dedup", "gopher_filter", "temperature_sample", "token_budget",
       "paragraph_dedup", "normalize_text", "feature_hash", "sigma_outlier_filter",
       "winsorize", "impute", "mad_outlier_filter", "top_p_select")
-  private val declaredUnsupported = Set("excel")
+  private val declaredUnsupported = Set.empty[String]
 
   private val EnvBrace: Regex = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
   private val EnvBare: Regex = """\$([A-Za-z_][A-Za-z0-9_]*)""".r
@@ -281,6 +282,15 @@ object Config {
       case "jsonl" => s => Readers.json(s, path(o), lines = true)
       case "parquet" => s => Readers.parquet(s, path(o),
         o.get("columns").map(strSeq).getOrElse(Nil))
+      case "orc" => s => Readers.orc(s, path(o),
+        o.get("columns").map(strSeq).getOrElse(Nil))
+      case "excel" =>
+        // sheet_name: Union[str, int] like the reference (extractors.py:170)
+        val sheet = o.get("sheet_name").map(_.toString)
+        val byIndex = sheet.flatMap(_.toIntOption)
+        s => minietl.io.Excel.read(s, path(o),
+          name = if (byIndex.isEmpty) sheet else None,
+          index = byIndex.getOrElse(0))
       case "sql" => s => Readers.jdbc(s, str(o, "connection_string"),
         o.get("table").map(_.toString), o.get("query").map(_.toString))
       case "api" =>
@@ -431,6 +441,11 @@ object Config {
       case "json" | "jsonl" => df => Writers.json(df, path(o), mode)
       case "parquet" => df => Writers.parquet(df, path(o), mode,
         partitionBy = o.get("partition_cols").map(strSeq).getOrElse(Nil))
+      case "orc" => df => Writers.orc(df, path(o), mode,
+        partitionBy = o.get("partition_cols").map(strSeq).getOrElse(Nil))
+      case "excel" => df => minietl.io.Excel.write(df, path(o),
+        sheetName = o.get("sheet_name").map(_.toString).getOrElse("Sheet1"),
+        mode = if (mode == "append") "append" else "overwrite")
       case "sql" => df => Writers.jdbc(df, str(o, "connection_string"),
         str(o, "table"), o.get("if_exists").map(_.toString).getOrElse("append"))
     }

@@ -296,4 +296,35 @@ object EventAnalytics {
         when(col(d) === col("day"), col("day_total"))
           .otherwise(col(prevTotal)).as("day_total"))
   }
+
+  /** First-order Markov transition matrix of an event sequence: for each
+    * entity the events are ordered by (ts, tie) and every consecutive pair
+    * contributes one (from_type, to_type) transition. Output is one row per
+    * observed transition with its count and the row-normalized probability
+    * `p = n / Σ n over from_type` — an exact IEEE division of two BIGINTs,
+    * so any engine reproduces it bit-for-bit. The last event per entity has
+    * no successor and contributes nothing.
+    *
+    * `tieCol` must be unique within (entity, ts) or successor attribution
+    * is nondeterministic — same contract as [[funnel]].
+    *
+    * ONE data shuffle: the lead window partitions by entity; the transition
+    * count is a groupBy over the (tiny) type×type grid with map-side
+    * combine, and the normalizing sum is a window over that grid, not over
+    * the data.
+    */
+  def markovTransitions(df: DataFrame, entityCol: String, typeCol: String,
+                        tsCol: String, tieCol: String): DataFrame = {
+    minietl.ops.Ops.requireAbsent(df, "markovTransitions",
+      "from_type", "to_type", "n", "p")
+    val nxt = minietl.ops.Ops.freshName(df, "__next_type")
+    val w = Window.partitionBy(entityCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.withColumn(nxt, lead(col(typeCol), 1).over(w))
+      .where(col(nxt).isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col(nxt).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("from_type")).cast("double"))
+  }
 }

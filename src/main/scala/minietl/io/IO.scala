@@ -55,6 +55,16 @@ object Readers {
     if (columns.nonEmpty) df.select(columns.map(org.apache.spark.sql.functions.col): _*) else df
   }
 
+  /** ORC scan — no reference counterpart (the reference's formats stop at
+    * parquet, extractors.py); a Spark-native superset using the built-in
+    * columnar reader with the same pushdown/pruning behavior as parquet
+    * (same `columns` contract as [[parquet]]).
+    */
+  def orc(spark: SparkSession, path: String, columns: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.orc(path)
+    if (columns.nonEmpty) df.select(columns.map(org.apache.spark.sql.functions.col): _*) else df
+  }
+
   /** SQLExtractor (extractors.py:285-356): JDBC scan; `query` XOR `table`
     * validated like the reference (extractors.py:320-323). Partitioned-read
     * options (partitionColumn/lowerBound/upperBound/numPartitions) are the
@@ -107,6 +117,15 @@ object Writers {
               compression: String = "snappy", partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(saveMode(mode)).option("compression", compression)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** ORC sink — Spark-native superset (see [[Readers.orc]]); same
+    * mode/partitioning contract as [[parquet]].
+    */
+  def orc(df: DataFrame, path: String, mode: String = "overwrite",
+          compression: String = "snappy", partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(saveMode(mode)).option("compression", compression)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
   /** SQLLoader (loaders.py:197-276). */

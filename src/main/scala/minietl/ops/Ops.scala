@@ -284,6 +284,39 @@ object Ops {
     else md5(col(keyCol).cast("string")) <
       lit(f"${math.floor(fraction * 4294967296.0).toLong}%08x")
 
+  /** Deterministic n-way split (train/val/test): each row gets a label from
+    * cumulative md5-threshold bands over [0, 2^32), so the assignment is a
+    * pure function of the key — stable across runs, partitionings, AND
+    * engines (`CASE WHEN md5(k) < t1 THEN ... WHEN md5(k) < t2 ...`), and
+    * growing one band's weight only ever MOVES rows across the adjacent
+    * boundary, never reshuffles the rest. Scan-side CASE, no shuffle —
+    * the reproducible-split primitive a 100 TB training corpus needs
+    * (a seeded randomSplit re-deals every row when anything changes).
+    *
+    * Weights must be positive and sum to 1 (±1e-6). Rows with NULL keys
+    * have no hash; every band predicate is null, so the CASE assigns them
+    * the LAST label (documented, replayed identically by the oracle's
+    * CASE ELSE) — coalesce the key first if that's not wanted.
+    */
+  def hashSplit(keyCol: String, splits: Seq[(String, Double)],
+                labelCol: String = "split"): Op = df => {
+    require(splits.size >= 2, "hashSplit needs at least two bands")
+    require(splits.forall(_._2 > 0.0), s"non-positive split weight in $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-6,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split labels in $splits")
+    requireAbsent(df, "hashSplit", labelCol)
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val h = md5(col(keyCol).cast("string"))
+    val label = splits.init.zip(cums.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), cum), els) =>
+      when(h < lit(f"${math.floor(cum * 4294967296.0).toLong}%08x"), name)
+        .otherwise(els)
+    }
+    df.withColumn(labelCol, label)
+  }
+
   /** Per-stratum deterministic sampling: each stratum value gets its own
     * keep-fraction (domain mixing / rebalancing — e.g. downsample crawl
     * data, keep all code). Same md5-threshold selection as [[hashSample]],

@@ -1,0 +1,114 @@
+package minietl.sketch
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import minietl.functions.PortableHash
+
+/** Fixed-size cardinality / frequency sketches on the portable md5-60 hash
+  * contract ([[minietl.functions.PortableHash]]) — deterministic, therefore
+  * replayable bit-for-bit by any SQL engine, which is what makes them
+  * oracle-verifiable (unlike `approx_count_distinct`'s HLL, whose register
+  * layout is engine-private).
+  *
+  * Why sketches at all: at 100 TB an exact `count(distinct key)` shuffles
+  * every distinct key and an exact heavy-hitter count shuffles every
+  * distinct token. The sketch versions shuffle a FIXED-size summary instead
+  * — [[kmvDistinct]] reduces to k longs, [[countMinSketch]] to depth×width
+  * counters — so their cost is scan + map-side combine, independent of key
+  * cardinality. The reference (pandas, single node) has no equivalent;
+  * these are supersets in the spirit of SURVEY §2.8.
+  *
+  * Scale shapes:
+  *  - [[kmvDistinct]]: `distinct → orderBy(h) → limit(k)` compiles to
+  *    TakeOrderedAndProject — each partition keeps its own k smallest
+  *    hashes, only p×k rows ever move. No full sort, no wide shuffle.
+  *  - [[countMinSketch]]: one groupBy over (lane, bucket) with map-side
+  *    combine; the exchange carries at most depth×width rows per partition
+  *    regardless of corpus size.
+  */
+object Sketches {
+
+  /** K-minimum-values distinct-count sketch over `valueCol`.
+    *
+    * Keeps the k smallest distinct md5-60 hashes; if the kth smallest is
+    * `h_k` out of a hash space of 2^60, the values seen are estimated to be
+    * `(k-1) * 2^60 / h_k` — the classic KMV/bottom-k estimator (Bar-Yossef
+    * et al. 2002). With fewer than k distinct hashes the sketch IS the
+    * exact answer and the estimate degrades to the kept count.
+    *
+    * Returns one row: (n_kept BIGINT, kth_hash BIGINT, estimate DOUBLE).
+    * All arithmetic is a single IEEE multiply-divide over exactly-agreed
+    * integers, so any engine reproduces the estimate bit-for-bit.
+    */
+  def kmvDistinct(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val mins = df
+      .select(PortableHash.md5Hash60(col(valueCol).cast("string")).as("h"))
+      .where(col("h").isNotNull)
+      .distinct()
+      .orderBy("h")
+      .limit(k)
+    // 2^60 is a power of two => exactly representable as a double; the
+    // (k-1)*2^60 product stays exact (k-1 needs < 53 mantissa bits).
+    val space = math.pow(2, 60)
+    mins
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
+      .select(
+        col("n_kept"),
+        col("kth_hash"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1) * space) / col("kth_hash").cast("double"))
+          .as("estimate"))
+  }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over one token column:
+    * `depth` independent hash lanes × `width` buckets, each cell the count
+    * of tokens hashing into it. Lane l's hash of token t is the portable
+    * md5-60 of `"l:t"`, mod width.
+    *
+    * Returns (lane INT, bucket BIGINT, n BIGINT) — at most depth×width rows
+    * however large the input.
+    */
+  def countMinSketch(tokens: DataFrame, tokenCol: String,
+                     depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape ${depth}x$width")
+    val lane = minietl.ops.Ops.freshName(tokens, "__cms_lane")
+    tokens
+      .where(col(tokenCol).isNotNull)
+      .withColumn(lane, explode(array((0 until depth).map(lit): _*)))
+      .groupBy(
+        col(lane).as("lane"),
+        pmod(PortableHash.md5Hash60(
+          concat(col(lane).cast("string"), lit(":"), col(tokenCol))),
+          lit(width.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Heavy-hitter audit: the true top-k tokens by exact count next to their
+    * count-min estimates (`cms_n >= exact_n` always; equality means no lane
+    * collision). Ties in the exact top-k are broken by token ascending so
+    * the cut is deterministic.
+    *
+    * Returns (token, exact_n BIGINT, cms_n BIGINT) — k rows.
+    */
+  def countMinTopK(tokens: DataFrame, tokenCol: String,
+                   depth: Int, width: Int, k: Int): DataFrame = {
+    val toks = tokens.where(col(tokenCol).isNotNull)
+    val sketch = countMinSketch(toks, tokenCol, depth, width)
+    val top = toks
+      .groupBy(col(tokenCol).as("token"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token").asc)
+      .limit(k)
+    val probes = top
+      .withColumn("lane", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("bucket",
+        pmod(PortableHash.md5Hash60(
+          concat(col("lane").cast("string"), lit(":"), col("token"))),
+          lit(width.toLong)))
+    probes
+      .join(sketch, Seq("lane", "bucket"))
+      .groupBy("token", "exact_n")
+      .agg(min(col("n")).as("cms_n"))
+  }
+}

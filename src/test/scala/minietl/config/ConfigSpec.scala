@@ -43,13 +43,13 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(errs.exists(_.contains("sink csv needs filepath")))
   }
 
-  test("excel stays declared unsupported; api is a source, not a sink") {
+  test("excel validates as source and sink; api is a source, not a sink") {
     val c = Config.parse(
       """source: {type: excel, filepath: a.xlsx}
         |sink: {type: api, path: http://x}
         |""".stripMargin)
     val errs = Config.validate(c)
-    assert(errs.exists(_.contains("source type 'excel' is not supported")))
+    assert(!errs.exists(_.contains("excel")))
     assert(errs.exists(_.contains("unknown sink type 'api'")))
   }
 
@@ -93,6 +93,25 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(stats.rows === 5)
     val back = Readers.parquet(spark, out)
     assert(back.columns.toSet === Set("category", "v2_sum", "v2_mean", "id_count"))
+  }
+
+  test("orc source and sink run from YAML") {
+    val in = s"${tmp()}/orc_in"
+    val out = s"${tmp()}/orc_out"
+    import spark.implicits._
+    minietl.io.Writers.orc(Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k"), in)
+    val yaml =
+      s"""name: orc_roundtrip
+         |source: {type: orc, filepath: $in, columns: [id, k]}
+         |transformers:
+         |  - type: filter
+         |    condition: "k = 'a'"
+         |sink: {type: orc, filepath: $out}
+         |""".stripMargin
+    assert(Config.validate(Config.parse(yaml)).isEmpty)
+    val stats = Config.load(yaml).run(spark)
+    assert(stats.rows === 2)
+    assert(minietl.io.Readers.orc(spark, out).count() === 2)
   }
 
   test("a training-data cleaning pipeline runs from YAML") {

@@ -224,4 +224,28 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() === 6L)
     assert(out.where(!col("observed")).count() === 1L)
   }
+
+  test("markovTransitions counts consecutive pairs and row-normalizes") {
+    // log transitions: u1 signup→click→purchase; u2 purchase→signup→view;
+    // u3 click→purchase
+    val out = EventAnalytics.markovTransitions(log, "user_id", "event_type",
+        "ts", "event_id")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(("signup", "click"), ("click", "purchase"),
+      ("purchase", "signup"), ("signup", "view")))
+    // from signup: one →click, one →view ⇒ p = 0.5 each
+    assert(out(("signup", "click")) === ((1L, 0.5)))
+    assert(out(("signup", "view")) === ((1L, 0.5)))
+    // from click: both →purchase ⇒ p = 1.0
+    assert(out(("click", "purchase")) === ((2L, 1.0)))
+  }
+
+  test("markovTransitions refuses clashing output columns") {
+    val bad = log.withColumn("from_type", lit("x"))
+    val e = intercept[IllegalArgumentException] {
+      EventAnalytics.markovTransitions(bad, "user_id", "event_type", "ts", "event_id")
+    }
+    assert(e.getMessage.contains("from_type"))
+  }
 }

@@ -54,6 +54,16 @@ class IOSpec extends AnyFunSuite with SparkTestBase {
     assert(sub.toSet === Set("name=a", "name=b", "name=c"))
   }
 
+  test("orc round-trip with column pruning and hive partitioning") {
+    val dir = s"${tmp()}/out_orc"
+    Writers.orc(sample, dir, partitionBy = Seq("name"))
+    val pruned = Readers.orc(spark, dir, columns = Seq("id", "name"))
+    assert(pruned.columns.toSeq === Seq("id", "name"))
+    assert(pruned.count() === 3)
+    val sub = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("name="))
+    assert(sub.toSet === Set("name=a", "name=b", "name=c"))
+  }
+
   test("scan plans prove partition pruning, predicate pushdown, and schema pruning") {
     val dir = s"${tmp()}/out"
     Writers.parquet(sample, dir, partitionBy = Seq("name"))

@@ -24,9 +24,13 @@ import org.apache.spark.sql.types._
   *  - cells: numbers, booleans, inline strings (what we write) AND shared
   *    strings + cached formula strings (what openpyxl/Excel write), so
   *    files from real tools read back; styles/formats are ignored;
-  *  - Excel serial DATES are not decoded — they surface as their serial
-  *    numbers (documented; write-side converts timestamps to ISO strings
-  *    so OUR round-trip is lossless-as-text);
+  *  - Excel serial DATES are decoded on read: a numeric cell whose style
+  *    resolves to a date/time number format (builtin ids or custom codes,
+  *    via xl/styles.xml) is converted from its 1900-system serial to a
+  *    session-timezone TIMESTAMP, matching `pd.read_excel` — including the
+  *    1899-12-30-epoch handling of the phantom 1900-02-29 (see
+  *    [[serialToIso]]); write-side still emits timestamps as ISO strings
+  *    so OUR round-trip is lossless-as-text;
   *  - the whole sheet is buffered on the DRIVER, exactly like the
   *    reference, whose loader concatenates every chunk in memory
   *    (loaders.py:421-431 "Excel doesn't support streaming writes well").
@@ -100,6 +104,13 @@ object Excel {
       def cellXml(ref: String, v: Any): String = v match {
         case null => ""
         case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+        // non-finite doubles are INVALID as numeric cells per the XLSX spec
+        // (Excel/openpyxl reject <v>NaN</v>); emit as inline strings, which
+        // read() re-infers as doubles (toDoubleOption accepts NaN/Infinity)
+        case d: Double if d.isNaN || d.isInfinite =>
+          s"""<c r="$ref" t="inlineStr"><is><t>$d</t></is></c>"""
+        case f: Float if f.isNaN || f.isInfinite =>
+          s"""<c r="$ref" t="inlineStr"><is><t>$f</t></is></c>"""
         case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
           s"""<c r="$ref"><v>$n</v></c>"""
         case s =>
@@ -182,24 +193,43 @@ object Excel {
       val shared: IndexedSeq[String] = entryXml("xl/sharedStrings.xml")
         .map(ss => (ss \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq)
         .getOrElse(IndexedSeq.empty)
+      // style indexes (cellXfs position) whose number format is a date/time
+      // format — builtin ids 14-22/27-36/45-47/50-58 or a custom code with
+      // date tokens; numeric cells styled with one carry serial dates
+      val dateStyles: Set[Int] = entryXml("xl/styles.xml").map { st =>
+        val custom = (st \ "numFmts" \ "numFmt").flatMap { n =>
+          (n \@ "numFmtId").toIntOption.map(_ -> (n \@ "formatCode"))
+        }.toMap
+        def isDateFmt(id: Int): Boolean =
+          (id >= 14 && id <= 22) || (id >= 27 && id <= 36) ||
+            (id >= 45 && id <= 47) || (id >= 50 && id <= 58) ||
+            custom.get(id).exists(isDateFormatCode)
+        (st \ "cellXfs" \ "xf").zipWithIndex.collect {
+          case (xf, i) if (xf \@ "numFmtId").toIntOption.exists(isDateFmt) => i
+        }.toSet
+      }.getOrElse(Set.empty)
 
-      // sparse (rowIdx -> colIdx -> raw string value)
+      // sparse (rowIdx -> colIdx -> (raw string value, decoded-as-date))
       val rawRows = (sheet \ "sheetData" \ "row").map { r =>
-        val cells = mutable.Map.empty[Int, String]
+        val cells = mutable.Map.empty[Int, (String, Boolean)]
         (r \ "c").zipWithIndex.foreach { case (c, pos) =>
           val ci = (c \@ "r") match {
             case "" => pos
             case ref => refToCol(ref)
           }
           val t = c \@ "t"
-          val v: String = t match {
-            case "inlineStr" => (c \ "is" \\ "t").map(_.text).mkString
+          val v: (String, Boolean) = t match {
+            case "inlineStr" => ((c \ "is" \\ "t").map(_.text).mkString, false)
             case "s" =>
               val i = (c \ "v").text.trim.toInt
-              if (i < shared.length) shared(i) else ""
+              (if (i < shared.length) shared(i) else "", false)
             case "e" => null
-            case "b" => if ((c \ "v").text.trim == "1") "true" else "false"
-            case _ => (c \ "v").text // numbers and cached formula strings
+            case "b" => (if ((c \ "v").text.trim == "1") "true" else "false", false)
+            case _ => // numbers and cached formula strings
+              val raw = (c \ "v").text
+              val dated = (c \@ "s").toIntOption.exists(dateStyles.contains) &&
+                raw.trim.toDoubleOption.isDefined
+              if (dated) (serialToIso(raw.trim.toDouble), true) else (raw, false)
           }
           if (v != null) cells(ci) = v
         }
@@ -207,37 +237,87 @@ object Excel {
       }
       require(rawRows.nonEmpty, s"$path: sheet '$sheetName' is empty")
       val width = rawRows.iterator.flatMap(_.keysIterator).max + 1
-      val header = (0 until width).map(i => rawRows.head.getOrElse(i, s"_c$i"))
+      val header = (0 until width).map(i => rawRows.head.get(i).map(_._1).getOrElse(s"_c$i"))
       val body = rawRows.tail.map(cells =>
         (0 until width).map(i => cells.get(i).orNull))
 
-      def allParse(p: String => Boolean)(ci: Int): Boolean =
+      def allParse(p: ((String, Boolean)) => Boolean)(ci: Int): Boolean =
         body.forall { r => val v = r(ci); v == null || p(v) } &&
           body.exists(_(ci) != null)
       val types: IndexedSeq[DataType] = (0 until width).map { ci =>
-        if (allParse(v => v.toLongOption.isDefined)(ci)) LongType
-        else if (allParse(v => v.toDoubleOption.isDefined)(ci)) DoubleType
-        else if (allParse(v => v == "true" || v == "false")(ci)) BooleanType
+        if (allParse(_._2)(ci)) TimestampType
+        else if (allParse(_._1.toLongOption.isDefined)(ci)) LongType
+        else if (allParse(_._1.toDoubleOption.isDefined)(ci)) DoubleType
+        else if (allParse(v => v._1 == "true" || v._1 == "false")(ci)) BooleanType
         else StringType
       }.toIndexedSeq
-      val schema = StructType(header.zip(types).map { case (n, t) =>
+      // timestamp columns are built as STRINGS and cast in the Spark plan:
+      // string→timestamp cast applies the SESSION timezone, so the decoded
+      // wall-clock is session-consistent regardless of the JVM default zone
+      // (a java.sql.Timestamp built driver-side would not be)
+      val buildTypes = types.map { case TimestampType => StringType; case t => t }
+      val schema = StructType(header.zip(buildTypes).map { case (n, t) =>
         StructField(n, t, nullable = true) })
       val rows: Seq[Row] = body.map { r =>
         Row.fromSeq((0 until width).map { ci =>
           val v = r(ci)
-          if (v == null) null else types(ci) match {
-            case LongType => v.toLong
-            case DoubleType => v.toDouble
-            case BooleanType => v == "true"
-            case _ => v
+          if (v == null) null else buildTypes(ci) match {
+            case LongType => v._1.toLong
+            case DoubleType => v._1.toDouble
+            case BooleanType => v._1 == "true"
+            case _ => v._1
           }
         })
       }
-      spark.createDataFrame(rows.asJava, schema)
+      val df = spark.createDataFrame(rows.asJava, schema)
+      if (types.contains(TimestampType))
+        df.select(header.zip(types).zipWithIndex.map { case ((n, t), i) =>
+          val c = col(df.columns(i))
+          (if (t == TimestampType) c.cast(TimestampType) else c).as(n)
+        }.toIndexedSeq: _*)
+      else df
     } finally zf.close()
   }
 
   // -------------------------------------------------------------- helpers
+
+  /** Excel 1900-system serial → wall-clock "yyyy-MM-dd HH:mm:ss.SSS".
+    * Epoch 1899-12-30, the pandas/openpyxl convention: it compensates for
+    * Excel's phantom 1900-02-29 so every serial >= 61 decodes correctly;
+    * serials 1-59 (dates before 1900-03-01) land one day late — the
+    * accepted 1900-leap-year quirk, reproduced deliberately for parity
+    * with `pd.read_excel` (extractors.py:151-220). The sub-day fraction is
+    * rounded to the millisecond (serials carry ~µs of binary-double noise).
+    */
+  private[io] def serialToIso(serial: Double): String = {
+    val days = math.floor(serial).toLong
+    val ms = math.round((serial - days) * 86400000.0)
+    java.time.LocalDateTime.of(1899, 12, 30, 0, 0)
+      .plusDays(days).plusNanos(ms * 1000000L)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+  }
+
+  /** Date-format heuristic over a custom number-format code: date/time
+    * token letters (y m d h s) appearing OUTSIDE quoted literals,
+    * [bracketed] sections, and backslash escapes make it a date format —
+    * the same rule openpyxl's is_date_format applies.
+    */
+  private[io] def isDateFormatCode(code: String): Boolean = {
+    val sb = new StringBuilder
+    var inQuote = false; var inBracket = false; var esc = false
+    code.foreach { ch =>
+      if (esc) esc = false
+      else if (inQuote) { if (ch == '"') inQuote = false }
+      else if (inBracket) { if (ch == ']') inBracket = false }
+      else ch match {
+        case '"' => inQuote = true
+        case '[' => inBracket = true
+        case '\\' => esc = true
+        case c => sb += c
+      }
+    }
+    sb.exists(c => "ymdhsYMDHS".indexOf(c.toInt) >= 0)
+  }
 
   /** 0 -> A, 25 -> Z, 26 -> AA ... */
   private[io] def colLetters(idx: Int): String = {

@@ -579,6 +579,13 @@ object Config {
     val dupErrs = ids.groupBy(identity).collect {
       case (id, occ) if occ.size > 1 => s"duplicate dag node id: $id"
     }.toSeq
+    // '.' is the input-ref port separator ("branchId.true"), so a dotted id
+    // would be misparsed into (from, port) by connectRef — reject at parse
+    val dotErrs = ids.collect {
+      case id if id.contains('.') =>
+        s"dag node id may not contain '.': '$id' ('.' separates a branch " +
+          "port in input refs)"
+    }
     val srcErrs = c.sources.flatMap { case (id, cc) => checkEndpoint(cc, s"source $id") }
     val nodeErrs = c.nodes.flatMap { n =>
       val kinds = Seq(n.transform.isDefined, n.merge.isDefined, n.branch.isDefined).count(identity)
@@ -604,7 +611,7 @@ object Config {
       shape ++ tErrs ++ mErrs ++ inErrs
     }
     val sinkErrs = c.sinks.flatMap { case (id, _, cc) => checkEndpoint(cc, s"sink $id") }
-    dupErrs ++ srcErrs ++ nodeErrs ++ sinkErrs
+    dupErrs ++ dotErrs ++ srcErrs ++ nodeErrs ++ sinkErrs
   }
 
   /** DagConfig → assembled [[minietl.dag.PipelineDAG]]. Component semantics
@@ -636,7 +643,10 @@ object Config {
     c.sinks.foreach { case (id, _, cc) => dag.addSink(id, sinkFn(cc)) }
     def connectRef(ref: String, to: String): Unit = ref.split('.') match {
       case Array(from) => dag.connect(from, to); ()
-      case Array(from, port) => dag.connect(from, to, port); ()
+      case Array(from, port) if port == "true" || port == "false" =>
+        dag.connect(from, to, port); ()
+      case Array(_, port) => throw new IllegalArgumentException(
+        s"bad input ref '$ref': port must be 'true' or 'false', got '$port'")
       case _ => throw new IllegalArgumentException(s"bad input ref: $ref")
     }
     c.nodes.foreach(n => n.inputs.foreach(connectRef(_, n.id)))

@@ -50,6 +50,13 @@ object PageRank {
     * with columns (src, dst). Returns (node, rank_fp BIGINT) where rank_fp
     * is the rank scaled by `scale`.
     *
+    * The dangling-free contract is ENFORCED, not just documented: a node
+    * with no out-edge silently leaks rank mass every iteration, and a node
+    * with no in-edge vanishes from the ranking after iteration 1 — both are
+    * data bugs a caller wants surfaced, not averaged away. The check is two
+    * anti-join counts over the already-persisted edges (one scan each),
+    * negligible next to the iterations themselves.
+    *
     * Uniform prior `scale div n`; update
     * `r'(v) = ((15*scale div 100) div n) + (85 * Σ_{u→v} (r(u) div outdeg(u))) div 100`.
     */
@@ -59,6 +66,18 @@ object PageRank {
     val e = edges.select("src", "dst").persist()
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg")).persist()
+    val dsts = e.select(col("dst").as("node")).distinct()
+    val noOut = dsts.join(deg, Seq("node"), "left_anti").count()
+    val noIn = deg.select("node").join(dsts, Seq("node"), "left_anti").count()
+    if (noOut != 0 || noIn != 0) {
+      e.unpersist(); deg.unpersist()
+      throw new IllegalArgumentException(
+        s"pageRankFixedPoint requires a dangling-free edge list (every node " +
+          s"with outdeg >= 1 AND indeg >= 1): $noOut node(s) have no " +
+          s"out-edge (rank mass would leak each iteration), $noIn node(s) " +
+          s"have no in-edge (they vanish after iteration 1). Symmetrize the " +
+          s"edges (coOccurrenceEdges does) or drop the offenders first.")
+    }
     val n = deg.count() // single long: the model-scalar exception
     require(n > 0, "empty graph")
     val base = (15L * scale / 100L) / n
@@ -70,9 +89,12 @@ object PageRank {
         .groupBy(col("dst").as("node"))
         .agg((lit(base) + expr("85 * sum(c) DIV 100")).as("rank_fp"))
     }
-    val out = last.select("node", "rank_fp")
-    // materialization frees the caches; callers get a plain frame
-    out.cache().count()
+    // localCheckpoint (eager) materializes the result so the edge/degree
+    // caches can be dropped NOW, and — unlike a bare cache() — the
+    // checkpoint blocks are reclaimed by the ContextCleaner once the
+    // returned frame is garbage-collected, so repeated library calls do not
+    // accumulate permanently-pinned storage.
+    val out = last.select("node", "rank_fp").localCheckpoint(true)
     e.unpersist(); deg.unpersist()
     out
   }

@@ -509,6 +509,36 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
       cyclic.getMessage.contains("needs exactly one input"))
   }
 
+  test("dag: dotted node ids and non-branch ports are rejected") {
+    // '.' is the input-ref port separator, so a dotted id would be
+    // silently misparsed into (from, port) — validation rejects it
+    val errs = Config.validateDag(Config.parseDag(
+      """name: dotted
+        |dag:
+        |  sources:
+        |    "a.b": {type: parquet, path: /tmp/x}
+        |  sinks:
+        |    out: {input: a.b, type: parquet, path: /tmp/y}
+        |""".stripMargin))
+    assert(errs.exists(_.contains("may not contain '.'")))
+    // an input ref's port must be a branch port: true or false
+    val badPort = intercept[IllegalArgumentException] {
+      Config.loadDag(
+        """name: badport
+          |dag:
+          |  sources:
+          |    a: {type: parquet, path: /tmp/x}
+          |  nodes:
+          |    - id: split
+          |      input: a
+          |      branch: {condition: "x > 0"}
+          |  sinks:
+          |    out: {input: split.maybe, type: parquet, path: /tmp/y}
+          |""".stripMargin)
+    }
+    assert(badPort.getMessage.contains("port must be 'true' or 'false'"))
+  }
+
   test("env substitution reaches file paths inside configs") {
     val dir = tmp()
     Writers.csv(Seq((1, "x")).toDF("id", "name"), s"$dir/in")

@@ -1,6 +1,7 @@
 package minietl.graph
 
 import minietl.SparkTestBase
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class PageRankSpec extends AnyFunSuite with SparkTestBase {
@@ -30,6 +31,23 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     // total mass stays ~scale (truncation loses < outdeg+2 units per node)
     val total = r.values.sum
     assert(math.abs(total - 1000000000000L) < 1000L, s"mass drifted: $total")
+  }
+
+  test("dangling graphs are rejected with a diagnostic, not averaged away") {
+    // a -> b -> c: c has no out-edge (mass sink), a has no in-edge (vanishes)
+    val dangling = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      PageRank.pageRankFixedPoint(spark, dangling, iterations = 2)
+    }
+    assert(e.getMessage.contains("dangling-free"))
+    assert(e.getMessage.contains("1 node(s) have no out-edge"))
+    assert(e.getMessage.contains("1 node(s) have no in-edge"))
+    // symmetrizing the same edges makes it valid
+    val sym = dangling.unionByName(
+      dangling.select(col("dst").as("src"), col("src").as("dst")))
+    val r = PageRank.pageRankFixedPoint(spark, sym, iterations = 2)
+      .as[(String, Long)].collect().toMap
+    assert(r.keySet === Set("a", "b", "c"))
   }
 
   test("pageRankFixedPoint is deterministic across partitioning") {

@@ -40,6 +40,34 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-run stream staging root: keyed by the SANITIZED full data-dir path
+    * (hashCode can collide across distinct dirs — and Int.MinValue survives
+    * math.abs) plus a per-JVM run id, so two concurrent sessions on the same
+    * dir never delete each other's staged files mid-run. Within one run the
+    * key is stable, so a battery's repeated staged-stream calls reuse their
+    * own staging work. The whole tree is removed on JVM exit.
+    */
+  private val stageRunId = java.util.UUID.randomUUID().toString.replace("-", "")
+  private def stagingDir(kind: String, dir: String): java.nio.file.Path = {
+    val sane = dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(80)
+    val p = java.nio.file.Paths.get(s"/tmp/graft_${kind}_${sane}_$stageRunId")
+    stagedDirs.add(p)
+    p
+  }
+  private val stagedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  sys.addShutdownHook {
+    stagedDirs.forEach { p =>
+      try deleteTree(p) catch { case _: java.io.IOException => () }
+    }
+  }
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { Files.delete(f); () })
+  }
+
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * does not support natively; read it as raw long nanos and rebuild a
     * micro-precision timestamp. DuckDB keeps nanos; every query truncates to
@@ -69,8 +97,7 @@ object SparkEntry {
   private def stagedEventStream(s: SparkSession, dir: String): DataFrame = {
     events(s, dir) // pins the nanosAsLong conf before the stream reads
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val streamDir = java.nio.file.Paths.get(
-      s"/tmp/graft_stream_${math.abs(dir.hashCode)}")
+    val streamDir = stagingDir("stream", dir)
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(link))
@@ -113,19 +140,23 @@ object SparkEntry {
     * whole drop/emit choreography replays exactly in the DuckDB oracle.
     */
   private def stagedLateEventStream(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Path, Paths}
+    import java.nio.file.Files
     val ev = events(s, dir).select("event_id", "ts", "value")
     val gmax = ev.agg(max(col("ts"))).head.getTimestamp(0)
-    val stageDir = Paths.get(s"/tmp/graft_latestream_${math.abs(dir.hashCode)}")
-    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => { Files.delete(f); () })
-    }
+    val stageDir = stagingDir("latestream", dir)
     deleteTree(stageDir)
     Files.createDirectories(stageDir)
     val now = System.currentTimeMillis()
-    val c2 = expr(s"TIMESTAMP '$gmax' - INTERVAL 2 HOURS")
-    val c1 = expr(s"TIMESTAMP '$gmax' - INTERVAL 1 HOUR")
+    // Render the cutoff literal in the SESSION timezone: Timestamp.toString
+    // uses the JVM default zone, but the literal is parsed under
+    // spark.sql.session.timeZone — on a non-UTC host the raw toString would
+    // shift every cutoff by the host offset and diverge from the oracle.
+    val zone = java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone"))
+    val gmaxLit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(zone).format(gmax.toInstant)
+    val c2 = expr(s"TIMESTAMP '$gmaxLit' - INTERVAL 2 HOURS")
+    val c1 = expr(s"TIMESTAMP '$gmaxLit' - INTERVAL 1 HOUR")
     val even = pmod(col("event_id"), lit(2)) === 0
     def writeSplit(pred: Column, name: String, mtimeMs: Long): Unit = {
       val tmp = stageDir.resolve(s"_tmp_$name")
@@ -152,13 +183,8 @@ object SparkEntry {
     * surviving row is the same and the output is deterministic.
     */
   private def stagedDupEventStream(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Path, Paths}
     val ev = events(s, dir).select("event_id", "ts", "event_type", "value")
-    val stageDir = Paths.get(s"/tmp/graft_dupstream_${math.abs(dir.hashCode)}")
-    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => { Files.delete(f); () })
-    }
+    val stageDir = stagingDir("dupstream", dir)
     deleteTree(stageDir)
     ev.unionAll(ev.where(pmod(col("event_id"), lit(10)) === 0))
       .coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
@@ -2887,6 +2913,50 @@ object SparkEntry {
            |  CAST(len(string_split($norm, ' ')) AS BIGINT) AS n_tokens
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
+
+    // Z-order (Morton) layout key over two independent dimensions
+    // (ops/Layout.scala): group the fact table by the interleaved key and
+    // replay the identical bit arithmetic through zOrderSqlTwin — proving
+    // the layout expression the multi-dimension pruning write path sorts by
+    // (LayoutSpec asserts the actual row-group pruning on a clustered
+    // write; this row proves cross-engine key parity under the hash gate).
+    "q_zorder" -> Q(
+      (s, dir) => {
+        val z = minietl.ops.Layout.zOrderKey(
+          col("l_quantity").cast("long"), pmod(col("l_partkey"), lit(64)), 6)
+        t(s, dir, "lineitem")
+          .groupBy(z.as("z"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("z")
+      },
+      Some(s"""SELECT ${minietl.ops.Layout.zOrderSqlTwin(
+                 "CAST(l_quantity AS BIGINT)", "(l_partkey % 64)", 6)} AS z,
+              |  count(*) AS n,
+              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+              |FROM lineitem GROUP BY 1 ORDER BY z""".stripMargin)),
+
+    // XLSX interchange proven against the hash gate, not just ScalaTest: a
+    // bounded slice goes parquet → xlsx (driver-buffered, per the Excel
+    // contract) → read back → aggregate; the oracle aggregates the same
+    // slice straight from the parquet table.
+    "q_excel_roundtrip" -> Q(
+      (s, dir) => {
+        val xdir = stagingDir("excel", dir)
+        java.nio.file.Files.createDirectories(xdir)
+        val path = xdir.resolve("nation.xlsx").toString
+        minietl.io.Excel.write(t(s, dir, "nation").orderBy("n_nationkey"), path)
+        minietl.io.Excel.read(s, path)
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n_nations"),
+            sum(col("n_nationkey")).as("key_sum"),
+            min(col("n_name")).as("first_name"))
+          .orderBy("n_regionkey")
+      },
+      Some("""SELECT n_regionkey, count(*) AS n_nations,
+             |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+             |  min(n_name) AS first_name
+             |FROM nation GROUP BY 1 ORDER BY n_regionkey""".stripMargin)),
   )
 
   private val registry: Seq[(String, Q)] = relational ++ pipelineExtras

@@ -200,16 +200,23 @@ object SparkEntry {
     * partition per store (a stream-stream join has FOUR stores per
     * partition), and each instance pays fixed per-batch commit machinery.
     * State partitioning should track STATE SIZE, not the session's batch
-    * CPU count — the battery's streams buffer ~40k rows, where 8 partitions
-    * is plenty (measured on the interval join at sf0.1: 13.1 s → 6.8 s
-    * total drain, cumulative store commit 75 s → 3.3 s). A production
-    * deployment sizes this knob to its own state volume; the semantics are
-    * partition-count-invariant (verified: identical oracle results).
+    * CPU count — the battery's streams buffer ~40k rows (measured on the
+    * interval join at sf0.1 going 32 → 8 partitions: 13.1 s → 6.8 s total
+    * drain, cumulative store commit 75 s → 3.3 s). The round-6 sweep over
+    * the three stream queries' warm-run sums at sf0.1 picked the default:
+    * 8 parts 7.7 s, 2 parts 6.6 s, 1 part 7.5 s (state work serializes),
+    * RocksDB provider at 2 parts 9.6 s (per-batch SST/snapshot overhead
+    * swamps tiny state — the provider earns its keep only when state
+    * outgrows executor memory). The residual is per-micro-batch machinery
+    * (query planning + addBatch + WAL commits), not state commits. A
+    * production deployment sizes this knob to its own state volume; the
+    * semantics are partition-count-invariant (verified: identical oracle
+    * results at 2 and 8).
     */
   private def withStreamStateParts[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "2"))
     try body finally s.conf.set(key, prev)
   }
 

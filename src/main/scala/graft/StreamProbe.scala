@@ -21,6 +21,11 @@ object StreamProbe {
     if (sys.env.get("SPARK_GRAFT_CKPT").contains("shm"))
       builder.config("spark.sql.streaming.checkpointLocation",
         BatteryCheckpoints.freshBase("probe"))
+    // A/B the state-store provider: SPARK_GRAFT_STATE_PROVIDER=rocksdb swaps
+    // in the RocksDB provider (default is HDFS-backed in-memory maps)
+    if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb"))
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val mode = if (args.nonEmpty) args(0) else "time"
@@ -75,12 +80,14 @@ object StreamProbe {
               s"rows=${so.numRowsTotal} commit=${so.commitTimeMs}ms").mkString}")
         }
       case _ =>
-        val qname = if (args.length > 2) args(2) else "q_stream_window"
-        val q = SparkEntry.queries(qname)
-        (1 to 3).foreach { i =>
-          val t0 = System.nanoTime()
-          val n = q(spark, dir).count()
-          println(f"[probe] $qname run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        val qnames = (if (args.length > 2) args(2) else "q_stream_window").split(",")
+        qnames.foreach { qname =>
+          val q = SparkEntry.queries(qname)
+          (1 to 3).foreach { i =>
+            val t0 = System.nanoTime()
+            val n = q(spark, dir).count()
+            println(f"[probe] $qname run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+          }
         }
     }
     spark.stop()

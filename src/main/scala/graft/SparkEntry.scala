@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 import minietl.ops.Ops
 import minietl.ops.Ops.Keep
@@ -68,34 +68,36 @@ object SparkEntry {
         .forEach(f => { Files.delete(f); () })
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * does not support natively; read it as raw long nanos and rebuild a
-    * micro-precision timestamp. DuckDB keeps nanos; every query truncates to
-    * >= second granularity so the two agree.
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations and TIMESTAMP(MICROS, naive) in others; normalize both to a
+    * session-zone (UTC) micro-precision TIMESTAMP so every downstream query
+    * sees one type. DuckDB reads the same file natively; every query
+    * truncates to >= second granularity so the two agree.
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at SESSION
-    * construction (Verify/Bench/Scratch set it); query functions never
-    * mutate session conf (sole scoped-and-restored exception:
+    * The nanos generation needs `spark.sql.legacy.parquet.nanosAsLong=true`
+    * at SESSION construction (Verify/Bench/Scratch set it); query functions
+    * never mutate session conf (sole scoped-and-restored exception:
     * [[withStreamStateParts]]).
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true when building the session " +
-        "(events.parquet carries TIMESTAMP(NANOS))")
-    val df = t(s, dir, "events")
-    if (df.schema("ts").dataType == LongType)
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
       // integer division: `/` on longs is DOUBLE division, which loses
       // precision at epoch-nanos magnitude (~1.7e18 > 2^53) and lands ±1µs off
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
-  }
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // naive micros: same wall clock as the nanos generation; the cast pins
+      // it to the session zone (UTC), reproducing the exact prior instants
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    normalizeTs(t(s, dir, "events"))
 
   /** events as an unbounded file stream: the file-stream source monitors
     * directories and the testdata table is a single file, so it is staged
-    * into a temp dir via symlink. Same nanos→micros rebuild as [[events]].
+    * into a temp dir via symlink. Same ts normalization as [[events]].
     */
   private def stagedEventStream(s: SparkSession, dir: String): DataFrame = {
-    events(s, dir) // pins the nanosAsLong conf before the stream reads
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     val streamDir = stagingDir("stream", dir)
     java.nio.file.Files.createDirectories(streamDir)
@@ -103,11 +105,7 @@ object SparkEntry {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream0 = s.readStream.schema(rawSchema).parquet(streamDir.toString)
-    if (rawSchema("ts").dataType == LongType)
-      // integer DIV, same as events(): double division drifts ±1µs
-      stream0.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else stream0
+    normalizeTs(s.readStream.schema(rawSchema).parquet(streamDir.toString))
   }
 
   /** Stage events as THREE mtime-ordered parquet files read back with

@@ -1488,6 +1488,45 @@ object SparkEntry {
               |  ${mmSlotSql(15)} AS f15
               |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // REAL image decode under the hash gate: a deterministic checkerboard
+    // PNG is generated per document (Multimodal.syntheticImages documents
+    // the closed-form pixel layout), decoded back with JDK ImageIO, and the
+    // exact integer channel sums + luminance entropy are compared against
+    // an oracle that replays the generator's arithmetic from doc_id alone —
+    // DuckDB cannot decode PNGs, so a hash match proves the decode really
+    // recovered every pixel.
+    "q_image_features" -> Q(
+      (s, dir) => {
+        val imgs = minietl.multimodal.Multimodal.syntheticImages(documents(s, dir), "doc_id")
+        minietl.multimodal.Multimodal.imageStats(imgs)
+          .select(col("media_id"), col("width"), col("height"),
+            col("r_sum"), col("g_sum"), col("b_sum"), col("n_pixels"),
+            round(col("entropy"), 6).as("entropy"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT media_id, width, height,
+             |  CAST(r1*n1 + r2*n2 AS BIGINT) AS r_sum,
+             |  CAST(g1*n1 + g2*n2 AS BIGINT) AS g_sum,
+             |  CAST(b1*n1 + b2*n2 AS BIGINT) AS b_sum,
+             |  CAST(width*height AS BIGINT) AS n_pixels,
+             |  CASE WHEN (r1+g1+b1)//3 = (r2+g2+b2)//3 THEN 0.0
+             |       ELSE round(-((n1*1.0/(width*height)) * log2(n1*1.0/(width*height))
+             |                  + (n2*1.0/(width*height)) * log2(n2*1.0/(width*height))), 6)
+             |  END AS entropy
+             |FROM (
+             |  SELECT media_id, width, height, n1, width*height - n1 AS n2,
+             |         r1, g1, b1, r2, g2, b2
+             |  FROM (
+             |    SELECT doc_id AS media_id,
+             |      CAST(4 + doc_id % 5 AS INT) AS width,
+             |      CAST(3 + doc_id % 4 AS INT) AS height,
+             |      ((5 + doc_id % 5) // 2) * ((4 + doc_id % 4) // 2)
+             |        + ((4 + doc_id % 5) // 2) * ((3 + doc_id % 4) // 2) AS n1,
+             |      (doc_id*37) % 256 AS r1, (doc_id*59) % 256 AS g1, (doc_id*83) % 256 AS b1,
+             |      (doc_id*101 + 7) % 256 AS r2, (doc_id*13 + 11) % 256 AS g2, (doc_id*29 + 23) % 256 AS b2
+             |    FROM documents))
+             |ORDER BY media_id""".stripMargin)),
+
     // Structured Streaming parity: the same events aggregation, executed as
     // an unbounded file stream drained with Trigger.AvailableNow into a
     // memory sink — result must match the batch oracle exactly.

@@ -56,6 +56,63 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.resize(m.filter(col("media_id") === 3), 4).count() === 1)
   }
 
+  test("decodeImage recovers exact dims, channel sums and zero entropy from a solid PNG") {
+    // 7×5 solid colour (40, 120, 200): every stat is closed-form.
+    val png = Multimodal.checkerPng(7, 5, (40, 120, 200), (40, 120, 200))
+    val st = Multimodal.decodeImage(png).get
+    assert(st.width === 7 && st.height === 5 && st.nPixels === 35L)
+    assert(st.rSum === 40L * 35 && st.gSum === 120L * 35 && st.bSum === 200L * 35)
+    assert(st.entropy === 0.0)
+  }
+
+  test("decodeImage computes 1-bit entropy for an equal-count two-luminance checkerboard") {
+    // 4×4 checker: 8 px at lum (10+10+10)/3=10, 8 px at lum (250+250+250)/3=250.
+    val png = Multimodal.checkerPng(4, 4, (10, 10, 10), (250, 250, 250))
+    val st = Multimodal.decodeImage(png).get
+    assert(st.nPixels === 16L)
+    assert(st.rSum === 10L * 8 + 250L * 8)
+    assert(math.abs(st.entropy - 1.0) < 1e-12)
+  }
+
+  test("decodeImage rejects null, empty and non-image payloads") {
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeImage("definitely not a png".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("extractFeatures really decodes image/* payloads and stubs the rest") {
+    val png = Multimodal.checkerPng(6, 3, (100, 100, 100), (100, 100, 100))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, png, org.apache.spark.sql.Row("image/png", 6, 3, null)),
+        org.apache.spark.sql.Row(2L, "hello".getBytes("UTF-8"),
+          org.apache.spark.sql.Row("audio/wav", null, null, 1000L)))),
+      Multimodal.mediaSchema)
+    val rows = Multimodal.extractFeatures(media, 16).orderBy("media_id").collect()
+    // image row: [w, h, rMean, gMean, bMean, entropy, 0...]
+    val img = rows(0).getSeq[Double](2)
+    assert(img.take(6) === Seq(6.0, 3.0, 100.0, 100.0, 100.0, 0.0))
+    assert(img.drop(6).forall(_ === 0.0) && img.size === 16)
+    // audio row: unchanged stub path
+    assert(rows(1).getSeq[Double](2) === Multimodal.decodeStub("hello".getBytes("UTF-8"), 16).toSeq)
+  }
+
+  test("syntheticImages → imageStats round-trip matches the documented closed form") {
+    val ids = Seq(0L, 1L, 7L, 123L, 9999L)
+    val out = Multimodal.imageStats(
+        Multimodal.syntheticImages(ids.toDF("doc_id"), "doc_id"))
+      .orderBy("media_id").collect()
+    ids.sorted.zip(out).foreach { case (id, r) =>
+      val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+      val n1 = ((w + 1) / 2) * ((h + 1) / 2) + (w / 2) * (h / 2)
+      val n2 = w * h - n1
+      val (r1, r2) = ((id * 37 % 256), (id * 101 + 7) % 256)
+      assert(r.getInt(1) === w && r.getInt(2) === h)
+      assert(r.getLong(3) === r1 * n1 + r2 * n2)
+      assert(r.getLong(6) === w.toLong * h)
+    }
+  }
+
   test("sampleFrames explodes fixed slices and drops empty payloads") {
     val m = Multimodal.fakeMedia(Seq((1L, "abcdefgh")).toDF("doc_id", "text"), "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, frames = 4).orderBy("frame_idx").collect()

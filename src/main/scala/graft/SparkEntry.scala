@@ -506,6 +506,53 @@ object SparkEntry {
              |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
              |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin)),
 
+    // Skew engineering under the hash gate: the salted join must be
+    // RESULT-IDENTICAL to the plain join it protects (Skew.scala's
+    // semantics-preservation contract), so the oracle is the unsalted SQL.
+    // The key is deliberately pathological — every order lands on one of 5
+    // region keys, ~3k rows/key at sf0.01 — the shape where a single
+    // shuffle partition would absorb an entire hot key without salting.
+    "q_salted_join" -> Q(
+      (s, dir) => {
+        val l = t(s, dir, "orders")
+          .withColumn("skew_key", pmod(col("o_custkey"), lit(5)).cast("int"))
+        val r = t(s, dir, "region")
+          .select(col("r_regionkey").cast("int").as("skew_key"), col("r_name"))
+        minietl.ops.Skew.saltedJoin(l, r, Seq("skew_key"), factor = 8)
+          .select(col("o_orderkey"), col("skew_key"), col("r_name"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, CAST(o_custkey % 5 AS INT) AS skew_key, r_name
+             |FROM orders JOIN region ON r_regionkey = o_custkey % 5
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Same contract for the two-phase salted aggregation: partials on
+    // (key, salt), combine on key — must equal the direct GROUP BY. Sums
+    // run over DECIMAL(18,2) so both engines agree bit-exactly regardless
+    // of per-salt accumulation order.
+    "q_salted_agg" -> Q(
+      (s, dir) => {
+        val df = t(s, dir, "orders")
+          .withColumn("skew_key", pmod(col("o_custkey"), lit(5)).cast("int"))
+          .withColumn("price_dec", col("o_totalprice").cast("decimal(18,2)"))
+        df.transform(minietl.ops.Skew.saltedGroupAgg(
+            Seq("skew_key"),
+            Map("price_dec" -> Seq("sum"),
+              "o_totalprice" -> Seq("count", "min", "max")), factor = 8))
+          .select(col("skew_key"),
+            decToDouble(col("price_dec_sum"), 2).as("price_sum"),
+            col("o_totalprice_count").as("price_count"),
+            col("o_totalprice_min").as("price_min"),
+            col("o_totalprice_max").as("price_max"))
+          .orderBy("skew_key")
+      },
+      Some(s"""SELECT CAST(o_custkey % 5 AS INT) AS skew_key,
+              |  ${decToDoubleSql("sum(CAST(o_totalprice AS DECIMAL(18,2)))", 2)} AS price_sum,
+              |  count(o_totalprice) AS price_count,
+              |  CAST(min(o_totalprice) AS DOUBLE) AS price_min,
+              |  CAST(max(o_totalprice) AS DOUBLE) AS price_max
+              |FROM orders GROUP BY 1 ORDER BY skew_key""".stripMargin)),
+
     "q_join_multi" -> Q(
       (s, dir) => {
         val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -3022,7 +3069,28 @@ object SparkEntry {
     */
   @volatile private var ivfServingOracle: Option[String] = None
 
-  def oracleSql: Map[String, String] =
-    registry.collect { case (k, Q(_, Some(sql))) => k -> sql }.toMap ++
+  /** Oracle SQL per query. `q_ivf_ann`'s entry appears only once its query
+    * has trained (the SQL embeds the learned centroids), so iteration over a
+    * pre-training map simply lacks the key — but a DIRECT lookup of
+    * `q_ivf_ann` before training is always a sequencing bug and fails fast
+    * with an actionable message instead of a silent `None`/`NoSuchElement`.
+    */
+  def oracleSql: Map[String, String] = {
+    val base = registry.collect { case (k, Q(_, Some(sql))) => k -> sql }.toMap ++
       ivfServingOracle.map("q_ivf_ann" -> _)
+    new scala.collection.immutable.AbstractMap[String, String] {
+      def get(key: String): Option[String] = {
+        if (key == "q_ivf_ann" && ivfServingOracle.isEmpty)
+          throw new IllegalStateException(
+            "q_ivf_ann oracle requested before the q_ivf_ann query ran: its SQL " +
+              "embeds the trained IVF centroids. Run SparkEntry.queries(\"q_ivf_ann\") " +
+              "(as graft.Verify does) before reading this oracle entry.")
+        base.get(key)
+      }
+      def iterator: Iterator[(String, String)] = base.iterator
+      def removed(key: String): Map[String, String] = base.removed(key)
+      def updated[V1 >: String](key: String, value: V1): Map[String, V1] =
+        base.updated(key, value)
+    }
+  }
 }

@@ -47,7 +47,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracles = SparkEntry.oracleSql
+    // Full-battery dumps must carry the training-dependent oracle; its
+    // absence here means q_ivf_ann's query failed above (already reported).
+    if (only.isEmpty && !oracles.iterator.exists(_._1 == "q_ivf_ann"))
+      System.err.println(
+        "[verify] q_ivf_ann oracle missing from full-battery dump — its query did not complete")
+    val json = oracles
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

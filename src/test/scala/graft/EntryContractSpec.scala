@@ -36,4 +36,20 @@ class EntryContractSpec extends AnyFunSuite with SparkTestBase {
     assert(bad.isEmpty,
       s"driver-unsafe output columns (see SparkEntry header contract):\n  ${bad.mkString("\n  ")}")
   }
+
+  test("q_ivf_ann oracle lookup fails fast before training and resolves after") {
+    // Direct lookup before the query trained must throw the actionable
+    // sequencing error (unless an earlier suite in this JVM already ran the
+    // query, in which case it must resolve); iteration must never throw.
+    try {
+      val pre = SparkEntry.oracleSql.get("q_ivf_ann")
+      assert(pre.exists(_.nonEmpty)) // already trained earlier in this JVM
+    } catch {
+      case e: IllegalStateException =>
+        assert(e.getMessage.contains("before the q_ivf_ann query ran"))
+        assert(!SparkEntry.oracleSql.iterator.exists(_._1 == "q_ivf_ann"))
+    }
+    SparkEntry.queries("q_ivf_ann")(spark, sfDir).collect()
+    assert(SparkEntry.oracleSql("q_ivf_ann").nonEmpty)
+  }
 }

@@ -165,6 +165,36 @@ object Config {
             Some(s"$what sql needs exactly one of query/table") else None,
           if (kind == "sink" && !cc.options.contains("table")) Some(s"$what sql needs table") else None,
         ).flatten
+      case t @ ("csv" | "json" | "jsonl") if kind == "source" =>
+        // error-mode surface (reference's per-chunk skip story, SURVEY §7.6):
+        // mode → Spark reader PERMISSIVE/DROPMALFORMED/FAILFAST;
+        // schema (ordered column list, same shape as the top-level schema
+        // block) → explicit reader StructType, killing the inference scan;
+        // bad_records_path (csv, needs schema) → malformed-line capture.
+        val needsPath =
+          if (cc.options.contains("filepath") || cc.options.contains("path")) Nil
+          else Seq(s"$what $t needs filepath")
+        val modeErr = cc.options.get("mode").toSeq.flatMap { m =>
+          if (Set("permissive", "dropmalformed", "failfast")(m.toString.toLowerCase)) Nil
+          else Seq(s"$what $t mode must be permissive, dropmalformed or failfast")
+        }
+        val schemaErrs = cc.options.get("schema").toSeq.flatMap { v =>
+          try readerSpecs(v).flatMap { cs =>
+            try { cs.dataType; None }
+            catch { case _: Exception =>
+              Some(s"$what $t schema: unknown dtype '${cs.dtype}' for column '${cs.name}'") }
+          }
+          catch { case e: IllegalArgumentException => Seq(s"$what $t ${e.getMessage}") }
+        }
+        val brpErrs =
+          if (!cc.options.contains("bad_records_path")) Nil
+          else if (t != "csv")
+            Seq(s"$what $t bad_records_path is only supported for csv sources")
+          else if (!cc.options.contains("schema"))
+            Seq(s"$what csv bad_records_path requires an explicit schema " +
+              "(corrupt-line capture needs declared columns)")
+          else Nil
+        needsPath ++ modeErr ++ schemaErrs ++ brpErrs
       case t if (if (kind == "source") sourceTypes else sinkTypes).contains(t) =>
         if (cc.options.contains("filepath") || cc.options.contains("path")) Nil
         else Seq(s"$what $t needs filepath")
@@ -268,6 +298,32 @@ object Config {
     case m: Map[String, Any] @unchecked => m.map { case (k, vv) => k -> vv.toString }
   }
 
+  /** Source-level reader schema: an ORDERED list of column mappings (the
+    * same shape as the top-level `schema.columns` block). Order is
+    * load-bearing — Spark's CSV reader matches an explicit schema to the
+    * file positionally, not by header name.
+    */
+  private def readerSpecs(v: Any): Seq[ColumnSpec] = v match {
+    case l: List[Any] @unchecked => l.map {
+      case cm: Map[String, Any] @unchecked =>
+        ColumnSpec(
+          cm.getOrElse("name",
+            throw new IllegalArgumentException("schema column needs 'name'")).toString,
+          cm.getOrElse("dtype", "string").toString,
+          cm.get("nullable").forall(_.toString.toBoolean))
+      case other => throw new IllegalArgumentException(s"schema column must be a mapping: $other")
+    }
+    case other =>
+      throw new IllegalArgumentException(s"schema must be a list of column mappings: $other")
+  }
+
+  private def readerSchema(v: Any): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(readerSpecs(v).map(_.field))
+
+  /** `mode:` key → Spark reader option (validated upstream). */
+  private def modeOpt(o: Map[String, Any]): Map[String, String] =
+    o.get("mode").map(m => "mode" -> m.toString.toUpperCase).toMap
+
   /** Source component → reader function. Shared by the linear [[build]]
     * and the DAG [[buildDag]] so a source means the same thing in both
     * shapes. Assumes the component already passed validation.
@@ -276,10 +332,41 @@ object Config {
     import minietl.io.Readers
     val o = cc.options
     cc.typ match {
-      case "csv" => s => Readers.csv(s, path(o),
-        options = strMap(o.getOrElse("options", Map.empty[String, Any])))
-      case "json" => s => Readers.json(s, path(o), lines = false)
-      case "jsonl" => s => Readers.json(s, path(o), lines = true)
+      case "csv" =>
+        val userOpts = strMap(o.getOrElse("options", Map.empty[String, Any])) ++ modeOpt(o)
+        val schema = o.get("schema").map(readerSchema)
+        o.get("bad_records_path").map(_.toString) match {
+          case Some(brp) =>
+            // Malformed-line capture (the reference's skipped-chunk error
+            // files, SURVEY §7.6): read PERMISSIVE with a corrupt-record
+            // column appended to the declared schema, append raw bad lines
+            // to `brp` as JSONL, and flow clean rows on. Two scans of the
+            // source (bad-write + downstream), NO cache — the scale-safe
+            // trade; the corrupt column never escapes this function.
+            s => {
+              val corrupt = "_corrupt_record"
+              val readSchema = schema.get.add(corrupt, org.apache.spark.sql.types.StringType)
+              import org.apache.spark.sql.functions.col
+              def read() = Readers.csv(s, path(o), schema = Some(readSchema),
+                options = userOpts ++ Map(
+                  "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt))
+              // rename on the way out: a literal `_corrupt_record` field
+              // would re-trigger Spark's corrupt-column-only restriction
+              // for whoever reads the capture file back
+              read().filter(col(corrupt).isNotNull)
+                .withColumnRenamed(corrupt, "bad_record")
+                .write.mode("append").json(brp)
+              read().filter(col(corrupt).isNull).drop(corrupt)
+            }
+          case None =>
+            s => Readers.csv(s, path(o), schema = schema, options = userOpts)
+        }
+      case "json" => s => Readers.json(s, path(o), lines = false,
+        schema = o.get("schema").map(readerSchema),
+        options = strMap(o.getOrElse("options", Map.empty[String, Any])) ++ modeOpt(o))
+      case "jsonl" => s => Readers.json(s, path(o), lines = true,
+        schema = o.get("schema").map(readerSchema),
+        options = strMap(o.getOrElse("options", Map.empty[String, Any])) ++ modeOpt(o))
       case "parquet" => s => Readers.parquet(s, path(o),
         o.get("columns").map(strSeq).getOrElse(Nil))
       case "orc" => s => Readers.orc(s, path(o),

@@ -62,6 +62,101 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(Config.validate(cfg("table: t")) === Nil)
   }
 
+  test("a sql source → transform → sql sink pipeline runs from YAML against live Derby") {
+    // reference registers sql as both source and sink
+    // (mini_etl/core/config.py:264-297,344-378); this drives the full YAML
+    // path against an embedded Derby database, not just the Readers/Writers
+    // layer that JdbcSpec covers.
+    import spark.implicits._
+    val dbDir = java.nio.file.Files.createTempDirectory("minietl-cfg-derby").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    minietl.io.Writers.jdbc(
+      Seq((1L, "ann", 10.5), (2L, "bob", 20.5), (3L, "cat", 30.5), (4L, "dan", 40.5))
+        .toDF("id", "name", "score"),
+      url, "people_src", ifExists = "append")
+    val yaml =
+      s"""name: sql_roundtrip
+         |source:
+         |  type: sql
+         |  connection_string: "$url"
+         |  table: people_src
+         |transformers:
+         |  - type: filter
+         |    condition: "score > 15"
+         |  - type: rename
+         |    columns: {score: points}
+         |sink:
+         |  type: sql
+         |  connection_string: "$url"
+         |  table: people_out
+         |  if_exists: replace
+         |""".stripMargin
+    assert(Config.validate(Config.parse(yaml)).isEmpty)
+    val stats = Config.load(yaml).run(spark)
+    assert(stats.rows === 3)
+    val back = minietl.io.Readers.jdbc(spark, url, table = Some("people_out"))
+    assert(back.columns.map(_.toLowerCase).sorted.toSeq === Seq("id", "name", "points"))
+    assert(back.agg(org.apache.spark.sql.functions.sum("points")).as[Double].collect()(0) === 91.5)
+    // if_exists: replace really replaces on a re-run, not accumulates
+    assert(Config.load(yaml).run(spark).rows === 3)
+    assert(minietl.io.Readers.jdbc(spark, url, table = Some("people_out")).count() === 3)
+  }
+
+  test("reader mode/schema/bad_records_path flow from YAML for malformed csv") {
+    val dir = tmp()
+    val in = s"$dir/in.csv"
+    Files.writeString(java.nio.file.Paths.get(in),
+      """id,name,score
+        |1,ann,10.5
+        |2,bob,oops
+        |3,cat,30.5
+        |4,dan,40.5,extra,fields
+        |""".stripMargin)
+    def yaml(extra: String) =
+      s"""name: bad_rows
+         |source:
+         |  type: csv
+         |  filepath: $in
+         |  schema:
+         |    - {name: id, dtype: int64}
+         |    - {name: name, dtype: string}
+         |    - {name: score, dtype: float}
+         |$extra
+         |sink: {type: parquet, filepath: $dir/out}
+         |""".stripMargin
+
+    // dropmalformed: unparseable score + wrong field count both drop
+    val dropped = yaml("  mode: dropmalformed")
+    assert(Config.validate(Config.parse(dropped)).isEmpty)
+    assert(Config.load(dropped).run(spark).rows === 2)
+
+    // bad_records_path: clean rows flow on, raw bad lines captured as JSONL
+    val brp = s"$dir/bad"
+    val captured = yaml(s"  bad_records_path: $brp")
+    assert(Config.validate(Config.parse(captured)).isEmpty)
+    assert(Config.load(captured).run(spark).rows === 2)
+    val bad = spark.read.json(brp)
+    assert(bad.count() === 2)
+    import spark.implicits._
+    val rawLines = bad.select("bad_record").as[String].collect().sorted
+    assert(rawLines(0) === "2,bob,oops")
+    assert(rawLines(1) === "4,dan,40.5,extra,fields")
+
+    // validation rejects bad mode values, dtypes, and schema-less capture
+    assert(Config.validate(Config.parse(yaml("  mode: lenient"))).nonEmpty)
+    assert(Config.validate(Config.parse(
+      s"""source: {type: csv, filepath: $in, bad_records_path: $brp}
+         |sink: {type: parquet, filepath: $dir/out2}
+         |""".stripMargin)).nonEmpty)
+    assert(Config.validate(Config.parse(
+      s"""source:
+         |  type: csv
+         |  filepath: $in
+         |  schema: [{name: id, dtype: nonsense_type}]
+         |sink: {type: parquet, filepath: $dir/out3}
+         |""".stripMargin)).nonEmpty)
+  }
+
   test("a YAML config loads and runs end-to-end against real files") {
     val in = s"${tmp()}/in"
     val out = s"${tmp()}/out"

@@ -79,25 +79,49 @@ object SparkEntry {
     * never mutate session conf (sole scoped-and-restored exception:
     * [[withStreamStateParts]]).
     */
-  private def normalizeTs(df: DataFrame): DataFrame =
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       // integer division: `/` on longs is DOUBLE division, which loses
       // precision at epoch-nanos magnitude (~1.7e18 > 2^53) and lands ±1µs off
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       // naive micros: same wall clock as the nanos generation; the cast pins
-      // it to the session zone (UTC), reproducing the exact prior instants
-      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      // it to the session zone, which MUST be UTC (all battery session
+      // builders set it) — a non-UTC zone would shift instants relative to
+      // the oracle around day/DST boundaries, so fail loudly instead
+      case _: TimestampNTZType =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"TIMESTAMP_NTZ ts normalization requires spark.sql.session.timeZone=UTC " +
+            s"(got '$tz'): the naive→instant cast uses the session zone and any other " +
+            "zone shifts events relative to the UTC oracle")
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
 
+  /** Rethrow the opaque nanos-parquet schema error with the actionable fix.
+    * Spark raises 'Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))' when
+    * a session lacks the legacy conf; tell the caller exactly what to set.
+    */
+  private def guardNanosRead[T](body: => T): T =
+    try body
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null && e.getMessage.contains("Illegal Parquet type") =>
+        throw new IllegalStateException(
+          "events.parquet carries TIMESTAMP(NANOS), which this session cannot read: " +
+            "set spark.sql.legacy.parquet.nanosAsLong=true at SparkSession " +
+            "construction (as graft.Verify/Bench do) so nanos arrive as LONG for " +
+            "normalizeTs", e)
+    }
+
   private def events(s: SparkSession, dir: String): DataFrame =
-    normalizeTs(t(s, dir, "events"))
+    guardNanosRead(normalizeTs(t(s, dir, "events")))
 
   /** events as an unbounded file stream: the file-stream source monitors
     * directories and the testdata table is a single file, so it is staged
     * into a temp dir via symlink. Same ts normalization as [[events]].
     */
-  private def stagedEventStream(s: SparkSession, dir: String): DataFrame = {
+  private def stagedEventStream(s: SparkSession, dir: String): DataFrame = guardNanosRead {
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     val streamDir = stagingDir("stream", dir)
     java.nio.file.Files.createDirectories(streamDir)

@@ -180,19 +180,33 @@ object SparkEntry {
     val c2 = expr(s"TIMESTAMP '$gmaxLit' - INTERVAL 2 HOURS")
     val c1 = expr(s"TIMESTAMP '$gmaxLit' - INTERVAL 1 HOUR")
     val even = pmod(col("event_id"), lit(2)) === 0
-    def writeSplit(pred: Column, name: String, mtimeMs: Long): Unit = {
-      val tmp = stageDir.resolve(s"_tmp_$name")
-      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
-      Files.move(part, stageDir.resolve(name))
-      deleteTree(tmp)
-      Files.setLastModifiedTime(stageDir.resolve(name),
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-    }
-    writeSplit(even && col("ts") <= c2, "0_bulk.parquet", now - 240000)
-    writeSplit(col("ts") > c2 && col("ts") <= c1, "1_vanguard.parquet", now - 120000)
-    writeSplit((!even && col("ts") <= c2) || col("ts") > c1, "2_replay.parquet", now)
+    // ONE pass over events instead of three filtered scans: tag each row
+    // with its split, write partitioned-by-split (the tag column does not
+    // survive into the data files), then hoist the three part files out
+    // with the mtimes that order the replay.
+    val tmp = stageDir.resolve("_tmp_splits")
+    ev.withColumn("__split",
+        when(even && col("ts") <= c2, "0_bulk")
+          .when(col("ts") > c2 && col("ts") <= c1, "1_vanguard")
+          .otherwise("2_replay"))
+      .coalesce(1).write.partitionBy("__split").mode("overwrite").parquet(tmp.toString)
+    Seq("0_bulk" -> (now - 240000), "1_vanguard" -> (now - 120000), "2_replay" -> now)
+      .foreach { case (split, mtimeMs) =>
+        val splitDir = tmp.resolve(s"__split=$split")
+        if (!Files.isDirectory(splitDir)) {
+          // empty split (degenerate tiny-SF data): partitionBy wrote no dir;
+          // stage an empty-but-schema'd file so the replay still runs a
+          // micro-batch per split
+          ev.limit(0).coalesce(1).write.mode("overwrite").parquet(splitDir.toString)
+        }
+        val part = Files.list(splitDir)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow(() => new IllegalStateException(s"no part file for $split"))
+        Files.move(part, stageDir.resolve(s"$split.parquet"))
+        Files.setLastModifiedTime(stageDir.resolve(s"$split.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+    deleteTree(tmp)
     s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(stageDir.toString)

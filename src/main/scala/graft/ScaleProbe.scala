@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway dev probe for the 100 TB linearity claim (VERDICT r6 Next #3):
+  * `gen` replicates the sf0.1 documents/embeddings tables Nx with seeded
+  * per-replica perturbation, `time` runs named battery queries against a
+  * generated dir and prints wall times.
+  *
+  * Perturbation design — PRESERVE near-dup structure, don't amplify it:
+  *  - documents: replica k > 0 suffixes every whitespace token with `rk`,
+  *    so within a replica the shingle-overlap structure is exactly the
+  *    original's (same near-dup pairs, same Jaccard values) while replicas
+  *    share no token shingles with each other (cross-replica similarity 0;
+  *    without this, every doc would gain N-1 near-identical copies and
+  *    candidate pairs would grow quadratically BY DATA DESIGN, which is not
+  *    what a bigger corpus looks like);
+  *  - embeddings: replica k > 0 applies a k-seeded deterministic sign flip
+  *    per dimension — signs preserve every within-replica inner product
+  *    exactly ((s⊙u)·(s⊙v) = u·v) while cross-replica dots become
+  *    sign-scrambled sums that concentrate near zero. (A first attempt used
+  *    cyclic rotation instead; the generator's embeddings are NOT
+  *    rotation-decorrelated and the 10x corpus grew 105x near-dup pairs —
+  *    measured, then replaced with signs.)
+  * doc_id/vec_id move to id + k*10^7 so ids stay unique and dense-ish.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args(0) match {
+      case "gen" =>
+        val (src, out, n) = (args(1), args(2), args(3).toInt)
+        gen(spark, src, out, n)
+      case "skew" =>
+        // A/B the salted join vs the plain shuffle join on a pathological
+        // key: 90% of sf0.1 lineitem lands on ONE key. Broadcast disabled so
+        // the exchange question is real (with broadcast on, Spark correctly
+        // broadcasts the 5-row dim and salting is moot — that IS the
+        // first-choice plan; salting is for dims too big to broadcast).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", args.lift(2).forall(_ != "noaqe").toString)
+        val dir = args(1)
+        val mult = args.lift(3).map(_.toInt).getOrElse(1)
+        val l = spark.read.parquet(s"$dir/lineitem.parquet")
+          .withColumn("__m", explode(sequence(lit(1), lit(mult))))
+          .withColumn("skew_key",
+            when(pmod(col("l_orderkey"), lit(10)) < 9, 0L)
+              .otherwise(pmod(col("l_orderkey"), lit(5)))) // ~90% on key 0
+        val r = spark.read.parquet(s"$dir/region.parquet")
+          .select(col("r_regionkey").cast("long").as("skew_key"), col("r_name"))
+        def time(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+          (1 to 3).foreach { i =>
+            val t0 = System.nanoTime()
+            val n = df.count()
+            println(f"[skew] $tag run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+          }
+        time("plain")(l.join(r, Seq("skew_key")))
+        time("salted")(minietl.ops.Skew.saltedJoin(l, r, Seq("skew_key"), factor = 8))
+      case "embcheck" =>
+        // classify q_emb_neardup output pairs: same-replica vs cross-replica
+        val df = SparkEntry.queries("q_emb_neardup")(spark, args(1))
+        df.printSchema()
+        val cols = df.columns
+        val a = col(cols(0)) / lit(10000000L)
+        val b = col(cols(1)) / lit(10000000L)
+        df.groupBy((a.cast("long") === b.cast("long")).as("same_replica"))
+          .count().show()
+      case "time" =>
+        val (dir, names) = (args(1), args(2).split(","))
+        // warm plans + JIT on the small gate scale first, like Bench
+        names.foreach { q =>
+          try { SparkEntry.queries(q)(spark, "/root/testdata/sf0.01").count(); () }
+          catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+        }
+        names.foreach { q =>
+          (1 to 2).foreach { i =>
+            val t0 = System.nanoTime()
+            val rows = SparkEntry.queries(q)(spark, dir).count()
+            println(f"[scale] $q dir=$dir run$i rows=$rows time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+            spark.catalog.clearCache()
+          }
+        }
+    }
+    spark.stop()
+  }
+
+  private def gen(spark: SparkSession, src: String, out: String, replicas: Int): Unit = {
+    val k = explode(sequence(lit(0), lit(replicas - 1))).as("k")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.select(col("doc_id"), col("text"), col("lang"), col("source"), k)
+      .select(
+        (col("doc_id") + col("k") * lit(10000000L)).as("doc_id"),
+        when(col("k") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1r"), col("k").cast("string")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    emb.select(col("vec_id"), col("embedding"), col("label"), k)
+      .select(
+        (col("vec_id") + col("k") * lit(10000000L)).as("vec_id"),
+        expr("""CASE WHEN k = 0 THEN embedding
+                ELSE transform(embedding,
+                  (x, i) -> CAST(x * (1 - 2 * pmod(hash(i, k), 2)) AS FLOAT))
+                END""").as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[scale] generated ${replicas}x corpus at $out")
+  }
+}

@@ -64,6 +64,39 @@ object ScaleProbe {
           }
         time("plain")(l.join(r, Seq("skew_key")))
         time("salted")(minietl.ops.Skew.saltedJoin(l, r, Seq("skew_key"), factor = 8))
+      case "pagerank" =>
+        // stage-by-stage wall clock of the q_pagerank pipeline at a dir
+        val dir = args(1)
+        def stamp[T](tag: String)(body: => T): T = {
+          val t0 = System.nanoTime(); val r = body
+          println(f"[pr] $tag time=${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+        }
+        (1 to 2).foreach { round =>
+          println(s"[pr] --- pass $round ---")
+          val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          val edges = minietl.graph.PageRank.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+          val e = edges.select("src", "dst").persist()
+          stamp("edges-materialize")(e.count())
+          val deg = e.groupBy(col("src").as("node"))
+            .agg(count(lit(1)).as("outdeg")).persist()
+          stamp("deg-materialize")(deg.count())
+          val dsts = e.select(col("dst").as("node")).distinct()
+          stamp("noOut-antijoin")(dsts.join(deg, Seq("node"), "left_anti").count())
+          stamp("noIn-antijoin")(deg.select("node").join(dsts, Seq("node"), "left_anti").count())
+          val n = deg.count()
+          val scale = 1000000000000L
+          val base = (15L * scale / 100L) / n
+          val init = deg.select(col("node"), lit(scale / n).as("rank_fp"))
+          val last = (1 to 3).foldLeft(init) { (r, _) =>
+            val contrib = r.join(deg, "node")
+              .select(col("node"), expr("rank_fp DIV outdeg").as("c"))
+            e.join(contrib, e("src") === contrib("node"))
+              .groupBy(col("dst").as("node"))
+              .agg((lit(base) + expr("85 * sum(c) DIV 100")).as("rank_fp"))
+          }
+          stamp("3-iterations+checkpoint")(last.select("node", "rank_fp").localCheckpoint(true))
+          e.unpersist(); deg.unpersist()
+        }
       case "embcheck" =>
         // classify q_emb_neardup output pairs: same-replica vs cross-replica
         val df = SparkEntry.queries("q_emb_neardup")(spark, args(1))

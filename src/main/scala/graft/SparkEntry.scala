@@ -218,6 +218,28 @@ object SparkEntry {
     * byte-identical rows, so whichever copy the dedup state keeps, the
     * surviving row is the same and the output is deterministic.
     */
+  /** Stage events PLUS one flush sentinel per user (ts = that user's max ts
+    * + gap + 1 s, flush = true) as a single parquet read back as a stream —
+    * the deterministic end-of-stream flush for customSessionize's bounded
+    * replay (the sentinel closes each user's final open session during the
+    * data batch; in production the EventTimeTimeout path does this as the
+    * watermark advances).
+    */
+  private def stagedSessionStream(s: SparkSession, dir: String, gapSeconds: Long): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("ts"), col("value"))
+      .withColumn("flush", lit(false))
+    val sent = ev.groupBy("user_id")
+      .agg(max(col("ts")).as("ts"))
+      .select(col("user_id"),
+        (col("ts") + expr(s"INTERVAL ${gapSeconds + 1} SECONDS")).as("ts"),
+        lit(0.0).as("value"), lit(true).as("flush"))
+    val stageDir = stagingDir("sessstream", dir)
+    deleteTree(stageDir)
+    ev.unionByName(sent).coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
+    s.readStream.schema(s.read.parquet(stageDir.toString).schema)
+      .parquet(stageDir.toString)
+  }
+
   private def stagedDupEventStream(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).select("event_id", "ts", "event_type", "value")
     val stageDir = stagingDir("dupstream", dir)
@@ -1658,6 +1680,43 @@ object SparkEntry {
              |            ROWS UNBOUNDED PRECEDING) AS sid
              |  FROM o)
              |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+             |  count(*) AS n_events, round(sum(value), 2) AS total
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // The same session semantics through CUSTOM state (flatMapGroupsWithState
+    // + EventTimeTimeout + per-key flush sentinels) instead of
+    // session_window — the fully-programmable path for session logic the
+    // built-in cannot express. Emits closed sessions with start AND end;
+    // checked against the identical batch islands oracle.
+    "q_stream_custom_sessions" -> Q(
+      (s, dir) => {
+        val sessions = minietl.streaming.Streaming.customSessionize(
+          stagedSessionStream(s, dir, gapSeconds = 1800),
+          keyCol = "user_id", tsCol = "ts", valueCol = "value",
+          gapSeconds = 1800, watermarkDelay = "0 seconds",
+          flushCol = Some("flush"))
+        drainAppendMode(s, sessions.toDF(), "stream_csess")
+          .select(col("k").as("user_id"),
+            timestamp_micros(col("start_us")).as("session_start"),
+            timestamp_micros(col("end_us")).as("session_end"),
+            col("n_events"),
+            round(col("total"), 2).as("total"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, value, event_id,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, ts, value,
+             |    sum(CASE WHEN prev_ts IS NULL
+             |             OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM o)
+             |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+             |  CAST(max(ts) AS TIMESTAMP) AS session_end,
              |  count(*) AS n_events, round(sum(value), 2) AS total
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),

@@ -98,6 +98,97 @@ object Streaming {
       .agg(aggCols.head, aggCols.tail: _*)
   }
 
+  /** One CLOSED session emitted by [[customSessionize]]: timestamps carried
+    * as epoch micros (exact long arithmetic; render with timestamp_micros).
+    */
+  final case class ClosedSession(
+      k: Long, start_us: Long, end_us: Long, n_events: Long, total: Double)
+
+  /** Open-session state for [[customSessionize]] (public: Spark's codegen'd
+    * state encoder must construct it from generated code).
+    */
+  final case class OpenSess(start: Long, last: Long, n: Long, sum: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * fully-programmable sibling of [[sessionAgg]] for session logic
+    * `session_window` cannot express (custom close rules, per-session
+    * payloads, emit-on-close side effects). Semantics match the batch
+    * islands formulation exactly: a row starts a NEW session when
+    * `ts - previous_ts >= gapSeconds`, else extends the open one; a closed
+    * session carries (start, end, count, sum).
+    *
+    * Determinism contract: rows are buffered and sorted by (ts) per key per
+    * micro-batch before folding, so output is independent of arrival order
+    * within a batch (the buffer is bounded by per-key-per-batch volume, not
+    * stream history). Session boundaries depend only on timestamps, and
+    * count/sum are order-insensitive, so results are engine-replayable.
+    *
+    * Flush paths, in preference order:
+    *  - rows with `flushCol = true` act as pure time passage: they close a
+    *    session whose gap has elapsed but never open one — a deterministic
+    *    end-of-stream flush for bounded replays (the battery stages one
+    *    sentinel per key past the global max ts);
+    *  - otherwise `EventTimeTimeout` fires once the watermark passes
+    *    `last + gap` and the open session closes from the timeout callback
+    *    (the production path for genuinely unbounded streams).
+    */
+  def customSessionize(df: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, gapSeconds: Long,
+                       watermarkDelay: String,
+                       flushCol: Option[String] = None): Dataset[ClosedSession] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val flush = flushCol.map(c => col(c).cast("boolean")).getOrElse(lit(false))
+    def us(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    df.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
+        col(valueCol).cast("double").as("v"), flush.as("fl"))
+      .as[(Long, java.sql.Timestamp, Double, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[(Long, java.sql.Timestamp, Double, Boolean)],
+         state: GroupState[OpenSess]) =>
+          def closed(o: OpenSess) = ClosedSession(key, o.start, o.last, o.n, o.sum)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(closed).iterator
+            state.remove()
+            out
+          } else {
+            val rows = it.toArray.sortBy(r => us(r._2))
+            val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = state.getOption
+            rows.foreach { r =>
+              val t = us(r._2)
+              open match {
+                case Some(o) if t - o.last >= gapUs =>
+                  out += closed(o)
+                  open = if (r._4) None else Some(OpenSess(t, t, 1L, r._3))
+                case Some(o) =>
+                  if (!r._4) open = Some(OpenSess(o.start, t, o.n + 1, o.sum + r._3))
+                case None =>
+                  if (!r._4) open = Some(OpenSess(t, t, 1L, r._3))
+              }
+            }
+            open match {
+              case Some(o) =>
+                val timeoutMs = (o.last + gapUs) / 1000 + 1
+                if (timeoutMs <= state.getCurrentWatermarkMs()) {
+                  // gap already elapsed relative to the watermark: close now
+                  // (setTimeoutTimestamp would reject a past timestamp)
+                  out += closed(o)
+                  state.remove()
+                } else {
+                  state.update(o)
+                  state.setTimeoutTimestamp(timeoutMs)
+                }
+              case None => if (state.exists) state.remove()
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Event-time SESSION windows: rows gapped less than `gap` merge into one
     * variable-length session per key (the unbounded analog of the batch
     * `Ops.sessionize`). State is per open session in the state store;

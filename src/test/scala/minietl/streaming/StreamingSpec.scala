@@ -97,6 +97,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("customSessionize: flatMapGroupsWithState closes sessions on gap, flush and timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double, Boolean)]
+    val sessions = Streaming.customSessionize(
+      input.toDF().toDF("k", "ts", "v", "fl"),
+      keyCol = "k", tsCol = "ts", valueCol = "v",
+      gapSeconds = 300, watermarkDelay = "0 seconds", flushCol = Some("fl"))
+    val q = sessions.toDF().writeStream.format("memory").queryName("csess")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // key 1: 10:00 + 10:03 merge, 10:20 starts a new session (gap closes
+      // the first IN-batch, arrival order deliberately scrambled); a flush
+      // sentinel at 11:00 closes the second without opening a third
+      input.addData(
+        (1L, ts(20), 5.0, false), (1L, ts(0), 1.0, false), (1L, ts(3), 2.0, false),
+        (1L, ts(60), 0.0, true))
+      q.processAllAvailable()
+      val got = spark.table("csess")
+        .select(col("k"), col("start_us"), col("end_us"), col("n_events"), col("total"))
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+      assert(got === Set(
+        (1L, us(ts(0)), us(ts(3)), 2L, 3.0),
+        (1L, us(ts(20)), us(ts(20)), 1L, 5.0)))
+
+      // key 2: one event (11:10 — NOT late vs the 11:00 watermark the
+      // sentinel advanced), no flush — the EventTimeTimeout path closes it
+      // once later batches advance the watermark past last + gap (11:15)
+      input.addData((2L, ts(70), 7.0, false))
+      q.processAllAvailable()
+      input.addData((3L, ts(90), 1.0, false)) // watermark → 11:30 after this batch
+      q.processAllAvailable()
+      input.addData((3L, ts(120), 0.0, true)) // next batch runs timeouts at wm 11:30
+      q.processAllAvailable()
+      val key2 = spark.table("csess").filter(col("k") === 2L)
+        .select(col("n_events"), col("total")).as[(Long, Double)].collect().toSeq
+      assert(key2 === Seq((1L, 7.0)))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark collapses duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]

@@ -2373,6 +2373,21 @@ object SparkEntry {
     // no tolerance. user_id has fewer distinct values than k at every SF,
     // exercising the exact-degrade path; the other two exercise the
     // estimator path at sf >= 0.01.
+    // Third sketch leg: mergeable log-histogram quantiles (fixed ~368-bucket
+    // summary per key, map-side combined — the 100 TB alternative to a full
+    // sort or engine-private t-digests), replayed bit-for-bit in DuckDB via
+    // the same integer bit arithmetic.
+    "q_quantile_sketch" -> Q(
+      (s, dir) =>
+        minietl.sketch.Sketches.logHistQuantiles(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+          Seq((50, 100), (95, 100), (99, 100)))
+          .orderBy("l_returnflag", "q_num"),
+      Some(minietl.sketch.Sketches.logHistQuantilesOracleSql(
+        "lineitem", Seq("l_returnflag"), "l_extendedprice",
+        Seq((50, 100), (95, 100), (99, 100)),
+        orderBy = Some("l_returnflag, q_num")))),
+
     "q_kmv_distinct" -> Q(
       (s, dir) => {
         def audit(df: DataFrame, field: String, colName: String): DataFrame =

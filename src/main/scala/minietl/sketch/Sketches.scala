@@ -111,4 +111,104 @@ object Sketches {
       .groupBy("token", "exact_n")
       .agg(min(col("n")).as("cms_n"))
   }
+
+  /** Mergeable log-histogram QUANTILE sketch — the third leg of the sketch
+    * family (KMV = distinct, count-min = frequency, this = quantiles).
+    *
+    * Values (must be >= 0) are scaled to integers `x = floor(v * scale)`
+    * and bucketed by position of the top bit plus the next three bits:
+    * `x < 8 → bucket x`, else `bucket = bitlen(x)*8 + ((x >> (bitlen(x)-4)) & 7)`
+    * — at most 8 buckets per octave (~368 buckets for the full long range),
+    * giving a guaranteed relative bucket width of 2^-3 = 12.5%. The
+    * quantile-q estimate is the LOWER BOUND of the first bucket whose
+    * cumulative count reaches `rank = ceil(q*n)`, with rank computed in
+    * exact integer arithmetic from the rational q = num/den
+    * (`(num*n + den - 1) DIV den`) so no float rounding can flip a
+    * boundary.
+    *
+    * Everything is integer (bit length via `length(bin(x))`, shifts, window
+    * cumsum), so any SQL engine replays the estimate bit-for-bit — unlike
+    * `approx_percentile`'s t-digest, whose merge order is engine-private.
+    *
+    * Scale shape (100 TB): one groupBy over (keys, bucket) with map-side
+    * combine — the exchange carries at most ~368 rows per key per
+    * partition regardless of row count; the quantile-selection window then
+    * runs over sketch-sized data.
+    *
+    * Returns one row per key per quantile:
+    * (keys..., q_num INT, q_den INT, est DOUBLE).
+    */
+  def logHistQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
+                       quantiles: Seq[(Int, Int)],
+                       scale: Long = 1000L): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (n, d) =>
+      require(n >= 0 && d > 0 && n <= d, s"quantile $n/$d out of [0, 1]") }
+    import org.apache.spark.sql.expressions.Window
+    val k = keys.map(col)
+    val bucketed = df
+      .select(k :+ expr(s"CAST(floor($valueCol * $scale) AS BIGINT)").as("x"): _*)
+      .withColumn("bucket", expr(
+        "CASE WHEN x < 8 THEN x ELSE length(bin(x)) * 8 + " +
+          "(shiftright(x, length(bin(x)) - 4) & 7) END"))
+    val counts = bucketed.groupBy(k :+ col("bucket"): _*).agg(count(lit(1)).as("cnt"))
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy(k: _*).orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("cnt").over(Window.partitionBy(k: _*)))
+    val qlit = array(quantiles.map { case (n, d) =>
+      struct(lit(n).as("q_num"), lit(d).as("q_den")) }: _*)
+    cum
+      .withColumn("q", explode(qlit))
+      .select(k ++ Seq(col("bucket"), col("cum"), col("total"),
+        col("q.q_num").as("q_num"), col("q.q_den").as("q_den")): _*)
+      .where(col("cum") >=
+        expr("(CAST(q_num AS BIGINT) * total + q_den - 1) DIV q_den"))
+      .groupBy(k ++ Seq(col("q_num"), col("q_den")): _*)
+      .agg(min("bucket").as("bucket"))
+      .withColumn("est", expr(
+        "CAST(CASE WHEN bucket < 8 THEN bucket " +
+          "ELSE shiftleft(8 + bucket % 8, CAST(bucket DIV 8 AS INT) - 4) END " +
+          s"AS DOUBLE) / CAST($scale AS DOUBLE)"))
+      .drop("bucket")
+  }
+
+  /** DuckDB replay of [[logHistQuantiles]] — same integer bucket contract
+    * (`length(bin(x))` for the bit length, `>>`/`&`/`<<` for the bit work),
+    * same exact-rational rank, rendered as one SQL statement so the sketch
+    * is verifiable end-to-end by an independent engine.
+    */
+  def logHistQuantilesOracleSql(table: String, keys: Seq[String], valueCol: String,
+                                quantiles: Seq[(Int, Int)],
+                                scale: Long = 1000L,
+                                orderBy: Option[String] = None): String = {
+    val ks = keys.mkString(", ")
+    val kcomma = if (keys.isEmpty) "" else s"$ks, "
+    val part = if (keys.isEmpty) "" else s"PARTITION BY $ks "
+    val vals = quantiles.map { case (n, d) => s"($n, $d)" }.mkString(", ")
+    s"""WITH xs AS (
+       |  SELECT ${kcomma}CAST(floor($valueCol * $scale) AS BIGINT) AS x FROM $table),
+       |b AS (
+       |  SELECT ${kcomma}CASE WHEN x < 8 THEN x
+       |    ELSE length(bin(x)) * 8 + ((x >> (length(bin(x)) - 4)) & 7) END AS bucket
+       |  FROM xs),
+       |c AS (SELECT ${kcomma}bucket, count(*) AS cnt FROM b GROUP BY ${kcomma}bucket),
+       |cc AS (
+       |  SELECT ${kcomma}bucket,
+       |    sum(cnt) OVER (${part}ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(cnt) OVER (${part.trim}) AS total
+       |  FROM c),
+       |q(q_num, q_den) AS (VALUES $vals),
+       |sel AS (
+       |  SELECT ${kcomma}q_num, q_den, min(bucket) AS bucket
+       |  FROM cc CROSS JOIN q
+       |  WHERE cum >= (CAST(q_num AS BIGINT) * total + q_den - 1) // q_den
+       |  GROUP BY ${kcomma}q_num, q_den)
+       |SELECT ${kcomma}q_num, q_den,
+       |  CAST(CASE WHEN bucket < 8 THEN bucket
+       |    ELSE (8 + bucket % 8) << (CAST(bucket // 8 AS INT) - 4) END AS DOUBLE)
+       |    / CAST($scale AS DOUBLE) AS est
+       |FROM sel${orderBy.map(o => s" ORDER BY $o").getOrElse("")}""".stripMargin
+  }
 }

@@ -1853,6 +1853,29 @@ object SparkEntry {
              |       ELSE 0.0 END AS consec_frac
              |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // Corpus-trained bigram-surprise LM scoring (CCNet-style quality
+    // filtering) in pure integer arithmetic: surprise bits are
+    // bitlen(prefix_count DIV bigram_count), so the whole model — training
+    // AND scoring — replays bit-for-bit in the oracle.
+    "q_lm_surprise" -> Q(
+      (s, dir) =>
+        minietl.text.LmScore.bigramSurprise(documents(s, dir), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |occ AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             |          i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t),
+             |bc AS (SELECT bigram, count(*) AS c_bigram FROM occ GROUP BY bigram),
+             |pc AS (SELECT split_part(bigram, ' ', 1) AS prefix,
+             |         CAST(sum(c_bigram) AS BIGINT) AS c_prefix FROM bc GROUP BY 1),
+             |sc AS (SELECT o.doc_id,
+             |         length(bin(p.c_prefix // b.c_bigram)) AS surprise
+             |       FROM occ o JOIN bc b USING (bigram)
+             |       JOIN pc p ON split_part(o.bigram, ' ', 1) = p.prefix)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(surprise) AS BIGINT) AS surprise_bits,
+             |  (1000 * CAST(sum(surprise) AS BIGINT)) // count(*) AS avg_millibits
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // corpus-wide top bigrams: explode → map-side-combined hash agg →
     // global top-k; shuffle volume is O(distinct grams), not rows
     "q_top_ngrams" -> Q(

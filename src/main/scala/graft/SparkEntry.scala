@@ -240,6 +240,20 @@ object SparkEntry {
       .parquet(stageDir.toString)
   }
 
+  /** documents as an unbounded file stream (same single-file symlink
+    * staging as [[stagedEventStream]], no ts normalization needed).
+    */
+  private def stagedDocStream(s: SparkSession, dir: String): DataFrame = {
+    val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    val streamDir = stagingDir("docstream", dir)
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    s.readStream.schema(rawSchema).parquet(streamDir.toString)
+  }
+
   private def stagedDupEventStream(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).select("event_id", "ts", "event_type", "value")
     val stageDir = stagingDir("dupstream", dir)
@@ -1720,6 +1734,28 @@ object SparkEntry {
              |  count(*) AS n_events, round(sum(value), 2) AS total
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Stream-STATIC left-anti join: streaming documents deduped against a
+    // historical fingerprint set (the even doc_ids play the role of the
+    // already-ingested corpus). No state store on either side — the static
+    // digest is re-planned per micro-batch; checked against the batch
+    // anti-join SQL.
+    "q_stream_dedup_static" -> Q(
+      (s, dir) => {
+        val history = documents(s, dir)
+          .where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(md5(col("text").cast("binary")).as("fp"))
+        val fresh = minietl.streaming.Streaming.dedupAgainstHistory(
+          stagedDocStream(s, dir)
+            .withColumn("fp", md5(col("text").cast("binary"))),
+          history, "fp")
+        drainAppendMode(s, fresh.select(col("doc_id"), col("fp")), "stream_sdedup")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS fp FROM documents
+             |WHERE md5(text) NOT IN
+             |  (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+             |ORDER BY doc_id""".stripMargin)),
 
     // Stream-stream event-time interval join through the STREAMING path
     // (join state bounded by watermark + interval), drained AvailableNow in

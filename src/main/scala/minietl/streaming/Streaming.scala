@@ -222,6 +222,19 @@ object Streaming {
       .dropDuplicatesWithinWatermark(keys)
   }
 
+  /** Dedup-at-the-door against a HISTORICAL corpus: drop every streaming
+    * row whose fingerprint already exists in a static fingerprint table —
+    * the ingest-time companion of [[dedupWithinWatermark]] (which only sees
+    * duplicates inside the watermark window; this sees the accumulated
+    * past). A stream-static LEFT ANTI join: the static side needs no state
+    * store and no watermark — Spark re-plans it per micro-batch, so at
+    * scale the fingerprint table should be a broadcast-sized digest or a
+    * bucketed table, not raw history.
+    */
+  def dedupAgainstHistory(stream: DataFrame, historyFp: DataFrame,
+                          fpCol: String): DataFrame =
+    stream.join(historyFp.select(fpCol).distinct(), Seq(fpCol), "left_anti")
+
   /** Stream-stream inner equi-join bounded by an event-time interval: a
     * right row matches a left row with the same keys when its timestamp is
     * within [leftTs - lookback, leftTs + lookahead]. Both sides carry

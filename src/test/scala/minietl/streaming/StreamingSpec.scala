@@ -155,6 +155,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupAgainstHistory drops rows whose fingerprint exists in the static set") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val history = Seq("seen-1", "seen-2").toDF("fp")
+    val fresh = Streaming.dedupAgainstHistory(
+      input.toDF().toDF("id", "fp"), history, "fp")
+    val q = fresh.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((1L, "seen-1"), (2L, "new-a"), (3L, "seen-2"), (4L, "new-b"))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("id").as[Long].collect().sorted.toSeq
+      assert(ids === Seq(2L, 4L))
+    } finally q.stop()
+  }
+
   test("intervalJoin matches rows within the event-time interval only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, String, Long)]

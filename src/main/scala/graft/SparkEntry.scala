@@ -2028,6 +2028,31 @@ object SparkEntry {
              |WHERE doc_id % 17 != 0 AND doc_id NOT IN (SELECT doc_id FROM tainted)
              |ORDER BY doc_id""".stripMargin)),
 
+    // graded contamination: per-document share of distinct 5-gram shingles
+    // present in the benchmark set, as exact integers + fixed-point
+    // permille — the thresholdable signal practitioners use instead of
+    // drop-on-first-hit
+    "q_contamination_fraction" -> Q(
+      (s, dir) => {
+        val d = documents(s, dir)
+        minietl.text.Decontaminate.contaminationFraction(
+          d.filter(col("doc_id") % 17 =!= 0), d.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", n = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+             |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+             |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+             |             tk[i+3] || ' ' || tk[i+4])) AS gram
+             |      FROM toks),
+             |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+             |tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 17 != 0)
+             |SELECT tg.doc_id, count(*) AS n_grams,
+             |  CAST(count(bg.gram) AS BIGINT) AS n_matched,
+             |  (1000 * CAST(count(bg.gram) AS BIGINT)) // count(*) AS permille
+             |FROM tg LEFT JOIN bg USING (gram)
+             |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin)),
+
     // bloom-prefiltered decontamination: same exact semantics, the bench
     // grams travel as ONE fixed-size sketch instead of a string broadcast;
     // false positives only pay verify work, so the exact oracle applies

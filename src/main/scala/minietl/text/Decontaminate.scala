@@ -43,6 +43,40 @@ object Decontaminate {
     train.join(tainted, Seq(idCol), "left_anti")
   }
 
+  /** Per-document contamination FRACTION — the graded companion of the
+    * binary [[decontaminate]]: for every training document, the share of
+    * its DISTINCT n-gram shingles that appear in the benchmark gram set.
+    * Practitioners threshold this (e.g. drop > 0.8 as near-copies, audit
+    * 0.1–0.8, keep the long tail) instead of dropping on a single hit.
+    *
+    * The fraction is emitted as exact integers (matched grams, total
+    * grams) plus a fixed-point `permille = (1000 * matched) DIV total` so
+    * the score replays bit-for-bit. Documents with no grams (shorter than
+    * n tokens) are absent — they carry no contamination signal.
+    *
+    * Plan shape: same as [[decontaminate]] (explode → broadcast gram join)
+    * with a per-doc distinct + count instead of the id semi-join; the
+    * counted frame is gram-distinct per doc, so the aggregation state is
+    * bounded by document shingle vocabulary, and the only data-scale
+    * shuffle carries (doc_id, matched/total) partials.
+    */
+  def contaminationFraction(train: DataFrame, bench: DataFrame,
+                            idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"decontamination shingle width must be >= 2, got $n")
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+        explode(TextAnalysis.ngrams(TextAnalysis.tokens(trim(col(textCol))), n))
+          .as("__gram"))
+    val benchGrams = grams(bench).select("__gram").distinct()
+      .withColumn("__hit", lit(1L))
+    grams(train).distinct()
+      .join(broadcast(benchGrams), Seq("__gram"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum("__hit"), lit(0L)).as("n_matched"))
+      .withColumn("permille", expr("(1000 * n_matched) DIV n_grams"))
+  }
+
   /** Bloom-prefiltered decontamination — same EXACT result as
     * [[decontaminate]], different 100 TB cost profile.
     *

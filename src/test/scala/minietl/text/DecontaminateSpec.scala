@@ -63,4 +63,27 @@ class DecontaminateSpec extends AnyFunSuite with SparkTestBase {
     val bench = Seq.empty[(Long, String)].toDF("id", "text")
     assert(Decontaminate.decontaminateBloom(train, bench, "id", "text", n = 3).count() === 1)
   }
+
+  test("contaminationFraction scores exact matched/total shingle ratios") {
+    // bench grams (n=2): {"a b", "b c"}
+    val bench = Seq((0L, "a b c")).toDF("id", "text")
+    val train = Seq(
+      (1L, "a b c d"),   // distinct grams: a b, b c, c d → 2/3 matched
+      (2L, "x y z"),     // x y, y z → 0/2
+      (3L, "a b a b")    // distinct: a b, b a → 1/2
+    ).toDF("id", "text")
+    val out = Decontaminate.contaminationFraction(train, bench, "id", "text", n = 2)
+      .orderBy("id")
+      .select("id", "n_grams", "n_matched", "permille")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 3L, 2L, 666L), (2L, 2L, 0L, 0L), (3L, 2L, 1L, 500L)))
+  }
+
+  test("contaminationFraction omits documents shorter than the shingle width") {
+    val bench = Seq((0L, "a b")).toDF("id", "text")
+    val train = Seq((1L, "solo"), (2L, "a b")).toDF("id", "text")
+    val out = Decontaminate.contaminationFraction(train, bench, "id", "text", n = 2)
+      .select("id").as[Long].collect().toSeq
+    assert(out === Seq(2L))
+  }
 }

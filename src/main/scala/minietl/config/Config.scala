@@ -46,7 +46,8 @@ object Config {
       "hash_sample", "stratified_sample", "pii_redact", "quality_filter",
       "exact_dedup", "gopher_filter", "temperature_sample", "token_budget",
       "paragraph_dedup", "normalize_text", "feature_hash", "sigma_outlier_filter",
-      "winsorize", "impute", "mad_outlier_filter", "top_p_select")
+      "winsorize", "impute", "mad_outlier_filter", "top_p_select",
+      "lm_surprise", "contamination_filter")
   private val declaredUnsupported = Set.empty[String]
 
   private val EnvBrace: Regex = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
@@ -255,6 +256,8 @@ object Config {
       case "mad_outlier_filter" => numeric("k", 1.0, 9.0)
       case "top_p_select" => numeric("p_basis_points", 0.0, 10000.0)
       case "winsorize" => numeric("lo", 0.0, 1.0) ++ numeric("hi", 0.0, 1.0)
+      case "contamination_filter" =>
+        numeric("max_permille", 0.0, 1000.0) ++ numeric("n", 2.0, 20.0)
       case _ => Nil
     }
   }
@@ -282,6 +285,8 @@ object Config {
     case "top_p_select" => Seq("strata", "mass", "p_basis_points", "tie_break")
     case "winsorize" => Seq("group_by", "value")
     case "impute" => Seq("group_by", "value", "strategy")
+    case "lm_surprise" => Seq("key", "column")
+    case "contamination_filter" => Seq("key", "column", "benchmark_filepath", "max_permille")
     case _ => Nil
   }
 
@@ -510,6 +515,36 @@ object Config {
       case "impute" =>
         Ops.imputeGroup(str(t.options, "value"), strSeq(t.options("group_by")),
           str(t.options, "strategy"))
+      case "lm_surprise" =>
+        // joins per-doc bigram-surprise scores back onto the frame (left:
+        // docs without bigrams keep null scores) so a filter stage can
+        // threshold avg_millibits next
+        val key = str(t.options, "key")
+        val c = str(t.options, "column")
+        df => df.join(
+          minietl.text.LmScore.bigramSurprise(df, key, c)
+            .withColumnRenamed("doc_id", key),
+          Seq(key), "left")
+      case "contamination_filter" =>
+        // drops docs whose distinct-shingle overlap with the benchmark file
+        // exceeds max_permille; docs with no grams carry no signal and pass
+        val key = str(t.options, "key")
+        val c = str(t.options, "column")
+        val benchPath = str(t.options, "benchmark_filepath")
+        val benchCol = t.options.get("benchmark_column").map(_.toString).getOrElse(c)
+        val n = t.options.get("n").map(_.toString.toDouble.toInt).getOrElse(5)
+        val maxPermille = str(t.options, "max_permille").toDouble.toLong
+        df => {
+          import org.apache.spark.sql.functions.{coalesce, col, lit}
+          val bench = minietl.io.Readers.parquet(df.sparkSession, benchPath)
+            .select(col(benchCol).as(c)).withColumn(key, lit(0L))
+          val frac = minietl.text.Decontaminate
+            .contaminationFraction(df, bench, key, c, n)
+            .select(col(key), col("permille"))
+          df.join(frac, Seq(key), "left")
+            .where(coalesce(col("permille"), lit(0L)) <= maxPermille)
+            .drop("permille")
+        }
     }
 
   /** The [[Pipeline]] stage label for a transformer type (kept identical to

@@ -157,6 +157,47 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
          |""".stripMargin)).nonEmpty)
   }
 
+  test("lm_surprise and contamination_filter stages run from YAML") {
+    val dir = tmp()
+    val in = s"$dir/docs"
+    val bench = s"$dir/bench"
+    // doc 3 is a verbatim copy of the benchmark text → 100% shingle overlap
+    Writers.csv(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely unrelated writing about distributed query engines here"),
+      (3L, "held out benchmark prompt that must never reach the training set"))
+      .toDF("doc_id", "text"), in)
+    Writers.parquet(
+      Seq((0L, "held out benchmark prompt that must never reach the training set"))
+        .toDF("bench_id", "text"), bench)
+    val yaml =
+      s"""name: lm_and_decontam
+         |source: {type: csv, filepath: $in}
+         |transformers:
+         |  - type: cast
+         |    columns: {doc_id: int64}
+         |  - type: contamination_filter
+         |    key: doc_id
+         |    column: text
+         |    benchmark_filepath: $bench
+         |    n: 5
+         |    max_permille: 500
+         |  - type: lm_surprise
+         |    key: doc_id
+         |    column: text
+         |sink: {type: parquet, filepath: $dir/out}
+         |""".stripMargin
+    assert(Config.validate(Config.parse(yaml)).isEmpty)
+    val stats = Config.load(yaml).run(spark)
+    assert(stats.rows === 2) // doc 3 filtered as contaminated
+    val back = Readers.parquet(spark, s"$dir/out")
+    assert(back.columns.toSet.contains("avg_millibits"))
+    assert(back.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // validation catches out-of-range thresholds
+    assert(Config.validate(Config.parse(yaml.replace("max_permille: 500",
+      "max_permille: 5000"))).nonEmpty)
+  }
+
   test("a YAML config loads and runs end-to-end against real files") {
     val in = s"${tmp()}/in"
     val out = s"${tmp()}/out"

@@ -1470,6 +1470,21 @@ object SparkEntry {
              |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
              |ORDER BY q_id, rank""".stripMargin)),
 
+    // per-label embedding centroids: scaled-integer sums → exact replay;
+    // output is groups × dims (long format), independent of corpus size
+    "q_label_centroid" -> Q(
+      (s, dir) =>
+        minietl.sim.Similarity.groupCentroids(embeddings(s, dir), "label", "embedding")
+          .orderBy("grp", "dim"),
+      Some("""WITH x AS (
+             |  SELECT label AS grp, generate_subscripts(embedding, 1) AS dim,
+             |         unnest(embedding) AS e
+             |  FROM embeddings)
+             |SELECT grp, dim, count(*) AS n,
+             |  CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 10000000) AS BIGINT)) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) / CAST(10000000 AS DOUBLE) AS centroid
+             |FROM x GROUP BY grp, dim ORDER BY grp, dim""".stripMargin)),
+
     "q_emb_neardup" -> Q(
       (s, dir) =>
         minietl.sim.Similarity.cosineNearDupPairsExact(embeddings(s, dir), threshold = 0.4)

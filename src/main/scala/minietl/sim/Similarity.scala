@@ -285,6 +285,34 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Per-group embedding centroids in LONG format (group, dim, n,
+    * centroid) — the drift-detection / class-prototype primitive (compare
+    * a day's centroid against history, seed k-means, nearest-centroid
+    * classification).
+    *
+    * Exactness contract: each component is scaled to an integer
+    * (`floor(v * scale)` — IEEE multiply + floor, identical everywhere),
+    * summed as BIGINT (order-independent), and only then divided back out
+    * as two IEEE double divisions — so any engine reproduces the centroid
+    * bit-for-bit, unlike a float `avg` whose partial-sum order is
+    * engine-private. Truncation bounds the per-component bias at
+    * `1/scale` (1e-7 by default) — noise for any centroid consumer.
+    *
+    * Scale shape: posexplode (scan-side row growth ×dim) → ONE exchange of
+    * (group, dim) partial sums with map-side combine; output cardinality is
+    * groups × dim, independent of row count.
+    */
+  def groupCentroids(df: DataFrame, keyCol: String, vecCol: String,
+                     scale: Long = 10000000L): DataFrame =
+    df.select(col(keyCol).as("grp"), posexplode(col(vecCol)).as(Seq("dim0", "v")))
+      .select(col("grp"), (col("dim0") + 1).cast("long").as("dim"),
+        expr(s"CAST(floor(CAST(v AS DOUBLE) * $scale) AS BIGINT)").as("sv"))
+      .groupBy("grp", "dim")
+      .agg(count(lit(1)).as("n"), sum("sv").as("ssum"))
+      .withColumn("centroid", expr(
+        s"CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) / CAST($scale AS DOUBLE)"))
+      .drop("ssum")
+
   /** k-nearest-neighbor label vote: classify each query vector by the
     * majority label among its top-k cosine neighbors in the labeled corpus.
     * Ties break by (votes desc, best neighbor cosine desc, label asc) —

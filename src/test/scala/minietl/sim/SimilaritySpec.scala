@@ -156,6 +156,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(out.getAs[Long]("votes") === 1L)
   }
 
+  test("groupCentroids averages scaled-integer components exactly") {
+    val df = Seq(
+      (1, Array(1.0f, -2.0f)),
+      (1, Array(3.0f, 4.0f)),
+      (2, Array(0.5f, 0.25f)))
+      .toDF("label", "embedding")
+    val out = Similarity.groupCentroids(df, "label", "embedding")
+      .orderBy("grp", "dim").collect()
+    // label 1: dims (1+3)/2 = 2.0, (-2+4)/2 = 1.0; label 2: 0.5, 0.25 —
+    // all exactly representable at scale 1e7, so the centroids are exact
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      === Seq((1, 1L, 2L, 2.0), (1, 2L, 2L, 1.0), (2, 1L, 1L, 0.5), (2, 2L, 1L, 0.25)))
+  }
+
   test("lshSignature is deterministic and within [0, 2^bits)") {
     val sigs = corpus.select(Similarity.lshSignature(col("embedding"), 4, 3).as("s"))
       .as[Int].collect()

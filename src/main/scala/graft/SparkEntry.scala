@@ -2487,6 +2487,27 @@ object SparkEntry {
         Seq((50, 100), (95, 100), (99, 100)),
         orderBy = Some("l_returnflag, q_num")))),
 
+    // The SAME sketch maintained by STREAMING state: bucket counts accrue
+    // incrementally in a streaming groupBy (the sketch's merge is its
+    // group-by key, so state is ≤ ~368 rows), drained complete-mode, then
+    // resolved through the identical selection arithmetic. Oracle = the
+    // batch sketch SQL over the same events — stream and batch must agree
+    // exactly.
+    "q_stream_quantile" -> Q(
+      (s, dir) => {
+        val bucketCounts = stagedEventStream(s, dir)
+          .select(expr("CAST(floor(value * 1000) AS BIGINT)").as("x"))
+          .withColumn("bucket", minietl.sketch.Sketches.logHistBucket("x"))
+          .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        val drained = drainCompleteMode(s, bucketCounts, "stream_qsk")
+        minietl.sketch.Sketches.quantilesFromBucketCounts(
+          drained, Nil, Seq((50, 100), (95, 100), (99, 100)), scale = 1000L)
+          .orderBy("q_num")
+      },
+      Some(minietl.sketch.Sketches.logHistQuantilesOracleSql(
+        "events", Nil, "value", Seq((50, 100), (95, 100), (99, 100)),
+        orderBy = Some("q_num")))),
+
     "q_kmv_distinct" -> Q(
       (s, dir) => {
         def audit(df: DataFrame, field: String, colName: String): DataFrame =

@@ -141,17 +141,37 @@ object Sketches {
   def logHistQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
                        quantiles: Seq[(Int, Int)],
                        scale: Long = 1000L): DataFrame = {
+    val k = keys.map(col)
+    val counts = df
+      .select(k :+ expr(s"CAST(floor($valueCol * $scale) AS BIGINT)").as("x"): _*)
+      .withColumn("bucket", logHistBucket("x"))
+      .groupBy(k :+ col("bucket"): _*).agg(count(lit(1)).as("cnt"))
+    quantilesFromBucketCounts(counts, keys, quantiles, scale)
+  }
+
+  /** The bucket id of an already-scaled non-negative BIGINT column (see
+    * [[logHistQuantiles]] for the contract). Public so a STREAMING
+    * aggregation can maintain the same (bucket, cnt) state incrementally —
+    * the sketch is mergeable by construction, and this is the merge key.
+    */
+  def logHistBucket(xCol: String): org.apache.spark.sql.Column = expr(
+    s"CASE WHEN $xCol < 8 THEN $xCol ELSE length(bin($xCol)) * 8 + " +
+      s"(shiftright($xCol, length(bin($xCol)) - 4) & 7) END")
+
+  /** Quantile selection over an already-aggregated (keys..., bucket, cnt)
+    * sketch frame — the second phase of [[logHistQuantiles]], split out so
+    * bucket counts maintained elsewhere (a streaming state store, a union
+    * of per-shard sketches) resolve through the identical arithmetic. The
+    * input is sketch-sized, so the windows here are cheap by contract.
+    */
+  def quantilesFromBucketCounts(counts: DataFrame, keys: Seq[String],
+                                quantiles: Seq[(Int, Int)],
+                                scale: Long): DataFrame = {
     require(quantiles.nonEmpty, "need at least one quantile")
     quantiles.foreach { case (n, d) =>
       require(n >= 0 && d > 0 && n <= d, s"quantile $n/$d out of [0, 1]") }
     import org.apache.spark.sql.expressions.Window
     val k = keys.map(col)
-    val bucketed = df
-      .select(k :+ expr(s"CAST(floor($valueCol * $scale) AS BIGINT)").as("x"): _*)
-      .withColumn("bucket", expr(
-        "CASE WHEN x < 8 THEN x ELSE length(bin(x)) * 8 + " +
-          "(shiftright(x, length(bin(x)) - 4) & 7) END"))
-    val counts = bucketed.groupBy(k :+ col("bucket"): _*).agg(count(lit(1)).as("cnt"))
     val cum = counts
       .withColumn("cum", sum("cnt").over(
         Window.partitionBy(k: _*).orderBy("bucket")

@@ -2573,6 +2573,29 @@ object SparkEntry {
              |GROUP BY t.token, t.exact_n
              |ORDER BY exact_n DESC, token""".stripMargin)),
 
+    // Count-min maintained by STREAMING state: the sketch's (lane, bucket)
+    // cells ARE the groupBy key, so state is bounded at depth x width
+    // however unbounded the stream; drained complete-mode it must equal the
+    // batch sketch over the same corpus cell-for-cell.
+    "q_stream_countmin" -> Q(
+      (s, dir) => {
+        val toks = stagedDocStream(s, dir)
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val sketch = minietl.sketch.Sketches.countMinSketch(
+          toks, "tok", depth = 4, width = 1024)
+        drainCompleteMode(s, sketch, "stream_cms")
+          .orderBy("lane", "bucket")
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |lanes AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(lane))
+             |SELECT lane,
+             |  CAST(concat('0x', substring(md5(concat(lane, ':', tok)), 1, 15))
+             |    AS BIGINT) % 1024 AS bucket,
+             |  count(*) AS n
+             |FROM toks CROSS JOIN lanes GROUP BY 1, 2
+             |ORDER BY lane, bucket""".stripMargin)),
+
     // Integer fixed-point PageRank over the part co-purchase graph (parts
     // sharing an order), 3 damped iterations. All arithmetic is truncating
     // 64-bit integer — order-independent, so the DuckDB replay of the same

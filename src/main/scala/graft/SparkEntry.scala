@@ -1663,6 +1663,39 @@ object SparkEntry {
              |    FROM documents))
              |ORDER BY media_id""".stripMargin)),
 
+    // REAL PCM audio decode under the hash gate — the audio twin of
+    // q_image_features: a deterministic period-2 square-wave WAV is
+    // generated per document (Multimodal.syntheticWavs documents the
+    // closed-form sample layout), decoded back with JDK javax.sound.sampled,
+    // and the exact integer sample sum / sum-of-squares / peak are compared
+    // against an oracle replaying the generator's arithmetic from doc_id
+    // alone — DuckDB cannot parse WAV, so a hash match proves the decode
+    // really recovered every sample.
+    "q_audio_features" -> Q(
+      (s, dir) => {
+        val wavs = minietl.multimodal.Multimodal.syntheticWavs(documents(s, dir), "doc_id")
+        minietl.multimodal.Multimodal.audioStats(wavs)
+          .select(col("media_id"), col("frames"),
+            col("channels").cast("long").as("channels"), col("sample_rate"),
+            col("bits").cast("long").as("bits"),
+            col("sample_sum"), col("sum_sq"), col("peak_abs"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(300 + doc_id % 101 AS BIGINT) AS frames,
+             |  CAST(1 AS BIGINT) AS channels,
+             |  CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+             |  CAST(16 AS BIGINT) AS bits,
+             |  CAST(a1 * n1 + a2 * n2 AS BIGINT) AS sample_sum,
+             |  CAST(a1 * a1 * n1 + a2 * a2 * n2 AS BIGINT) AS sum_sq,
+             |  CAST(greatest(abs(a1), abs(a2)) AS BIGINT) AS peak_abs
+             |FROM (
+             |  SELECT doc_id, (n + 1) // 2 AS n1, n // 2 AS n2,
+             |    (131 * doc_id) % 20001 - 10000 AS a1,
+             |    (257 * doc_id + 19) % 20001 - 10000 AS a2
+             |  FROM (SELECT doc_id, 300 + doc_id % 101 AS n FROM documents))
+             |ORDER BY media_id""".stripMargin)),
+
     // Structured Streaming parity: the same events aggregation, executed as
     // an unbounded file stream drained with Trigger.AvailableNow into a
     // memory sink — result must match the batch oracle exactly.

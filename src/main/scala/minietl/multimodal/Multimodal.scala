@@ -14,13 +14,15 @@ import org.apache.spark.sql.types._
   * front so Catalyst plans around the opaque stage.
   *
   * Codec status: **images decode for real** via the JDK's `javax.imageio`
-  * (PNG/BMP/GIF/JPEG, zero extra dependencies — see [[decodeImage]]);
-  * audio/video remain STUBBED (`decodeStub`) because no audio/video codecs
-  * ship offline. [[extractFeatures]] dispatches on the `meta.format` MIME
-  * type: `image/...` MIME payloads get decoded width/height/channel-mean/entropy
-  * features, everything else the deterministic byte-hash stub. The
-  * batching, schema, partition sizing and null handling are shared by both
-  * paths.
+  * (PNG/BMP/GIF/JPEG, zero extra dependencies — see [[decodeImage]]) and
+  * **PCM audio decodes for real** via the JDK's `javax.sound.sampled`
+  * (WAV/AIFF/AU, also in `java.desktop` — see [[decodeAudio]]); only VIDEO
+  * remains stubbed (`decodeStub`), because the JDK genuinely ships no video
+  * codec. [[extractFeatures]] dispatches on the `meta.format` MIME type:
+  * `image/...` payloads get decoded width/height/channel-mean/entropy
+  * features, `audio/...` payloads decoded frame/rate/amplitude features,
+  * everything else the deterministic byte-hash stub. The batching, schema,
+  * partition sizing and null handling are shared by all paths.
   */
 object Multimodal {
 
@@ -108,7 +110,100 @@ object Multimodal {
     java.util.Arrays.copyOf(full, featureDim)
   }
 
-  /** STUB decoder for audio/video (no offline codecs for those): derives `featureDim` deterministic doubles
+  /** Exact per-clip statistics from a REAL PCM decode (see [[decodeAudio]]):
+    * every field is an exact integer straight off the sample stream, so an
+    * external oracle that knows how the clip was produced can verify the
+    * decode with pure arithmetic (the same move as [[ImageStats]]).
+    * `sampleSum`/`sumSq` fold over ALL samples, channels interleaved;
+    * `peakAbs` is the max absolute sample value.
+    */
+  final case class AudioStats(
+      frames: Long, channels: Int, sampleRateHz: Long, bitsPerSample: Int,
+      sampleSum: Long, sumSq: Long, peakAbs: Long)
+
+  /** Real audio decoder: `javax.sound.sampled.AudioSystem` (JDK
+    * `java.desktop` module — WAV/AIFF/AU containers, fully offline).
+    * Supports the PCM encodings the JDK parser emits: signed/unsigned
+    * integer PCM at 8/16/24/32 bits, either endianness. Samples are read as
+    * exact integers (unsigned encodings re-centred by subtracting the
+    * midpoint, so silence is 0 in every encoding) and folded into exact
+    * integer sum / sum-of-squares / peak. Overflow budget: a 32-bit
+    * sample² is < 2^62, so `sumSq` holds for a single sample of any width
+    * and for ≥ 2 samples callers should stay ≤ 24-bit or model-length
+    * clips; the battery uses 16-bit (sample² < 2^30 — years of audio fit).
+    * `None` for null/empty/unparsable payloads or non-PCM encodings —
+    * callers decide whether that is an error or a skip.
+    */
+  def decodeAudio(content: Array[Byte]): Option[AudioStats] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (content == null || content.isEmpty) return None
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => return None
+        case _: java.io.IOException => return None
+      }
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+      if (!signed && !unsigned) return None
+      val bits = fmt.getSampleSizeInBits
+      if (bits % 8 != 0 || bits < 8 || bits > 32) return None
+      val bytesPerSample = bits / 8
+      val big = fmt.isBigEndian
+      val mid = 1L << (bits - 1) // unsigned midpoint for re-centring
+      val buf = ais.readAllBytes()
+      val nSamples = buf.length / bytesPerSample
+      var sum = 0L; var sq = 0L; var peak = 0L
+      var i = 0
+      while (i < nSamples) {
+        val off = i * bytesPerSample
+        var raw = 0L
+        var b = 0
+        while (b < bytesPerSample) {
+          val idx = if (big) off + b else off + (bytesPerSample - 1 - b)
+          raw = (raw << 8) | (buf(idx) & 0xffL)
+          b += 1
+        }
+        val v =
+          if (signed) (raw << (64 - bits)) >> (64 - bits) // sign-extend
+          else raw - mid
+        sum += v
+        sq += v * v
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        i += 1
+      }
+      Some(AudioStats(
+        frames = nSamples.toLong / fmt.getChannels,
+        channels = fmt.getChannels,
+        sampleRateHz = math.round(fmt.getSampleRate.toDouble),
+        bitsPerSample = bits,
+        sampleSum = sum, sumSq = sq, peakAbs = peak))
+    } catch {
+      case _: java.io.IOException => None
+    } finally ais.close()
+  }
+
+  /** Feature vector from a real PCM decode: `[frames, channels, rate,
+    * mean, meanSquare, peak]` truncated/zero-padded to `featureDim`. The
+    * two divisions are the only non-integers (exact integer operands, IEEE
+    * division — engine-portable like the image means).
+    */
+  private def audioFeatureVector(st: AudioStats, featureDim: Int): Array[Double] = {
+    val n = (st.frames * st.channels).toDouble
+    val full = Array[Double](
+      st.frames.toDouble, st.channels.toDouble, st.sampleRateHz.toDouble,
+      if (n == 0) 0.0 else st.sampleSum / n,
+      if (n == 0) 0.0 else st.sumSq / n,
+      st.peakAbs.toDouble)
+    java.util.Arrays.copyOf(full, featureDim)
+  }
+
+  /** STUB decoder for video (the JDK ships no video codec — images and PCM
+    * audio decode for real above): derives `featureDim` deterministic doubles
     * in [-1, 1) from the payload bytes: slot j is a polynomial rolling hash
     * (base 131, mod 2^31-1) over the byte subsequence at positions i ≡ j
     * (mod featureDim), scaled by an exact power-of-two division — so each
@@ -132,10 +227,11 @@ object Multimodal {
   /** Batched "decode + featurize" stage: per-partition iteration with a
     * declared output schema (media_id, n_bytes, features). At scale the
     * partition is the batch: one task = one decoder = thousands of items,
-    * no per-row interpreter round-trips. Dispatch: `image/...` MIME formats are
-    * REALLY decoded ([[decodeImage]] → width/height/channel-mean/entropy
-    * features; stub fallback if the payload doesn't parse); other formats
-    * (audio/video/fake) use [[decodeStub]].
+    * no per-row interpreter round-trips. Dispatch: `image/...` MIME formats
+    * are REALLY decoded ([[decodeImage]] → width/height/channel-mean/entropy
+    * features), `audio/...` formats too ([[decodeAudio]] →
+    * frames/channels/rate/mean/meanSquare/peak features); stub fallback if
+    * a payload doesn't parse; other formats (video/fake) use [[decodeStub]].
     */
   def extractFeatures(media: DataFrame, featureDim: Int = 16): DataFrame = {
     val spark = media.sparkSession
@@ -152,6 +248,9 @@ object Multimodal {
           val feats =
             if (fmt.startsWith("image/"))
               decodeImage(bytes).map(imageFeatureVector(_, featureDim))
+                .getOrElse(decodeStub(bytes, featureDim))
+            else if (fmt.startsWith("audio/"))
+              decodeAudio(bytes).map(audioFeatureVector(_, featureDim))
                 .getOrElse(decodeStub(bytes, featureDim))
             else decodeStub(bytes, featureDim)
           Row(id, if (bytes == null) 0L else bytes.length.toLong, feats.toSeq)
@@ -191,6 +290,90 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Exact decoded-audio statistics frame: one row per media item with
+    * `(media_id, frames, channels, sample_rate, bits, sample_sum, sum_sq,
+    * peak_abs)` — all exact integers straight from the decoded PCM stream
+    * ([[decodeAudio]]), so an engine that knows how the clip was produced
+    * replays them with pure arithmetic. Unparsable payloads yield null
+    * stats. Same per-partition batching contract as [[imageStats]].
+    */
+  def audioStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frames", LongType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("sample_rate", LongType, nullable = true),
+      StructField("bits", IntegerType, nullable = true),
+      StructField("sample_sum", LongType, nullable = true),
+      StructField("sum_sq", LongType, nullable = true),
+      StructField("peak_abs", LongType, nullable = true)))
+    val rows = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        decodeAudio(bytes) match {
+          case Some(st) =>
+            Row(id, st.frames, st.channels, st.sampleRateHz, st.bitsPerSample,
+              st.sampleSum, st.sumSq, st.peakAbs)
+          case None => Row(id, null, null, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Encode `samples` as a real mono 16-bit signed little-endian PCM WAV
+    * via JDK `javax.sound.sampled`. PCM is lossless, so a decode must
+    * recover every sample exactly.
+    */
+  def pcm16Wav(samples: Array[Short], sampleRateHz: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRateHz.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic per-row WAV corpus — the audio twin of
+    * [[syntheticImages]]: for each id, a period-2 square wave (the
+    * checkerboard trick in one dimension) of `n = 300 + id%101` frames at
+    * `rate = 8000 + (id%3)*4000` Hz, alternating exact 16-bit amplitudes
+    * `a1 = (131*id) mod 20001 - 10000` (even frames) and
+    * `a2 = (257*id + 19) mod 20001 - 10000` (odd frames). Every expected
+    * decode statistic is closed-form over the id (`n1 = ceil(n/2)` frames
+    * of a1, `n2 = floor(n/2)` of a2; sum = a1·n1 + a2·n2; sum of squares =
+    * a1²·n1 + a2²·n2; peak = max(|a1|, |a2|)), which lets an external SQL
+    * oracle verify the REAL decode without being able to parse WAV itself.
+    * One encoder per partition, same batching contract as the decode
+    * stages.
+    */
+  def syntheticWavs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = (300 + id % 101).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val a1 = ((131 * id) % 20001 - 10000).toShort
+        val a2 = ((257 * id + 19) % 20001 - 10000).toShort
+        val samples = Array.tabulate(n)(i => if (i % 2 == 0) a1 else a2)
+        val durMs = n.toLong * 1000 / rate
+        Row(id, pcm16Wav(samples, rate), Row("audio/wav", null, null, durMs))
+      }
+    }
+    spark.createDataFrame(rows, mediaSchema)
   }
 
   /** Encode a `w`×`h` two-colour checkerboard ((x+y) even → `c1`, odd →

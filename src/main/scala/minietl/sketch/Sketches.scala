@@ -19,9 +19,12 @@ import minietl.functions.PortableHash
   * these are supersets in the spirit of SURVEY §2.8.
   *
   * Scale shapes:
-  *  - [[kmvDistinct]]: `distinct → orderBy(h) → limit(k)` compiles to
-  *    TakeOrderedAndProject — each partition keeps its own k smallest
-  *    hashes, only p×k rows ever move. No full sort, no wide shuffle.
+  *  - [[kmvDistinct]]: a partition-local bottom-k-DISTINCT accumulator (a
+  *    bounded TreeSet per task) runs BEFORE any exchange, so the only
+  *    shuffle in the plan carries ≤ p×k longs — cost independent of key
+  *    cardinality. (A naive `distinct → orderBy → limit` formulation
+  *    shuffles every distinct hash to feed the distinct aggregation — the
+  *    very cost the sketch exists to avoid.)
   *  - [[countMinSketch]]: one groupBy over (lane, bucket) with map-side
   *    combine; the exchange carries at most depth×width rows per partition
   *    regardless of corpus size.
@@ -39,12 +42,36 @@ object Sketches {
     * Returns one row: (n_kept BIGINT, kth_hash BIGINT, estimate DOUBLE).
     * All arithmetic is a single IEEE multiply-divide over exactly-agreed
     * integers, so any engine reproduces the estimate bit-for-bit.
+    *
+    * Plan shape: the per-partition accumulator is a bounded TreeSet of the
+    * k smallest DISTINCT hashes seen by that task (any member of the global
+    * bottom-k is necessarily in its own partition's bottom-k, so the merge
+    * is lossless); the final distinct+sort+limit then runs over ≤ p×k rows.
+    * `mapPartitions` is justified here because no Catalyst operator
+    * expresses "bottom-k distinct before the exchange" — `distinct` always
+    * aggregates (and therefore shuffles) the full key set first.
     */
   def kmvDistinct(df: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2, got $k")
-    val mins = df
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perPartition = df
       .select(PortableHash.md5Hash60(col(valueCol).cast("string")).as("h"))
       .where(col("h").isNotNull)
+      .as[Long]
+      .mapPartitions { it =>
+        val keep = new java.util.TreeSet[java.lang.Long]()
+        it.foreach { h =>
+          if (keep.size < k) { keep.add(h); () }
+          else if (h < keep.last) {
+            // add() is false for a duplicate already kept — don't evict then
+            if (keep.add(h)) { keep.pollLast(); () }
+          }
+        }
+        scala.jdk.CollectionConverters.IteratorHasAsScala(keep.iterator())
+          .asScala.map(_.longValue)
+      }
+    val mins = perPartition.toDF("h")
       .distinct()
       .orderBy("h")
       .limit(k)
@@ -144,6 +171,15 @@ object Sketches {
     val k = keys.map(col)
     val counts = df
       .select(k :+ expr(s"CAST(floor($valueCol * $scale) AS BIGINT)").as("x"): _*)
+      // the values >= 0 contract is ENFORCED, not just documented: a
+      // negative value would produce a negative bucket that flows through
+      // the `bucket < 8` arms into a silently-wrong estimate (and the
+      // oracle replays the same arithmetic, so the hash gate cannot catch
+      // it). The guard is one scan-side comparison per row — no extra job.
+      .withColumn("x", expr(
+        "CASE WHEN x < 0 THEN CAST(raise_error(concat(" +
+          s"'logHistQuantiles requires $valueCol >= 0, got scaled value ', x)) " +
+          "AS BIGINT) ELSE x END"))
       .withColumn("bucket", logHistBucket("x"))
       .groupBy(k :+ col("bucket"): _*).agg(count(lit(1)).as("cnt"))
     quantilesFromBucketCounts(counts, keys, quantiles, scale)

@@ -113,6 +113,64 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("decodeAudio recovers exact frames/rate/sum/sumSq/peak from a generated WAV") {
+    val samples = Array[Short](100, -200, 300, -400, 500)
+    val wav = Multimodal.pcm16Wav(samples, 8000)
+    val st = Multimodal.decodeAudio(wav).get
+    assert(st.frames === 5L && st.channels === 1 && st.sampleRateHz === 8000L)
+    assert(st.bitsPerSample === 16)
+    assert(st.sampleSum === (100 - 200 + 300 - 400 + 500).toLong)
+    assert(st.sumSq === samples.map(s => s.toLong * s).sum)
+    assert(st.peakAbs === 500L)
+  }
+
+  test("decodeAudio handles full-range 16-bit extremes exactly") {
+    val samples = Array[Short](Short.MaxValue, Short.MinValue, 0)
+    val st = Multimodal.decodeAudio(Multimodal.pcm16Wav(samples, 44100)).get
+    assert(st.sampleSum === 32767L - 32768L)
+    assert(st.peakAbs === 32768L)
+    assert(st.sumSq === 32767L * 32767 + 32768L * 32768)
+  }
+
+  test("decodeAudio rejects null, empty and non-audio payloads") {
+    assert(Multimodal.decodeAudio(null).isEmpty)
+    assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeAudio("definitely not a wav".getBytes("UTF-8")).isEmpty)
+    // a PNG is parseable bytes but not an audio container
+    assert(Multimodal.decodeAudio(Multimodal.checkerPng(2, 2, (0, 0, 0), (1, 1, 1))).isEmpty)
+  }
+
+  test("extractFeatures really decodes audio/* payloads") {
+    val wav = Multimodal.pcm16Wav(Array[Short](10, -10, 10, -10), 16000)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, wav,
+          org.apache.spark.sql.Row("audio/wav", null, null, 0L)))),
+      Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(media, 16).collect()(0).getSeq[Double](2)
+    // [frames, channels, rate, mean, meanSquare, peak, 0...]
+    assert(feats.take(6) === Seq(4.0, 1.0, 16000.0, 0.0, 100.0, 10.0))
+    assert(feats.drop(6).forall(_ === 0.0) && feats.size === 16)
+  }
+
+  test("syntheticWavs → audioStats round-trip matches the documented closed form") {
+    val ids = Seq(0L, 1L, 7L, 123L, 9999L)
+    val out = Multimodal.audioStats(
+        Multimodal.syntheticWavs(ids.toDF("doc_id"), "doc_id"))
+      .orderBy("media_id").collect()
+    ids.sorted.zip(out).foreach { case (id, r) =>
+      val n = (300 + id % 101).toInt
+      val a1 = (131 * id) % 20001 - 10000
+      val a2 = (257 * id + 19) % 20001 - 10000
+      val n1 = (n + 1) / 2; val n2 = n / 2
+      assert(r.getLong(1) === n.toLong, s"frames for id $id")
+      assert(r.getLong(3) === 8000L + (id % 3) * 4000, s"rate for id $id")
+      assert(r.getLong(5) === a1 * n1 + a2 * n2, s"sum for id $id")
+      assert(r.getLong(6) === a1 * a1 * n1 + a2 * a2 * n2, s"sumSq for id $id")
+      assert(r.getLong(7) === math.max(math.abs(a1), math.abs(a2)), s"peak for id $id")
+    }
+  }
+
   test("sampleFrames explodes fixed slices and drops empty payloads") {
     val m = Multimodal.fakeMedia(Seq((1L, "abcdefgh")).toDF("doc_id", "text"), "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, frames = 4).orderBy("frame_idx").collect()

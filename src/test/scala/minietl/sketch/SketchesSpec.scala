@@ -31,6 +31,38 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Double]("estimate") === 10.0)
   }
 
+  test("kmvDistinct partition-local bottom-k equals the naive distinct/sort/limit") {
+    import minietl.functions.PortableHash
+    // adversarial layout: duplicates crowding partitions, values interleaved
+    // so every partition holds some of the global bottom-k
+    val df = spark.range(0, 5000).repartition(16)
+      .select(concat(lit("key_"), (col("id") % 1200).cast("string")).as("v"))
+    val k = 64
+    val fast = Sketches.kmvDistinct(df, "v", k).head()
+    val naive = df
+      .select(PortableHash.md5Hash60(col("v").cast("string")).as("h"))
+      .where(col("h").isNotNull).distinct().orderBy("h").limit(k)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash")).head()
+    assert(fast.getAs[Long]("n_kept") === naive.getAs[Long]("n_kept"))
+    assert(fast.getAs[Long]("kth_hash") === naive.getAs[Long]("kth_hash"))
+  }
+
+  test("kmvDistinct plan has no full-cardinality exchange before the bottom-k") {
+    // the bounded accumulator must run BEFORE the shuffle: the scan-side
+    // stage (everything below the first exchange) must contain the
+    // mapPartitions stage, so the exchange moves <= p*k longs
+    val df = spark.range(0, 1000).select(col("id").cast("string").as("v"))
+    val plan = Sketches.kmvDistinct(df, "v", 32).queryExecution.executedPlan.toString
+    val lastExchange = plan.lastIndexOf("Exchange")
+    val mapPart = plan.indexOf("MapPartitions")
+    assert(mapPart >= 0, s"expected a MapPartitions stage in:\n$plan")
+    // the plan prints top-down (scan last), so "no exchange below the
+    // accumulator" means every Exchange prints BEFORE the MapPartitions
+    assert(mapPart > lastExchange,
+      s"bottom-k accumulator must sit below every exchange (mapPartitions " +
+        s"at $mapPart, last exchange at $lastExchange):\n$plan")
+  }
+
   test("countMinSketch cell counts sum to depth x token count") {
     val toks = Seq("a", "b", "a", "c", "a", "b").toDF("t")
     val sketch = Sketches.countMinSketch(toks, "t", depth = 4, width = 16)
@@ -82,6 +114,17 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     val a = out(0).getAs[Double]("est"); val b = out(1).getAs[Double]("est")
     assert(a <= 30.0 && 30.0 < a * 1.125)
     assert(b <= 2000.0 && 2000.0 < b * 1.125)
+  }
+
+  test("logHistQuantiles fails loudly on a negative value") {
+    val df = Seq(1.0, -2.0).toDF("v")
+    val e = intercept[Exception] {
+      Sketches.logHistQuantiles(df, Nil, "v", Seq((50, 100))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("requires v >= 0")),
+      s"expected the contract message in: ${messages(e).mkString(" | ")}")
   }
 
   test("logHistQuantiles rejects malformed quantiles") {

@@ -3358,22 +3358,25 @@ object SparkEntry {
   @volatile private var ivfServingOracle: Option[String] = None
 
   /** Oracle SQL per query. `q_ivf_ann`'s entry appears only once its query
-    * has trained (the SQL embeds the learned centroids), so iteration over a
-    * pre-training map simply lacks the key — but a DIRECT lookup of
-    * `q_ivf_ann` before training is always a sequencing bug and fails fast
-    * with an actionable message instead of a silent `None`/`NoSuchElement`.
+    * has trained (the SQL embeds the learned centroids), so before training
+    * the map simply LACKS the key — `get`/`contains`/`getOrElse` behave like
+    * any Map's (a demanding caller can probe without tripping). Only the
+    * unconditional `apply("q_ivf_ann")` fails fast pre-training, with an
+    * actionable message instead of the bare `NoSuchElementException` —
+    * that direct lookup is always a sequencing bug.
     */
   def oracleSql: Map[String, String] = {
     val base = registry.collect { case (k, Q(_, Some(sql))) => k -> sql }.toMap ++
       ivfServingOracle.map("q_ivf_ann" -> _)
     new scala.collection.immutable.AbstractMap[String, String] {
-      def get(key: String): Option[String] = {
+      def get(key: String): Option[String] = base.get(key)
+      override def apply(key: String): String = {
         if (key == "q_ivf_ann" && ivfServingOracle.isEmpty)
           throw new IllegalStateException(
             "q_ivf_ann oracle requested before the q_ivf_ann query ran: its SQL " +
               "embeds the trained IVF centroids. Run SparkEntry.queries(\"q_ivf_ann\") " +
               "(as graft.Verify does) before reading this oracle entry.")
-        base.get(key)
+        base(key)
       }
       def iterator: Iterator[(String, String)] = base.iterator
       def removed(key: String): Map[String, String] = base.removed(key)

@@ -194,6 +194,12 @@ object Config {
           else if (!cc.options.contains("schema"))
             Seq(s"$what csv bad_records_path requires an explicit schema " +
               "(corrupt-line capture needs declared columns)")
+          else if (cc.options.contains("mode"))
+            // capture forces the PERMISSIVE read (a FAILFAST/DROPMALFORMED
+            // read never surfaces the corrupt rows to capture) — a user
+            // mode would be silently overridden, so reject the combination
+            Seq(s"$what csv mode cannot be combined with bad_records_path " +
+              "(the capture read is always PERMISSIVE; drop one of the two)")
           else Nil
         needsPath ++ modeErr ++ schemaErrs ++ brpErrs
       case t if (if (kind == "source") sourceTypes else sinkTypes).contains(t) =>
@@ -344,10 +350,14 @@ object Config {
           case Some(brp) =>
             // Malformed-line capture (the reference's skipped-chunk error
             // files, SURVEY §7.6): read PERMISSIVE with a corrupt-record
-            // column appended to the declared schema, append raw bad lines
-            // to `brp` as JSONL, and flow clean rows on. Two scans of the
-            // source (bad-write + downstream), NO cache — the scale-safe
-            // trade; the corrupt column never escapes this function.
+            // column appended to the declared schema, OVERWRITE `brp` with
+            // the raw bad lines as JSONL, and flow clean rows on. Overwrite,
+            // not append: each source materialization captures the same bad
+            // lines, so append would duplicate them on every pipeline re-run
+            // (or a DAG reading the source twice); the capture always
+            // reflects the latest read of the file. Two scans of the source
+            // (bad-write + downstream), NO cache — the scale-safe trade; the
+            // corrupt column never escapes this function.
             s => {
               val corrupt = "_corrupt_record"
               val readSchema = schema.get.add(corrupt, org.apache.spark.sql.types.StringType)
@@ -360,7 +370,7 @@ object Config {
               // for whoever reads the capture file back
               read().filter(col(corrupt).isNotNull)
                 .withColumnRenamed(corrupt, "bad_record")
-                .write.mode("append").json(brp)
+                .write.mode("overwrite").json(brp)
               read().filter(col(corrupt).isNull).drop(corrupt)
             }
           case None =>
@@ -518,11 +528,13 @@ object Config {
       case "lm_surprise" =>
         // joins per-doc bigram-surprise scores back onto the frame (left:
         // docs without bigrams keep null scores) so a filter stage can
-        // threshold avg_millibits next
+        // threshold avg_millibits next. The EAGER variant: a config-driven
+        // run has no unpersist hook, so the lazy variant would leak the
+        // cached occurrence frame for the session's lifetime.
         val key = str(t.options, "key")
         val c = str(t.options, "column")
         df => df.join(
-          minietl.text.LmScore.bigramSurprise(df, key, c)
+          minietl.text.LmScore.bigramSurpriseEager(df, key, c)
             .withColumnRenamed("doc_id", key),
           Seq(key), "left")
       case "contamination_filter" =>

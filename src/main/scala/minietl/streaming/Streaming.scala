@@ -112,16 +112,24 @@ object Streaming {
   /** Custom-state sessionization via `flatMapGroupsWithState` — the
     * fully-programmable sibling of [[sessionAgg]] for session logic
     * `session_window` cannot express (custom close rules, per-session
-    * payloads, emit-on-close side effects). Semantics match the batch
-    * islands formulation exactly: a row starts a NEW session when
+    * payloads, emit-on-close side effects). A row starts a NEW session when
     * `ts - previous_ts >= gapSeconds`, else extends the open one; a closed
     * session carries (start, end, count, sum).
     *
-    * Determinism contract: rows are buffered and sorted by (ts) per key per
-    * micro-batch before folding, so output is independent of arrival order
-    * within a batch (the buffer is bounded by per-key-per-batch volume, not
-    * stream history). Session boundaries depend only on timestamps, and
-    * count/sum are order-insensitive, so results are engine-replayable.
+    * Determinism contract — scoped to WITHIN a micro-batch: rows are
+    * buffered and sorted by (ts) per key per batch before folding, so
+    * output is independent of arrival order inside a batch (the buffer is
+    * bounded by per-key-per-batch volume, not stream history). ACROSS
+    * batches the guarantees are the watermark's: `flatMapGroupsWithState`
+    * does not auto-drop late input, so rows at or below the current
+    * watermark are dropped HERE (same contract as Spark's own stateful
+    * operators), and an above-watermark row that still arrives out of
+    * order relative to the open session extends it with
+    * `start = min(start, ts)` / `last = max(last, ts)` — it can therefore
+    * widen a session that a single-batch replay would have split, which is
+    * the inherent cost of out-of-order arrival under any bounded-state
+    * sessionizer. Exact batch parity holds when each key's rows arrive
+    * batch-monotonically (e.g. the battery's staged single-batch replay).
     *
     * Flush paths, in preference order:
     *  - rows with `flushCol = true` act as pure time passage: they close a
@@ -155,7 +163,11 @@ object Streaming {
             state.remove()
             out
           } else {
-            val rows = it.toArray.sortBy(r => us(r._2))
+            // flatMapGroupsWithState does NOT auto-drop late input — enforce
+            // the watermark contract ourselves so a straggler from a past
+            // batch cannot rewind an open session (see docstring)
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val rows = it.filter(r => us(r._2) >= wmUs).toArray.sortBy(r => us(r._2))
             val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
             var open = state.getOption
             rows.foreach { r =>
@@ -165,7 +177,11 @@ object Streaming {
                   out += closed(o)
                   open = if (r._4) None else Some(OpenSess(t, t, 1L, r._3))
                 case Some(o) =>
-                  if (!r._4) open = Some(OpenSess(o.start, t, o.n + 1, o.sum + r._3))
+                  // min/max (not o.start/t): an above-watermark row arriving
+                  // in a LATER batch can be out of order relative to the
+                  // open session; widening is the deterministic merge
+                  if (!r._4) open = Some(OpenSess(
+                    math.min(o.start, t), math.max(o.last, t), o.n + 1, o.sum + r._3))
                 case None =>
                   if (!r._4) open = Some(OpenSess(t, t, 1L, r._3))
               }

@@ -39,7 +39,29 @@ object LmScore {
   /** Per-document bigram-surprise score:
     * (doc_id, n_bigrams BIGINT, surprise_bits BIGINT, avg_millibits BIGINT).
     */
-  def bigramSurprise(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramSurprise(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoresAndOccCache(docs, idCol, textCol)._1
+
+  /** [[bigramSurprise]] for fire-and-forget callers that have no unpersist
+    * hook (the YAML `lm_surprise` stage — a pipeline run must not leak
+    * cached occurrence blocks for the session's lifetime): materializes the
+    * scores with an EAGER localCheckpoint, releases the occurrence cache
+    * immediately, and returns the checkpointed frame — whose blocks the
+    * ContextCleaner reclaims once the frame is unreferenced (the
+    * [[minietl.graph.PageRank]] pattern). The checkpoint holds one 4-column
+    * row per scored document — bounded and far smaller than the occurrence
+    * frame it replaces. Library callers wanting full laziness use
+    * [[bigramSurprise]] and release the cache themselves.
+    */
+  def bigramSurpriseEager(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (scores, occ) = scoresAndOccCache(docs, idCol, textCol)
+    val out = scores.localCheckpoint(true)
+    occ.unpersist()
+    out
+  }
+
+  private def scoresAndOccCache(docs: DataFrame, idCol: String,
+                                textCol: String): (DataFrame, DataFrame) = {
     val occ = docs
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.ngrams(TextAnalysis.tokens(col(textCol)), 2)).as("bigram"))
@@ -48,7 +70,7 @@ object LmScore {
     val prefCounts = bigCounts
       .withColumn("prefix", expr("split_part(bigram, ' ', 1)"))
       .groupBy("prefix").agg(sum("c_bigram").as("c_prefix"))
-    occ
+    val scores = occ
       .join(bigCounts, "bigram")
       .withColumn("prefix", expr("split_part(bigram, ' ', 1)"))
       .join(prefCounts, "prefix")
@@ -56,5 +78,6 @@ object LmScore {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("surprise").as("surprise_bits"))
       .withColumn("avg_millibits", expr("(1000 * surprise_bits) DIV n_bigrams"))
+    (scores, occ)
   }
 }

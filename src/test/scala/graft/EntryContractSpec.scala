@@ -37,19 +37,22 @@ class EntryContractSpec extends AnyFunSuite with SparkTestBase {
       s"driver-unsafe output columns (see SparkEntry header contract):\n  ${bad.mkString("\n  ")}")
   }
 
-  test("q_ivf_ann oracle lookup fails fast before training and resolves after") {
-    // Direct lookup before the query trained must throw the actionable
-    // sequencing error (unless an earlier suite in this JVM already ran the
-    // query, in which case it must resolve); iteration must never throw.
-    try {
-      val pre = SparkEntry.oracleSql.get("q_ivf_ann")
-      assert(pre.exists(_.nonEmpty)) // already trained earlier in this JVM
-    } catch {
-      case e: IllegalStateException =>
-        assert(e.getMessage.contains("before the q_ivf_ann query ran"))
-        assert(!SparkEntry.oracleSql.iterator.exists(_._1 == "q_ivf_ann"))
+  test("q_ivf_ann oracle apply fails fast before training; get/contains obey the Map contract") {
+    // Before the query trains, the key is simply ABSENT: get returns None,
+    // contains/getOrElse behave like any Map's (no Map-contract violation).
+    // Only the unconditional apply() throws the actionable sequencing error.
+    // (If an earlier suite in this JVM already ran the query, all paths
+    // resolve instead.)
+    val pre = SparkEntry.oracleSql
+    if (!pre.iterator.exists(_._1 == "q_ivf_ann")) {
+      assert(pre.get("q_ivf_ann").isEmpty)
+      assert(!pre.contains("q_ivf_ann"))
+      assert(pre.getOrElse("q_ivf_ann", "absent") === "absent")
+      val e = intercept[IllegalStateException] { pre("q_ivf_ann") }
+      assert(e.getMessage.contains("before the q_ivf_ann query ran"))
     }
     SparkEntry.queries("q_ivf_ann")(spark, sfDir).collect()
     assert(SparkEntry.oracleSql("q_ivf_ann").nonEmpty)
+    assert(SparkEntry.oracleSql.get("q_ivf_ann").exists(_.nonEmpty))
   }
 }

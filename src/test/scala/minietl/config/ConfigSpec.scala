@@ -142,6 +142,17 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(rawLines(0) === "2,bob,oops")
     assert(rawLines(1) === "4,dan,40.5,extra,fields")
 
+    // a RE-RUN overwrites the capture (append would duplicate the same bad
+    // lines on every run — the capture reflects the latest read)
+    assert(Config.load(captured).run(spark).rows === 2)
+    assert(spark.read.json(brp).count() === 2)
+
+    // mode + bad_records_path is rejected up front (the capture read is
+    // always PERMISSIVE; a user mode would be silently overridden)
+    val conflicting = Config.validate(Config.parse(
+      yaml(s"  mode: failfast\n  bad_records_path: $brp")))
+    assert(conflicting.exists(_.contains("cannot be combined")), conflicting.toString)
+
     // validation rejects bad mode values, dtypes, and schema-less capture
     assert(Config.validate(Config.parse(yaml("  mode: lenient"))).nonEmpty)
     assert(Config.validate(Config.parse(

@@ -137,6 +137,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("customSessionize drops below-watermark stragglers and widens on out-of-order rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double, Boolean)]
+    val sessions = Streaming.customSessionize(
+      input.toDF().toDF("k", "ts", "v", "fl"),
+      keyCol = "k", tsCol = "ts", valueCol = "v",
+      gapSeconds = 300, watermarkDelay = "10 minutes", flushCol = Some("fl"))
+    val q = sessions.toDF().writeStream.format("memory").queryName("csess_late")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1 opens the session at 10:40; watermark after it: 10:30
+      input.addData((5L, ts(40), 1.0, false))
+      q.processAllAvailable()
+      // batch 2: 10:25 is BELOW the 10:30 watermark → must be dropped (not
+      // silently folded in); 10:38 is above it but out of order vs the open
+      // session's last=10:40 → widens start to 10:38 WITHOUT rewinding last;
+      // the 11:00 flush then closes the session (gap elapsed)
+      input.addData((5L, ts(25), 99.0, false), (5L, ts(38), 2.0, false),
+        (5L, ts(60), 0.0, true))
+      q.processAllAvailable()
+      val got = spark.table("csess_late")
+        .select(col("k"), col("start_us"), col("end_us"), col("n_events"), col("total"))
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+      assert(got === Set((5L, us(ts(38)), us(ts(40)), 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark collapses duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]

@@ -47,6 +47,25 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Durable FULL per-query artifact: the driver's bench tail truncates at
+    // ~66 queries, which hid q_pagerank's 8.5 s for five rounds (PLANS.md).
+    // Every run therefore also writes the complete sorted timing map — one
+    // line per query — to a committable file (override the path with
+    // SPARK_GRAFT_BENCH_FULL).
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full_latest.json")
+    val sorted = results.toSeq.sortBy(_._1)
+    val lines = sorted.map { case (k, v) =>
+      "  \"" + k + "\": " + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+      s"""{
+         |"sf": "$sfDir",
+         |"n_queries": ${sorted.size},
+         |"total_sec": ${math.round(total * 1000) / 1000.0},
+         |"queries": {
+         |${lines.mkString(",\n")}
+         |}
+         |}
+         |""".stripMargin)
     spark.stop()
   }
 }

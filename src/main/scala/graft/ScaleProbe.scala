@@ -65,7 +65,9 @@ object ScaleProbe {
         time("plain")(l.join(r, Seq("skew_key")))
         time("salted")(minietl.ops.Skew.saltedJoin(l, r, Seq("skew_key"), factor = 8))
       case "pagerank" =>
-        // stage-by-stage wall clock of the q_pagerank pipeline at a dir
+        // stage-by-stage wall clock of the q_pagerank pipeline at a dir,
+        // replicating the PRODUCTION shape (edge+outdeg pre-join, one
+        // full-outer checks job, one node-sized join per iteration)
         val dir = args(1)
         def stamp[T](tag: String)(body: => T): T = {
           val t0 = System.nanoTime(); val r = body
@@ -80,22 +82,28 @@ object ScaleProbe {
           val deg = e.groupBy(col("src").as("node"))
             .agg(count(lit(1)).as("outdeg")).persist()
           stamp("deg-materialize")(deg.count())
-          val dsts = e.select(col("dst").as("node")).distinct()
-          stamp("noOut-antijoin")(dsts.join(deg, Seq("node"), "left_anti").count())
-          stamp("noIn-antijoin")(deg.select("node").join(dsts, Seq("node"), "left_anti").count())
-          val n = deg.count()
+          val n = stamp("checks-fold") {
+            deg.select(col("node"), lit(1).as("has_out"))
+              .join(e.select(col("dst").as("node")).distinct()
+                  .select(col("node"), lit(1).as("has_in")),
+                Seq("node"), "full_outer")
+              .agg(count(when(col("has_out").isNull, 1)),
+                count(when(col("has_in").isNull, 1)),
+                count(col("has_out")).as("n")).head().getLong(2)
+          }
+          val e2 = e.join(deg, e("src") === deg("node"))
+            .select(col("src"), col("dst"), col("outdeg")).persist()
+          stamp("edge+outdeg-materialize")(e2.count())
           val scale = 1000000000000L
           val base = (15L * scale / 100L) / n
           val init = deg.select(col("node"), lit(scale / n).as("rank_fp"))
           val last = (1 to 3).foldLeft(init) { (r, _) =>
-            val contrib = r.join(deg, "node")
-              .select(col("node"), expr("rank_fp DIV outdeg").as("c"))
-            e.join(contrib, e("src") === contrib("node"))
+            e2.join(r, e2("src") === r("node"))
               .groupBy(col("dst").as("node"))
-              .agg((lit(base) + expr("85 * sum(c) DIV 100")).as("rank_fp"))
+              .agg((lit(base) + expr("85 * sum(rank_fp DIV outdeg) DIV 100")).as("rank_fp"))
           }
           stamp("3-iterations+checkpoint")(last.select("node", "rank_fp").localCheckpoint(true))
-          e.unpersist(); deg.unpersist()
+          e.unpersist(); deg.unpersist(); e2.unpersist()
         }
       case "embcheck" =>
         // classify q_emb_neardup output pairs: same-replica vs cross-replica

@@ -35,15 +35,29 @@ object PageRank {
     * g items emits g·(g-1) directed edges, so this is for
     * small-groups-many-groups data (order baskets, co-authorship), not for
     * mega-groups — document callers should cap group size upstream.
+    *
+    * Plan shape: ONE exchange for the per-group distinct-item sets
+    * (groupBy + collect_set with partial aggregation absorbing duplicate
+    * (group, item) rows map-side), then the g² pair blow-up happens
+    * SCAN-SIDE in two Generate stages. Cross-group duplicates are removed
+    * on the UNDIRECTED pair (`src < dst`) so the edge-dedup exchange
+    * carries half the edge list, and the symmetric mirror is one more
+    * scan-side Generate after the distinct. The equivalent self-join
+    * formulation shuffles the (group, item) table TWICE (both join sides)
+    * plus a distinct of the FULL directed list — two data shuffles more
+    * volume, and a join for work a per-group explode expresses directly.
     */
-  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
-    val l = df.select(col(groupCol).as("g"), col(itemCol).as("src"))
-    val r = df.select(col(groupCol).as("g"), col(itemCol).as("dst"))
-    l.join(r, "g")
-      .where(col("src") =!= col("dst"))
-      .select("src", "dst")
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+    df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .groupBy("g").agg(collect_set("item").as("items"))
+      .select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
+      .where(col("src") < col("dst"))
       .distinct()
-  }
+      .select(explode(array(
+        struct(col("src").as("src"), col("dst").as("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
   /** `iterations` rounds of damped PageRank over a symmetric (or at least
     * dangling-free: every node has outdeg >= 1 and indeg >= 1) edge list
@@ -91,13 +105,20 @@ object PageRank {
     val n = checks.getLong(2)
     require(n > 0, "empty graph")
     val base = (15L * scale / 100L) / n
+    // outdeg attached to each edge ONCE (deg is node-cardinality, so this
+    // join broadcasts at moderate scale and AQE decides at runtime): each
+    // iteration then needs only ONE join — the node-sized rank table onto
+    // the cached pre-joined edges — plus the groupBy(dst) with map-side
+    // combine, instead of the two joins per iteration of the r ⋈ deg ⋈ e
+    // formulation. `rank_fp DIV outdeg` per edge equals the per-node
+    // division (it is a function of (src's rank, src's outdeg) only).
+    val e2 = e.join(deg, e("src") === deg("node"))
+      .select(col("src"), col("dst"), col("outdeg")).persist()
     val init = deg.select(col("node"), lit(scale / n).as("rank_fp"))
     val last = (1 to iterations).foldLeft(init) { (r, _) =>
-      val contrib = r.join(deg, "node")
-        .select(col("node"), expr("rank_fp DIV outdeg").as("c"))
-      e.join(contrib, e("src") === contrib("node"))
+      e2.join(r, e2("src") === r("node"))
         .groupBy(col("dst").as("node"))
-        .agg((lit(base) + expr("85 * sum(c) DIV 100")).as("rank_fp"))
+        .agg((lit(base) + expr("85 * sum(rank_fp DIV outdeg) DIV 100")).as("rank_fp"))
     }
     // localCheckpoint (eager) materializes the result so the edge/degree
     // caches can be dropped NOW, and — unlike a bare cache() — the
@@ -105,7 +126,7 @@ object PageRank {
     // returned frame is garbage-collected, so repeated library calls do not
     // accumulate permanently-pinned storage.
     val out = last.select("node", "rank_fp").localCheckpoint(true)
-    e.unpersist(); deg.unpersist()
+    e.unpersist(); deg.unpersist(); e2.unpersist()
     out
   }
 }

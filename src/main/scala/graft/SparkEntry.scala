@@ -1696,6 +1696,55 @@ object SparkEntry {
              |  FROM (SELECT doc_id, 300 + doc_id % 101 AS n FROM documents))
              |ORDER BY media_id""".stripMargin)),
 
+    // The STREAMING surface driven from YAML config alone (round-8 mandate:
+    // the config-level analog of the reference Scheduler done the
+    // Structured-Streaming way): a file-stream source + declared schema +
+    // watermark + filter stage + tumbling window_agg + memory sink, all
+    // described in the stream: YAML form and drained AvailableNow — result
+    // must match the batch twin SQL exactly.
+    "q_config_stream" -> Q(
+      (s, dir) => {
+        val stage = stagingDir("cfgstream", dir)
+        deleteTree(stage)
+        events(s, dir).select("ts", "event_type", "value")
+          .coalesce(1).write.mode("overwrite").parquet(s"$stage/in")
+        val qname = s"cfg_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val yaml =
+          s"""name: battery_stream
+             |stream:
+             |  source:
+             |    type: parquet
+             |    path: $stage/in
+             |    schema:
+             |      - {name: ts, dtype: timestamp}
+             |      - {name: event_type, dtype: string}
+             |      - {name: value, dtype: float64}
+             |  watermark: {column: ts, delay: 0 seconds}
+             |  stages:
+             |    - {type: filter, condition: "value > 1"}
+             |    - type: window_agg
+             |      window: 5 minutes
+             |      keys: [event_type]
+             |      aggregations: {value: [sum, count]}
+             |  sink:
+             |    type: memory
+             |    query_name: $qname
+             |    checkpoint: $stage/chk
+             |    output_mode: complete
+             |    trigger: available_now
+             |""".stripMargin
+        withStreamStateParts(s) {
+          minietl.config.Config.loadStream(yaml).runAvailableNow(s)
+        }
+        s.table(qname)
+          .select(col("window.start").as("win_start"), col("event_type"),
+            round(col("value_sum"), 2).as("value_sum"), col("value_count"))
+          .orderBy("win_start", "event_type")
+      },
+      Some("""SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS win_start,
+             |  event_type, round(sum(value), 2) AS value_sum, count(value) AS value_count
+             |FROM events WHERE value > 1 GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
     // Structured Streaming parity: the same events aggregation, executed as
     // an unbounded file stream drained with Trigger.AvailableNow into a
     // memory sink — result must match the batch oracle exactly.

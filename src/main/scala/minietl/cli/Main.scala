@@ -26,7 +26,19 @@ object Main {
     args.toList match {
       case "run" :: path :: Nil =>
         val text = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
-        if (Config.isDagConfig(text)) {
+        if (Config.isStreamConfig(text)) {
+          val cfg = Config.parseStream(text)
+          val errs = Config.validateStream(cfg)
+          if (errs.nonEmpty) (1, errs.mkString("invalid config:\n  ", "\n  ", ""))
+          else {
+            // run drains what is currently staged (AvailableNow semantics —
+            // the one-shot run the reference Scheduler's cron maps to); a
+            // long-lived interval-trigger deployment calls
+            // Config.loadStream(...).start(spark) and manages the query
+            Config.buildStream(cfg).runAvailableNow(spark())
+            (0, s"stream '${cfg.name}' drained available input")
+          }
+        } else if (Config.isDagConfig(text)) {
           val cfg = Config.parseDag(text)
           val errs = Config.validateDag(cfg)
           if (errs.nonEmpty) (1, errs.mkString("invalid config:\n  ", "\n  ", ""))
@@ -48,7 +60,8 @@ object Main {
       case "validate" :: path :: Nil =>
         val text = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
         val errs =
-          if (Config.isDagConfig(text)) Config.validateDag(Config.parseDag(text))
+          if (Config.isStreamConfig(text)) Config.validateStream(Config.parseStream(text))
+          else if (Config.isDagConfig(text)) Config.validateDag(Config.parseDag(text))
           else Config.validate(Config.parse(text))
         if (errs.isEmpty) (0, "valid") else (1, errs.mkString("\n"))
       case "init" :: path :: Nil =>
@@ -71,6 +84,9 @@ object Main {
             |  sinks:        csv, json, jsonl, parquet, orc, excel, sql
             |  dag form:     a `dag:` root key declares multi-source graphs
             |                (transform/merge/branch nodes, many sinks)
+            |  stream form:  a `stream:` root key declares an unbounded
+            |                file-stream pipeline (watermark, window_agg/
+            |                session_agg/dedup stages, trigger, checkpoint)
             |""".stripMargin)
       case _ => (2, usage)
     }

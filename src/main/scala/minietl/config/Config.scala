@@ -794,6 +794,274 @@ object Config {
   def loadDag(text: String, env: Map[String, String] = sys.env): minietl.dag.PipelineDAG =
     buildDag(parseDag(text, env))
 
+  // ---------------------------------------------------------- stream form
+  /** The `stream:` YAML form — the config-level analog of the reference
+    * Scheduler (SURVEY §2.9) done the Structured-Streaming way: instead of
+    * a cron loop re-running a bounded pipeline, an unbounded file-stream
+    * source with a trigger. Compiles onto the existing
+    * [[minietl.streaming.Streaming]] helpers:
+    * {{{
+    * name: clicks
+    * stream:
+    *   source:
+    *     type: parquet              # csv | json | jsonl | parquet | orc
+    *     path: /data/incoming
+    *     schema:                    # REQUIRED: readStream never infers
+    *       - {name: ts, dtype: timestamp}
+    *       - {name: event_type, dtype: string}
+    *       - {name: value, dtype: float64}
+    *   watermark: {column: ts, delay: 10 minutes}
+    *   stages:
+    *     - {type: filter, condition: "value > 0"}       # any scan-side stage
+    *     - type: window_agg                             # tumbling (or + slide:)
+    *       window: 5 minutes
+    *       keys: [event_type]
+    *       aggregations: {value: [sum, count]}
+    *   sink:
+    *     type: parquet              # csv | json | jsonl | parquet | orc | memory
+    *     path: /data/out            # memory: query_name instead
+    *     checkpoint: /chk/clicks    # optional (scratch default)
+    *     output_mode: append        # append | complete | update
+    *     trigger: available_now     # or an interval: "30s", "5m"
+    * }}}
+    * Streaming stage types: `window_agg` (tumbling; with `slide:` sliding),
+    * `session_agg` (gap-merged), `dedup` (watermark-bounded exact dedup) —
+    * each requires the `watermark:` block. Stateless scan-side batch stages
+    * ([[streamableStageTypes]]) apply verbatim — the `DataFrame =>
+    * DataFrame` contract is source-agnostic by design.
+    */
+  final case class StreamConfig(
+      name: String,
+      source: ComponentConfig,
+      watermark: Option[(String, String)], // (column, delay)
+      stages: Seq[ComponentConfig],
+      sink: ComponentConfig)
+
+  /** An assembled streaming pipeline: `frame` is the unstarted transformed
+    * stream (compose further, or test its plan); `start` launches the
+    * writeStream; `runAvailableNow` drains everything currently staged and
+    * blocks until done (the bounded-replay path the reference Scheduler's
+    * one-shot runs map to).
+    */
+  final case class StreamPipeline(
+      name: String,
+      frame: org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame,
+      start: org.apache.spark.sql.SparkSession => org.apache.spark.sql.streaming.StreamingQuery) {
+    def runAvailableNow(spark: org.apache.spark.sql.SparkSession): Unit = {
+      val q = start(spark)
+      q.awaitTermination()
+    }
+  }
+
+  private val streamSourceTypes = Set("csv", "json", "jsonl", "parquet", "orc")
+  private val streamSinkTypes = Set("csv", "json", "jsonl", "parquet", "orc", "memory")
+  private val streamStageTypes = Set("window_agg", "session_agg", "dedup")
+
+  /** Batch transformer types that apply verbatim to an unbounded frame:
+    * scan-side, stateless, no global sort/window/aggregate. (The stateful
+    * ones have streaming-specific spellings above — e.g. `dedupe` →
+    * `dedup`, `aggregate` → `window_agg` — because unbounded semantics
+    * need a watermark contract, not silent adoption.)
+    */
+  val streamableStageTypes: Set[String] =
+    Set("filter", "rename", "select", "drop", "cast", "fillna", "expression",
+      "hash_sample", "pii_redact", "quality_filter", "gopher_filter",
+      "normalize_text", "feature_hash")
+
+  /** Parse the `stream:` YAML form (see [[StreamConfig]]). */
+  def parseStream(text: String, env: Map[String, String] = sys.env): StreamConfig = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val raw = asScala(yaml.load[Any](substituteEnv(text, env))) match {
+      case m: Map[String, Any] @unchecked => m
+      case other => throw new IllegalArgumentException(s"config root must be a mapping, got $other")
+    }
+    val name = raw.getOrElse("name", "stream").toString
+    val st = raw.get("stream") match {
+      case Some(m: Map[String, Any] @unchecked) => m
+      case _ => throw new IllegalArgumentException("stream config needs a 'stream' mapping")
+    }
+    val source = component(st.get("source") match {
+      case Some(m: Map[String, Any] @unchecked) => m
+      case _ => throw new IllegalArgumentException("stream config needs a 'source' mapping")
+    }, "stream source")
+    val sink = component(st.get("sink") match {
+      case Some(m: Map[String, Any] @unchecked) => m
+      case _ => throw new IllegalArgumentException("stream config needs a 'sink' mapping")
+    }, "stream sink")
+    val watermark = st.get("watermark").map {
+      case m: Map[String, Any] @unchecked =>
+        (m.getOrElse("column",
+          throw new IllegalArgumentException("watermark needs 'column'")).toString,
+          m.getOrElse("delay",
+            throw new IllegalArgumentException("watermark needs 'delay'")).toString)
+      case other => throw new IllegalArgumentException(s"'watermark' must be a mapping: $other")
+    }
+    val stages = st.get("stages") match {
+      case Some(l: List[Any] @unchecked) => l.map {
+        case m: Map[String, Any] @unchecked => component(m, "stream stage")
+        case other => throw new IllegalArgumentException(s"stream stage must be a mapping: $other")
+      }
+      case None => Nil
+      case other => throw new IllegalArgumentException(s"'stages' must be a list: $other")
+    }
+    StreamConfig(name, source, watermark, stages, sink)
+  }
+
+  /** Error list for the stream form (same contract as [[validate]]). */
+  def validateStream(c: StreamConfig): Seq[String] = {
+    val srcErrs = c.source.typ match {
+      case t if !streamSourceTypes.contains(t) =>
+        Seq(s"stream source type '$t' is not a file-stream format " +
+          s"(${streamSourceTypes.toSeq.sorted.mkString("/")})")
+      case _ =>
+        val pathErr =
+          if (c.source.options.contains("filepath") || c.source.options.contains("path")) Nil
+          else Seq("stream source needs filepath")
+        val schemaErrs = c.source.options.get("schema") match {
+          case None => Seq("stream source needs an explicit 'schema' " +
+            "(readStream never infers; an ordered column list like the batch reader schema)")
+          case Some(v) =>
+            try readerSpecs(v).flatMap { cs =>
+              try { cs.dataType; None }
+              catch { case _: Exception =>
+                Some(s"stream source schema: unknown dtype '${cs.dtype}' for column '${cs.name}'") }
+            }
+            catch { case e: IllegalArgumentException => Seq(s"stream source ${e.getMessage}") }
+        }
+        pathErr ++ schemaErrs
+    }
+    val aggSpec: Map[String, Any] => Seq[String] = o =>
+      o.get("aggregations") match {
+        case Some(_: Map[String, Any] @unchecked) => Nil
+        case Some(other) => Seq(s"'aggregations' must be a mapping, got '$other'")
+        case None => Seq("missing 'aggregations'")
+      }
+    val stageErrs = c.stages.zipWithIndex.flatMap { case (s, i) =>
+      val at = s"stream stage[$i] ${s.typ}"
+      s.typ match {
+        case "window_agg" =>
+          (if (s.options.contains("window")) Nil else Seq(s"$at: missing 'window'")) ++
+            (if (s.options.contains("keys")) Nil else Seq(s"$at: missing 'keys'")) ++
+            aggSpec(s.options).map(e => s"$at: $e") ++
+            (if (c.watermark.isEmpty) Seq(s"$at: requires a 'watermark' block") else Nil)
+        case "session_agg" =>
+          (if (s.options.contains("gap")) Nil else Seq(s"$at: missing 'gap'")) ++
+            (if (s.options.contains("keys")) Nil else Seq(s"$at: missing 'keys'")) ++
+            aggSpec(s.options).map(e => s"$at: $e") ++
+            (if (c.watermark.isEmpty) Seq(s"$at: requires a 'watermark' block") else Nil)
+        case "dedup" =>
+          (if (s.options.contains("keys")) Nil else Seq(s"$at: missing 'keys'")) ++
+            (if (c.watermark.isEmpty) Seq(s"$at: requires a 'watermark' block") else Nil)
+        case t if streamableStageTypes.contains(t) => checkTransformer(s, s"stream stage[$i]")
+        case t if transformerTypes.contains(t) =>
+          Seq(s"$at: '$t' is not streamable (needs whole-input state; use the " +
+            "watermarked streaming spelling if one exists, or a batch pipeline)")
+        case t => Seq(s"$at: unknown type '$t'")
+      }
+    }
+    val sinkErrs = c.sink.typ match {
+      case "memory" =>
+        if (c.sink.options.contains("query_name")) Nil
+        else Seq("stream memory sink needs query_name")
+      case t if !streamSinkTypes.contains(t) =>
+        Seq(s"unknown stream sink type '$t'")
+      case _ =>
+        if (c.sink.options.contains("filepath") || c.sink.options.contains("path")) Nil
+        else Seq(s"stream sink ${c.sink.typ} needs filepath")
+    }
+    val modeErrs = c.sink.options.get("output_mode").toSeq.flatMap { m =>
+      if (Set("append", "complete", "update")(m.toString.toLowerCase)) Nil
+      else Seq(s"stream sink output_mode must be append, complete or update, got '$m'")
+    }
+    val triggerErrs = c.sink.options.get("trigger").toSeq.flatMap { t =>
+      val s = t.toString.toLowerCase
+      if (s == "available_now") Nil
+      else scala.util.Try(minietl.scheduler.IntervalParser.toMillis(s)).toOption match {
+        case Some(_) => Nil
+        case None => Seq(s"stream sink trigger must be available_now or an " +
+          s"interval like 30s/5m/1h, got '$t'")
+      }
+    }
+    srcErrs ++ stageErrs ++ sinkErrs ++ modeErrs ++ triggerErrs
+  }
+
+  /** StreamConfig → assembled [[StreamPipeline]]. Fails on validation
+    * errors. The source is `readStream` over the declared schema; stages
+    * fold left over the unbounded frame; the sink is `writeStream` with the
+    * configured mode/trigger/checkpoint.
+    */
+  def buildStream(c: StreamConfig): StreamPipeline = {
+    val errs = validateStream(c)
+    require(errs.isEmpty, s"invalid stream config: ${errs.mkString("; ")}")
+    import minietl.streaming.Streaming
+    val o = c.source.options
+    val schema = readerSchema(o("schema"))
+    val fmt = c.source.typ match {
+      case "jsonl" => "json"
+      case t => t
+    }
+    val (wmCol, wmDelay) = c.watermark.getOrElse(("", ""))
+    def aggs(opts: Map[String, Any]): Map[String, Seq[String]] =
+      opts("aggregations") match {
+        case m: Map[String, Any] @unchecked => m.map { case (k, v) => k -> strSeq(v) }
+      }
+    val stageFns: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] =
+      c.stages.map { s =>
+        s.typ match {
+          case "window_agg" => s.options.get("slide") match {
+            case Some(slide) => df => Streaming.slidingAgg(df, wmCol, wmDelay,
+              str(s.options, "window"), slide.toString,
+              strSeq(s.options("keys")), aggs(s.options))
+            case None => df => Streaming.tumblingAgg(df, wmCol, wmDelay,
+              str(s.options, "window"), strSeq(s.options("keys")), aggs(s.options))
+          }
+          case "session_agg" => df => Streaming.sessionAgg(df, wmCol, wmDelay,
+            str(s.options, "gap"), strSeq(s.options("keys")), aggs(s.options))
+          case "dedup" => df => Streaming.dedupWithinWatermark(df, wmCol, wmDelay,
+            strSeq(s.options("keys")))
+          case _ => transformFn(s)
+        }
+      }
+    val frame = (spark: org.apache.spark.sql.SparkSession) => {
+      val src = spark.readStream.schema(schema).format(fmt)
+        .options(strMap(o.getOrElse("options", Map.empty[String, Any])))
+        .load(path(o))
+      stageFns.foldLeft(src)((df, f) => f(df))
+    }
+    val start = (spark: org.apache.spark.sql.SparkSession) => {
+      val so = c.sink.options
+      val trigger = so.get("trigger").map(_.toString.toLowerCase) match {
+        case None | Some("available_now") => Streaming.availableNowTrigger
+        case Some(ivl) => Streaming.intervalTrigger(ivl)
+      }
+      val mode = so.get("output_mode").map(_.toString.toLowerCase).getOrElse("append")
+      val checkpoint = so.get("checkpoint").map(_.toString).getOrElse(
+        java.nio.file.Files.createTempDirectory(s"minietl_stream_${c.name}_").toString)
+      val w = frame(spark).writeStream
+        .outputMode(mode)
+        .trigger(trigger)
+        .option("checkpointLocation", checkpoint)
+      c.sink.typ match {
+        case "memory" =>
+          w.format("memory").queryName(str(so, "query_name")).start()
+        case "jsonl" => w.format("json").start(path(so))
+        case t => w.format(t).start(path(so))
+      }
+    }
+    StreamPipeline(c.name, frame, start)
+  }
+
+  /** One-call load of the `stream:` form. */
+  def loadStream(text: String, env: Map[String, String] = sys.env): StreamPipeline =
+    buildStream(parseStream(text, env))
+
+  /** True when the YAML's root has a `stream:` mapping (the unbounded form). */
+  def isStreamConfig(text: String, env: Map[String, String] = sys.env): Boolean =
+    asScala(new org.yaml.snakeyaml.Yaml().load[Any](substituteEnv(text, env))) match {
+      case m: Map[String, Any] @unchecked => m.contains("stream")
+      case _ => false
+    }
+
   /** True when the YAML's root has a `dag:` mapping (the multi-source form). */
   def isDagConfig(text: String, env: Map[String, String] = sys.env): Boolean =
     asScala(new org.yaml.snakeyaml.Yaml().load[Any](substituteEnv(text, env))) match {

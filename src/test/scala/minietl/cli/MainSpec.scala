@@ -71,6 +71,39 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     assert(Readers.parquet(spark, s"$dir/out").count() === 2)
   }
 
+  test("run and validate route stream: configs through the stream build") {
+    val dir = tmp()
+    Writers.parquet(
+      Seq((java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), "a", 1.0),
+        (java.sql.Timestamp.valueOf("2026-01-01 10:01:00"), "a", 2.0))
+        .toDF("ts", "k", "v"), s"$dir/in")
+    val cfg = s"$dir/s.yaml"
+    Files.write(java.nio.file.Paths.get(cfg),
+      s"""name: cli_stream
+         |stream:
+         |  source:
+         |    type: parquet
+         |    path: $dir/in
+         |    schema:
+         |      - {name: ts, dtype: timestamp}
+         |      - {name: k, dtype: string}
+         |      - {name: v, dtype: float64}
+         |  watermark: {column: ts, delay: 0 seconds}
+         |  stages:
+         |    - {type: dedup, keys: [k]}
+         |  sink:
+         |    type: parquet
+         |    path: $dir/out
+         |    checkpoint: $dir/chk
+         |""".stripMargin.getBytes)
+    val (vc, vout) = Main.execute(Seq("validate", cfg), () => spark)
+    assert(vc === 0, vout)
+    val (code, out) = Main.execute(Seq("run", cfg), () => spark)
+    assert(code === 0, out)
+    assert(out.contains("stream 'cli_stream' drained"))
+    assert(Readers.parquet(spark, s"$dir/out").count() === 1)
+  }
+
   test("info lists registered types; unknown command prints usage") {
     val (c, out) = Main.execute(Seq("info"), () => spark)
     assert(c === 0 && out.contains("transformers"))

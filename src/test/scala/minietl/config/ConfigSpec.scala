@@ -168,6 +168,91 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
          |""".stripMargin)).nonEmpty)
   }
 
+  test("a stream: YAML drains a staged file stream and matches the batch twin") {
+    val dir = tmp()
+    val in = s"$dir/incoming"
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val events = Seq(
+      (ts(0), "click", 1.0), (ts(1), "click", 2.0), (ts(2), "view", -5.0),
+      (ts(6), "click", 10.0), (ts(7), "view", 4.0), (ts(12), "click", 8.0))
+      .toDF("ts", "event_type", "value")
+    events.coalesce(1).write.parquet(in)
+    val qname = "cfg_stream_win"
+    val yaml =
+      s"""name: cfg_stream
+         |stream:
+         |  source:
+         |    type: parquet
+         |    path: $in
+         |    schema:
+         |      - {name: ts, dtype: timestamp}
+         |      - {name: event_type, dtype: string}
+         |      - {name: value, dtype: float64}
+         |  watermark: {column: ts, delay: 0 seconds}
+         |  stages:
+         |    - {type: filter, condition: "value > 0"}
+         |    - type: window_agg
+         |      window: 5 minutes
+         |      keys: [event_type]
+         |      aggregations: {value: [sum, count]}
+         |  sink:
+         |    type: memory
+         |    query_name: $qname
+         |    checkpoint: $dir/chk
+         |    output_mode: complete
+         |    trigger: available_now
+         |""".stripMargin
+    assert(Config.isStreamConfig(yaml) && !Config.isDagConfig(yaml))
+    val pipe = Config.loadStream(yaml)
+    pipe.runAvailableNow(spark)
+    import org.apache.spark.sql.functions._
+    val got = spark.table(qname)
+      .select(col("window.start").cast("string"), col("event_type"),
+        col("value_sum"), col("value_count"))
+      .as[(String, String, Double, Long)].collect().toSet
+    // batch twin: same filter + 5-minute floor + agg over the same parquet
+    val expected = spark.read.parquet(in)
+      .where(col("value") > 0)
+      .groupBy(from_unixtime(floor(unix_timestamp(col("ts")) / 300) * 300)
+          .cast("timestamp").cast("string").as("w"), col("event_type"))
+      .agg(sum("value").as("s"), count("value").as("n"))
+      .as[(String, String, Double, Long)].collect().toSet
+    assert(got === expected && got.nonEmpty)
+  }
+
+  test("stream: YAML validation rejects unstreamable shapes up front") {
+    def errsOf(y: String) = Config.validateStream(Config.parseStream(y))
+    // missing schema, stateful stage without watermark, global sort, bad
+    // trigger, memory sink without query_name
+    val errs = errsOf(
+      """stream:
+        |  source: {type: parquet, path: /x}
+        |  stages:
+        |    - {type: window_agg, window: 5 minutes, keys: [k], aggregations: {v: [sum]}}
+        |    - {type: sort, by: [k]}
+        |    - {type: frobnicate}
+        |  sink: {type: memory, trigger: whenever}
+        |""".stripMargin)
+    assert(errs.exists(_.contains("needs an explicit 'schema'")), errs.toString)
+    assert(errs.exists(_.contains("requires a 'watermark' block")), errs.toString)
+    assert(errs.exists(_.contains("'sort' is not streamable")), errs.toString)
+    assert(errs.exists(_.contains("unknown type 'frobnicate'")), errs.toString)
+    assert(errs.exists(_.contains("trigger must be available_now or an interval")), errs.toString)
+    assert(errs.exists(_.contains("memory sink needs query_name")), errs.toString)
+    // a good config has no errors (interval trigger accepted)
+    assert(errsOf(
+      """stream:
+        |  source:
+        |    type: csv
+        |    path: /x
+        |    schema: [{name: ts, dtype: timestamp}, {name: k, dtype: string}]
+        |  watermark: {column: ts, delay: 1 minute}
+        |  stages:
+        |    - {type: dedup, keys: [k]}
+        |  sink: {type: parquet, path: /y, trigger: 30s}
+        |""".stripMargin) === Nil)
+  }
+
   test("lm_surprise and contamination_filter stages run from YAML") {
     val dir = tmp()
     val in = s"$dir/docs"

@@ -1745,6 +1745,42 @@ object SparkEntry {
              |  event_type, round(sum(value), 2) AS value_sum, count(value) AS value_count
              |FROM events WHERE value > 1 GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
+    // BPE subword tokenizer, train-then-serve under the hash gate (the IVF
+    // pattern): the query trains 20 deterministic merges on the corpus
+    // word-count table, publishes a serving manifest (word → learned
+    // segmentation) as SQL literals, and serves the per-doc encoding
+    // aggregate distributed. DuckDB replays the AGGREGATION from the
+    // manifest — subword identities included (n_distinct_subwords), not
+    // just counts — so a hash match proves the broadcast-join serving path
+    // emits exactly the learned segmentation for every token. The greedy
+    // training loop itself is driver-side over the model-sized word table
+    // (not SQL-replayable) and is covered by BpeSpec's hand example.
+    "q_bpe_encode" -> Q(
+      (s, dir) => {
+        val d = documents(s, dir)
+        val model = minietl.text.Bpe.train(d, "text", numMerges = 20)
+        bpeServingOracle = Some(
+          s"""WITH vocab(word, enc) AS (VALUES
+             |    ${minietl.text.Bpe.manifestValuesSql(model)}),
+             |toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |j AS (SELECT doc_id, enc FROM toks JOIN vocab ON tok = word
+             |      WHERE tok <> ''),
+             |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |    CAST(sum(len(string_split(enc, ' '))) AS BIGINT) AS n_subwords
+             |  FROM j GROUP BY doc_id),
+             |subs AS (SELECT doc_id, unnest(string_split(enc, ' ')) AS sub FROM j),
+             |d AS (SELECT doc_id, CAST(count(DISTINCT sub) AS BIGINT)
+             |    AS n_distinct_subwords
+             |  FROM subs GROUP BY doc_id)
+             |SELECT per.doc_id, n_tokens, n_subwords, n_distinct_subwords
+             |FROM per JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin)
+        minietl.text.Bpe.encodeStats(d, "doc_id", "text", model)
+          .orderBy("doc_id")
+      },
+      None),
+
     // Structured Streaming parity: the same events aggregation, executed as
     // an unbounded file stream drained with Trigger.AvailableNow into a
     // memory sink — result must match the batch oracle exactly.
@@ -3406,24 +3442,39 @@ object SparkEntry {
     */
   @volatile private var ivfServingOracle: Option[String] = None
 
-  /** Oracle SQL per query. `q_ivf_ann`'s entry appears only once its query
-    * has trained (the SQL embeds the learned centroids), so before training
-    * the map simply LACKS the key — `get`/`contains`/`getOrElse` behave like
-    * any Map's (a demanding caller can probe without tripping). Only the
-    * unconditional `apply("q_ivf_ann")` fails fast pre-training, with an
-    * actionable message instead of the bare `NoSuchElementException` —
-    * that direct lookup is always a sequencing bug.
+  /** Set by q_bpe_encode after training (the oracle embeds the learned
+    * segmentation manifest) — same lifecycle as [[ivfServingOracle]].
+    */
+  @volatile private var bpeServingOracle: Option[String] = None
+
+  /** Queries whose oracle exists only after their query function ran
+    * (train-then-serve): key → (current oracle, sequencing-bug message for
+    * a premature unconditional lookup).
+    */
+  private def trainedOracles: Map[String, Option[String]] = Map(
+    "q_ivf_ann" -> ivfServingOracle,
+    "q_bpe_encode" -> bpeServingOracle)
+
+  /** Oracle SQL per query. A train-then-serve entry ([[trainedOracles]]:
+    * q_ivf_ann embeds learned centroids, q_bpe_encode the learned
+    * segmentation manifest) appears only once its query has trained, so
+    * before training the map simply LACKS the key — `get`/`contains`/
+    * `getOrElse` behave like any Map's (a demanding caller can probe
+    * without tripping). Only the unconditional `apply` fails fast
+    * pre-training, with an actionable message instead of the bare
+    * `NoSuchElementException` — that direct lookup is always a sequencing
+    * bug.
     */
   def oracleSql: Map[String, String] = {
     val base = registry.collect { case (k, Q(_, Some(sql))) => k -> sql }.toMap ++
-      ivfServingOracle.map("q_ivf_ann" -> _)
+      trainedOracles.collect { case (k, Some(sql)) => k -> sql }
     new scala.collection.immutable.AbstractMap[String, String] {
       def get(key: String): Option[String] = base.get(key)
       override def apply(key: String): String = {
-        if (key == "q_ivf_ann" && ivfServingOracle.isEmpty)
+        if (trainedOracles.get(key).exists(_.isEmpty))
           throw new IllegalStateException(
-            "q_ivf_ann oracle requested before the q_ivf_ann query ran: its SQL " +
-              "embeds the trained IVF centroids. Run SparkEntry.queries(\"q_ivf_ann\") " +
+            s"$key oracle requested before the $key query ran: its SQL embeds " +
+              s"a trained artifact. Run SparkEntry.queries(\"$key\") " +
               "(as graft.Verify does) before reading this oracle entry.")
         base(key)
       }

@@ -48,11 +48,13 @@ object Verify {
       case c => c.toString
     } + "\""
     val oracles = SparkEntry.oracleSql
-    // Full-battery dumps must carry the training-dependent oracle; its
-    // absence here means q_ivf_ann's query failed above (already reported).
-    if (only.isEmpty && !oracles.iterator.exists(_._1 == "q_ivf_ann"))
-      System.err.println(
-        "[verify] q_ivf_ann oracle missing from full-battery dump — its query did not complete")
+    // Full-battery dumps must carry the training-dependent oracles; an
+    // absence here means that query failed above (already reported).
+    Seq("q_ivf_ann", "q_bpe_encode").foreach { k =>
+      if (only.isEmpty && !oracles.iterator.exists(_._1 == k))
+        System.err.println(
+          s"[verify] $k oracle missing from full-battery dump — its query did not complete")
+    }
     val json = oracles
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

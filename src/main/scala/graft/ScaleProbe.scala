@@ -149,6 +149,16 @@ object ScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // lineitem for the sketch-family probes: rows replicate verbatim with
+    // order keys offset per replica (value distributions — the sketch
+    // input — are exactly the original's at Nx the row count)
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    li.select(col("*"), k)
+      .withColumn("l_orderkey", col("l_orderkey") + col("k") * lit(100000000L))
+      .drop("k")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     emb.select(col("vec_id"), col("embedding"), col("label"), k)
       .select(

@@ -121,8 +121,45 @@ object Multimodal {
       frames: Long, channels: Int, sampleRateHz: Long, bitsPerSample: Int,
       sampleSum: Long, sumSq: Long, peakAbs: Long)
 
-  /** Real audio decoder: `javax.sound.sampled.AudioSystem` (JDK
-    * `java.desktop` module — WAV/AIFF/AU containers, fully offline).
+  /** Audio SPI providers, resolved ONCE per JVM. `AudioSystem.
+    * getAudioInputStream`/`write` re-run ServiceLoader provider discovery
+    * on EVERY call (deliberately uncached since JDK 9), and that discovery
+    * serializes concurrent callers on classloader locks — measured 16.8×
+    * wall for 10× data with 32 decode threads before this cache, ~linear
+    * after. The SPI types are public API (`javax.sound.sampled.spi`);
+    * probing readers in ServiceLoader order matches AudioSystem's own
+    * first-match semantics.
+    */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toSeq
+    // Identify MIDI-synthesis bridge readers BY BEHAVIOR (they parse a
+    // minimal valid type-0 MIDI file) and drop them: they render sequences
+    // to float PCM through the MIDI provider registry, whose own per-call
+    // discovery holds a global lock (measured: one such reader's REJECT
+    // path alone cost 6.8 s for 160k probes over 32 threads, vs < 0.1 s
+    // for every sampled-container reader) — and synthesized MIDI audio is
+    // outside this decoder's PCM-container contract anyway.
+    val minimalMidi = Array(
+      0x4d, 0x54, 0x68, 0x64, 0, 0, 0, 6, 0, 0, 0, 1, 0, 0x60, // MThd, fmt 0
+      0x4d, 0x54, 0x72, 0x6b, 0, 0, 0, 4, 0, 0xff, 0x2f, 0     // MTrk, EoT
+    ).map(_.toByte)
+    all.filterNot { r =>
+      try { r.getAudioInputStream(new java.io.ByteArrayInputStream(minimalMidi)); true }
+      catch { case _: Throwable => false }
+    }
+  }
+  private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.toSeq
+  }
+
+  /** Real audio decoder: the JDK's `javax.sound.sampled` parsers (JDK
+    * `java.desktop` module — WAV/AIFF/AU containers, fully offline; see
+    * [[audioReaders]] for why providers are cached here instead of going
+    * through `AudioSystem`).
     * Supports the PCM encodings the JDK parser emits: signed/unsigned
     * integer PCM at 8/16/24/32 bits, either endianness. Samples are read as
     * exact integers (unsigned encodings re-centred by subtracting the
@@ -135,14 +172,16 @@ object Multimodal {
     * callers decide whether that is an error or a skip.
     */
   def decodeAudio(content: Array[Byte]): Option[AudioStats] = {
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    import javax.sound.sampled.AudioFormat
     if (content == null || content.isEmpty) return None
-    val ais =
-      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+    // fresh stream per probe: a rejecting reader may have consumed bytes
+    val ais = audioReaders.iterator.flatMap { r =>
+      try Option(r.getAudioInputStream(new java.io.ByteArrayInputStream(content)))
       catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => return None
-        case _: java.io.IOException => return None
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
       }
+    }.nextOption().getOrElse(return None)
     try {
       val fmt = ais.getFormat
       val enc = fmt.getEncoding
@@ -330,7 +369,7 @@ object Multimodal {
     * recover every sample exactly.
     */
   def pcm16Wav(samples: Array[Short], sampleRateHz: Int): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
     val pcm = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) {
@@ -342,7 +381,11 @@ object Multimodal {
     val ais = new AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val writer = audioWriters
+      .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais))
+      .getOrElse(throw new IllegalStateException(
+        "no JDK WAVE writer available (java.desktop module missing?)"))
+    writer.write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 

@@ -66,7 +66,16 @@ object Multimodal {
     * null/empty/undecodable payloads — callers decide whether that is an
     * error or a skip.
     */
+  /** ImageIO's default stream cache spills every decode through a TEMP FILE
+    * on disk (ImageIO.setUseCache defaults true); for byte-array payloads
+    * already in memory that is pure churn — at corpus scale, millions of
+    * create/delete pairs on executor local disks. Flip once per JVM.
+    */
+  private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImage(content: Array[Byte]): Option[ImageStats] = {
+    imageIoMemCache
     if (content == null || content.isEmpty) return None
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))

@@ -220,6 +220,47 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expected && got.nonEmpty)
   }
 
+  test("a stream: YAML session_agg merges gapped sessions like the batch islands") {
+    val dir = tmp()
+    val in = s"$dir/sess_in"
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // user 1: 10:00+10:03 merge (gap 5m), 10:20 separate; user 2: one session
+    Seq((ts(0), 1L, 1.0), (ts(3), 1L, 2.0), (ts(20), 1L, 5.0), (ts(1), 2L, 7.0))
+      .toDF("ts", "user_id", "value").coalesce(1).write.parquet(in)
+    val qname = "cfg_stream_sess"
+    Config.loadStream(
+      s"""name: cfg_sess
+         |stream:
+         |  source:
+         |    type: parquet
+         |    path: $in
+         |    schema:
+         |      - {name: ts, dtype: timestamp}
+         |      - {name: user_id, dtype: int64}
+         |      - {name: value, dtype: float64}
+         |  watermark: {column: ts, delay: 0 seconds}
+         |  stages:
+         |    - type: session_agg
+         |      gap: 5 minutes
+         |      keys: [user_id]
+         |      aggregations: {value: [sum, count]}
+         |  sink:
+         |    type: memory
+         |    query_name: $qname
+         |    checkpoint: $dir/chk
+         |    output_mode: complete
+         |""".stripMargin).runAvailableNow(spark)
+    import org.apache.spark.sql.functions._
+    val got = spark.table(qname)
+      .select(col("user_id"), col("session_window.start").cast("string"),
+        col("value_sum"), col("value_count"))
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "2026-01-01 10:00:00", 3.0, 2L),
+      (1L, "2026-01-01 10:20:00", 5.0, 1L),
+      (2L, "2026-01-01 10:01:00", 7.0, 1L)))
+  }
+
   test("stream: YAML validation rejects unstreamable shapes up front") {
     def errsOf(y: String) = Config.validateStream(Config.parseStream(y))
     // missing schema, stateful stage without watermark, global sort, bad

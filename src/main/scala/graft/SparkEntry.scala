@@ -3448,8 +3448,9 @@ object SparkEntry {
   @volatile private var bpeServingOracle: Option[String] = None
 
   /** Queries whose oracle exists only after their query function ran
-    * (train-then-serve): key → (current oracle, sequencing-bug message for
-    * a premature unconditional lookup).
+    * (train-then-serve): key → the oracle if trained, None before — an
+    * unconditional apply() of a None entry is a sequencing bug and fails
+    * fast (see [[oracleSql]]).
     */
   private def trainedOracles: Map[String, Option[String]] = Map(
     "q_ivf_ann" -> ivfServingOracle,

@@ -151,7 +151,7 @@ object Bpe {
     * anything but explode → broadcast join → partial/final aggregate.
     */
   def encodeStats(docs: DataFrame, idCol: String, textCol: String,
-                  model: BpeModel): DataFrame = {
+                  model: BpeModel, maxUnseen: Int = 100000): DataFrame = {
     val spark = docs.sparkSession
     val toks = docs
       .select(col(idCol).as("doc_id"),
@@ -159,10 +159,20 @@ object Bpe {
       .where(col("word") =!= "")
     val vocab = vocabFrame(spark, model)
     import spark.implicits._
-    val unseen = toks.select("word").distinct()
+    // distinct UNSEEN words only — model-sized like the training vocab, and
+    // ENFORCED (limit+require, the train() guard): a serving corpus whose
+    // unseen-word set is corpus-scale would otherwise silently materialize
+    // on the driver
+    val unseenRows = toks.select("word").distinct()
       .join(vocab.select("word"), Seq("word"), "left_anti")
-      .as[String].collect() // distinct UNSEEN words only: model-sized, like the training vocab
-      .sorted.map(w => (w, encodeWord(w, model))).toSeq
+      .limit(maxUnseen + 1)
+      .as[String].collect()
+    require(unseenRows.length <= maxUnseen,
+      s"serving corpus has more than maxUnseen=$maxUnseen distinct words " +
+        "absent from the trained vocabulary; that set is segmented on the " +
+        "driver and must stay model-sized — retrain on (a sample of) this " +
+        "corpus or raise maxUnseen if it is genuinely model-sized")
+    val unseen = unseenRows.sorted.map(w => (w, encodeWord(w, model))).toSeq
     val joinSide = broadcast(
       (if (unseen.isEmpty) vocab
        else vocab.unionByName(unseen.toDF("word", "subwords")))

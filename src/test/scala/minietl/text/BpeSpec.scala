@@ -60,6 +60,15 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1).getLong(1) === 2L && out(1).getLong(2) === 2L && out(1).getLong(3) === 1L)
   }
 
+  test("encodeStats refuses a corpus-scale unseen-word set instead of collecting it") {
+    val m = Bpe.train(docs, "text", numMerges = 3)
+    val wide = (1 to 40).map(i => (i.toLong, s"unseen$i word$i")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.encodeStats(wide, "doc_id", "text", m, maxUnseen = 10).collect()
+    }
+    assert(e.getMessage.contains("maxUnseen"))
+  }
+
   test("manifestValuesSql renders every servable word with its segmentation") {
     val m = Bpe.train(docs, "text", numMerges = 3)
     val sql = Bpe.manifestValuesSql(m, extraWords = Seq("aaa", "aab"))

@@ -1512,6 +1512,25 @@ object SparkEntry {
       Some(minietl.sim.Similarity.lshNearDupOracleSql(
         threshold = 0.4, bitsPerBand = 8, bands = 32, dim = 64))),
 
+    // SEMANTIC decontamination (embedding-level train/benchmark overlap —
+    // the cross-frame sibling of q_decontaminate's n-gram check): every
+    // 50th embedding plays the benchmark suite, the rest the training
+    // corpus; banded LSH flags corpus rows cosine-similar to ANY benchmark
+    // row. Corpus shuffles only its slim signature frame; the benchmark
+    // side is broadcast.
+    "q_semantic_contamination" -> Q(
+      (s, dir) => {
+        val e = embeddings(s, dir)
+        minietl.sim.Similarity.semanticContaminationPairs(
+            e.filter(pmod(col("vec_id"), lit(50)) =!= 0),
+            e.filter(pmod(col("vec_id"), lit(50)) === 0),
+            threshold = 0.4, bitsPerBand = 8, bands = 32, dim = 64)
+          .orderBy("corpus_id", "bench_id")
+      },
+      Some(minietl.sim.Similarity.semanticContaminationOracleSql(
+        threshold = 0.4, bitsPerBand = 8, bands = 32, dim = 64,
+        corpusPredicate = "id % 50 <> 0", benchPredicate = "id % 50 = 0"))),
+
     // the PORTABLE variants are registered (md5-60-bit hashes → DuckDB
     // replays the whole signature/banding/verify pipeline); the xxhash64
     // production variants share the plan shape and are spec-covered

@@ -225,6 +225,104 @@ object Similarity {
        |WHERE cos >= $threshold ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** SEMANTIC decontamination pairs — the embedding-level sibling of
+    * [[minietl.text.Decontaminate]]'s n-gram overlap: flag every corpus
+    * row whose embedding is cosine-similar (≥ `threshold`) to ANY
+    * benchmark/eval row. Paraphrased or reformatted benchmark leakage has
+    * near-zero n-gram overlap but high embedding similarity, which is why
+    * modern pipelines run both checks.
+    *
+    * Plan shape: banded random-hyperplane LSH like [[cosineNearDupPairs]],
+    * but CROSS-frame — the corpus side shuffles only (id, band, sig)
+    * (capped buckets, same census), the benchmark side is eval-suite-sized
+    * by contract and BROADCAST (signatures and vectors both), so the
+    * 100 TB corpus is never joined to itself and never shuffled beyond its
+    * slim signature frame. Only bucket-colliding (corpus, bench) pairs pay
+    * the exact cosine verify.
+    *
+    * Returns (corpus_id, bench_id, cos) for every flagged pair; compose
+    * with a left-anti join on corpus_id to drop contaminated rows (the
+    * [[minietl.text.Decontaminate.decontaminate]] shape). Persists the
+    * prepared corpus frame for the duration — same cache-lifetime contract
+    * as the [[minietl.dedup.Dedup]] pair finders (caller releases via
+    * `clearCache`/`Dedup.releasingCaches` after materializing).
+    */
+  def semanticContaminationPairs(corpus: DataFrame, bench: DataFrame,
+                                 threshold: Double, bitsPerBand: Int, bands: Int, dim: Int,
+                                 idCol: String = "vec_id", vecCol: String = "embedding",
+                                 seed: Long = 42L,
+                                 maxBucketSize: Int = minietl.dedup.Dedup.DefaultMaxBucket): DataFrame = {
+    val planes = hyperplanes(bands * bitsPerBand, dim, seed)
+    def bandStructs(vec: Column) = (0 until bands).map { b =>
+      val slice = planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand)
+      struct(lit(b).as("band"), signatureFromPlanes(vec, slice).as("sig"))
+    }
+    val prepC = prepared(minietl.dedup.Dedup.spread(corpus), idCol, vecCol, "id", "vec", "nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prepB = prepared(bench, idCol, vecCol, "b_id", "b_vec", "b_nrm")
+    val cSigs0 = prepC
+      .select(col("id"), explode(array(bandStructs(col("vec")): _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // cap only the CORPUS buckets (boilerplate embeddings); the benchmark
+    // side is eval-suite-sized by contract and must never lose rows to a cap
+    val cSigs = minietl.dedup.Dedup.dropOversizedBuckets(
+      cSigs0, Seq("band", "sig"), maxBucketSize, "semanticContamination")
+    val bSigs = prepB
+      .select(col("b_id"), explode(array(bandStructs(col("b_vec")): _*)).as("bs"))
+      .select(col("b_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = cSigs.join(broadcast(bSigs), Seq("band", "sig"))
+      .select("id", "b_id").distinct()
+    cand
+      .join(prepC, "id")
+      .join(broadcast(prepB.select(col("b_id"), col("b_vec"), col("b_nrm"))), "b_id")
+      .withColumn("cos",
+        round(dotD(col("vec"), col("b_vec")) / (col("nrm") * col("b_nrm")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id").as("corpus_id"), col("b_id").as("bench_id"), col("cos"))
+  }
+
+  /** DuckDB replay of [[semanticContaminationPairs]]: corpus and benchmark
+    * selected out of one table by predicates (as the battery query does),
+    * same plane literals / band slicing / corpus-side bucket cap / 4dp
+    * verify — the cross-frame plan verifiable end-to-end.
+    */
+  def semanticContaminationOracleSql(threshold: Double, bitsPerBand: Int, bands: Int, dim: Int,
+                                     corpusPredicate: String, benchPredicate: String,
+                                     table: String = "embeddings", idCol: String = "vec_id",
+                                     vecCol: String = "embedding", seed: Long = 42L,
+                                     maxBucketSize: Int = minietl.dedup.Dedup.DefaultMaxBucket): String = {
+    val planes = hyperplanes(bands * bitsPerBand, dim, seed)
+    def planeLit(p: Array[Double]): String =
+      p.map(v => if (v > 0) "1.0" else "-1.0").mkString("CAST([", ",", "] AS DOUBLE[])")
+    def bandSelects(src: String, idAs: String) = (0 until bands).map { b =>
+      val sigExpr = (0 until bitsPerBand).map { i =>
+        s"(CASE WHEN list_inner_product(v, ${planeLit(planes(b * bitsPerBand + i))}) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"  SELECT id AS $idAs, $b AS band, CAST($sigExpr AS INT) AS sig FROM $src"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |c AS (SELECT * FROM e WHERE $corpusPredicate),
+       |b AS (SELECT * FROM e WHERE $benchPredicate),
+       |csig0 AS (
+       |${bandSelects("c", "id")}
+       |),
+       |big AS (SELECT band, sig FROM csig0 GROUP BY band, sig HAVING count(*) > $maxBucketSize),
+       |csig AS (SELECT csig0.* FROM csig0 ANTI JOIN big USING (band, sig)),
+       |bsig AS (
+       |${bandSelects("b", "b_id")}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT csig.id AS corpus_id, bsig.b_id AS bench_id
+       |  FROM csig JOIN bsig ON csig.band = bsig.band AND csig.sig = bsig.sig
+       |)
+       |SELECT corpus_id, bench_id, cos FROM (
+       |  SELECT corpus_id, bench_id,
+       |    round(list_cosine_similarity(ec.v, eb.v), 4) AS cos
+       |  FROM cand JOIN c ec ON ec.id = cand.corpus_id
+       |            JOIN b eb ON eb.id = cand.bench_id)
+       |WHERE cos >= $threshold ORDER BY corpus_id, bench_id""".stripMargin
+  }
+
   /** ANSI SQL (DuckDB dialect) replaying [[lshTopK]] exactly: same single
     * signature (planes rendered as literals), same bucket equi-join, same
     * 4dp-rounded cosine ranking with id tie-break. `queryPredicate` selects

@@ -72,6 +72,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(bucketed === exact) // identical vectors always share every bucket
   }
 
+  test("semanticContaminationPairs flags corpus rows near any benchmark row, cross-frame only") {
+    // bench row 100 duplicates corpus row 0 (and 4); bench 101 is orthogonal
+    // to everything; corpus rows 2/3 are orthogonal to both bench rows.
+    val bench = vecs(100L -> Seq(1f, 0f, 0f), 101L -> Seq(0f, 0.7f, 0.7f))
+    val flagged = Similarity.semanticContaminationPairs(
+        corpus, bench, threshold = 0.95, bitsPerBand = 2, bands = 6, dim = 3)
+      .select("corpus_id", "bench_id", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    // duplicates (0, 4) share every bucket with bench 100 → guaranteed
+    // found; the near-dup 1 (cos ≈ 0.9939 ≥ 0.95) is found too
+    assert(flagged.map(t => (t._1, t._2)) === Set((0L, 100L), (1L, 100L), (4L, 100L)))
+    assert(flagged.filter(t => Set(0L, 4L)(t._1)).forall(_._3 === 1.0))
+    // no corpus-corpus or bench-bench pairs leak into the output
+    assert(flagged.forall(t => t._2 >= 100L && t._1 < 100L))
+  }
+
   test("banded near-dup recall on a planted mid-threshold corpus") {
     // 40 planted near-dup pairs (base + jittered copy, cos ~0.97) over a
     // random background; recall for p=agreement prob at cos 0.97 with

@@ -80,7 +80,8 @@ object Main {
             |                token_budget, top_p_select, pii_redact, quality_filter,
             |                gopher_filter, exact_dedup, paragraph_dedup,
             |                normalize_text, feature_hash, sigma_outlier_filter,
-            |                mad_outlier_filter, winsorize, impute
+            |                mad_outlier_filter, winsorize, impute, lm_surprise,
+            |                contamination_filter, semantic_decontaminate
             |  sinks:        csv, json, jsonl, parquet, orc, excel, sql
             |  dag form:     a `dag:` root key declares multi-source graphs
             |                (transform/merge/branch nodes, many sinks)

@@ -47,7 +47,7 @@ object Config {
       "exact_dedup", "gopher_filter", "temperature_sample", "token_budget",
       "paragraph_dedup", "normalize_text", "feature_hash", "sigma_outlier_filter",
       "winsorize", "impute", "mad_outlier_filter", "top_p_select",
-      "lm_surprise", "contamination_filter")
+      "lm_surprise", "contamination_filter", "semantic_decontaminate")
   private val declaredUnsupported = Set.empty[String]
 
   private val EnvBrace: Regex = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
@@ -264,6 +264,9 @@ object Config {
       case "winsorize" => numeric("lo", 0.0, 1.0) ++ numeric("hi", 0.0, 1.0)
       case "contamination_filter" =>
         numeric("max_permille", 0.0, 1000.0) ++ numeric("n", 2.0, 20.0)
+      case "semantic_decontaminate" =>
+        numeric("threshold", -1.0, 1.0) ++ numeric("dim", 1.0, 65536.0) ++
+          numeric("bits_per_band", 1.0, 30.0) ++ numeric("bands", 1.0, 1024.0)
       case _ => Nil
     }
   }
@@ -293,6 +296,8 @@ object Config {
     case "impute" => Seq("group_by", "value", "strategy")
     case "lm_surprise" => Seq("key", "column")
     case "contamination_filter" => Seq("key", "column", "benchmark_filepath", "max_permille")
+    case "semantic_decontaminate" =>
+      Seq("key", "column", "benchmark_filepath", "threshold", "dim")
     case _ => Nil
   }
 
@@ -537,6 +542,30 @@ object Config {
           minietl.text.LmScore.bigramSurpriseEager(df, key, c)
             .withColumnRenamed("doc_id", key),
           Seq(key), "left")
+      case "semantic_decontaminate" =>
+        // drops rows whose `column` embedding is cosine-similar (>=
+        // threshold) to ANY vector in the benchmark parquet — the
+        // embedding-level sibling of contamination_filter (catches
+        // paraphrased leakage). Benchmark side is eval-suite-sized and
+        // broadcast; the frame shuffles only its LSH signature frame.
+        val key = str(t.options, "key")
+        val c = str(t.options, "column")
+        val benchPath = str(t.options, "benchmark_filepath")
+        val benchCol = t.options.get("benchmark_column").map(_.toString).getOrElse(c)
+        val threshold = str(t.options, "threshold").toDouble
+        val dim = str(t.options, "dim").toDouble.toInt
+        val bpb = t.options.get("bits_per_band").map(_.toString.toDouble.toInt).getOrElse(8)
+        val bands = t.options.get("bands").map(_.toString.toDouble.toInt).getOrElse(32)
+        df => {
+          import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+          val bench = minietl.io.Readers.parquet(df.sparkSession, benchPath)
+            .select(col(benchCol).as(c))
+            .withColumn(key, monotonically_increasing_id())
+          val flagged = minietl.sim.Similarity.semanticContaminationPairs(
+              df, bench, threshold, bpb, bands, dim, idCol = key, vecCol = c)
+            .select(col("corpus_id").as(key)).distinct()
+          df.join(flagged, Seq(key), "left_anti")
+        }
       case "contamination_filter" =>
         // drops docs whose distinct-shingle overlap with the benchmark file
         // exceeds max_permille; docs with no grams carry no signal and pass

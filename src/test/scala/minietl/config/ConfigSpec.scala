@@ -294,6 +294,39 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
         |""".stripMargin) === Nil)
   }
 
+  test("semantic_decontaminate stage drops embedding-near-benchmark rows from YAML") {
+    val dir = tmp()
+    val in = s"$dir/vecs"
+    val bench = s"$dir/bench"
+    // rows 1 and 4 duplicate the benchmark vector; 2 and 3 are orthogonal
+    Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(0f, 0f, 1f)), (4L, Seq(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding").write.parquet(in)
+    Seq(Tuple1(Seq(1f, 0f, 0f))).toDF("embedding").write.parquet(bench)
+    val yaml =
+      s"""name: sem_decon
+         |source: {type: parquet, filepath: $in}
+         |transformers:
+         |  - type: semantic_decontaminate
+         |    key: vec_id
+         |    column: embedding
+         |    benchmark_filepath: $bench
+         |    threshold: 0.95
+         |    dim: 3
+         |    bits_per_band: 2
+         |    bands: 6
+         |sink: {type: parquet, filepath: $dir/out}
+         |""".stripMargin
+    assert(Config.validate(Config.parse(yaml)).isEmpty)
+    assert(Config.load(yaml).run(spark).rows === 2)
+    assert(Readers.parquet(spark, s"$dir/out").select("vec_id")
+      .as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    // threshold out of range is a pre-run validation error
+    assert(Config.validate(Config.parse(yaml.replace("threshold: 0.95", "threshold: 1.5")))
+      .exists(_.contains("threshold")))
+  }
+
   test("lm_surprise and contamination_filter stages run from YAML") {
     val dir = tmp()
     val in = s"$dir/docs"

@@ -1625,6 +1625,21 @@ object SparkEntry {
       },
       None),
 
+    // K-means clustering as a corpus-curation operator (domain discovery):
+    // train the same deterministic Lloyd model as q_ivf_ann, then report
+    // cluster × label composition. Serving replayed from the learned
+    // centroid literals (the IVF pattern); training is spec-covered.
+    "q_kmeans_clusters" -> Q(
+      (s, dir) => {
+        val e = embeddings(s, dir)
+        val model = minietl.sim.Ivf.train(e, nlist = 8, iters = 3)
+        kmeansServingOracle = Some(
+          minietl.sim.Ivf.clusterCompositionOracleSql(model, Seq("label")))
+        minietl.sim.Ivf.clusterComposition(e, model, byCols = Seq("label"))
+          .orderBy("cluster", "label")
+      },
+      None),
+
     // decodeStub features are exact binary doubles (integer fold + power-of-2
     // scale), so no rounding is needed and DuckDB can replay a slot's strided
     // fold independently (text is ASCII: char positions = byte positions)
@@ -3466,6 +3481,9 @@ object SparkEntry {
     */
   @volatile private var bpeServingOracle: Option[String] = None
 
+  /** Set by q_kmeans_clusters after training — same lifecycle. */
+  @volatile private var kmeansServingOracle: Option[String] = None
+
   /** Queries whose oracle exists only after their query function ran
     * (train-then-serve): key → the oracle if trained, None before — an
     * unconditional apply() of a None entry is a sequencing bug and fails
@@ -3473,7 +3491,8 @@ object SparkEntry {
     */
   private def trainedOracles: Map[String, Option[String]] = Map(
     "q_ivf_ann" -> ivfServingOracle,
-    "q_bpe_encode" -> bpeServingOracle)
+    "q_bpe_encode" -> bpeServingOracle,
+    "q_kmeans_clusters" -> kmeansServingOracle)
 
   /** Oracle SQL per query. A train-then-serve entry ([[trainedOracles]]:
     * q_ivf_ann embeds learned centroids, q_bpe_encode the learned

@@ -50,7 +50,7 @@ object Verify {
     val oracles = SparkEntry.oracleSql
     // Full-battery dumps must carry the training-dependent oracles; an
     // absence here means that query failed above (already reported).
-    Seq("q_ivf_ann", "q_bpe_encode").foreach { k =>
+    Seq("q_ivf_ann", "q_bpe_encode", "q_kmeans_clusters").foreach { k =>
       if (only.isEmpty && !oracles.iterator.exists(_._1 == k))
         System.err.println(
           s"[verify] $k oracle missing from full-battery dump — its query did not complete")

@@ -99,6 +99,53 @@ object Ivf {
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
+  /** K-means clustering exposed as a corpus-curation operator (domain
+    * discovery, dedup stratification, mixture design): assign every row to
+    * its nearest trained centroid and aggregate composition over `byCols`
+    * (e.g. a label/source column) — (cluster BIGINT, byCols..., n BIGINT).
+    * One scan with the centroid literals inlined + one grouped aggregate
+    * with map-side combine; output cardinality is nlist × |byCols domain|.
+    */
+  def clusterComposition(corpus: DataFrame, model: Model, byCols: Seq[String],
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame =
+    corpus
+      .select(col(idCol).as("id") +: byCols.map(col) :+ toDouble(col(vecCol)).as("v"): _*)
+      .withColumn("cluster", assignList(col("v"), model).cast("bigint"))
+      .groupBy(col("cluster") +: byCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** DuckDB replay of [[clusterComposition]]'s SERVING path for a trained
+    * model — same centroid literals / argmin / tie-break as
+    * [[topKOracleSql]], then the same grouped composition. Training is
+    * spec-covered, not replayed (see [[topKOracleSql]]).
+    */
+  def clusterCompositionOracleSql(model: Model, byCols: Seq[String],
+                                  table: String = "embeddings",
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding"): String = {
+    def vecLit(c: Vector[Double]): String =
+      c.map(_.toString).mkString("CAST([", ",", "] AS DOUBLE[])")
+    val scoreSelects = model.centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      s"  SELECT id, $i AS idx, ${c2.toString} - 2.0 * list_inner_product(v, ${vecLit(c)}) AS score FROM e"
+    }.mkString("\n  UNION ALL\n")
+    val bys = byCols.map(b => s"t.$b").mkString(", ")
+    s"""WITH e AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |scores AS (
+       |$scoreSelects
+       |),
+       |assign AS (
+       |  SELECT id, idx AS cluster FROM (
+       |    SELECT id, idx,
+       |      row_number() OVER (PARTITION BY id ORDER BY score ASC, idx ASC) AS rn
+       |    FROM scores) WHERE rn = 1)
+       |SELECT CAST(a.cluster AS BIGINT) AS cluster, $bys, CAST(count(*) AS BIGINT) AS n
+       |FROM assign a JOIN $table t ON t.$idCol = a.id
+       |GROUP BY a.cluster, $bys
+       |ORDER BY cluster, $bys""".stripMargin
+  }
+
   /** ANSI SQL (DuckDB dialect) replaying [[topK]]'s SERVING path exactly for
     * an already-trained model: the learned centroids are rendered as DOUBLE[]
     * literals (shortest round-trip decimal form, so DuckDB parses back the

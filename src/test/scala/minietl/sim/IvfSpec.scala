@@ -28,6 +28,20 @@ class IvfSpec extends AnyFunSuite with SparkTestBase {
     assert(counts.values.forall(c => c >= 25 && c <= 35), counts.toString)
   }
 
+  test("clusterComposition partitions the corpus and aggregates by the label column") {
+    val model = Ivf.train(clustered, nlist = 3, iters = 4)
+    // label = the planted cluster id (i % 3)
+    val labeled = clustered.withColumn("label", pmod(col("vec_id"), lit(3)).cast("int"))
+    val comp = Ivf.clusterComposition(labeled, model, byCols = Seq("label"))
+      .collect()
+    // every row is counted exactly once across the composition cells
+    assert(comp.map(_.getAs[Long]("n")).sum === 90L)
+    assert(comp.forall(r => r.getAs[Long]("cluster") >= 0 && r.getAs[Long]("cluster") < 3))
+    // well-separated data: each k-means cluster is label-pure, so the
+    // composition is exactly 3 cells of 30
+    assert(comp.length === 3 && comp.forall(_.getAs[Long]("n") === 30L))
+  }
+
   test("train is deterministic across invocations") {
     val a = Ivf.train(clustered, nlist = 3, iters = 3)
     val b = Ivf.train(clustered, nlist = 3, iters = 3)

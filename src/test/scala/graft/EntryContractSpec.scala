@@ -37,6 +37,25 @@ class EntryContractSpec extends AnyFunSuite with SparkTestBase {
       s"driver-unsafe output columns (see SparkEntry header contract):\n  ${bad.mkString("\n  ")}")
   }
 
+  test("headline scans push filters and prune columns (plan contract)") {
+    // q1: the l_shipdate predicate must reach the parquet reader and the
+    // read schema must hold only the referenced columns (7 of 16) — this is
+    // the difference between scanning 100 TB and scanning the needed slice.
+    val q1 = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q1.contains("PushedFilters:") && q1.contains("l_shipdate"),
+      s"q1 date predicate not pushed:\n$q1")
+    val readSchema = "ReadSchema:.*".r.findFirstIn(q1).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"q1 reads unreferenced columns: $readSchema")
+
+    // q6: all predicates pushed, 4-column read schema
+    val q6 = SparkEntry.queries("q6_forecast_revenue")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q6.contains("PushedFilters:") && q6.contains("l_discount"),
+      s"q6 predicates not pushed:\n$q6")
+  }
+
   test("q_ivf_ann oracle apply fails fast before training; get/contains obey the Map contract") {
     // Before the query trains, the key is simply ABSENT: get returns None,
     // contains/getOrElse behave like any Map's (no Map-contract violation).

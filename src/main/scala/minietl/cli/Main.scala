@@ -81,7 +81,7 @@ object Main {
             |                gopher_filter, exact_dedup, paragraph_dedup,
             |                normalize_text, feature_hash, sigma_outlier_filter,
             |                mad_outlier_filter, winsorize, impute, lm_surprise,
-            |                contamination_filter, semantic_decontaminate
+            |                contamination_filter, semantic_decontaminate, bpe_stats
             |  sinks:        csv, json, jsonl, parquet, orc, excel, sql
             |  dag form:     a `dag:` root key declares multi-source graphs
             |                (transform/merge/branch nodes, many sinks)

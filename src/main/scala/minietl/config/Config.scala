@@ -47,7 +47,8 @@ object Config {
       "exact_dedup", "gopher_filter", "temperature_sample", "token_budget",
       "paragraph_dedup", "normalize_text", "feature_hash", "sigma_outlier_filter",
       "winsorize", "impute", "mad_outlier_filter", "top_p_select",
-      "lm_surprise", "contamination_filter", "semantic_decontaminate")
+      "lm_surprise", "contamination_filter", "semantic_decontaminate",
+      "bpe_stats")
   private val declaredUnsupported = Set.empty[String]
 
   private val EnvBrace: Regex = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
@@ -267,6 +268,9 @@ object Config {
       case "semantic_decontaminate" =>
         numeric("threshold", -1.0, 1.0) ++ numeric("dim", 1.0, 65536.0) ++
           numeric("bits_per_band", 1.0, 30.0) ++ numeric("bands", 1.0, 1024.0)
+      case "bpe_stats" =>
+        numeric("num_merges", 1.0, 100000.0) ++
+          numeric("max_vocab", 1.0, 10000000.0)
       case _ => Nil
     }
   }
@@ -298,6 +302,7 @@ object Config {
     case "contamination_filter" => Seq("key", "column", "benchmark_filepath", "max_permille")
     case "semantic_decontaminate" =>
       Seq("key", "column", "benchmark_filepath", "threshold", "dim")
+    case "bpe_stats" => Seq("key", "column", "num_merges")
     case _ => Nil
   }
 
@@ -542,6 +547,22 @@ object Config {
           minietl.text.LmScore.bigramSurpriseEager(df, key, c)
             .withColumnRenamed("doc_id", key),
           Seq(key), "left")
+      case "bpe_stats" =>
+        // trains a BPE tokenizer on the frame's own text column (the
+        // lm_surprise corpus-trained pattern) and joins per-doc subword
+        // stats back on (left: docs with no tokens keep nulls) so a filter
+        // stage can threshold compression ratio / vocab spread next
+        val key = str(t.options, "key")
+        val c = str(t.options, "column")
+        val merges = str(t.options, "num_merges").toDouble.toInt
+        val maxVocab = t.options.get("max_vocab").map(_.toString.toDouble.toInt).getOrElse(100000)
+        df => {
+          val model = minietl.text.Bpe.train(df, c, merges, maxVocab)
+          df.join(
+            minietl.text.Bpe.encodeStats(df, key, c, model)
+              .withColumnRenamed("doc_id", key),
+            Seq(key), "left")
+        }
       case "semantic_decontaminate" =>
         // drops rows whose `column` embedding is cosine-similar (>=
         // threshold) to ANY vector in the benchmark parquet — the

@@ -294,6 +294,31 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
         |""".stripMargin) === Nil)
   }
 
+  test("bpe_stats stage trains on the frame and joins subword stats from YAML") {
+    val dir = tmp()
+    val in = s"$dir/bpe_docs"
+    Seq((1L, "aaab aab"), (2L, "aaab"), (3L, "")).toDF("doc_id", "text")
+      .write.parquet(in)
+    val yaml =
+      s"""name: bpe_pipe
+         |source: {type: parquet, filepath: $in}
+         |transformers:
+         |  - {type: bpe_stats, key: doc_id, column: text, num_merges: 3}
+         |sink: {type: parquet, filepath: $dir/out}
+         |""".stripMargin
+    assert(Config.validate(Config.parse(yaml)).isEmpty)
+    assert(Config.load(yaml).run(spark).rows === 3)
+    val out = Readers.parquet(spark, s"$dir/out")
+      .select("doc_id", "n_tokens", "n_subwords").orderBy("doc_id").collect()
+    // merges (BpeSpec hand example): aaab -> [aaab], aab -> [aa, b]
+    assert(out(0).getLong(1) === 2L && out(0).getLong(2) === 3L)
+    assert(out(1).getLong(1) === 1L && out(1).getLong(2) === 1L)
+    assert(out(2).isNullAt(1)) // empty doc: left join keeps it with nulls
+    // bad num_merges is a pre-run validation error
+    assert(Config.validate(Config.parse(yaml.replace("num_merges: 3", "num_merges: 0")))
+      .exists(_.contains("num_merges")))
+  }
+
   test("semantic_decontaminate stage drops embedding-near-benchmark rows from YAML") {
     val dir = tmp()
     val in = s"$dir/vecs"

@@ -1625,6 +1625,32 @@ object SparkEntry {
       },
       None),
 
+    // Within-document stutter REPAIR (the cleaning twin of
+    // q_repetition_stats' signal): runs of consecutive identical tokens
+    // collapse to one occurrence; both engines replay the same
+    // previous-element lambda (Spark `get` 0-based / DuckDB 1-based
+    // bracket, each null at the left edge).
+    "q_squeeze_repeats" -> Q(
+      (s, dir) => {
+        val cleaned = minietl.text.TextAnalysis.squeezeRepeats(col("text"))
+        documents(s, dir).select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("n_before"),
+          size(split(cleaned, " ")).cast("bigint").as("n_after"),
+          cleaned.as("cleaned"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_before,
+             |  CAST(len(cleaned_list) AS BIGINT) AS n_after,
+             |  array_to_string(cleaned_list, ' ') AS cleaned
+             |FROM (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split(text, ' '),
+             |      (x, i) -> x IS DISTINCT FROM string_split(text, ' ')[i - 1]) AS cleaned_list
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // K-means clustering as a corpus-curation operator (domain discovery):
     // train the same deterministic Lloyd model as q_ivf_ann, then report
     // cluster × label composition. Serving replayed from the learned

@@ -81,7 +81,8 @@ object Main {
             |                gopher_filter, exact_dedup, paragraph_dedup,
             |                normalize_text, feature_hash, sigma_outlier_filter,
             |                mad_outlier_filter, winsorize, impute, lm_surprise,
-            |                contamination_filter, semantic_decontaminate, bpe_stats
+            |                contamination_filter, semantic_decontaminate, bpe_stats,
+            |                squeeze_repeats, dedup_lines
             |  sinks:        csv, json, jsonl, parquet, orc, excel, sql
             |  dag form:     a `dag:` root key declares multi-source graphs
             |                (transform/merge/branch nodes, many sinks)

@@ -48,7 +48,7 @@ object Config {
       "paragraph_dedup", "normalize_text", "feature_hash", "sigma_outlier_filter",
       "winsorize", "impute", "mad_outlier_filter", "top_p_select",
       "lm_surprise", "contamination_filter", "semantic_decontaminate",
-      "bpe_stats")
+      "bpe_stats", "squeeze_repeats", "dedup_lines")
   private val declaredUnsupported = Set.empty[String]
 
   private val EnvBrace: Regex = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
@@ -303,6 +303,7 @@ object Config {
     case "semantic_decontaminate" =>
       Seq("key", "column", "benchmark_filepath", "threshold", "dim")
     case "bpe_stats" => Seq("key", "column", "num_merges")
+    case "squeeze_repeats" | "dedup_lines" => Seq("column")
     case _ => Nil
   }
 
@@ -505,6 +506,16 @@ object Config {
       case "normalize_text" =>
         val c = str(t.options, "column")
         df => df.withColumn(c, minietl.text.TextAnalysis.normalizeText(df(c)))
+      case "squeeze_repeats" =>
+        // collapse runs of consecutive identical tokens (stutter repair)
+        val c = str(t.options, "column")
+        val delim = t.options.get("delim").map(_.toString).getOrElse(" ")
+        df => df.withColumn(c, minietl.text.TextAnalysis.squeezeRepeats(df(c), delim))
+      case "dedup_lines" =>
+        // C4 within-doc line dedup: keep first occurrence of each segment
+        val c = str(t.options, "column")
+        val delim = t.options.get("delim").map(_.toString).getOrElse("\n")
+        df => df.withColumn(c, minietl.text.TextAnalysis.dedupSegmentsInDoc(df(c), delim))
       case "feature_hash" =>
         val c = str(t.options, "column")
         val out = str(t.options, "out_column")
@@ -916,7 +927,7 @@ object Config {
   val streamableStageTypes: Set[String] =
     Set("filter", "rename", "select", "drop", "cast", "fillna", "expression",
       "hash_sample", "pii_redact", "quality_filter", "gopher_filter",
-      "normalize_text", "feature_hash")
+      "normalize_text", "feature_hash", "squeeze_repeats", "dedup_lines")
 
   /** Parse the `stream:` YAML form (see [[StreamConfig]]). */
   def parseStream(text: String, env: Map[String, String] = sys.env): StreamConfig = {

@@ -99,6 +99,35 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** REMOVE the stutter runs [[consecDupFraction]] measures: collapse every
+    * run of consecutive identical tokens to one occurrence ("batch batch
+    * batch" → "batch") — the cleaning twin of the signal, for pipelines
+    * that repair instead of drop. Pure per-row array work at the scan
+    * (codegen'd HOFs); `get` (0-based, null out of bounds) avoids the
+    * 1-based element_at's index-0 error on the first token, and null <=>
+    * comparisons keep the first element unconditionally.
+    */
+  def squeezeRepeats(text: Column, delim: String = " "): Column = {
+    val t = split(text, java.util.regex.Pattern.quote(delim))
+    array_join(
+      filter(t, (x, i) => !(x <=> get(t, i - 1))),
+      delim)
+  }
+
+  /** Keep only the FIRST occurrence of each distinct segment, preserving
+    * order — the C4 "deduplicate repeated lines within a document" step
+    * with the segment delimiter as a parameter (default newline). Per-row
+    * cost is O(segments²) via `array_position` (first-match index), which
+    * is the right trade for documents with a bounded line count; corpus-
+    * level paragraph dedup is [[minietl.text.ParagraphDedup]].
+    */
+  def dedupSegmentsInDoc(text: Column, delim: String = "\n"): Column = {
+    val t = split(text, java.util.regex.Pattern.quote(delim))
+    array_join(
+      filter(t, (x, i) => array_position(t, x) - 1 === i),
+      delim)
+  }
+
   /** Distinct-token ratio — low values flag repetitive/spammy documents. */
   def uniqueTokenRatio(text: Column): Column = {
     val t = tokens(text)

@@ -587,6 +587,26 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(r1.getSeq[Long](1) === r2.getSeq[Long](0))
   }
 
+  test("squeeze_repeats and dedup_lines stages clean text from YAML") {
+    val in = s"${tmp()}/rep_in"
+    val out = s"${tmp()}/rep_out"
+    Seq((1L, "batch batch batch stream stream dup"), (2L, "a b a b"))
+      .toDF("doc_id", "text").write.parquet(in)
+    Config.load(
+      s"""name: rep
+         |source: {type: parquet, filepath: $in}
+         |transformers:
+         |  - {type: squeeze_repeats, column: text}
+         |  - {type: dedup_lines, column: text, delim: " "}
+         |sink: {type: parquet, filepath: $out}
+         |""".stripMargin).run(spark)
+    val back = Readers.parquet(spark, out).orderBy("doc_id")
+      .select("text").as[String].collect().toSeq
+    // doc 1: squeeze → "batch stream dup", word-dedup idempotent;
+    // doc 2: squeeze no-op (alternating), word-dedup → "a b"
+    assert(back === Seq("batch stream dup", "a b"))
+  }
+
   test("winsorize stage clips from YAML and validates its bounds") {
     val in = s"${tmp()}/w_in"
     val out = s"${tmp()}/w_out"

@@ -1,4 +1,5 @@
 package minietl.text
+// round-8 additions at the bottom: squeezeRepeats / dedupSegmentsInDoc
 
 import minietl.SparkTestBase
 import org.apache.spark.sql.functions._
@@ -172,5 +173,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq(
       ("en", 6L, 3L, 1L, 5000L, 3333L),
       ("fr", 3L, 1L, 0L, 3333L, 0L)))
+  }
+
+  test("squeezeRepeats collapses consecutive duplicate tokens only") {
+    val out = Seq(
+      "batch batch batch stream stream dup",
+      "a b a b", // alternating: nothing consecutive, unchanged
+      "x",
+      "")
+      .toDF("text")
+      .select(TextAnalysis.squeezeRepeats(col("text")).as("s"))
+      .as[String].collect().toSeq
+    assert(out === Seq("batch stream dup", "a b a b", "x", ""))
+  }
+
+  test("dedupSegmentsInDoc keeps first occurrences in order") {
+    val out = Seq("l1\nl2\nl1\nl3\nl2", "only\nonly\nonly", "solo")
+      .toDF("text")
+      .select(TextAnalysis.dedupSegmentsInDoc(col("text")).as("s"))
+      .as[String].collect().toSeq
+    assert(out === Seq("l1\nl2\nl3", "only", "solo"))
+    // custom delimiter: first-occurrence word dedup
+    val words = Seq(Tuple1("c a b a c")).toDF("text")
+      .select(TextAnalysis.dedupSegmentsInDoc(col("text"), " ").as("s"))
+      .as[String].collect()(0)
+    assert(words === "c a b")
   }
 }

@@ -1098,10 +1098,15 @@ object Config {
       val mode = so.get("output_mode").map(_.toString.toLowerCase).getOrElse("append")
       val checkpoint = so.get("checkpoint").map(_.toString).getOrElse(
         java.nio.file.Files.createTempDirectory(s"minietl_stream_${c.name}_").toString)
-      val w = frame(spark).writeStream
+      val w0 = frame(spark).writeStream
         .outputMode(mode)
         .trigger(trigger)
         .option("checkpointLocation", checkpoint)
+      // partition_cols: same layout control as the batch parquet/orc sink
+      val w = so.get("partition_cols").map(strSeq) match {
+        case Some(cols) if cols.nonEmpty => w0.partitionBy(cols: _*)
+        case _ => w0
+      }
       c.sink.typ match {
         case "memory" =>
           w.format("memory").queryName(str(so, "query_name")).start()

@@ -95,6 +95,7 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
          |    type: parquet
          |    path: $dir/out
          |    checkpoint: $dir/chk
+         |    partition_cols: [k]
          |""".stripMargin.getBytes)
     val (vc, vout) = Main.execute(Seq("validate", cfg), () => spark)
     assert(vc === 0, vout)
@@ -102,6 +103,8 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     assert(code === 0, out)
     assert(out.contains("stream 'cli_stream' drained"))
     assert(Readers.parquet(spark, s"$dir/out").count() === 1)
+    // partition_cols produced the hive-style layout
+    assert(new java.io.File(s"$dir/out/k=a").isDirectory)
   }
 
   test("info lists registered types; unknown command prints usage") {

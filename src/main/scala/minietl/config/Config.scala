@@ -1027,8 +1027,16 @@ object Config {
       case t if !streamSinkTypes.contains(t) =>
         Seq(s"unknown stream sink type '$t'")
       case _ =>
-        if (c.sink.options.contains("filepath") || c.sink.options.contains("path")) Nil
-        else Seq(s"stream sink ${c.sink.typ} needs filepath")
+        (if (c.sink.options.contains("filepath") || c.sink.options.contains("path")) Nil
+         else Seq(s"stream sink ${c.sink.typ} needs filepath")) ++
+          // without a durable checkpoint every run starts from a fresh
+          // offset log and REPROCESSES all input — silent duplication into
+          // a file sink. Memory sinks are per-session scratch, so only
+          // they get a generated default.
+          (if (c.sink.options.contains("checkpoint")) Nil
+           else Seq(s"stream sink ${c.sink.typ} needs a 'checkpoint' path " +
+             "(exactly-once progress tracking; without it every run " +
+             "re-ingests all input and duplicates output)"))
     }
     val modeErrs = c.sink.options.get("output_mode").toSeq.flatMap { m =>
       if (Set("append", "complete", "update")(m.toString.toLowerCase)) Nil

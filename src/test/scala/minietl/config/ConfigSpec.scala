@@ -280,7 +280,8 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(errs.exists(_.contains("unknown type 'frobnicate'")), errs.toString)
     assert(errs.exists(_.contains("trigger must be available_now or an interval")), errs.toString)
     assert(errs.exists(_.contains("memory sink needs query_name")), errs.toString)
-    // a good config has no errors (interval trigger accepted)
+    // a durable sink without a checkpoint is rejected (re-runs would
+    // re-ingest everything and duplicate output)
     assert(errsOf(
       """stream:
         |  source:
@@ -291,6 +292,18 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
         |  stages:
         |    - {type: dedup, keys: [k]}
         |  sink: {type: parquet, path: /y, trigger: 30s}
+        |""".stripMargin).exists(_.contains("needs a 'checkpoint'")))
+    // a good config has no errors (interval trigger accepted)
+    assert(errsOf(
+      """stream:
+        |  source:
+        |    type: csv
+        |    path: /x
+        |    schema: [{name: ts, dtype: timestamp}, {name: k, dtype: string}]
+        |  watermark: {column: ts, delay: 1 minute}
+        |  stages:
+        |    - {type: dedup, keys: [k]}
+        |  sink: {type: parquet, path: /y, checkpoint: /chk, trigger: 30s}
         |""".stripMargin) === Nil)
   }
 

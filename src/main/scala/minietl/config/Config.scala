@@ -635,9 +635,13 @@ object Config {
       case "csv" => df => Writers.csv(df, path(o), mode)
       case "json" | "jsonl" => df => Writers.json(df, path(o), mode)
       case "parquet" => df => Writers.parquet(df, path(o), mode,
-        partitionBy = o.get("partition_cols").map(strSeq).getOrElse(Nil))
+        partitionBy = o.get("partition_cols").map(strSeq).getOrElse(Nil),
+        maxRecordsPerFile = o.get("max_records_per_file")
+          .map(_.toString.toDouble.toLong).getOrElse(0L))
       case "orc" => df => Writers.orc(df, path(o), mode,
-        partitionBy = o.get("partition_cols").map(strSeq).getOrElse(Nil))
+        partitionBy = o.get("partition_cols").map(strSeq).getOrElse(Nil),
+        maxRecordsPerFile = o.get("max_records_per_file")
+          .map(_.toString.toDouble.toLong).getOrElse(0L))
       case "excel" => df => minietl.io.Excel.write(df, path(o),
         sheetName = o.get("sheet_name").map(_.toString).getOrElse("Sheet1"),
         mode = if (mode == "append") "append" else "overwrite")

@@ -114,18 +114,25 @@ object Writers {
     * full-buffering.
     */
   def parquet(df: DataFrame, path: String, mode: String = "overwrite",
-              compression: String = "snappy", partitionBy: Seq[String] = Nil): Unit = {
+              compression: String = "snappy", partitionBy: Seq[String] = Nil,
+              maxRecordsPerFile: Long = 0L): Unit = {
+    // maxRecordsPerFile > 0 caps output file size by row count — the
+    // standard Spark knob for the small-files/giant-files trade at scale
+    // (0 = Spark default: one file per task)
     val w = df.write.mode(saveMode(mode)).option("compression", compression)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    val w2 = if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+    (if (partitionBy.nonEmpty) w2.partitionBy(partitionBy: _*) else w2).parquet(path)
   }
 
   /** ORC sink — Spark-native superset (see [[Readers.orc]]); same
     * mode/partitioning contract as [[parquet]].
     */
   def orc(df: DataFrame, path: String, mode: String = "overwrite",
-          compression: String = "snappy", partitionBy: Seq[String] = Nil): Unit = {
+          compression: String = "snappy", partitionBy: Seq[String] = Nil,
+          maxRecordsPerFile: Long = 0L): Unit = {
     val w = df.write.mode(saveMode(mode)).option("compression", compression)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+    val w2 = if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+    (if (partitionBy.nonEmpty) w2.partitionBy(partitionBy: _*) else w2).orc(path)
   }
 
   /** SQLLoader (loaders.py:197-276). */

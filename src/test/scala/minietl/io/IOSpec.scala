@@ -54,6 +54,16 @@ class IOSpec extends AnyFunSuite with SparkTestBase {
     assert(sub.toSet === Set("name=a", "name=b", "name=c"))
   }
 
+  test("maxRecordsPerFile splits parquet output into bounded files") {
+    val dir = s"${tmp()}/out_split"
+    import spark.implicits._
+    Writers.parquet((1 to 100).toDF("n").coalesce(1), dir, maxRecordsPerFile = 30L)
+    val parts = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parts === 4, s"expected ceil(100/30)=4 files, got $parts") // 30+30+30+10
+    assert(Readers.parquet(spark, dir).count() === 100)
+  }
+
   test("orc round-trip with column pruning and hive partitioning") {
     val dir = s"${tmp()}/out_orc"
     Writers.orc(sample, dir, partitionBy = Seq("name"))

@@ -593,10 +593,8 @@ object Config {
           val bench = minietl.io.Readers.parquet(df.sparkSession, benchPath)
             .select(col(benchCol).as(c))
             .withColumn(key, monotonically_increasing_id())
-          val flagged = minietl.sim.Similarity.semanticContaminationPairs(
-              df, bench, threshold, bpb, bands, dim, idCol = key, vecCol = c)
-            .select(col("corpus_id").as(key)).distinct()
-          df.join(flagged, Seq(key), "left_anti")
+          minietl.sim.Similarity.semanticDecontaminate(
+            df, bench, threshold, bpb, bands, dim, idCol = key, vecCol = c)
         }
       case "contamination_filter" =>
         // drops docs whose distinct-shingle overlap with the benchmark file

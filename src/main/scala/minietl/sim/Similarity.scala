@@ -281,6 +281,21 @@ object Similarity {
       .select(col("id").as("corpus_id"), col("b_id").as("bench_id"), col("cos"))
   }
 
+  /** Drop every corpus row [[semanticContaminationPairs]] flags — the
+    * embedding-level twin of [[minietl.text.Decontaminate.decontaminate]].
+    * Same plan plus one left-anti join on the (distinct) flagged ids.
+    */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+                            threshold: Double, bitsPerBand: Int, bands: Int, dim: Int,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            seed: Long = 42L,
+                            maxBucketSize: Int = minietl.dedup.Dedup.DefaultMaxBucket): DataFrame = {
+    val flagged = semanticContaminationPairs(corpus, bench, threshold,
+      bitsPerBand, bands, dim, idCol, vecCol, seed, maxBucketSize)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** DuckDB replay of [[semanticContaminationPairs]]: corpus and benchmark
     * selected out of one table by predicates (as the battery query does),
     * same plane literals / band slicing / corpus-side bucket cap / 4dp

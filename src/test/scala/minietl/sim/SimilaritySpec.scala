@@ -86,6 +86,11 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(flagged.filter(t => Set(0L, 4L)(t._1)).forall(_._3 === 1.0))
     // no corpus-corpus or bench-bench pairs leak into the output
     assert(flagged.forall(t => t._2 >= 100L && t._1 < 100L))
+    // the drop variant keeps exactly the unflagged corpus rows
+    val kept = Similarity.semanticDecontaminate(
+        corpus, bench, threshold = 0.95, bitsPerBand = 2, bands = 6, dim = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
   }
 
   test("banded near-dup recall on a planted mid-threshold corpus") {

@@ -251,6 +251,49 @@ object Streaming {
                           fpCol: String): DataFrame =
     stream.join(historyFp.select(fpCol).distinct(), Seq(fpCol), "left_anti")
 
+  /** The SELF-MAINTAINING ingest-dedup loop that [[dedupAgainstHistory]]
+    * leaves to the caller: per micro-batch, drop rows whose `fpCol`
+    * already exists in the parquet digest at `historyDir` (or earlier in
+    * the same batch — keep-any, deterministic for byte-identical
+    * duplicate payloads), hand the survivors to `sink`, then APPEND their
+    * fingerprints to the digest — so the history grows exactly by what
+    * was admitted and the next batch dedups against it. foreachBatch runs
+    * batches sequentially, so the read-check-append cycle is race-free.
+    *
+    * Scale notes: the digest holds one row per admitted fingerprint —
+    * periodically compact it (or store it bucketed by fpCol) so the
+    * per-batch anti-join plans a digest-side scan, not a small-files
+    * storm; the anti-join itself is re-planned per batch and broadcasts
+    * or shuffles by size as usual.
+    */
+  def dedupAndRecordHistory(
+      stream: DataFrame, fpCol: String, historyDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow())(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hist =
+          try spark.read.parquet(historyDir).select(fpCol).distinct()
+          catch {
+            // first batch: no digest yet — empty frame with the right schema
+            case _: org.apache.spark.sql.AnalysisException => batch.select(fpCol).limit(0)
+          }
+        val fresh = batch
+          .join(hist, Seq(fpCol), "left_anti")
+          .dropDuplicates(fpCol)
+          .persist()
+        try {
+          sink(fresh, batchId)
+          fresh.select(fpCol).write.mode("append").parquet(historyDir)
+        } finally { fresh.unpersist(); () }
+      }
+      .start()
+
   /** Stream-stream inner equi-join bounded by an event-time interval: a
     * right row matches a left row with the same keys when its timestamp is
     * within [leftTs - lookback, leftTs + lookahead]. Both sides carry

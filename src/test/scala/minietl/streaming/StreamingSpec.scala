@@ -199,6 +199,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupAndRecordHistory admits first sights only and grows its own digest") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("minietl-dedup-hist")
+    val hist = s"$dir/digest"
+    val chk = s"$dir/chk"
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.dedupAndRecordHistory(
+      input.toDF().toDF("id", "fp"), "fp", hist, chk,
+      trigger = Trigger.ProcessingTime(0)) { (batch, _) =>
+      admitted ++= batch.select("id", "fp").as[(Long, String)].collect(); ()
+    }
+    try {
+      // batch 1: b duplicated WITHIN the batch → one survivor
+      input.addData((1L, "a"), (2L, "b"), (3L, "b"))
+      q.processAllAvailable()
+      assert(admitted.map(_._2).sorted === Seq("a", "b"))
+      // batch 2: a and b are history; only c is new
+      input.addData((4L, "a"), (5L, "c"), (6L, "b"))
+      q.processAllAvailable()
+      assert(admitted.map(_._2).sorted === Seq("a", "b", "c"))
+      // the digest holds exactly the admitted fingerprints
+      assert(spark.read.parquet(hist).as[String].collect().sorted.toSeq
+        === Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("intervalJoin matches rows within the event-time interval only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, String, Long)]

@@ -107,6 +107,36 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     assert(new java.io.File(s"$dir/out/k=a").isDirectory)
   }
 
+  test("the committed example pipeline validates and runs end-to-end") {
+    val dir = tmp()
+    // tiny corpus exercising every stage: stutter, dup lines, short docs,
+    // a benchmark copy, two sources for the temperature mix
+    val docs = (1L to 30L).map { i =>
+      // Gopher-compliant synthetic text: stopwords present, mean word
+      // length in [3, 10]; trailing "end end" stutter for squeeze_repeats
+      val filler = (1L to 60L).map(j => f"wd${(i * 7 + j) % 97}%02d").mkString(" ")
+      val words = s"the start of this and that with $filler end end"
+      (i, words, "en", if (i % 2 == 0) "web" else "books")
+    }
+    (docs :+ (99L, "too short", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq(Tuple1("completely unrelated benchmark text with rare words"))
+      .toDF("text").write.parquet(s"$dir/benchmark.parquet")
+    val env = Map("CORPUS_DIR" -> dir, "OUT_DIR" -> s"$dir/out")
+    val text = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("examples/training_data_pipeline.yaml")), "UTF-8")
+    val cfg = minietl.config.Config.parse(text, env)
+    assert(minietl.config.Config.validate(cfg).isEmpty)
+    minietl.config.Config.build(cfg).run(spark)
+    val out = Readers.parquet(spark, s"$dir/out/cleaned")
+    // the short doc is gone; the survivors carry the cleaned text
+    assert(out.count() > 0 && out.count() <= 30)
+    assert(out.filter(org.apache.spark.sql.functions.col("doc_id") === 99L).count() === 0)
+    import spark.implicits._
+    assert(out.select("text").as[String].collect().forall(!_.contains("end end")))
+  }
+
   test("info lists registered types; unknown command prints usage") {
     val (c, out) = Main.execute(Seq("info"), () => spark)
     assert(c === 0 && out.contains("transformers"))

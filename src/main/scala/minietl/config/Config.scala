@@ -1076,27 +1076,34 @@ object Config {
       opts("aggregations") match {
         case m: Map[String, Any] @unchecked => m.map { case (k, v) => k -> strSeq(v) }
       }
+    // the watermark is applied ONCE at the source: Spark rejects
+    // redefining it mid-plan, so chaining two stateful stages (dedup →
+    // window_agg) must share one definition — the stateful stage builders
+    // therefore use the *Watermarked variants
     val stageFns: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] =
       c.stages.map { s =>
         s.typ match {
           case "window_agg" => s.options.get("slide") match {
-            case Some(slide) => df => Streaming.slidingAgg(df, wmCol, wmDelay,
+            case Some(slide) => df => Streaming.slidingAggWatermarked(df, wmCol,
               str(s.options, "window"), slide.toString,
               strSeq(s.options("keys")), aggs(s.options))
-            case None => df => Streaming.tumblingAgg(df, wmCol, wmDelay,
+            case None => df => Streaming.tumblingAggWatermarked(df, wmCol,
               str(s.options, "window"), strSeq(s.options("keys")), aggs(s.options))
           }
-          case "session_agg" => df => Streaming.sessionAgg(df, wmCol, wmDelay,
+          case "session_agg" => df => Streaming.sessionAggWatermarked(df, wmCol,
             str(s.options, "gap"), strSeq(s.options("keys")), aggs(s.options))
-          case "dedup" => df => Streaming.dedupWithinWatermark(df, wmCol, wmDelay,
-            strSeq(s.options("keys")))
+          case "dedup" => df => Streaming.dedupWatermarked(df, strSeq(s.options("keys")))
           case _ => transformFn(s)
         }
       }
     val frame = (spark: org.apache.spark.sql.SparkSession) => {
-      val src = spark.readStream.schema(schema).format(fmt)
+      val src0 = spark.readStream.schema(schema).format(fmt)
         .options(strMap(o.getOrElse("options", Map.empty[String, Any])))
         .load(path(o))
+      val src = c.watermark match {
+        case Some((wc, delay)) => src0.withWatermark(wc, delay)
+        case None => src0
+      }
       stageFns.foldLeft(src)((df, f) => f(df))
     }
     val start = (spark: org.apache.spark.sql.SparkSession) => {

@@ -42,10 +42,20 @@ object Streaming {
       watermarkDelay: String,
       windowDuration: String,
       keys: Seq[String],
-      aggs: Map[String, Seq[String]]): DataFrame = {
+      aggs: Map[String, Seq[String]]): DataFrame =
+    tumblingAggWatermarked(df.withWatermark(tsCol, watermarkDelay),
+      tsCol, windowDuration, keys, aggs)
+
+  /** [[tumblingAgg]] for a frame whose watermark the CALLER already set —
+    * required when composing multiple stateful stages on one stream
+    * (Spark rejects redefining the watermark mid-plan): apply
+    * `withWatermark` once at the source, then chain watermarked variants.
+    */
+  def tumblingAggWatermarked(
+      df: DataFrame, tsCol: String, windowDuration: String,
+      keys: Seq[String], aggs: Map[String, Seq[String]]): DataFrame = {
     val aggCols = aggColumns(aggs)
-    df.withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), windowDuration) +: keys.map(col): _*)
+    df.groupBy(window(col(tsCol), windowDuration) +: keys.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
   }
 
@@ -91,10 +101,18 @@ object Streaming {
       windowDuration: String,
       slideDuration: String,
       keys: Seq[String],
-      aggs: Map[String, Seq[String]]): DataFrame = {
+      aggs: Map[String, Seq[String]]): DataFrame =
+    slidingAggWatermarked(df.withWatermark(tsCol, watermarkDelay),
+      tsCol, windowDuration, slideDuration, keys, aggs)
+
+  /** [[slidingAgg]] on an already-watermarked frame (see
+    * [[tumblingAggWatermarked]] for why the split exists).
+    */
+  def slidingAggWatermarked(
+      df: DataFrame, tsCol: String, windowDuration: String, slideDuration: String,
+      keys: Seq[String], aggs: Map[String, Seq[String]]): DataFrame = {
     val aggCols = aggColumns(aggs)
-    df.withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), windowDuration, slideDuration) +: keys.map(col): _*)
+    df.groupBy(window(col(tsCol), windowDuration, slideDuration) +: keys.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
   }
 
@@ -216,10 +234,18 @@ object Streaming {
       watermarkDelay: String,
       gap: String,
       keys: Seq[String],
-      aggs: Map[String, Seq[String]]): DataFrame = {
+      aggs: Map[String, Seq[String]]): DataFrame =
+    sessionAggWatermarked(df.withWatermark(tsCol, watermarkDelay),
+      tsCol, gap, keys, aggs)
+
+  /** [[sessionAgg]] on an already-watermarked frame (see
+    * [[tumblingAggWatermarked]]).
+    */
+  def sessionAggWatermarked(
+      df: DataFrame, tsCol: String, gap: String,
+      keys: Seq[String], aggs: Map[String, Seq[String]]): DataFrame = {
     val aggCols = aggColumns(aggs)
-    df.withWatermark(tsCol, watermarkDelay)
-      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+    df.groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
   }
 
@@ -234,8 +260,15 @@ object Streaming {
       df: DataFrame, tsCol: String, watermarkDelay: String,
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "dedup needs at least one key column")
-    df.withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark(keys)
+    dedupWatermarked(df.withWatermark(tsCol, watermarkDelay), keys)
+  }
+
+  /** [[dedupWithinWatermark]] on an already-watermarked frame (see
+    * [[tumblingAggWatermarked]]).
+    */
+  def dedupWatermarked(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "dedup needs at least one key column")
+    df.dropDuplicatesWithinWatermark(keys)
   }
 
   /** Dedup-at-the-door against a HISTORICAL corpus: drop every streaming

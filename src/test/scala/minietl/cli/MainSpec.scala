@@ -137,6 +137,32 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     assert(out.select("text").as[String].collect().forall(!_.contains("end end")))
   }
 
+  test("the committed stream example validates and drains end-to-end") {
+    val dir = tmp()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // the 10:20 heartbeat pushes the closing watermark to 10:10, past the
+    // [10:00, 10:05) window's end — append mode emits only FINALIZED
+    // windows, so without it the drain would (correctly) emit nothing
+    Seq((ts(0), 1L, "click", 2.0), (ts(1), 1L, "click", 3.0), // dup event_id
+      (ts(2), 2L, "view", -1.0), (ts(3), 3L, "click", 5.0),
+      (ts(20), 9L, "hb", 1.0))
+      .toDF("ts", "event_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$dir/events")
+    val env = Map("EVENTS_DIR" -> s"$dir/events", "OUT_DIR" -> s"$dir/out")
+    val text = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("examples/stream_ingest.yaml")), "UTF-8")
+    val cfg = minietl.config.Config.parseStream(text, env)
+    assert(minietl.config.Config.validateStream(cfg).isEmpty)
+    minietl.config.Config.buildStream(cfg).runAvailableNow(spark)
+    // negative value filtered; dup event_id collapsed; single 5-min window
+    // for the three surviving clicks... wait: dedup keeps one of the two
+    // event_id=1 rows (ts 10:00 or 10:01 — same window either way)
+    val rolls = Readers.parquet(spark, s"$dir/out/rollups")
+    assert(rolls.count() === 1)
+    val r = rolls.select("event_type", "value_count").collect()(0)
+    assert(r.getString(0) === "click" && r.getLong(1) === 2L)
+  }
+
   test("info lists registered types; unknown command prints usage") {
     val (c, out) = Main.execute(Seq("info"), () => spark)
     assert(c === 0 && out.contains("transformers"))

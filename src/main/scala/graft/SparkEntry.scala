@@ -3481,6 +3481,91 @@ object SparkEntry {
              |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
              |  min(n_name) AS first_name
              |FROM nation GROUP BY 1 ORDER BY n_regionkey""".stripMargin)),
+
+    // CSV interchange under the hash gate (the q_excel_roundtrip pattern,
+    // mirroring tests/test_loaders.py:22-99 / test_extractors.py:19-76's
+    // round-trip contract): supplier → csv (Writers.csv, header) → read
+    // back through Readers.csv with the DECLARED source schema (no
+    // inference scan) → aggregate; the oracle aggregates the same table
+    // straight from parquet. Aggregates are exact pass-throughs (counts,
+    // integer sums, min/max of raw doubles and strings) so the row proves
+    // serialization fidelity, not rounding luck: Spark renders doubles in
+    // shortest-round-trip form, so max(s_acctbal) must come back
+    // bit-identical.
+    "q_csv_roundtrip" -> Q(
+      (s, dir) => {
+        val cdir = stagingDir("csvrt", dir)
+        val src = t(s, dir, "supplier")
+        minietl.io.Writers.csv(src, cdir.toString)
+        minietl.io.Readers.csv(s, cdir.toString, schema = Some(src.schema))
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum(col("s_suppkey")).as("key_sum"),
+            max(col("s_acctbal")).as("max_bal"),
+            min(col("s_name")).as("first_name"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_suppliers,
+             |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             |  max(s_acctbal) AS max_bal,
+             |  min(s_name) AS first_name
+             |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin)),
+
+    // JSONL interchange under the hash gate (test_loaders.py:102-194 /
+    // test_extractors.py:79-148): customer → jsonl (Writers.json; one
+    // object per line) → Readers.json with the declared schema →
+    // aggregate. JSON numbers round-trip exactly (shortest-repr doubles,
+    // exact int64), strings are escaped per RFC 8259 — min(c_name) and
+    // min(c_acctbal) prove both survive.
+    "q_jsonl_roundtrip" -> Q(
+      (s, dir) => {
+        val jdir = stagingDir("jsonlrt", dir)
+        val src = t(s, dir, "customer")
+        minietl.io.Writers.json(src, jdir.toString)
+        minietl.io.Readers.json(s, jdir.toString, lines = true,
+            schema = Some(src.schema))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("c_custkey")).as("key_sum"),
+            min(col("c_acctbal")).as("min_bal"),
+            min(col("c_name")).as("first_name"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers,
+             |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+             |  min(c_acctbal) AS min_bal,
+             |  min(c_name) AS first_name
+             |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
+    // JDBC interchange under the hash gate (test_loaders.py:197-276 /
+    // test_extractors.py:285-356): supplier → embedded Derby (Writers.jdbc,
+    // replace — Derby ships in Spark's own jars, no external database) →
+    // Readers.jdbc read-back → aggregate. DuckDB never touches Derby: the
+    // oracle aggregates the pre-write parquet table, so the hash equality
+    // IS the proof that the SQL round trip preserved every value (Derby
+    // DOUBLE is IEEE binary64 — exact; strings come back from CLOB).
+    "q_jdbc_roundtrip" -> Q(
+      (s, dir) => {
+        val ddir = stagingDir("derbyrt", dir)
+        java.nio.file.Files.createDirectories(ddir)
+        val url = s"jdbc:derby:$ddir/db;create=true"
+        minietl.io.Writers.jdbc(t(s, dir, "supplier"), url, "supplier_rt",
+          ifExists = "replace")
+        minietl.io.Readers.jdbc(s, url, table = Some("supplier_rt"))
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_suppliers"),
+            min(col("s_suppkey")).as("key_min"),
+            sum(col("s_suppkey")).as("key_sum"),
+            max(col("s_acctbal")).as("max_bal"),
+            min(col("s_name")).as("first_name"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_suppliers,
+             |  min(s_suppkey) AS key_min,
+             |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             |  max(s_acctbal) AS max_bal,
+             |  min(s_name) AS first_name
+             |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin)),
   )
 
   private val registry: Seq[(String, Q)] = relational ++ pipelineExtras

@@ -562,13 +562,25 @@ object Config {
         // trains a BPE tokenizer on the frame's own text column (the
         // lm_surprise corpus-trained pattern) and joins per-doc subword
         // stats back on (left: docs with no tokens keep nulls) so a filter
-        // stage can threshold compression ratio / vocab spread next
+        // stage can threshold compression ratio / vocab spread next.
+        // TRAIN-ONCE: training (a full word-count groupBy + driver greedy
+        // loop) is the most expensive stage in the pipeline, and a DAG
+        // that materializes this node twice would silently run it twice —
+        // so the trained model is memoized in this stage closure, keyed by
+        // the input's canonicalized plan (one training per distinct input
+        // per pipeline BUILD; deterministic either way, this is purely a
+        // cost contract)
         val key = str(t.options, "key")
         val c = str(t.options, "column")
         val merges = str(t.options, "num_merges").toDouble.toInt
         val maxVocab = t.options.get("max_vocab").map(_.toString.toDouble.toInt).getOrElse(100000)
+        val trained = new java.util.concurrent.ConcurrentHashMap[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          minietl.text.Bpe.BpeModel]()
         df => {
-          val model = minietl.text.Bpe.train(df, c, merges, maxVocab)
+          val planKey = df.queryExecution.analyzed.canonicalized
+          val model = trained.computeIfAbsent(planKey,
+            _ => minietl.text.Bpe.train(df, c, merges, maxVocab))
           df.join(
             minietl.text.Bpe.encodeStats(df, key, c, model)
               .withColumnRenamed("doc_id", key),
@@ -593,7 +605,10 @@ object Config {
           val bench = minietl.io.Readers.parquet(df.sparkSession, benchPath)
             .select(col(benchCol).as(c))
             .withColumn(key, monotonically_increasing_id())
-          minietl.sim.Similarity.semanticDecontaminate(
+          // EAGER variant: a config-driven run has no unpersist hook, so
+          // the lazy variant would pin the prepared-corpus cache for the
+          // session lifetime (the lm_surprise precedent above)
+          minietl.sim.Similarity.semanticDecontaminateEager(
             df, bench, threshold, bpb, bands, dim, idCol = key, vecCol = c)
         }
       case "contamination_filter" =>
@@ -889,7 +904,11 @@ object Config {
     * }}}
     * Streaming stage types: `window_agg` (tumbling; with `slide:` sliding),
     * `session_agg` (gap-merged), `dedup` (watermark-bounded exact dedup) —
-    * each requires the `watermark:` block. Stateless scan-side batch stages
+    * each requires the `watermark:` block — and `dedup_history` (the
+    * self-maintaining ingest-dedup loop over a durable parquet digest:
+    * `history:` path plus `key:` XOR `columns:`; must be the last stage,
+    * file sinks only — see [[minietl.streaming.Streaming.dedupAndRecordHistory]]).
+    * Stateless scan-side batch stages
     * ([[streamableStageTypes]]) apply verbatim — the `DataFrame =>
     * DataFrame` contract is source-agnostic by design.
     */
@@ -909,16 +928,27 @@ object Config {
   final case class StreamPipeline(
       name: String,
       frame: org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame,
-      start: org.apache.spark.sql.SparkSession => org.apache.spark.sql.streaming.StreamingQuery) {
+      startWith: (org.apache.spark.sql.SparkSession,
+        Option[org.apache.spark.sql.streaming.Trigger]) => org.apache.spark.sql.streaming.StreamingQuery) {
+    /** Launch the writeStream with the CONFIG's trigger. */
+    def start(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+      startWith(spark, None)
+    /** Drain everything currently staged and block until done — the
+      * bounded-replay path the reference Scheduler's one-shot runs map to.
+      * OVERRIDES the config's trigger with AvailableNow: an interval
+      * trigger would never terminate, so `minietl run` on an interval
+      * config would block in awaitTermination forever.
+      */
     def runAvailableNow(spark: org.apache.spark.sql.SparkSession): Unit = {
-      val q = start(spark)
+      val q = startWith(spark,
+        Some(minietl.streaming.Streaming.availableNowTrigger))
       q.awaitTermination()
     }
   }
 
   private val streamSourceTypes = Set("csv", "json", "jsonl", "parquet", "orc")
   private val streamSinkTypes = Set("csv", "json", "jsonl", "parquet", "orc", "memory")
-  private val streamStageTypes = Set("window_agg", "session_agg", "dedup")
+  private val streamStageTypes = Set("window_agg", "session_agg", "dedup", "dedup_history")
 
   /** Batch transformer types that apply verbatim to an unbounded frame:
     * scan-side, stateless, no global sort/window/aggregate. (The stateful
@@ -1015,6 +1045,33 @@ object Config {
         case "dedup" =>
           (if (s.options.contains("keys")) Nil else Seq(s"$at: missing 'keys'")) ++
             (if (c.watermark.isEmpty) Seq(s"$at: requires a 'watermark' block") else Nil)
+        case "dedup_history" =>
+          // the self-maintaining ingest-dedup loop (Streaming
+          // .dedupAndRecordHistory): drop rows whose fingerprint is in the
+          // parquet digest at 'history' (or earlier in the batch), write
+          // survivors to the file sink, then append their fingerprints —
+          // so the digest grows by exactly what was admitted. foreachBatch
+          // under the hood, hence the structural constraints below.
+          (if (s.options.contains("history")) Nil
+           else Seq(s"$at: missing 'history' (parquet digest path)")) ++
+            ((s.options.contains("key"), s.options.contains("columns")) match {
+              case (true, true) =>
+                Seq(s"$at: give exactly one of 'key'/'columns', not both")
+              case (false, false) =>
+                Seq(s"$at: needs 'key' (an existing fingerprint column) or " +
+                  "'columns' (columns to fingerprint with md5)")
+              case _ => Nil
+            }) ++
+            (if (c.stages.count(_.typ == "dedup_history") > 1)
+               Seq(s"$at: at most one dedup_history stage per stream")
+             else if (c.stages.last.typ != "dedup_history")
+               Seq(s"$at: must be the LAST stage (it couples the sink write " +
+                 "with recording the admitted fingerprints per micro-batch)")
+             else Nil) ++
+            (if (c.sink.typ == "memory")
+               Seq(s"$at: requires a file sink (each micro-batch's survivors " +
+                 "and their digest append are written together)")
+             else Nil)
         case t if streamableStageTypes.contains(t) => checkTransformer(s, s"stream stage[$i]")
         case t if transformerTypes.contains(t) =>
           Seq(s"$at: '$t' is not streamable (needs whole-input state; use the " +
@@ -1080,8 +1137,11 @@ object Config {
     // redefining it mid-plan, so chaining two stateful stages (dedup →
     // window_agg) must share one definition — the stateful stage builders
     // therefore use the *Watermarked variants
+    // dedup_history is not a frame transform — it compiles to the terminal
+    // foreachBatch sink below; everything before it folds as usual
+    val dedupHist = c.stages.find(_.typ == "dedup_history")
     val stageFns: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] =
-      c.stages.map { s =>
+      c.stages.filterNot(_.typ == "dedup_history").map { s =>
         s.typ match {
           case "window_agg" => s.options.get("slide") match {
             case Some(slide) => df => Streaming.slidingAggWatermarked(df, wmCol,
@@ -1106,29 +1166,64 @@ object Config {
       }
       stageFns.foldLeft(src)((df, f) => f(df))
     }
-    val start = (spark: org.apache.spark.sql.SparkSession) => {
+    val start = (spark: org.apache.spark.sql.SparkSession,
+                 triggerOverride: Option[org.apache.spark.sql.streaming.Trigger]) => {
       val so = c.sink.options
-      val trigger = so.get("trigger").map(_.toString.toLowerCase) match {
-        case None | Some("available_now") => Streaming.availableNowTrigger
-        case Some(ivl) => Streaming.intervalTrigger(ivl)
-      }
+      val trigger = triggerOverride.getOrElse(
+        so.get("trigger").map(_.toString.toLowerCase) match {
+          case None | Some("available_now") => Streaming.availableNowTrigger
+          case Some(ivl) => Streaming.intervalTrigger(ivl)
+        })
       val mode = so.get("output_mode").map(_.toString.toLowerCase).getOrElse("append")
       val checkpoint = so.get("checkpoint").map(_.toString).getOrElse(
         java.nio.file.Files.createTempDirectory(s"minietl_stream_${c.name}_").toString)
-      val w0 = frame(spark).writeStream
-        .outputMode(mode)
-        .trigger(trigger)
-        .option("checkpointLocation", checkpoint)
-      // partition_cols: same layout control as the batch parquet/orc sink
-      val w = so.get("partition_cols").map(strSeq) match {
-        case Some(cols) if cols.nonEmpty => w0.partitionBy(cols: _*)
-        case _ => w0
-      }
-      c.sink.typ match {
-        case "memory" =>
-          w.format("memory").queryName(str(so, "query_name")).start()
-        case "jsonl" => w.format("json").start(path(so))
-        case t => w.format(t).start(path(so))
+      dedupHist match {
+        case Some(dh) =>
+          import org.apache.spark.sql.functions.{col, concat_ws, md5}
+          val historyDir = str(dh.options, "history")
+          val base = frame(spark)
+          // 'key' names an existing fingerprint column; 'columns' derives
+          // one (md5 over unit-separator-joined string casts — the portable
+          // digest contract of the batch dedup family), dropped again
+          // before the sink write
+          val (fpCol, prepared, derived) = dh.options.get("key") match {
+            case Some(k) => (k.toString, base, false)
+            case None =>
+              val cols = strSeq(dh.options("columns"))
+              ("__fp", base.withColumn("__fp",
+                md5(concat_ws("\u0001", cols.map(col(_).cast("string")): _*)
+                  .cast("binary"))), true)
+          }
+          val writeBatch: org.apache.spark.sql.DataFrame => Unit = fresh => {
+            val out = if (derived) fresh.drop(fpCol) else fresh
+            val pcols = so.get("partition_cols").map(strSeq).getOrElse(Nil)
+            c.sink.typ match {
+              case "csv" => minietl.io.Writers.csv(out, path(so), "append")
+              case "json" | "jsonl" => minietl.io.Writers.json(out, path(so), "append")
+              case "orc" => minietl.io.Writers.orc(out, path(so), "append", partitionBy = pcols)
+              case _ => minietl.io.Writers.parquet(out, path(so), "append", partitionBy = pcols)
+            }
+          }
+          minietl.streaming.Streaming.dedupAndRecordHistory(
+            prepared, fpCol, historyDir, checkpoint, trigger) {
+            (fresh, _) => writeBatch(fresh)
+          }
+        case None =>
+          val w0 = frame(spark).writeStream
+            .outputMode(mode)
+            .trigger(trigger)
+            .option("checkpointLocation", checkpoint)
+          // partition_cols: same layout control as the batch parquet/orc sink
+          val w = so.get("partition_cols").map(strSeq) match {
+            case Some(cols) if cols.nonEmpty => w0.partitionBy(cols: _*)
+            case _ => w0
+          }
+          c.sink.typ match {
+            case "memory" =>
+              w.format("memory").queryName(str(so, "query_name")).start()
+            case "jsonl" => w.format("json").start(path(so))
+            case t => w.format(t).start(path(so))
+          }
       }
     }
     StreamPipeline(c.name, frame, start)

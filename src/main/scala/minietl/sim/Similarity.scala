@@ -251,7 +251,21 @@ object Similarity {
                                  threshold: Double, bitsPerBand: Int, bands: Int, dim: Int,
                                  idCol: String = "vec_id", vecCol: String = "embedding",
                                  seed: Long = 42L,
-                                 maxBucketSize: Int = minietl.dedup.Dedup.DefaultMaxBucket): DataFrame = {
+                                 maxBucketSize: Int = minietl.dedup.Dedup.DefaultMaxBucket): DataFrame =
+    semanticContaminationPairsWithCache(corpus, bench, threshold, bitsPerBand,
+      bands, dim, idCol, vecCol, seed, maxBucketSize)._1
+
+  /** [[semanticContaminationPairs]] plus a handle on the internally
+    * persisted prepared-corpus frame, so an EAGER caller (the config
+    * stage, which has no unpersist hook) can release the cache itself
+    * after materializing — the [[minietl.text.LmScore.bigramSurpriseEager]]
+    * pattern.
+    */
+  private def semanticContaminationPairsWithCache(
+      corpus: DataFrame, bench: DataFrame,
+      threshold: Double, bitsPerBand: Int, bands: Int, dim: Int,
+      idCol: String, vecCol: String, seed: Long,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
     val planes = hyperplanes(bands * bitsPerBand, dim, seed)
     def bandStructs(vec: Column) = (0 until bands).map { b =>
       val slice = planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand)
@@ -272,13 +286,14 @@ object Similarity {
       .select(col("b_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = cSigs.join(broadcast(bSigs), Seq("band", "sig"))
       .select("id", "b_id").distinct()
-    cand
+    val pairs = cand
       .join(prepC, "id")
       .join(broadcast(prepB.select(col("b_id"), col("b_vec"), col("b_nrm"))), "b_id")
       .withColumn("cos",
         round(dotD(col("vec"), col("b_vec")) / (col("nrm") * col("b_nrm")), 4))
       .filter(col("cos") >= threshold)
       .select(col("id").as("corpus_id"), col("b_id").as("bench_id"), col("cos"))
+    (pairs, prepC)
   }
 
   /** Drop every corpus row [[semanticContaminationPairs]] flags — the
@@ -293,6 +308,27 @@ object Similarity {
     val flagged = semanticContaminationPairs(corpus, bench, threshold,
       bitsPerBand, bands, dim, idCol, vecCol, seed, maxBucketSize)
       .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** [[semanticDecontaminate]] with EAGER cache release: materializes the
+    * (model-sized) flagged-id set via localCheckpoint, then unpersists the
+    * internally cached prepared-corpus frame before returning. For callers
+    * with no unpersist hook of their own — the config/Pipeline.run path —
+    * where the lazy variant would pin the full corpus vector cache for the
+    * session lifetime (the [[minietl.text.LmScore.bigramSurpriseEager]]
+    * precedent). The returned frame no longer depends on the cache.
+    */
+  def semanticDecontaminateEager(corpus: DataFrame, bench: DataFrame,
+                                 threshold: Double, bitsPerBand: Int, bands: Int, dim: Int,
+                                 idCol: String = "vec_id", vecCol: String = "embedding",
+                                 seed: Long = 42L,
+                                 maxBucketSize: Int = minietl.dedup.Dedup.DefaultMaxBucket): DataFrame = {
+    val (pairs, prepC) = semanticContaminationPairsWithCache(corpus, bench,
+      threshold, bitsPerBand, bands, dim, idCol, vecCol, seed, maxBucketSize)
+    val flagged = pairs.select(col("corpus_id").as(idCol)).distinct()
+      .localCheckpoint(true)
+    prepC.unpersist()
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
 

@@ -139,8 +139,9 @@ object Streaming {
     * output is independent of arrival order inside a batch (the buffer is
     * bounded by per-key-per-batch volume, not stream history). ACROSS
     * batches the guarantees are the watermark's: `flatMapGroupsWithState`
-    * does not auto-drop late input, so rows at or below the current
-    * watermark are dropped HERE (same contract as Spark's own stateful
+    * does not auto-drop late input, so rows strictly below the current
+    * watermark are dropped HERE (rows AT the watermark are kept — Spark's
+    * own late-data boundary for its stateful
     * operators), and an above-watermark row that still arrives out of
     * order relative to the open session extends it with
     * `start = min(start, ts)` / `last = max(last, ts)` — it can therefore

@@ -42,6 +42,24 @@ object Bpe {
     lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
   }
 
+  /** A word's initial symbol sequence: one symbol per Unicode CODE POINT,
+    * not per Java char — `word.map(_.toString)` would split supplementary-
+    * plane text (emoji, CJK extensions) into unpaired surrogate halves,
+    * which are self-consistent inside the JVM but invalid UTF-8 the moment
+    * [[manifestValuesSql]] space-joins them into SQL literals for the
+    * external oracle.
+    */
+  private def codePointSyms(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   /** One merge pass: replace adjacent (l, r) by l+r, left-to-right,
     * non-overlapping.
     */
@@ -64,8 +82,15 @@ object Bpe {
     * silently materializing it. Training stops early when no pair occurs
     * twice (merging singleton pairs would just memorize words).
     */
+  /** Total [[train]] invocations this JVM — lets tests assert the config
+    * layer's train-once contract (a DAG materializing a `bpe_stats` input
+    * twice must still train once) without scraping Spark job counts.
+    */
+  val trainInvocations = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             maxVocab: Int = 100000): BpeModel = {
+    trainInvocations.incrementAndGet()
     require(numMerges >= 1, s"need at least one merge, got $numMerges")
     val counts = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
@@ -78,7 +103,7 @@ object Bpe {
         "classic formulation) — raise maxVocab only if that table is " +
         "genuinely model-sized for your corpus")
     var words: Array[(Vector[String], Long)] = vocabRows
-      .map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1)))
+      .map(r => (codePointSyms(r.getString(0)), r.getLong(1)))
     val merges = Vector.newBuilder[(String, String)]
     var done = false
     var step = 0
@@ -113,7 +138,7 @@ object Bpe {
     * training corpus never saw.
     */
   def encodeWord(word: String, model: BpeModel): Seq[String] = {
-    var syms = word.map(_.toString).toVector
+    var syms = codePointSyms(word)
     var go = true
     while (go && syms.length > 1) {
       var bestRank = Int.MaxValue

@@ -163,6 +163,27 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getString(0) === "click" && r.getLong(1) === 2L)
   }
 
+  test("the committed ingest-dedup stream example drains and maintains its digest") {
+    val dir = tmp()
+    Seq((1L, "alpha doc", "web"), (2L, "beta doc", "web"),
+        (3L, "beta doc", "books"), (4L, "", "web"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$dir/docs")
+    val env = Map("DOCS_DIR" -> s"$dir/docs", "OUT_DIR" -> s"$dir/out")
+    val text = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("examples/stream_ingest_dedup.yaml")), "UTF-8")
+    val cfg = minietl.config.Config.parseStream(text, env)
+    assert(minietl.config.Config.validateStream(cfg).isEmpty)
+    minietl.config.Config.buildStream(cfg).runAvailableNow(spark)
+    import spark.implicits._
+    // empty doc filtered; duplicate "beta doc" collapsed to first sight
+    val corpus = Readers.parquet(spark, s"$dir/out/corpus")
+      .select("text").as[String].collect().sorted.toSeq
+    assert(corpus === Seq("alpha doc", "beta doc"))
+    // one digest row per admitted document
+    assert(spark.read.parquet(s"$dir/out/digest").count() === 2L)
+  }
+
   test("info lists registered types; unknown command prints usage") {
     val (c, out) = Main.execute(Seq("info"), () => spark)
     assert(c === 0 && out.contains("transformers"))

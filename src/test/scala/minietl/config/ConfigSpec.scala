@@ -332,6 +332,119 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
       .exists(_.contains("num_merges")))
   }
 
+  test("bpe_stats trains ONCE per pipeline build even across recompiles and fan-out") {
+    val dir = tmp()
+    Seq((1L, "aaab aab"), (2L, "aaab")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/docs")
+    val dag = Config.loadDag(
+      s"""name: bpe_once
+         |dag:
+         |  sources:
+         |    docs: {type: parquet, path: $dir/docs}
+         |  nodes:
+         |    - id: stats
+         |      input: docs
+         |      transform: {type: bpe_stats, key: doc_id, column: text, num_merges: 3}
+         |  sinks:
+         |    a: {input: stats, type: parquet, path: $dir/a}
+         |    b: {input: stats, type: parquet, path: $dir/b}
+         |""".stripMargin)
+    val before = minietl.text.Bpe.trainInvocations.get()
+    assert(dag.run(spark) === Map("a" -> 2L, "b" -> 2L))
+    // re-materializing the node (a second compile of the same build) must
+    // hit the memoized model, not re-run the word-count groupBy + greedy loop
+    assert(dag.frame(spark, "stats").count() === 2L)
+    assert(minietl.text.Bpe.trainInvocations.get() - before === 1L)
+  }
+
+  test("runAvailableNow overrides an interval trigger so one-shot runs terminate") {
+    val dir = tmp()
+    val in = s"$dir/iv_in"
+    Seq((java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), "a", 1.0),
+        (java.sql.Timestamp.valueOf("2026-01-01 10:01:00"), "a", 2.0))
+      .toDF("ts", "event_type", "value").coalesce(1).write.parquet(in)
+    val qname = "cfg_stream_interval"
+    // trigger: 30s — without the AvailableNow override this would sit in
+    // awaitTermination forever (the interval query never terminates)
+    Config.loadStream(
+      s"""name: cfg_interval
+         |stream:
+         |  source:
+         |    type: parquet
+         |    path: $in
+         |    schema:
+         |      - {name: ts, dtype: timestamp}
+         |      - {name: event_type, dtype: string}
+         |      - {name: value, dtype: float64}
+         |  watermark: {column: ts, delay: 0 seconds}
+         |  stages:
+         |    - type: window_agg
+         |      window: 5 minutes
+         |      keys: [event_type]
+         |      aggregations: {value: [sum]}
+         |  sink:
+         |    type: memory
+         |    query_name: $qname
+         |    checkpoint: $dir/chk
+         |    output_mode: complete
+         |    trigger: 30s
+         |""".stripMargin).runAvailableNow(spark)
+    import org.apache.spark.sql.functions._
+    assert(spark.table(qname).select(col("event_type"), col("value_sum"))
+      .as[(String, Double)].collect().toSet === Set(("a", 3.0)))
+  }
+
+  test("dedup_history stage runs the self-maintaining ingest-dedup loop from YAML") {
+    val dir = tmp()
+    val in = s"$dir/docs_in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val yaml =
+      s"""name: ingest_dedup
+         |stream:
+         |  source:
+         |    type: parquet
+         |    path: $in
+         |    schema:
+         |      - {name: doc_id, dtype: int64}
+         |      - {name: text, dtype: string}
+         |  stages:
+         |    - type: dedup_history
+         |      history: $dir/digest
+         |      columns: [text]
+         |  sink:
+         |    type: parquet
+         |    path: $dir/out
+         |    checkpoint: $dir/chk
+         |""".stripMargin
+    assert(Config.validateStream(Config.parseStream(yaml)).isEmpty)
+    // run 1: doc 2 and 3 duplicate WITHIN the staged input → one survivor
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "beta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    Config.loadStream(yaml).runAvailableNow(spark)
+    val round1 = Readers.parquet(spark, s"$dir/out").select("text")
+      .as[String].collect().sorted.toSeq
+    assert(round1 === Seq("alpha", "beta"))
+    // run 2: new files arrive; "alpha" is history (CROSS-run dup via the
+    // digest), only "gamma" is admitted — and the digest grew by it
+    Seq((4L, "alpha"), (5L, "gamma")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    Config.loadStream(yaml).runAvailableNow(spark)
+    val round2 = Readers.parquet(spark, s"$dir/out").select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(round2.map(_._2) === Seq("alpha", "beta", "gamma"))
+    // the derived __fp column is digest-internal, not sink output
+    assert(!Readers.parquet(spark, s"$dir/out").columns.contains("__fp"))
+    assert(spark.read.parquet(s"$dir/digest").distinct().count() === 3L)
+    // structural validation: must be last, file-sink-only, one fingerprint spec
+    assert(Config.validateStream(Config.parseStream(yaml.replace(
+      "columns: [text]", "columns: [text]\n      key: text")))
+      .exists(_.contains("exactly one")))
+    val memSink = yaml
+      .replace(s"type: parquet\n    path: $dir/out", "type: memory\n    query_name: x")
+    assert(Config.validateStream(Config.parseStream(memSink))
+      .exists(_.contains("file sink")))
+  }
+
   test("semantic_decontaminate stage drops embedding-near-benchmark rows from YAML") {
     val dir = tmp()
     val in = s"$dir/vecs"

@@ -93,6 +93,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(kept === Set(2L, 3L))
   }
 
+  test("semanticDecontaminateEager matches the lazy variant and releases its cache") {
+    val bench = vecs(100L -> Seq(1f, 0f, 0f), 101L -> Seq(0f, 0.7f, 0.7f))
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val kept = Similarity.semanticDecontaminateEager(
+        corpus, bench, threshold = 0.95, bitsPerBand = 2, bands = 6, dim = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+    // the internally persisted prepared-corpus frame (full vectors) was
+    // released before returning — a config-driven run has no unpersist
+    // hook of its own. What MAY remain is the localCheckpoint of the
+    // flagged-ID frame (contamination-sized, not corpus-sized), nothing
+    // else.
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore + 1)
+  }
+
   test("banded near-dup recall on a planted mid-threshold corpus") {
     // 40 planted near-dup pairs (base + jittered copy, cos ~0.97) over a
     // random background; recall for p=agreement prob at cos 0.97 with

@@ -69,6 +69,23 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("maxUnseen"))
   }
 
+  test("supplementary-plane text segments by code point, never surrogate halves") {
+    val e = "😀" // 😀 (U+1F600, outside the BMP)
+    val docs = Seq((1L, s"$e$e a"), (2L, s"$e${e}a")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", numMerges = 1)
+    // the (😀, 😀) pair occurs twice → it is the first merge, as WHOLE
+    // code points (a per-char split would merge two surrogate halves)
+    assert(m.merges === Seq((e, e)))
+    assert(m.vocabEncoding(s"$e$e") === Seq(e + e))
+    assert(Bpe.encodeWord(s"$e${e}b", m) === Seq(e + e, "b"))
+    // every manifest symbol is a valid Unicode scalar sequence: a UTF-8
+    // round-trip is lossless (unpaired surrogates would become U+FFFD and
+    // break the DuckDB oracle replay)
+    val sql = Bpe.manifestValuesSql(m, extraWords = Seq(s"$e${e}b"))
+    assert(new String(sql.getBytes("UTF-8"), "UTF-8") === sql)
+    assert(sql.contains(s"('$e$e', '$e$e')"))
+  }
+
   test("manifestValuesSql renders every servable word with its segmentation") {
     val m = Bpe.train(docs, "text", numMerges = 3)
     val sql = Bpe.manifestValuesSql(m, extraWords = Seq("aaa", "aab"))

@@ -1756,6 +1756,36 @@ object SparkEntry {
              |  FROM (SELECT doc_id, 300 + doc_id % 101 AS n FROM documents))
              |ORDER BY media_id""".stripMargin)),
 
+    // REAL ISO-BMFF container-metadata walk (the JDK ships no video codec,
+    // so frame decode stays stubbed — but brand/duration/tracks/codec
+    // fourcc/display size are a zero-dependency binary parse, the Excel
+    // move applied to video; multimodal/Multimodal.scala parseMp4Meta).
+    // Each doc_id gets a real generated MP4 container whose every field is
+    // closed-form over the id (syntheticMp4s scaladoc), so DuckDB verifies
+    // the box walk without parsing ISO-BMFF itself.
+    "q_video_meta" -> Q(
+      (s, dir) => {
+        val mp4s = minietl.multimodal.Multimodal.syntheticMp4s(documents(s, dir), "doc_id")
+        minietl.multimodal.Multimodal.videoMeta(mp4s)
+          .select(col("media_id"), col("major_brand"), col("timescale"),
+            col("duration_ms"), col("n_tracks").cast("long").as("n_tracks"),
+            col("track_types"), col("codecs"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  ['isom','mp42','dash'][CAST(doc_id % 3 AS INT) + 1] AS major_brand,
+             |  CAST(1000 AS BIGINT) AS timescale,
+             |  CAST(5000 + (doc_id % 997) * 10 AS BIGINT) AS duration_ms,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'vide,soun' ELSE 'vide' END AS track_types,
+             |  ['avc1','hvc1','vp09','av01'][CAST(doc_id % 4 AS INT) + 1] ||
+             |    CASE WHEN doc_id % 2 = 0 THEN ',mp4a' ELSE '' END AS codecs,
+             |  CAST(16 * (2 + doc_id % 8) AS BIGINT) AS width,
+             |  CAST(16 * (1 + doc_id % 6) AS BIGINT) AS height
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
     // The STREAMING surface driven from YAML config alone (round-8 mandate:
     // the config-level analog of the reference Scheduler done the
     // Structured-Streaming way): a file-stream source + declared schema +

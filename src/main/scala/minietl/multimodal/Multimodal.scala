@@ -475,6 +475,242 @@ object Multimodal {
     spark.createDataFrame(rows, mediaSchema)
   }
 
+  // ---------------------------------------------------------------- video
+  /** Container-level metadata from an ISO-BMFF (MP4/MOV) payload — what a
+    * corpus pipeline actually filters on. Frame DECODE stays stubbed (the
+    * JDK ships no video codec; [[decodeStub]]), but the container walk is
+    * a zero-dependency binary parse, the same move as the XLSX reader:
+    * `ftyp` gives the brand, `moov/mvhd` the timescale and duration, each
+    * `trak` its handler type (`mdia/hdlr`), sample-format fourcc
+    * (`mdia/minf/stbl/stsd` entry 1) and, for video tracks, the 16.16
+    * fixed-point display size (`tkhd`).
+    */
+  final case class VideoMeta(
+      majorBrand: String, timescale: Long, durationMs: Long,
+      trackTypes: Seq[String], codecs: Seq[String],
+      width: Option[Int], height: Option[Int]) {
+    def nTracks: Int = trackTypes.size
+  }
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** One level of box iteration over `[start, end)`: calls `f(type,
+    * payloadStart, payloadEnd)` per box. Returns false on structural
+    * corruption (size under 8 or past the parent) so callers can reject
+    * the whole payload rather than half-parse garbage.
+    */
+  private def walkBoxes(b: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Unit): Boolean = {
+    var off = start
+    while (off < end) {
+      if (off + 8 > end) return false
+      var size = be32(b, off)
+      var hdr = 8
+      if (size == 1L) {
+        if (off + 16 > end) return false
+        size = be64(b, off + 8); hdr = 16
+      } else if (size == 0L) size = (end - off).toLong // box runs to parent end
+      if (size < hdr || off + size > end) return false
+      f(fourcc(b, off + 4), off + hdr, (off + size).toInt)
+      off += size.toInt
+    }
+    true
+  }
+
+  /** Find the first child box named `typ` directly inside `[start, end)`. */
+  private def findBox(b: Array[Byte], start: Int, end: Int, typ: String): Option[(Int, Int)] = {
+    var found: Option[(Int, Int)] = None
+    val ok = walkBoxes(b, start, end) { (t, s, e) =>
+      if (found.isEmpty && t == typ) found = Some((s, e))
+    }
+    if (ok) found else None
+  }
+
+  /** Parse ISO-BMFF container metadata. `None` for null/empty payloads,
+    * payloads whose first box is not `ftyp`, structurally corrupt box
+    * trees, or files lacking `moov/mvhd` — the caller's signal that the
+    * bytes are not a usable MP4/MOV. Handles version-0 and version-1
+    * `mvhd`/`tkhd`, 32- and 64-bit box sizes, and size-0 run-to-end boxes.
+    */
+  def parseMp4Meta(content: Array[Byte]): Option[VideoMeta] = {
+    if (content == null || content.length < 16) return None
+    // spec (ISO 14496-12 §4.3): ftyp first (only styp/signature boxes may
+    // precede it in segment files, outside this contract)
+    if (fourcc(content, 4) != "ftyp") return None
+    val majorBrand = fourcc(content, 8)
+    var mvhd: Option[(Long, Long)] = None // (timescale, duration)
+    val trackTypes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val codecs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var width: Option[Int] = None
+    var height: Option[Int] = None
+
+    def parseTrak(s: Int, e: Int): Unit = {
+      val isVideo = findBox(content, s, e, "mdia").exists { case (ms, me) =>
+        val handler = findBox(content, ms, me, "hdlr")
+          .filter { case (hs, he) => he - hs >= 12 }
+          .map { case (hs, _) => fourcc(content, hs + 8) }
+        trackTypes += handler.getOrElse("????")
+        val codec = for {
+          (ns, ne) <- findBox(content, ms, me, "minf")
+          (ts, te) <- findBox(content, ns, ne, "stbl")
+          (ds, de) <- findBox(content, ts, te, "stsd")
+          if de - ds >= 16 && be32(content, ds + 4) >= 1
+        } yield fourcc(content, ds + 12)
+        codecs += codec.getOrElse("????")
+        handler.contains("vide")
+      }
+      if (isVideo && width.isEmpty)
+        findBox(content, s, e, "tkhd").foreach { case (ts, te) =>
+          val v = content(ts) & 0xff
+          val wOff = if (v == 1) ts + 88 else ts + 76 // v1: 64-bit times
+          if (wOff + 8 <= te) {
+            // 16.16 fixed point → integer part
+            width = Some((be32(content, wOff) >> 16).toInt)
+            height = Some((be32(content, wOff + 4) >> 16).toInt)
+          }
+        }
+    }
+
+    var nestedOk = true
+    val ok = walkBoxes(content, 0, content.length) { (t, s, e) =>
+      if (t == "moov") {
+        findBox(content, s, e, "mvhd").foreach { case (ms, me) =>
+          val v = content(ms) & 0xff
+          if (v == 1 && me - ms >= 32)
+            mvhd = Some((be32(content, ms + 20), be64(content, ms + 24)))
+          else if (v == 0 && me - ms >= 20)
+            mvhd = Some((be32(content, ms + 12), be32(content, ms + 16)))
+        }
+        nestedOk &= walkBoxes(content, s, e) { (ct, cs, ce) =>
+          if (ct == "trak") parseTrak(cs, ce)
+        }
+      }
+    }
+    for ((timescale, duration) <- mvhd if ok && nestedOk && timescale > 0)
+      yield VideoMeta(majorBrand, timescale, duration * 1000L / timescale,
+        trackTypes.toSeq, codecs.toSeq, width, height)
+  }
+
+  /** Container-metadata frame: one row per media item with `(media_id,
+    * major_brand, timescale, duration_ms, n_tracks, track_types, codecs,
+    * width, height)` — track types and codec fourccs comma-joined in file
+    * order (the driver contract has no array output columns). Unparsable
+    * payloads yield null metadata. Same per-partition batching contract as
+    * [[imageStats]]/[[audioStats]].
+    */
+  def videoMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("major_brand", StringType, nullable = true),
+      StructField("timescale", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("n_tracks", IntegerType, nullable = true),
+      StructField("track_types", StringType, nullable = true),
+      StructField("codecs", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true)))
+    val rows = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        parseMp4Meta(bytes) match {
+          case Some(m) =>
+            Row(id, m.majorBrand, m.timescale, m.durationMs, m.nTracks,
+              m.trackTypes.mkString(","), m.codecs.mkString(","),
+              m.width.orNull, m.height.orNull)
+          case None => Row(id, null, null, null, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Serialize one ISO-BMFF box. */
+  private def mp4Box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val total = 8 + payload.map(_.length).sum
+    val bos = java.nio.ByteBuffer.allocate(total)
+    bos.putInt(total)
+    bos.put(typ.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    payload.foreach(bos.put)
+    bos.array()
+  }
+  private def beBytes32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Encode a REAL minimal ISO-BMFF container: `ftyp` + `moov(mvhd,
+    * trak(tkhd, mdia(hdlr, minf(stbl(stsd(entry))))) ...)` — version-0
+    * boxes, one 16-byte sample entry per track. [[parseMp4Meta]] (or any
+    * box walker) must recover every field exactly.
+    */
+  def mp4Container(majorBrand: String, timescale: Long, duration: Long,
+                   tracks: Seq[(String, String)], // (handler 4cc, codec 4cc)
+                   widthPx: Int, heightPx: Int): Array[Byte] = {
+    def cc(s: String) = {
+      require(s.length == 4, s"fourcc must be 4 chars: '$s'")
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    val mvhd = mp4Box("mvhd",
+      new Array[Byte](12),          // version 0, flags, creation, modification
+      beBytes32(timescale), beBytes32(duration),
+      new Array[Byte](80))          // rate..next_track_id
+    val traks = tracks.map { case (handler, codec) =>
+      val isVideo = handler == "vide"
+      val tkhd = mp4Box("tkhd",
+        new Array[Byte](76),        // v0 through matrix
+        beBytes32(if (isVideo) widthPx.toLong << 16 else 0L),
+        beBytes32(if (isVideo) heightPx.toLong << 16 else 0L))
+      val hdlr = mp4Box("hdlr", new Array[Byte](8), cc(handler),
+        new Array[Byte](13))        // reserved + empty name (NUL)
+      val entry = java.nio.ByteBuffer.allocate(16)
+        .putInt(16).put(cc(codec)).put(new Array[Byte](8)).array()
+      val stsd = mp4Box("stsd", new Array[Byte](4), beBytes32(1L), entry)
+      val mdia = mp4Box("mdia", hdlr, mp4Box("minf", mp4Box("stbl", stsd)))
+      mp4Box("trak", tkhd, mdia)
+    }
+    val ftyp = mp4Box("ftyp", cc(majorBrand), new Array[Byte](4), cc("isom"))
+    val moov = mp4Box("moov", (mvhd +: traks): _*)
+    ftyp ++ moov
+  }
+
+  /** Deterministic per-row MP4 corpus — the video twin of
+    * [[syntheticWavs]]: for each id, a real container with
+    * `brand = ['isom','mp42','dash'][id%3]`, `timescale = 1000`,
+    * `duration = 5000 + (id%997)*10` (so duration_ms = duration), one
+    * video track with codec `['avc1','hvc1','vp09','av01'][id%4]` and
+    * display size `16*(2+id%8) × 16*(1+id%6)`, plus an `mp4a` audio track
+    * iff id is even. Every expected metadata field is closed-form over
+    * the id, so an external SQL oracle verifies the REAL box walk without
+    * parsing ISO-BMFF itself.
+    */
+  def syntheticMp4s(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val brands = Array("isom", "mp42", "dash")
+    val vcodecs = Array("avc1", "hvc1", "vp09", "av01")
+    val rows = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val duration = 5000L + (id % 997) * 10
+        val tracks =
+          ("vide", vcodecs((id % 4).toInt)) ::
+            (if (id % 2 == 0) List(("soun", "mp4a")) else Nil)
+        val w = 16 * (2 + id % 8).toInt
+        val h = 16 * (1 + id % 6).toInt
+        Row(id,
+          mp4Container(brands((id % 3).toInt), 1000L, duration, tracks, w, h),
+          Row("video/mp4", w, h, duration))
+      }
+    }
+    spark.createDataFrame(rows, mediaSchema)
+  }
+
   /** STUB resampler: a real implementation would decode and rescale pixels;
     * the stub nearest-neighbor-resamples the raw bytes to `targetBytes`,
     * which preserves the pipeline shape (fixed-size outputs, meta updated)

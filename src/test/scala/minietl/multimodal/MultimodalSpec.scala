@@ -171,6 +171,53 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("parseMp4Meta recovers every field from a real minimal container") {
+    val bytes = Multimodal.mp4Container("mp42", 600L, 3000L,
+      Seq(("vide", "avc1"), ("soun", "mp4a")), 640, 360)
+    val m = Multimodal.parseMp4Meta(bytes).get
+    assert(m.majorBrand === "mp42")
+    assert(m.timescale === 600L && m.durationMs === 5000L) // 3000/600 s
+    assert(m.nTracks === 2)
+    assert(m.trackTypes === Seq("vide", "soun"))
+    assert(m.codecs === Seq("avc1", "mp4a"))
+    assert(m.width === Some(640) && m.height === Some(360))
+  }
+
+  test("parseMp4Meta rejects non-MP4 and corrupt payloads instead of guessing") {
+    assert(Multimodal.parseMp4Meta(null).isEmpty)
+    assert(Multimodal.parseMp4Meta(Array[Byte]()).isEmpty)
+    assert(Multimodal.parseMp4Meta("not a container at all!!".getBytes).isEmpty)
+    // PNG bytes: valid media, wrong container
+    assert(Multimodal.parseMp4Meta(
+      Multimodal.checkerPng(4, 4, (0, 0, 0), (255, 255, 255))).isEmpty)
+    val good = Multimodal.mp4Container("isom", 1000L, 1000L, Seq(("vide", "avc1")), 16, 16)
+    // truncate mid-moov: structural corruption → None, not a partial parse
+    assert(Multimodal.parseMp4Meta(good.take(good.length - 5)).isEmpty)
+    // box size smaller than its header → rejected
+    val bad = good.clone()
+    bad(0) = 0; bad(1) = 0; bad(2) = 0; bad(3) = 4
+    assert(Multimodal.parseMp4Meta(bad).isEmpty)
+  }
+
+  test("syntheticMp4s → videoMeta round-trip matches the documented closed form") {
+    val ids = Seq(0L, 1L, 2L, 3L, 7L, 1000L)
+    val out = Multimodal.videoMeta(
+        Multimodal.syntheticMp4s(ids.toDF("doc_id"), "doc_id"))
+      .orderBy("media_id").collect()
+    val brands = Array("isom", "mp42", "dash")
+    val vcodecs = Array("avc1", "hvc1", "vp09", "av01")
+    ids.sorted.zip(out).foreach { case (id, r) =>
+      assert(r.getString(1) === brands((id % 3).toInt), s"brand for id $id")
+      assert(r.getLong(3) === 5000L + (id % 997) * 10, s"duration for id $id")
+      assert(r.getInt(4) === (if (id % 2 == 0) 2 else 1), s"n_tracks for id $id")
+      assert(r.getString(5) === (if (id % 2 == 0) "vide,soun" else "vide"))
+      assert(r.getString(6) ===
+        (vcodecs((id % 4).toInt) + (if (id % 2 == 0) ",mp4a" else "")))
+      assert(r.getInt(7) === 16 * (2 + id % 8).toInt, s"width for id $id")
+      assert(r.getInt(8) === 16 * (1 + id % 6).toInt, s"height for id $id")
+    }
+  }
+
   test("sampleFrames explodes fixed slices and drops empty payloads") {
     val m = Multimodal.fakeMedia(Seq((1L, "abcdefgh")).toDF("doc_id", "text"), "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, frames = 4).orderBy("frame_idx").collect()

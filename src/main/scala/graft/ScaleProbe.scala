@@ -114,6 +114,49 @@ object ScaleProbe {
         val b = col(cols(1)) / lit(10000000L)
         df.groupBy((a.cast("long") === b.cast("long")).as("same_replica"))
           .count().show()
+      case "dedup_history" =>
+        // two-drain replay of the self-maintaining ingest-dedup loop (the
+        // stream-YAML dedup_history stage) over a dir's documents table:
+        // drain 1 stages the even-id half, drain 2 stages ALL docs — so
+        // batch 2 is half history-dups (anti-joined against the digest
+        // drain 1 recorded) and half fresh. Prints per-drain wall time.
+        val dir = args(1)
+        val work = java.nio.file.Files.createTempDirectory("graft_dh_probe").toString
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val yaml =
+          s"""name: dh_probe
+             |stream:
+             |  source:
+             |    type: parquet
+             |    path: $work/in
+             |    schema:
+             |      - {name: doc_id, dtype: int64}
+             |      - {name: text, dtype: string}
+             |  stages:
+             |    - type: dedup_history
+             |      history: $work/digest
+             |      columns: [text]
+             |  sink:
+             |    type: parquet
+             |    path: $work/out
+             |    checkpoint: $work/chk
+             |""".stripMargin
+        def stamp[T](tag: String)(body: => T): T = {
+          val t0 = System.nanoTime(); val r = body
+          println(f"[dh] $tag time=${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+        }
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("append").parquet(s"$work/in")
+        stamp("drain1-even-half")(
+          minietl.config.Config.loadStream(yaml).runAvailableNow(spark))
+        docs.write.mode("append").parquet(s"$work/in")
+        stamp("drain2-all-docs")(
+          minietl.config.Config.loadStream(yaml).runAvailableNow(spark))
+        val admitted = spark.read.parquet(s"$work/out").count()
+        val digest = spark.read.parquet(s"$work/digest").count()
+        val distinctTexts = docs.select("text").distinct().count()
+        println(s"[dh] admitted=$admitted digest=$digest distinct_texts=$distinctTexts")
       case "time" =>
         val (dir, names) = (args(1), args(2).split(","))
         // warm plans + JIT on the small gate scale first, like Bench
@@ -158,6 +201,18 @@ object ScaleProbe {
       .drop("k")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // events for the stream-path probes: rows replicate verbatim with
+    // event ids offset per replica (same ts range → same window/watermark
+    // state cardinality per key, Nx the rows through it — which is what a
+    // busier stream looks like; users stay disjoint per replica)
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    ev.select(col("*"), k)
+      .withColumn("event_id", col("event_id") + col("k") * lit(1000000000L))
+      .withColumn("user_id", col("user_id") + col("k") * lit(1000000000L))
+      .drop("k")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     emb.select(col("vec_id"), col("embedding"), col("label"), k)

@@ -7,15 +7,23 @@ package minietl.ops
   * arithmetic `+ - * / ** % //`, comparisons `== != < <= > >=`, boolean
   * `& | ~`, and an assignment form `"name = rhs"` that derives a column.
   *
-  * Spark SQL is a superset of that language except for three operators that
+  * Spark SQL is a superset of that language except for operators that
   * differ in spelling or semantics:
   *   - `**`  (power)            -> POWER(a, b)   (right-associative)
-  *   - `//`  (floor division)   -> FLOOR(a / b)
+  *   - `//`  (floor division)   -> FLOOR(a / b)  (floor, not trunc, on negatives)
+  *   - `%`   (python modulo)    -> ((a % b) + b) % b  (divisor's sign, not
+  *                                 Spark/Java's dividend-sign remainder)
   *   - `&` / `|` / `~` (boolean)-> AND / OR / NOT
   *   - `==`                     -> =
+  *   - chained comparisons      -> `a < b < c` means `(a < b) AND (b < c)`
+  *                                 (python semantics; a naive precedence
+  *                                 climb would emit the left-fold `(a<b)<c`)
   *
   * We tokenize and re-emit via precedence climbing rather than regex hacks so
   * nested expressions like `(a + b) ** 2 // c & d > 1` translate correctly.
+  * ExpressionDialectSpec cross-checks the arithmetic corner cases against a
+  * hand-rolled python-semantics evaluator over seeded random expression
+  * trees.
   */
 object ExpressionDialect {
 
@@ -78,6 +86,8 @@ object ExpressionDialect {
     "*" -> 6, "/" -> 6, "//" -> 6, "%" -> 6,
     "**" -> 8)
 
+  private final val CmpOps = Set("==", "!=", "<", "<=", ">", ">=", "=")
+
   private class Parser(var toks: List[Tok]) {
     def peek: Option[Tok] = toks.headOption
     def next(): Tok = { val h = toks.head; toks = toks.tail; h }
@@ -112,6 +122,23 @@ object ExpressionDialect {
       var done = false
       while (!done) {
         peek match {
+          // pandas-eval chained comparisons: `a < b < c` means
+          // `(a < b) & (b < c)` (each middle operand shared), NOT the
+          // left-fold `(a < b) < c` a naive precedence climb would emit
+          case Some(Op(op)) if CmpOps.contains(op) && Prec(op) >= minPrec =>
+            next()
+            var operand = parseExpr(Prec(op) + 1)
+            var parts = List(emit(op, lhs, operand))
+            var chaining = true
+            while (chaining) peek match {
+              case Some(Op(o2)) if CmpOps.contains(o2) =>
+                next()
+                val nxt = parseExpr(Prec(o2) + 1)
+                parts = parts :+ emit(o2, operand, nxt)
+                operand = nxt
+              case _ => chaining = false
+            }
+            lhs = parts.reduce((a, b) => s"($a AND $b)")
           case Some(Op(op)) if Prec.contains(op) && Prec(op) >= minPrec =>
             next()
             val rightAssoc = op == "**"
@@ -177,6 +204,11 @@ object ExpressionDialect {
     private def emit(op: String, l: String, r: String): String = op match {
       case "**" => s"POWER($l, $r)"
       case "//" => s"FLOOR($l / $r)"
+      // python modulo takes the DIVISOR's sign (a - floor(a/b)*b); Spark's
+      // `%` takes the dividend's. ((a % b) + b) % b corrects the sign in
+      // exact arithmetic for every sign combination (pmod does NOT — it
+      // only clamps non-negative for positive divisors).
+      case "%" => s"((($l % $r) + $r) % $r)"
       case "&" | "&&" => s"($l AND $r)"
       case "|" | "||" => s"($l OR $r)"
       case "^" => s"($l != $r)" // pandas boolean xor

@@ -73,4 +73,145 @@ class ExpressionDialectSpec extends AnyFunSuite {
   test("unary minus and nested parens") {
     assert(ExpressionDialect.translate("-(a + b) * 2") === "((- ((`a` + `b`))) * 2)")
   }
+
+  test("chained comparisons expand pairwise like python, not as a left fold") {
+    assert(ExpressionDialect.translate("a < b < c")
+      === "((`a` < `b`) AND (`b` < `c`))")
+    assert(ExpressionDialect.translate("1 <= a < 3")
+      === "((1 <= `a`) AND (`a` < 3))")
+    assert(ExpressionDialect.translate("a < b < c < d")
+      === "(((`a` < `b`) AND (`b` < `c`)) AND (`c` < `d`))")
+    // chain members interact correctly with boolean precedence
+    assert(ExpressionDialect.translate("a < b < c & d")
+      === "(((`a` < `b`) AND (`b` < `c`)) AND `d`)")
+  }
+
+  test("python modulo emits the divisor-sign form") {
+    assert(ExpressionDialect.translate("a % 3") === "(((`a` % 3) + 3) % 3)")
+  }
+}
+
+/** Value-level cross-check of the dialect's python-semantics corner cases
+  * (r8 stretch #9): every expression is BOTH evaluated by Spark after
+  * translation AND by a hand-rolled evaluator implementing python/pandas
+  * arithmetic (`**` right-assoc, `//` floor division, `%` divisor-sign
+  * modulo, chained comparisons), over fixed bindings and seeded random
+  * expression trees. One Spark job evaluates all expressions at once.
+  */
+class ExpressionDialectSemanticsSpec extends AnyFunSuite with minietl.SparkTestBase {
+
+  // bindings exercising every sign combination
+  private val binds = Map("a" -> -7L, "b" -> 3L, "c" -> 2L, "d" -> -2L)
+
+  private def sparkEval(exprs: Seq[String]): Seq[Any] = {
+    import org.apache.spark.sql.functions.expr
+    val one = spark.sql(binds.map { case (k, v) => s"CAST($v AS BIGINT) AS $k" }
+      .mkString("SELECT ", ", ", ""))
+    val row = one.select(exprs.map(e =>
+      expr(ExpressionDialect.translate(e))): _*).collect()(0)
+    (0 until row.length).map(row.get)
+  }
+  private def num(v: Any): Double = v match {
+    case d: java.lang.Double => d
+    case l: java.lang.Long => l.toDouble
+    case i: java.lang.Integer => i.toDouble
+    case x => fail(s"unexpected result type: $x (${x.getClass})")
+  }
+
+  test("operator corner cases match python values through Spark") {
+    val cases = Seq(
+      "2 ** 3 ** 2" -> 512.0,   // right-assoc: 2^(3^2), not (2^3)^2=64
+      "-2 ** 2" -> -4.0,        // ** binds tighter than unary minus
+      "a // c" -> -4.0,         // floor(-3.5), python -7//2 = -4 (trunc would be -3)
+      "7 // d" -> -4.0,         // floor(-3.5) with negative divisor
+      "a // d" -> 3.0,          // -7 // -2 = floor(3.5) = 3
+      "a % b" -> 2.0,           // -7 % 3 = 2 (python); Spark's raw % gives -1
+      "7 % d" -> -1.0,          // 7 % -2 = -1 (divisor's sign)
+      "a % d" -> -1.0,          // -7 % -2 = -1
+      "a % c" -> 1.0,           // -7 % 2 = 1
+      "a + b * c" -> -1.0,      // precedence sanity: -7 + 6
+      "(a + b) * c" -> -8.0)
+    val got = sparkEval(cases.map(_._1))
+    cases.zip(got).foreach { case ((e, want), v) =>
+      assert(num(v) === want, s"for '$e'")
+    }
+  }
+
+  test("chained comparisons evaluate like python through Spark") {
+    val cases = Seq(
+      "d < c < b" -> true,      // -2 < 2 < 3
+      "a < d < c < b" -> true,  // -7 < -2 < 2 < 3
+      "b < c < 100" -> false,   // 3 < 2 fails the first link
+      "1 < c <= 2" -> true,
+      "c == c == c" -> true,    // python: (c==c) and (c==c)
+      "a < b > d" -> true)      // mixed directions are pairwise
+    val got = sparkEval(cases.map(_._1))
+    cases.zip(got).foreach { case ((e, want), v) =>
+      assert(v === want, s"for '$e'")
+    }
+  }
+
+  // ---- seeded random expression trees vs the hand-rolled evaluator ----
+  private sealed trait E
+  private case class Lit(v: Long) extends E
+  private case class Va(name: String) extends E
+  private case class Bin(op: String, l: E, r: E) extends E
+
+  /** Python-semantics evaluation (doubles stay exact at these magnitudes). */
+  private def pyEval(e: E): Double = e match {
+    case Lit(v) => v.toDouble
+    case Va(n) => binds(n).toDouble
+    case Bin(op, l, r) =>
+      val (a, b) = (pyEval(l), pyEval(r))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case "//" => math.floor(a / b)
+        case "%" => a - math.floor(a / b) * b
+        case "**" => math.pow(a, b)
+      }
+  }
+  /** Fully parenthesized render — the same tree python would read.
+    * Negative literals are parenthesized too: bare `-5 ** 2` would read
+    * as `-(5**2)` (python's ** outbinds unary minus — which the
+    * corner-case test asserts separately), diverging from this AST.
+    */
+  private def render(e: E): String = e match {
+    case Lit(v) => if (v < 0) s"($v)" else v.toString
+    case Va(n) => n
+    case Bin(op, l, r) => s"(${render(l)} $op ${render(r)})"
+  }
+
+  test("random expression trees agree with the python evaluator through Spark") {
+    val rnd = new scala.util.Random(42)
+    val vars = binds.keys.toArray.sorted
+    // divisors/exponents drawn from safe pools: nonzero divisors keep //
+    // and % total; small non-negative exponents keep ** exact in doubles
+    val divLits = Array(-3L, -2L, 2L, 3L, 5L)
+    val divVars = Array("b", "c", "d")
+    def divisor(): E =
+      if (rnd.nextBoolean()) Lit(divLits(rnd.nextInt(divLits.length)))
+      else Va(divVars(rnd.nextInt(divVars.length)))
+    def gen(depth: Int): E =
+      if (depth == 0) {
+        if (rnd.nextBoolean()) Va(vars(rnd.nextInt(vars.length)))
+        else Lit(rnd.nextInt(11).toLong - 5L)
+      } else rnd.nextInt(7) match {
+        case 0 => Bin("+", gen(depth - 1), gen(depth - 1))
+        case 1 => Bin("-", gen(depth - 1), gen(depth - 1))
+        case 2 => Bin("*", gen(depth - 1), gen(depth - 1))
+        case 3 => Bin("/", gen(depth - 1), divisor())
+        case 4 => Bin("//", gen(depth - 1), divisor())
+        case 5 => Bin("%", gen(depth - 1), divisor())
+        case 6 => Bin("**", gen(depth - 1), Lit(rnd.nextInt(4).toLong))
+      }
+    val trees = Seq.fill(120)(gen(2 + rnd.nextInt(2)))
+    val got = sparkEval(trees.map(render))
+    trees.zip(got).foreach { case (t, v) =>
+      val want = pyEval(t)
+      assert(num(v) === want, s"for '${render(t)}'")
+    }
+  }
 }

@@ -328,6 +328,37 @@ object Streaming {
       }
       .start()
 
+  /** Maintenance companion of [[dedupAndRecordHistory]]: rewrite the
+    * fingerprint digest as one deduplicated, right-sized parquet set.
+    * Every drained micro-batch appends a file, so a long-lived loop turns
+    * the digest into a small-files storm that each batch's anti-join then
+    * pays to list and scan — compaction collapses it to
+    * `ceil(n / rowsPerPartition)` files. SINGLE-WRITER contract: run
+    * between drains, never concurrently with an active ingest query (the
+    * swap is delete-then-rename, and a concurrent append would be lost).
+    * Returns the digest's distinct-fingerprint count.
+    */
+  def compactHistory(spark: SparkSession, historyDir: String, fpCol: String,
+                     rowsPerPartition: Long = 4000000L): Long = {
+    require(rowsPerPartition > 0, "rowsPerPartition must be positive")
+    val distinctFps = spark.read.parquet(historyDir).select(fpCol).distinct()
+    val n = distinctFps.count()
+    val parts = math.max(1L, (n + rowsPerPartition - 1) / rowsPerPartition).toInt
+    val tmp = historyDir.stripSuffix("/") + "__compact_tmp"
+    distinctFps.repartition(parts).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val histPath = new org.apache.hadoop.fs.Path(historyDir)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = histPath.getFileSystem(conf)
+    if (!fs.delete(histPath, true))
+      throw new java.io.IOException(s"could not remove pre-compaction digest $historyDir")
+    if (!fs.rename(tmpPath, histPath))
+      throw new java.io.IOException(
+        s"could not move compacted digest into place ($tmp -> $historyDir); " +
+          "the compacted data is intact at the tmp path")
+    n
+  }
+
   /** Stream-stream inner equi-join bounded by an event-time interval: a
     * right row matches a left row with the same keys when its timestamp is
     * within [leftTs - lookback, leftTs + lookahead]. Both sides carry

@@ -907,7 +907,10 @@ object Config {
     * each requires the `watermark:` block — and `dedup_history` (the
     * self-maintaining ingest-dedup loop over a durable parquet digest:
     * `history:` path plus `key:` XOR `columns:`; must be the last stage,
-    * file sinks only — see [[minietl.streaming.Streaming.dedupAndRecordHistory]]).
+    * file sinks only; optional `compact_after: true` rewrites the digest
+    * as one deduplicated file set after each one-shot drain — see
+    * [[minietl.streaming.Streaming.dedupAndRecordHistory]] /
+    * [[minietl.streaming.Streaming.compactHistory]]).
     * Stateless scan-side batch stages
     * ([[streamableStageTypes]]) apply verbatim — the `DataFrame =>
     * DataFrame` contract is source-agnostic by design.
@@ -929,20 +932,27 @@ object Config {
       name: String,
       frame: org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame,
       startWith: (org.apache.spark.sql.SparkSession,
-        Option[org.apache.spark.sql.streaming.Trigger]) => org.apache.spark.sql.streaming.StreamingQuery) {
-    /** Launch the writeStream with the CONFIG's trigger. */
+        Option[org.apache.spark.sql.streaming.Trigger]) => org.apache.spark.sql.streaming.StreamingQuery,
+      afterDrain: Option[org.apache.spark.sql.SparkSession => Unit] = None) {
+    /** Launch the writeStream with the CONFIG's trigger. `afterDrain`
+      * maintenance (digest compaction) does NOT run on this path — it is
+      * only safe once the query has terminated.
+      */
     def start(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
       startWith(spark, None)
     /** Drain everything currently staged and block until done — the
       * bounded-replay path the reference Scheduler's one-shot runs map to.
       * OVERRIDES the config's trigger with AvailableNow: an interval
       * trigger would never terminate, so `minietl run` on an interval
-      * config would block in awaitTermination forever.
+      * config would block in awaitTermination forever. Runs `afterDrain`
+      * (e.g. `dedup_history`'s `compact_after`) once the drain has
+      * terminated — the single-writer window compaction requires.
       */
     def runAvailableNow(spark: org.apache.spark.sql.SparkSession): Unit = {
       val q = startWith(spark,
         Some(minietl.streaming.Streaming.availableNowTrigger))
       q.awaitTermination()
+      afterDrain.foreach(f => f(spark))
     }
   }
 
@@ -1226,7 +1236,19 @@ object Config {
           }
       }
     }
-    StreamPipeline(c.name, frame, start)
+    // compact_after on dedup_history: collapse the digest's per-batch
+    // appends once a one-shot drain terminates (the single-writer window)
+    val afterDrain = dedupHist
+      .filter(_.options.get("compact_after").exists(_.toString.toBoolean))
+      .map { dh =>
+        val historyDir = str(dh.options, "history")
+        val fpCol = dh.options.get("key").map(_.toString).getOrElse("__fp")
+        (spark: org.apache.spark.sql.SparkSession) => {
+          minietl.streaming.Streaming.compactHistory(spark, historyDir, fpCol)
+          ()
+        }
+      }
+    StreamPipeline(c.name, frame, start, afterDrain)
   }
 
   /** One-call load of the `stream:` form. */

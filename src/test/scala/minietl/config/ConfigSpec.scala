@@ -411,6 +411,7 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
          |    - type: dedup_history
          |      history: $dir/digest
          |      columns: [text]
+         |      compact_after: true
          |  sink:
          |    type: parquet
          |    path: $dir/out
@@ -435,6 +436,9 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     // the derived __fp column is digest-internal, not sink output
     assert(!Readers.parquet(spark, s"$dir/out").columns.contains("__fp"))
     assert(spark.read.parquet(s"$dir/digest").distinct().count() === 3L)
+    // compact_after collapsed the per-batch digest appends to one file
+    assert(new java.io.File(s"$dir/digest").listFiles()
+      .count(_.getName.endsWith(".parquet")) === 1)
     // structural validation: must be last, file-sink-only, one fingerprint spec
     assert(Config.validateStream(Config.parseStream(yaml.replace(
       "columns: [text]", "columns: [text]\n      key: text")))

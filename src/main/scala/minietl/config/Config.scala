@@ -1189,20 +1189,24 @@ object Config {
         java.nio.file.Files.createTempDirectory(s"minietl_stream_${c.name}_").toString)
       dedupHist match {
         case Some(dh) =>
-          import org.apache.spark.sql.functions.{col, concat_ws, md5}
+          import org.apache.spark.sql.functions.{col, md5}
           val historyDir = str(dh.options, "history")
           val base = frame(spark)
           // 'key' names an existing fingerprint column; 'columns' derives
-          // one (md5 over unit-separator-joined string casts — the portable
-          // digest contract of the batch dedup family), dropped again
-          // before the sink write
+          // one: md5 over the JSON encoding of the column struct. JSON
+          // (with ignoreNullFields=false) is null-faithful and
+          // boundary-faithful — a separator join would SKIP nulls, so
+          // (null,"a") / ("a",null) would collide and a lone null column
+          // would collapse with the empty string, silently
+          // over-deduplicating. Dropped again before the sink write.
           val (fpCol, prepared, derived) = dh.options.get("key") match {
             case Some(k) => (k.toString, base, false)
             case None =>
               val cols = strSeq(dh.options("columns"))
-              ("__fp", base.withColumn("__fp",
-                md5(concat_ws("\u0001", cols.map(col(_).cast("string")): _*)
-                  .cast("binary"))), true)
+              val json = org.apache.spark.sql.functions.to_json(
+                org.apache.spark.sql.functions.struct(cols.map(col): _*),
+                java.util.Collections.singletonMap("ignoreNullFields", "false"))
+              ("__fp", base.withColumn("__fp", md5(json.cast("binary"))), true)
           }
           val writeBatch: org.apache.spark.sql.DataFrame => Unit = fresh => {
             val out = if (derived) fresh.drop(fpCol) else fresh

@@ -418,24 +418,29 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
          |    checkpoint: $dir/chk
          |""".stripMargin
     assert(Config.validateStream(Config.parseStream(yaml)).isEmpty)
-    // run 1: doc 2 and 3 duplicate WITHIN the staged input → one survivor
-    Seq((1L, "alpha"), (2L, "beta"), (3L, "beta")).toDF("doc_id", "text")
+    // run 1: doc 2 and 3 duplicate WITHIN the staged input → one survivor;
+    // null text and EMPTY text are DISTINCT fingerprints (the JSON
+    // encoding is null-faithful — a separator join would collapse them)
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "beta"), (4L, null), (5L, ""))
+      .toDF("doc_id", "text")
       .coalesce(1).write.mode("append").parquet(in)
     Config.loadStream(yaml).runAvailableNow(spark)
     val round1 = Readers.parquet(spark, s"$dir/out").select("text")
-      .as[String].collect().sorted.toSeq
-    assert(round1 === Seq("alpha", "beta"))
+      .as[String].collect().toSeq
+    assert(round1.sortBy(s => if (s == null) "" else s).length === 4)
+    assert(round1.count(_ == null) === 1 && round1.count(_ == "") === 1)
     // run 2: new files arrive; "alpha" is history (CROSS-run dup via the
     // digest), only "gamma" is admitted — and the digest grew by it
-    Seq((4L, "alpha"), (5L, "gamma")).toDF("doc_id", "text")
+    Seq((6L, "alpha"), (7L, "gamma")).toDF("doc_id", "text")
       .coalesce(1).write.mode("append").parquet(in)
     Config.loadStream(yaml).runAvailableNow(spark)
     val round2 = Readers.parquet(spark, s"$dir/out").select("doc_id", "text")
       .as[(Long, String)].collect().sortBy(_._1).toSeq
-    assert(round2.map(_._2) === Seq("alpha", "beta", "gamma"))
+    assert(round2.map(_._1).filter(_ >= 6L) === Seq(7L)) // only gamma's row is new
+    assert(round2.map(_._2).contains("gamma") && round2.length === 5)
     // the derived __fp column is digest-internal, not sink output
     assert(!Readers.parquet(spark, s"$dir/out").columns.contains("__fp"))
-    assert(spark.read.parquet(s"$dir/digest").distinct().count() === 3L)
+    assert(spark.read.parquet(s"$dir/digest").distinct().count() === 5L)
     // compact_after collapsed the per-batch digest appends to one file
     assert(new java.io.File(s"$dir/digest").listFiles()
       .count(_.getName.endsWith(".parquet")) === 1)

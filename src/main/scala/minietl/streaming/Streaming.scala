@@ -311,10 +311,13 @@ object Streaming {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        requireNoCompactionDebris(spark, historyDir)
         val hist =
           try spark.read.parquet(historyDir).select(fpCol).distinct()
           catch {
             // first batch: no digest yet — empty frame with the right schema
+            // (an interrupted compaction cannot masquerade as this case:
+            // the debris check above fails first)
             case _: org.apache.spark.sql.AnalysisException => batch.select(fpCol).limit(0)
           }
         val fresh = batch
@@ -345,18 +348,47 @@ object Streaming {
     val n = distinctFps.count()
     val parts = math.max(1L, (n + rowsPerPartition - 1) / rowsPerPartition).toInt
     val tmp = historyDir.stripSuffix("/") + "__compact_tmp"
+    val old = historyDir.stripSuffix("/") + "__compact_old"
     distinctFps.repartition(parts).write.mode("overwrite").parquet(tmp)
     val conf = spark.sessionState.newHadoopConf()
     val histPath = new org.apache.hadoop.fs.Path(historyDir)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val oldPath = new org.apache.hadoop.fs.Path(old)
     val fs = histPath.getFileSystem(conf)
-    if (!fs.delete(histPath, true))
-      throw new java.io.IOException(s"could not remove pre-compaction digest $historyDir")
-    if (!fs.rename(tmpPath, histPath))
+    // recoverable swap: old digest is moved ASIDE (not deleted) before the
+    // compacted set moves in, so no failure leaves the loop digest-less —
+    // a missing digest would make the next drain re-admit everything as
+    // "first batch" (dedupAndRecordHistory refuses to run while either
+    // marker dir exists, so a half-swap is caught, not silently absorbed)
+    fs.delete(oldPath, true)
+    if (!fs.rename(histPath, oldPath))
       throw new java.io.IOException(
-        s"could not move compacted digest into place ($tmp -> $historyDir); " +
-          "the compacted data is intact at the tmp path")
+        s"compaction: could not move $historyDir aside to $old; digest untouched")
+    if (!fs.rename(tmpPath, histPath)) {
+      fs.rename(oldPath, histPath) // roll back
+      throw new java.io.IOException(
+        s"compaction: could not move $tmp into place; original digest restored")
+    }
+    fs.delete(oldPath, true)
     n
+  }
+
+  /** Throw if a digest path has compaction marker siblings — evidence of
+    * an interrupted [[compactHistory]] swap that must be resolved by hand
+    * (restore `__compact_old` or promote `__compact_tmp`) before more
+    * batches are admitted against a possibly-partial digest.
+    */
+  private[minietl] def requireNoCompactionDebris(
+      spark: SparkSession, historyDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    Seq("__compact_tmp", "__compact_old").foreach { sfx =>
+      val p = new org.apache.hadoop.fs.Path(historyDir.stripSuffix("/") + sfx)
+      if (p.getFileSystem(conf).exists(p))
+        throw new IllegalStateException(
+          s"ingest-dedup digest $historyDir has a leftover compaction dir " +
+            s"($p) from an interrupted compactHistory swap — resolve it " +
+            "before draining, or the loop may dedup against a partial digest")
+    }
   }
 
   /** Stream-stream inner equi-join bounded by an event-time interval: a

@@ -245,6 +245,17 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .count(_.getName.endsWith(".parquet")) === 1)
     // the next drain's anti-join sees the same admitted set: dedup loop
     // correctness is unchanged by compaction (digest is a set, not a log)
+
+    // an interrupted swap (leftover marker dir) must STOP the loop, not
+    // silently look like a fresh first batch
+    val debris = new java.io.File(s"${hist}__compact_old")
+    debris.mkdirs()
+    val e = intercept[IllegalStateException] {
+      Streaming.requireNoCompactionDebris(spark, hist)
+    }
+    assert(e.getMessage.contains("interrupted"))
+    debris.delete()
+    Streaming.requireNoCompactionDebris(spark, hist) // clean again
   }
 
   test("intervalJoin matches rows within the event-time interval only") {

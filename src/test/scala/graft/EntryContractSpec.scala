@@ -54,6 +54,24 @@ class EntryContractSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(q6.contains("PushedFilters:") && q6.contains("l_discount"),
       s"q6 predicates not pushed:\n$q6")
+
+    // the documents scans prune to the referenced columns too: q_lang_id
+    // reads (doc_id, text)-ish slices, never the full row — at corpus
+    // scale the text column dominates I/O, so reading ONLY what a query
+    // references is the plan property that matters most
+    val qt = SparkEntry.queries("q_token_stats")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val tSchema = "ReadSchema:.*".r.findFirstIn(qt).getOrElse("")
+    assert(!tSchema.contains("source") && !tSchema.contains("lang"),
+      s"q_token_stats reads unreferenced documents columns: $tSchema")
+
+    // the embeddings scan prunes: q_ann_topk references (vec_id, embedding)
+    // but not label
+    val qa = SparkEntry.queries("q_ann_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val aSchema = "ReadSchema:.*".r.findAllIn(qa).mkString(" ")
+    assert(!aSchema.contains("label"),
+      s"q_ann_topk reads unreferenced embeddings columns: $aSchema")
   }
 
   test("q_ivf_ann oracle apply fails fast before training; get/contains obey the Map contract") {

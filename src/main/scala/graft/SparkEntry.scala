@@ -118,17 +118,31 @@ object SparkEntry {
     guardNanosRead(normalizeTs(t(s, dir, "events")))
 
   /** events as an unbounded file stream: the file-stream source monitors
-    * directories and the testdata table is a single file, so it is staged
-    * into a temp dir via symlink. Same ts normalization as [[events]].
+    * directories, so the table is staged into a temp dir via symlinks.
+    * The testdata table is a single parquet FILE; a Spark-written table
+    * (e.g. a ScaleProbe-generated corpus) is a DIRECTORY of part files —
+    * symlink the part files individually in that case, because the file
+    * stream lists plain files and a nested directory symlink would be
+    * silently skipped (zero input, no error). Same ts normalization as
+    * [[events]].
     */
   private def stagedEventStream(s: SparkSession, dir: String): DataFrame = guardNanosRead {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     val streamDir = stagingDir("stream", dir)
-    java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    Files.createDirectories(streamDir)
+    val src = Paths.get(s"$dir/events.parquet")
+    val sources =
+      if (Files.isDirectory(src))
+        Files.list(src).iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+      else Seq(src)
+    require(sources.nonEmpty, s"no parquet files to stage under $src")
+    sources.foreach { p =>
+      val link = streamDir.resolve(p.getFileName)
+      if (!Files.exists(link)) Files.createSymbolicLink(link, p)
+    }
     normalizeTs(s.readStream.schema(rawSchema).parquet(streamDir.toString))
   }
 

@@ -134,10 +134,12 @@ object SparkEntry {
     Files.createDirectories(streamDir)
     val src = Paths.get(s"$dir/events.parquet")
     val sources =
-      if (Files.isDirectory(src))
-        Files.list(src).iterator().asScala
+      if (Files.isDirectory(src)) {
+        val listing = Files.list(src)
+        try listing.iterator().asScala
           .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
-      else Seq(src)
+        finally listing.close()
+      } else Seq(src)
     require(sources.nonEmpty, s"no parquet files to stage under $src")
     sources.foreach { p =>
       val link = streamDir.resolve(p.getFileName)

@@ -331,6 +331,83 @@ object Streaming {
       }
       .start()
 
+  /** The NEAR-duplicate twin of [[dedupAndRecordHistory]]: per
+    * micro-batch, (1) drop within-batch near-duplicates with the full
+    * verified batch semantics ([[minietl.dedup.Dedup.minhashDedup]]:
+    * banded MinHash-LSH candidates, exact-Jaccard ≥ `threshold` verify,
+    * keep-min-id), then (2) drop every survivor whose signature collides
+    * with the historical BAND DIGEST in any band, hand the remainder to
+    * `sink`, and (3) append the admitted documents' (band, key) rows to
+    * the digest.
+    *
+    * The cross-history check is collision-based, not verified — the
+    * digest stores 16 bytes per band per admitted doc, never text or
+    * shingles, so a historical match cannot re-verify Jaccard. That is
+    * the standard recall/precision dial of banded LSH: P(collision) ≈
+    * 1-(1-j^r)^b for true Jaccard j with r = k/bands rows per band; size
+    * k/bands so that false drops (j ≪ threshold colliding anyway) are
+    * acceptably rare for the corpus. Within-batch semantics stay exact.
+    *
+    * Scale shape per batch: signature + banding are scan-side; one
+    * shuffle for the within-batch bucket self-join; the history check is
+    * a (band, key) semi-join against the digest (broadcast or shuffled by
+    * size); digest growth is bands × admitted rows. Compact the digest
+    * between drains with [[compactHistoryCols]]. foreachBatch runs
+    * batches sequentially, so read-check-append is race-free.
+    */
+  def nearDupDedupAndRecordHistory(
+      stream: DataFrame, idCol: String, textCol: String,
+      historyDir: String, checkpoint: String,
+      shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8,
+      trigger: Trigger = Trigger.AvailableNow())(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        requireNoCompactionDebris(spark, historyDir)
+        import minietl.dedup.Dedup
+        // (1) within-batch: full verified near-dup semantics
+        val withinDeduped = Dedup.minhashDedup(
+          batch, textCol, idCol, shingleN, k, bands, threshold)
+        // seed fixed at minhashDedup's own default so the digest bands are
+        // the same family the within-batch pass used
+        val bandStructs = Dedup.lshBandKeys(
+          Dedup.minhashSignature(Dedup.shingles(col(textCol), shingleN), k),
+          bands, k)
+        val bandsOf = withinDeduped
+          .select(col(idCol).as("__id"), explode(bandStructs).as("__b"))
+          .select(col("__id"), col("__b.band").as("band"), col("__b.key").as("key"))
+          .persist()
+        try {
+          val hist =
+            try spark.read.parquet(historyDir).select("band", "key").distinct()
+            catch {
+              case _: org.apache.spark.sql.AnalysisException =>
+                bandsOf.select("band", "key").limit(0)
+            }
+          // (2) any-band collision with history → near-dup of an admitted doc
+          val dupIds = bandsOf.join(hist, Seq("band", "key"), "left_semi")
+            .select("__id").distinct()
+          val fresh = withinDeduped
+            .join(dupIds, withinDeduped(idCol) === dupIds("__id"), "left_anti")
+            .persist()
+          try {
+            sink(fresh, batchId)
+            // (3) admitted docs' bands extend the digest
+            bandsOf
+              .join(fresh.select(col(idCol).as("__keep")),
+                bandsOf("__id") === col("__keep"), "left_semi")
+              .select("band", "key")
+              .write.mode("append").parquet(historyDir)
+          } finally { fresh.unpersist(); () }
+        } finally { bandsOf.unpersist(); () }
+      }
+      .start()
+
   /** Maintenance companion of [[dedupAndRecordHistory]]: rewrite the
     * fingerprint digest as one deduplicated, right-sized parquet set.
     * Every drained micro-batch appends a file, so a long-lived loop turns
@@ -342,9 +419,18 @@ object Streaming {
     * Returns the digest's distinct-fingerprint count.
     */
   def compactHistory(spark: SparkSession, historyDir: String, fpCol: String,
-                     rowsPerPartition: Long = 4000000L): Long = {
+                     rowsPerPartition: Long = 4000000L): Long =
+    compactHistoryCols(spark, historyDir, Seq(fpCol), rowsPerPartition)
+
+  /** [[compactHistory]] for multi-column digests (e.g. the (band, key)
+    * digest of [[nearDupDedupAndRecordHistory]]).
+    */
+  def compactHistoryCols(spark: SparkSession, historyDir: String, fpCols: Seq[String],
+                         rowsPerPartition: Long = 4000000L): Long = {
     require(rowsPerPartition > 0, "rowsPerPartition must be positive")
-    val distinctFps = spark.read.parquet(historyDir).select(fpCol).distinct()
+    require(fpCols.nonEmpty, "need at least one digest column")
+    val distinctFps = spark.read.parquet(historyDir)
+      .select(fpCols.map(col): _*).distinct()
     val n = distinctFps.count()
     val parts = math.max(1L, (n + rowsPerPartition - 1) / rowsPerPartition).toInt
     val tmp = historyDir.stripSuffix("/") + "__compact_tmp"

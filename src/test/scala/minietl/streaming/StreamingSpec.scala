@@ -226,6 +226,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("nearDupDedupAndRecordHistory drops near-dups within and across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("minietl-neardup-hist")
+    val hist = s"$dir/bands"
+    val chk = s"$dir/chk"
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val a = words("alpha", 20)
+    val aNear = words("alpha", 19) + " changed" // jaccard 15/21 ≈ 0.71 ≥ 0.6
+    val c = words("gamma", 20)
+    val cNear = words("gamma", 19) + " mutated"
+    val e = words("epsilon", 20)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.nearDupDedupAndRecordHistory(
+      input.toDF().toDF("id", "text"), "id", "text", hist, chk,
+      threshold = 0.6, trigger = Trigger.ProcessingTime(0)) { (batch, _) =>
+      admitted ++= batch.select("id").as[Long].collect(); ()
+    }
+    try {
+      // batch 1: aNear is a verified within-batch near-dup of a (keep min
+      // id); c is distinct
+      input.addData((1L, a), (2L, aNear), (3L, c))
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq === Seq(1L, 3L))
+      // batch 2: an exact copy of a collides with the digest in EVERY
+      // band; cNear collides in ≥1 band (P ≈ 1 - (1-0.71^4)^32 ≈ 0.9999,
+      // deterministic under the fixed hash seeds); e is fresh
+      input.addData((4L, a), (5L, cNear), (6L, e))
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq === Seq(1L, 3L, 6L))
+      // digest holds bands only for admitted docs: 32 bands × 3 docs
+      assert(spark.read.parquet(hist).count() === 96L)
+      // multi-column compaction collapses the per-batch appends
+      val n = Streaming.compactHistoryCols(spark, hist, Seq("band", "key"))
+      assert(n === 96L) // (band, key) rows are already distinct across docs
+      assert(new java.io.File(hist).listFiles()
+        .count(_.getName.endsWith(".parquet")) === 1)
+    } finally q.stop()
+  }
+
   test("compactHistory collapses the digest to deduplicated right-sized files") {
     val dir = Files.createTempDirectory("minietl-dedup-compact")
     val hist = s"$dir/digest"

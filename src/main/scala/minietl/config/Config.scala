@@ -958,7 +958,8 @@ object Config {
 
   private val streamSourceTypes = Set("csv", "json", "jsonl", "parquet", "orc")
   private val streamSinkTypes = Set("csv", "json", "jsonl", "parquet", "orc", "memory")
-  private val streamStageTypes = Set("window_agg", "session_agg", "dedup", "dedup_history")
+  private val streamStageTypes =
+    Set("window_agg", "session_agg", "dedup", "dedup_history", "neardup_history")
 
   /** Batch transformer types that apply verbatim to an unbounded frame:
     * scan-side, stateless, no global sort/window/aggregate. (The stateful
@@ -1055,33 +1056,50 @@ object Config {
         case "dedup" =>
           (if (s.options.contains("keys")) Nil else Seq(s"$at: missing 'keys'")) ++
             (if (c.watermark.isEmpty) Seq(s"$at: requires a 'watermark' block") else Nil)
-        case "dedup_history" =>
-          // the self-maintaining ingest-dedup loop (Streaming
-          // .dedupAndRecordHistory): drop rows whose fingerprint is in the
-          // parquet digest at 'history' (or earlier in the batch), write
-          // survivors to the file sink, then append their fingerprints —
-          // so the digest grows by exactly what was admitted. foreachBatch
-          // under the hood, hence the structural constraints below.
-          (if (s.options.contains("history")) Nil
-           else Seq(s"$at: missing 'history' (parquet digest path)")) ++
-            ((s.options.contains("key"), s.options.contains("columns")) match {
-              case (true, true) =>
-                Seq(s"$at: give exactly one of 'key'/'columns', not both")
-              case (false, false) =>
-                Seq(s"$at: needs 'key' (an existing fingerprint column) or " +
-                  "'columns' (columns to fingerprint with md5)")
-              case _ => Nil
-            }) ++
-            (if (c.stages.count(_.typ == "dedup_history") > 1)
-               Seq(s"$at: at most one dedup_history stage per stream")
-             else if (c.stages.last.typ != "dedup_history")
-               Seq(s"$at: must be the LAST stage (it couples the sink write " +
-                 "with recording the admitted fingerprints per micro-batch)")
-             else Nil) ++
-            (if (c.sink.typ == "memory")
-               Seq(s"$at: requires a file sink (each micro-batch's survivors " +
-                 "and their digest append are written together)")
-             else Nil)
+        case "dedup_history" | "neardup_history" =>
+          // the self-maintaining ingest-dedup loops (Streaming
+          // .dedupAndRecordHistory / .nearDupDedupAndRecordHistory): drop
+          // rows that duplicate the parquet digest at 'history' (or
+          // earlier in the batch), write survivors to the file sink, then
+          // append their fingerprints/bands — so the digest grows by
+          // exactly what was admitted. foreachBatch under the hood, hence
+          // the shared structural constraints.
+          val historyTypes = Set("dedup_history", "neardup_history")
+          val shared =
+            (if (s.options.contains("history")) Nil
+             else Seq(s"$at: missing 'history' (parquet digest path)")) ++
+              (if (c.stages.count(t => historyTypes(t.typ)) > 1)
+                 Seq(s"$at: at most one dedup_history/neardup_history stage per stream")
+               else if (!historyTypes(c.stages.last.typ))
+                 Seq(s"$at: must be the LAST stage (it couples the sink write " +
+                   "with recording the admitted digest rows per micro-batch)")
+               else Nil) ++
+              (if (c.sink.typ == "memory")
+                 Seq(s"$at: requires a file sink (each micro-batch's survivors " +
+                   "and their digest append are written together)")
+               else Nil)
+          val specific = s.typ match {
+            case "dedup_history" =>
+              (s.options.contains("key"), s.options.contains("columns")) match {
+                case (true, true) =>
+                  Seq(s"$at: give exactly one of 'key'/'columns', not both")
+                case (false, false) =>
+                  Seq(s"$at: needs 'key' (an existing fingerprint column) or " +
+                    "'columns' (columns to fingerprint with md5)")
+                case _ => Nil
+              }
+            case _ => // neardup_history
+              (if (s.options.contains("column")) Nil
+               else Seq(s"$at: missing 'column' (the text column to near-dup on)")) ++
+                (if (s.options.contains("id")) Nil
+                 else Seq(s"$at: missing 'id' (the document id column)")) ++
+                s.options.get("threshold").toSeq.flatMap { t =>
+                  val v = scala.util.Try(t.toString.toDouble).getOrElse(-1.0)
+                  if (v > 0 && v <= 1) Nil
+                  else Seq(s"$at: threshold must be in (0, 1], got '$t'")
+                }
+          }
+          shared ++ specific
         case t if streamableStageTypes.contains(t) => checkTransformer(s, s"stream stage[$i]")
         case t if transformerTypes.contains(t) =>
           Seq(s"$at: '$t' is not streamable (needs whole-input state; use the " +
@@ -1147,11 +1165,13 @@ object Config {
     // redefining it mid-plan, so chaining two stateful stages (dedup →
     // window_agg) must share one definition — the stateful stage builders
     // therefore use the *Watermarked variants
-    // dedup_history is not a frame transform — it compiles to the terminal
-    // foreachBatch sink below; everything before it folds as usual
-    val dedupHist = c.stages.find(_.typ == "dedup_history")
+    // dedup_history / neardup_history are not frame transforms — they
+    // compile to the terminal foreachBatch sink below; everything before
+    // them folds as usual
+    val historyTypes = Set("dedup_history", "neardup_history")
+    val dedupHist = c.stages.find(t => historyTypes(t.typ))
     val stageFns: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] =
-      c.stages.filterNot(_.typ == "dedup_history").map { s =>
+      c.stages.filterNot(t => historyTypes(t.typ)).map { s =>
         s.typ match {
           case "window_agg" => s.options.get("slide") match {
             case Some(slide) => df => Streaming.slidingAggWatermarked(df, wmCol,
@@ -1192,24 +1212,8 @@ object Config {
           import org.apache.spark.sql.functions.{col, md5}
           val historyDir = str(dh.options, "history")
           val base = frame(spark)
-          // 'key' names an existing fingerprint column; 'columns' derives
-          // one: md5 over the JSON encoding of the column struct. JSON
-          // (with ignoreNullFields=false) is null-faithful and
-          // boundary-faithful — a separator join would SKIP nulls, so
-          // (null,"a") / ("a",null) would collide and a lone null column
-          // would collapse with the empty string, silently
-          // over-deduplicating. Dropped again before the sink write.
-          val (fpCol, prepared, derived) = dh.options.get("key") match {
-            case Some(k) => (k.toString, base, false)
-            case None =>
-              val cols = strSeq(dh.options("columns"))
-              val json = org.apache.spark.sql.functions.to_json(
-                org.apache.spark.sql.functions.struct(cols.map(col): _*),
-                java.util.Collections.singletonMap("ignoreNullFields", "false"))
-              ("__fp", base.withColumn("__fp", md5(json.cast("binary"))), true)
-          }
-          val writeBatch: org.apache.spark.sql.DataFrame => Unit = fresh => {
-            val out = if (derived) fresh.drop(fpCol) else fresh
+          def writeBatch(dropCol: Option[String]): org.apache.spark.sql.DataFrame => Unit = fresh => {
+            val out = dropCol.fold(fresh)(fresh.drop(_))
             val pcols = so.get("partition_cols").map(strSeq).getOrElse(Nil)
             c.sink.typ match {
               case "csv" => minietl.io.Writers.csv(out, path(so), "append")
@@ -1218,9 +1222,37 @@ object Config {
               case _ => minietl.io.Writers.parquet(out, path(so), "append", partitionBy = pcols)
             }
           }
-          minietl.streaming.Streaming.dedupAndRecordHistory(
-            prepared, fpCol, historyDir, checkpoint, trigger) {
-            (fresh, _) => writeBatch(fresh)
+          dh.typ match {
+            case "neardup_history" =>
+              minietl.streaming.Streaming.nearDupDedupAndRecordHistory(
+                base, str(dh.options, "id"), str(dh.options, "column"),
+                historyDir, checkpoint,
+                shingleN = dh.options.get("shingle_n").map(_.toString.toDouble.toInt).getOrElse(3),
+                k = dh.options.get("num_hashes").map(_.toString.toDouble.toInt).getOrElse(128),
+                bands = dh.options.get("bands").map(_.toString.toDouble.toInt).getOrElse(32),
+                threshold = dh.options.get("threshold").map(_.toString.toDouble).getOrElse(0.8),
+                trigger = trigger) { (fresh, _) => writeBatch(None)(fresh) }
+            case _ =>
+              // 'key' names an existing fingerprint column; 'columns'
+              // derives one: md5 over the JSON encoding of the column
+              // struct. JSON (with ignoreNullFields=false) is null-faithful
+              // and boundary-faithful — a separator join would SKIP nulls,
+              // so (null,"a") / ("a",null) would collide and a lone null
+              // column would collapse with the empty string, silently
+              // over-deduplicating. Dropped again before the sink write.
+              val (fpCol, prepared, derived) = dh.options.get("key") match {
+                case Some(k) => (k.toString, base, false)
+                case None =>
+                  val cols = strSeq(dh.options("columns"))
+                  val json = org.apache.spark.sql.functions.to_json(
+                    org.apache.spark.sql.functions.struct(cols.map(col): _*),
+                    java.util.Collections.singletonMap("ignoreNullFields", "false"))
+                  ("__fp", base.withColumn("__fp", md5(json.cast("binary"))), true)
+              }
+              minietl.streaming.Streaming.dedupAndRecordHistory(
+                prepared, fpCol, historyDir, checkpoint, trigger) {
+                (fresh, _) => writeBatch(if (derived) Some(fpCol) else None)(fresh)
+              }
           }
         case None =>
           val w0 = frame(spark).writeStream
@@ -1240,15 +1272,18 @@ object Config {
           }
       }
     }
-    // compact_after on dedup_history: collapse the digest's per-batch
-    // appends once a one-shot drain terminates (the single-writer window)
+    // compact_after on dedup_history/neardup_history: collapse the
+    // digest's per-batch appends once a one-shot drain terminates (the
+    // single-writer window)
     val afterDrain = dedupHist
       .filter(_.options.get("compact_after").exists(_.toString.toBoolean))
       .map { dh =>
         val historyDir = str(dh.options, "history")
-        val fpCol = dh.options.get("key").map(_.toString).getOrElse("__fp")
+        val digestCols =
+          if (dh.typ == "neardup_history") Seq("band", "key")
+          else Seq(dh.options.get("key").map(_.toString).getOrElse("__fp"))
         (spark: org.apache.spark.sql.SparkSession) => {
-          minietl.streaming.Streaming.compactHistory(spark, historyDir, fpCol)
+          minietl.streaming.Streaming.compactHistoryCols(spark, historyDir, digestCols)
           ()
         }
       }

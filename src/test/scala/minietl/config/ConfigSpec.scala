@@ -454,6 +454,58 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
       .exists(_.contains("file sink")))
   }
 
+  test("neardup_history stage runs the near-dup ingest loop from YAML") {
+    val dir = tmp()
+    val in = s"$dir/nd_in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val yaml =
+      s"""name: nd_ingest
+         |stream:
+         |  source:
+         |    type: parquet
+         |    path: $in
+         |    schema:
+         |      - {name: doc_id, dtype: int64}
+         |      - {name: text, dtype: string}
+         |  stages:
+         |    - type: neardup_history
+         |      history: $dir/bands
+         |      id: doc_id
+         |      column: text
+         |      threshold: 0.6
+         |      compact_after: true
+         |  sink:
+         |    type: parquet
+         |    path: $dir/out
+         |    checkpoint: $dir/chk
+         |""".stripMargin
+    assert(Config.validateStream(Config.parseStream(yaml)).isEmpty)
+    // run 1: a near-dup pair within the batch → keep min id; one distinct
+    Seq((1L, words("alpha", 20)), (2L, words("alpha", 19) + " changed"),
+        (3L, words("gamma", 20)))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Config.loadStream(yaml).runAvailableNow(spark)
+    assert(Readers.parquet(spark, s"$dir/out").select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    // run 2: near-dup of an ADMITTED doc (cross-run, via the band digest)
+    // is dropped; a fresh doc is admitted
+    Seq((4L, words("alpha", 19) + " mutated"), (5L, words("delta", 20)))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Config.loadStream(yaml).runAvailableNow(spark)
+    assert(Readers.parquet(spark, s"$dir/out").select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L, 5L))
+    // compacted digest: 32 bands per admitted doc, one file
+    assert(spark.read.parquet(s"$dir/bands").count() === 96L)
+    assert(new java.io.File(s"$dir/bands").listFiles()
+      .count(_.getName.endsWith(".parquet")) === 1)
+    // validation: missing id / bad threshold are pre-run errors
+    assert(Config.validateStream(Config.parseStream(
+      yaml.replace("      id: doc_id\n", ""))).exists(_.contains("'id'")))
+    assert(Config.validateStream(Config.parseStream(
+      yaml.replace("threshold: 0.6", "threshold: 1.5"))).exists(_.contains("threshold")))
+  }
+
   test("semantic_decontaminate stage drops embedding-near-benchmark rows from YAML") {
     val dir = tmp()
     val in = s"$dir/vecs"

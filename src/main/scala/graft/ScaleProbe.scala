@@ -157,6 +157,48 @@ object ScaleProbe {
         val digest = spark.read.parquet(s"$work/digest").count()
         val distinctTexts = docs.select("text").distinct().count()
         println(s"[dh] admitted=$admitted digest=$digest distinct_texts=$distinctTexts")
+      case "neardup_history" =>
+        // two-drain replay of the NEAR-dup ingest loop (neardup_history
+        // stream stage) over a dir's documents: drain 1 stages the even-id
+        // half, drain 2 stages ALL docs — batch 2's odd ids are fresh
+        // unless they near-dup an admitted even doc via the band digest.
+        val dir = args(1)
+        val work = java.nio.file.Files.createTempDirectory("graft_nd_probe").toString
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val yaml =
+          s"""name: nd_probe
+             |stream:
+             |  source:
+             |    type: parquet
+             |    path: $work/in
+             |    schema:
+             |      - {name: doc_id, dtype: int64}
+             |      - {name: text, dtype: string}
+             |  stages:
+             |    - type: neardup_history
+             |      history: $work/bands
+             |      id: doc_id
+             |      column: text
+             |      threshold: 0.8
+             |  sink:
+             |    type: parquet
+             |    path: $work/out
+             |    checkpoint: $work/chk
+             |""".stripMargin
+        def stampNd[T](tag: String)(body: => T): T = {
+          val t0 = System.nanoTime(); val r = body
+          println(f"[nd] $tag time=${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+        }
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("append").parquet(s"$work/in")
+        stampNd("drain1-even-half")(
+          minietl.config.Config.loadStream(yaml).runAvailableNow(spark))
+        docs.write.mode("append").parquet(s"$work/in")
+        stampNd("drain2-all-docs")(
+          minietl.config.Config.loadStream(yaml).runAvailableNow(spark))
+        println(s"[nd] admitted=${spark.read.parquet(s"$work/out").count()} " +
+          s"bands=${spark.read.parquet(s"$work/bands").count()}")
       case "time" =>
         val (dir, names) = (args(1), args(2).split(","))
         // warm plans + JIT on the small gate scale first, like Bench

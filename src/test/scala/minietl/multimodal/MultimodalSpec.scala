@@ -199,6 +199,29 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.parseMp4Meta(bad).isEmpty)
   }
 
+  test("parseMp4Meta never throws: random bytes, bit-flips, truncations") {
+    val rnd = new scala.util.Random(7)
+    // pure noise
+    (1 to 500).foreach { _ =>
+      Multimodal.parseMp4Meta(Array.fill(rnd.nextInt(256))(rnd.nextInt(256).toByte))
+    }
+    val good = Multimodal.mp4Container("isom", 1000L, 1000L,
+      Seq(("vide", "avc1"), ("soun", "mp4a")), 64, 48)
+    // single-bit corruption anywhere in a valid container
+    (1 to 500).foreach { _ =>
+      val b = good.clone()
+      val p = rnd.nextInt(b.length)
+      b(p) = (b(p) ^ (1 << rnd.nextInt(8))).toByte
+      Multimodal.parseMp4Meta(b) // Option either way, never an exception
+    }
+    // every truncation prefix
+    (0 until good.length).foreach { n =>
+      Multimodal.parseMp4Meta(java.util.Arrays.copyOf(good, n))
+    }
+    // the untouched container still parses (guards the fixture itself)
+    assert(Multimodal.parseMp4Meta(good).exists(_.nTracks === 2))
+  }
+
   test("syntheticMp4s → videoMeta round-trip matches the documented closed form") {
     val ids = Seq(0L, 1L, 2L, 3L, 7L, 1000L)
     val out = Multimodal.videoMeta(

@@ -1231,6 +1231,7 @@ object Config {
                 k = dh.options.get("num_hashes").map(_.toString.toDouble.toInt).getOrElse(128),
                 bands = dh.options.get("bands").map(_.toString.toDouble.toInt).getOrElse(32),
                 threshold = dh.options.get("threshold").map(_.toString.toDouble).getOrElse(0.8),
+                verifyCrossBatch = dh.options.get("verify").exists(_.toString.toBoolean),
                 trigger = trigger) { (fresh, _) => writeBatch(None)(fresh) }
             case _ =>
               // 'key' names an existing fingerprint column; 'columns'
@@ -1279,11 +1280,20 @@ object Config {
       .filter(_.options.get("compact_after").exists(_.toString.toBoolean))
       .map { dh =>
         val historyDir = str(dh.options, "history")
-        val digestCols =
-          if (dh.typ == "neardup_history") Seq("band", "key")
-          else Seq(dh.options.get("key").map(_.toString).getOrElse("__fp"))
+        // (dir, distinct-cols) per sub-digest: the verified near-dup
+        // layout has TWO (bands + sigs); the others one flat table
+        val targets: Seq[(String, Seq[String])] = dh.typ match {
+          case "neardup_history" if dh.options.get("verify").exists(_.toString.toBoolean) =>
+            Seq((s"$historyDir/bands", Seq("band", "key", "id")),
+              (s"$historyDir/sigs", Seq("id", "sig")))
+          case "neardup_history" => Seq((historyDir, Seq("band", "key")))
+          case _ => Seq((historyDir,
+            Seq(dh.options.get("key").map(_.toString).getOrElse("__fp"))))
+        }
         (spark: org.apache.spark.sql.SparkSession) => {
-          minietl.streaming.Streaming.compactHistoryCols(spark, historyDir, digestCols)
+          targets.foreach { case (d, cols) =>
+            minietl.streaming.Streaming.compactHistoryCols(spark, d, cols)
+          }
           ()
         }
       }

@@ -340,13 +340,23 @@ object Streaming {
     * `sink`, and (3) append the admitted documents' (band, key) rows to
     * the digest.
     *
-    * The cross-history check is collision-based, not verified — the
-    * digest stores 16 bytes per band per admitted doc, never text or
-    * shingles, so a historical match cannot re-verify Jaccard. That is
-    * the standard recall/precision dial of banded LSH: P(collision) ≈
-    * 1-(1-j^r)^b for true Jaccard j with r = k/bands rows per band; size
-    * k/bands so that false drops (j ≪ threshold colliding anyway) are
-    * acceptably rare for the corpus. Within-batch semantics stay exact.
+    * Cross-history check, two modes:
+    *  - `verifyCrossBatch = false` (default): collision-based — the
+    *    digest stores 16 bytes per band per admitted doc, never text or
+    *    shingles, so a historical match cannot re-verify Jaccard. The
+    *    standard recall/precision dial of banded LSH: P(collision) ≈
+    *    1-(1-j^r)^b for true Jaccard j with r = k/bands rows per band;
+    *    size k/bands so that false drops (j ≪ threshold colliding
+    *    anyway) are acceptably rare for the corpus.
+    *  - `verifyCrossBatch = true`: ESTIMATE-verified — the digest also
+    *    stores each admitted doc's k-lane MinHash signature (~k×8 bytes
+    *    per doc, still never text) under `historyDir/sigs`, band rows
+    *    under `historyDir/bands`; band collisions only nominate
+    *    candidates and the drop requires minhashEstimate ≥ `threshold`
+    *    (the k-lane Jaccard estimator, ±O(1/√k)), so dissimilar docs
+    *    cannot false-drop on an unlucky bucket. The two layouts are not
+    *    interchangeable — pick a mode per digest and keep it.
+    * Within-batch semantics stay exact either way.
     *
     * Scale shape per batch: signature + banding are scan-side; one
     * shuffle for the within-batch bucket self-join; the history check is
@@ -360,6 +370,7 @@ object Streaming {
       historyDir: String, checkpoint: String,
       shingleN: Int = 3, k: Int = 128, bands: Int = 32,
       threshold: Double = 0.8,
+      verifyCrossBatch: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow())(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
@@ -369,41 +380,92 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         requireNoCompactionDebris(spark, historyDir)
+        if (verifyCrossBatch) {
+          requireNoCompactionDebris(spark, s"$historyDir/bands")
+          requireNoCompactionDebris(spark, s"$historyDir/sigs")
+        }
         import minietl.dedup.Dedup
         // (1) within-batch: full verified near-dup semantics
         val withinDeduped = Dedup.minhashDedup(
           batch, textCol, idCol, shingleN, k, bands, threshold)
         // seed fixed at minhashDedup's own default so the digest bands are
         // the same family the within-batch pass used
-        val bandStructs = Dedup.lshBandKeys(
-          Dedup.minhashSignature(Dedup.shingles(col(textCol), shingleN), k),
-          bands, k)
-        val bandsOf = withinDeduped
-          .select(col(idCol).as("__id"), explode(bandStructs).as("__b"))
-          .select(col("__id"), col("__b.band").as("band"), col("__b.key").as("key"))
+        val sigExpr = Dedup.minhashSignature(Dedup.shingles(col(textCol), shingleN), k)
+        val withSig = withinDeduped.withColumn("__sig", sigExpr)
+        val bandsOf = withSig
+          .select(col(idCol).as("__id"), col("__sig"),
+            explode(Dedup.lshBandKeys(col("__sig"), bands, k)).as("__b"))
+          .select(col("__id"), col("__sig"),
+            col("__b.band").as("band"), col("__b.key").as("key"))
           .persist()
         try {
-          val hist =
-            try spark.read.parquet(historyDir).select("band", "key").distinct()
-            catch {
-              case _: org.apache.spark.sql.AnalysisException =>
-                bandsOf.select("band", "key").limit(0)
-            }
-          // (2) any-band collision with history → near-dup of an admitted doc
-          val dupIds = bandsOf.join(hist, Seq("band", "key"), "left_semi")
-            .select("__id").distinct()
-          val fresh = withinDeduped
-            .join(dupIds, withinDeduped(idCol) === dupIds("__id"), "left_anti")
-            .persist()
-          try {
-            sink(fresh, batchId)
-            // (3) admitted docs' bands extend the digest
-            bandsOf
-              .join(fresh.select(col(idCol).as("__keep")),
-                bandsOf("__id") === col("__keep"), "left_semi")
-              .select("band", "key")
-              .write.mode("append").parquet(historyDir)
-          } finally { fresh.unpersist(); () }
+          def emptyLike(df: DataFrame): DataFrame = df.limit(0)
+          if (!verifyCrossBatch) {
+            // collision mode: digest = flat (band, key); any-band collision
+            // with history drops the row (see scaladoc dial)
+            val hist =
+              try spark.read.parquet(historyDir).select("band", "key").distinct()
+              catch {
+                case _: org.apache.spark.sql.AnalysisException =>
+                  emptyLike(bandsOf.select("band", "key"))
+              }
+            val dupIds = bandsOf.join(hist, Seq("band", "key"), "left_semi")
+              .select("__id").distinct()
+            val fresh = withinDeduped
+              .join(dupIds, withinDeduped(idCol) === dupIds("__id"), "left_anti")
+              .persist()
+            try {
+              sink(fresh, batchId)
+              bandsOf
+                .join(fresh.select(col(idCol).as("__keep")),
+                  bandsOf("__id") === col("__keep"), "left_semi")
+                .select("band", "key")
+                .write.mode("append").parquet(historyDir)
+            } finally { fresh.unpersist(); () }
+          } else {
+            // VERIFIED mode: digest = $historyDir/bands (band, key, id) +
+            // $historyDir/sigs (id, sig) — ~k×8 bytes per admitted doc.
+            // Band collisions only nominate candidates; the drop decision
+            // is minhashEstimate(batch sig, historical sig) ≥ threshold,
+            // so an unlucky band collision between dissimilar docs cannot
+            // false-drop (the estimate is the standard k-lane Jaccard
+            // estimator, ±O(1/√k)).
+            val bandsDir = s"$historyDir/bands"
+            val sigsDir = s"$historyDir/sigs"
+            val histBands =
+              try spark.read.parquet(bandsDir)
+              catch {
+                case _: org.apache.spark.sql.AnalysisException =>
+                  emptyLike(bandsOf.select(col("band"), col("key"), col("__id").as("id")))
+              }
+            val histSigs =
+              try spark.read.parquet(sigsDir)
+              catch {
+                case _: org.apache.spark.sql.AnalysisException =>
+                  emptyLike(bandsOf.select(col("__id").as("id"), col("__sig").as("sig")))
+              }
+            val cand = bandsOf.select(col("__id"), col("band"), col("key"))
+              .join(histBands, Seq("band", "key"))
+              .select(col("__id"), col("id").as("__hist_id")).distinct()
+            val dupIds = cand
+              .join(bandsOf.select(col("__id"), col("__sig")).distinct(), "__id")
+              .join(histSigs.select(col("id").as("__hist_id"), col("sig").as("__hist_sig")),
+                "__hist_id")
+              .where(Dedup.minhashEstimate(col("__sig"), col("__hist_sig")) >= threshold)
+              .select("__id").distinct()
+            val fresh = withSig
+              .join(dupIds, withSig(idCol) === dupIds("__id"), "left_anti")
+              .persist()
+            try {
+              sink(fresh.drop("__sig"), batchId)
+              val keep = fresh.select(col(idCol).as("__keep"))
+              bandsOf.join(keep, bandsOf("__id") === col("__keep"), "left_semi")
+                .select(col("band"), col("key"), col("__id").as("id"))
+                .write.mode("append").parquet(bandsDir)
+              fresh.select(col(idCol).as("id"), col("__sig").as("sig"))
+                .write.mode("append").parquet(sigsDir)
+            } finally { fresh.unpersist(); () }
+          }
         } finally { bandsOf.unpersist(); () }
       }
       .start()

@@ -474,6 +474,7 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
          |      id: doc_id
          |      column: text
          |      threshold: 0.6
+         |      verify: true
          |      compact_after: true
          |  sink:
          |    type: parquet
@@ -495,10 +496,14 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     Config.loadStream(yaml).runAvailableNow(spark)
     assert(Readers.parquet(spark, s"$dir/out").select("doc_id")
       .as[Long].collect().sorted.toSeq === Seq(1L, 3L, 5L))
-    // compacted digest: 32 bands per admitted doc, one file
-    assert(spark.read.parquet(s"$dir/bands").count() === 96L)
-    assert(new java.io.File(s"$dir/bands").listFiles()
-      .count(_.getName.endsWith(".parquet")) === 1)
+    // verified-mode digest layout: 32 band rows per admitted doc + one
+    // signature row per doc, each sub-digest compacted to one file
+    assert(spark.read.parquet(s"$dir/bands/bands").count() === 96L)
+    assert(spark.read.parquet(s"$dir/bands/sigs").count() === 3L)
+    Seq("bands", "sigs").foreach { sub =>
+      assert(new java.io.File(s"$dir/bands/$sub").listFiles()
+        .count(_.getName.endsWith(".parquet")) === 1, sub)
+    }
     // validation: missing id / bad threshold are pre-run errors
     assert(Config.validateStream(Config.parseStream(
       yaml.replace("      id: doc_id\n", ""))).exists(_.contains("'id'")))

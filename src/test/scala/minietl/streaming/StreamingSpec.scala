@@ -266,6 +266,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("nearDupDedupAndRecordHistory verified mode estimate-checks cross-batch drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("minietl-neardup-verified")
+    val hist = s"$dir/digest"
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val a = words("alpha", 20)
+    val c = words("gamma", 20)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.nearDupDedupAndRecordHistory(
+      input.toDF().toDF("id", "text"), "id", "text", hist, s"$dir/chk",
+      threshold = 0.6, verifyCrossBatch = true,
+      trigger = Trigger.ProcessingTime(0)) { (batch, _) =>
+      // the internal signature column must not reach the sink
+      assert(!batch.columns.contains("__sig"))
+      admitted ++= batch.select("id").as[Long].collect(); ()
+    }
+    try {
+      input.addData((1L, a), (2L, c))
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq === Seq(1L, 2L))
+      // batch 2: a TRUE near-dup of a (est ≈ 0.71 ≥ 0.6) is dropped by the
+      // verified path; a fresh doc passes
+      input.addData((3L, words("alpha", 19) + " changed"), (4L, words("delta", 20)))
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq === Seq(1L, 2L, 4L))
+      // digest layout: bands carry ids, sigs one row per admitted doc
+      assert(spark.read.parquet(s"$hist/bands").columns.sorted.toSeq
+        === Seq("band", "id", "key"))
+      assert(spark.read.parquet(s"$hist/sigs").count() === 3L)
+      // both sub-digests compact independently
+      assert(Streaming.compactHistoryCols(spark, s"$hist/bands",
+        Seq("band", "key", "id")) === 96L)
+      assert(Streaming.compactHistoryCols(spark, s"$hist/sigs",
+        Seq("id", "sig")) === 3L)
+    } finally q.stop()
+  }
+
   test("compactHistory collapses the digest to deduplicated right-sized files") {
     val dir = Files.createTempDirectory("minietl-dedup-compact")
     val hist = s"$dir/digest"

@@ -114,6 +114,39 @@ object ScaleProbe {
         val b = col(cols(1)) / lit(10000000L)
         df.groupBy((a.cast("long") === b.cast("long")).as("same_replica"))
           .count().show()
+      case "cc" =>
+        // Exercise the distributed connectedComponents path PAST the 2M-pair
+        // driver gate (VERDICT r9 Next #1): synthesize `nClusters` chain
+        // clusters of sizes 2..10 (chains = worst-case diameter per size)
+        // plus one extra-long chain, force driverPathMaxPairs = 0, and
+        // verify EVERY label distributedly (node id is laid out as
+        // base + offset with base = id - id % 12, so the expected component
+        // label of every node is computable scan-side — no oracle collect).
+        val nClusters = args.lift(1).map(_.toLong).getOrElse(450000L)
+        val longChain = args.lift(2).map(_.toInt).getOrElse(40)
+        val stride = 12L
+        val chains = spark.range(nClusters)
+          .select((col("id") * stride).as("base"),
+            (pmod(col("id"), lit(9)) + 2).cast("int").as("size"))
+          .select(col("base"), explode(sequence(lit(0), col("size") - 2)).as("k"))
+          .select((col("base") + col("k")).as("id_a"),
+            (col("base") + col("k") + 1).as("id_b"))
+        val tailBase = nClusters * stride
+        val tail = spark.range(longChain - 1)
+          .select((col("id") + tailBase).as("id_a"), (col("id") + tailBase + 1).as("id_b"))
+        val edges = chains.union(tail)
+        val nEdges = edges.count()
+        val t0 = System.nanoTime()
+        val (labels, iters) = minietl.dedup.Dedup.connectedComponentsWithStats(
+          edges, driverPathMaxPairs = 0L)
+        // expected comp: cluster base for chain nodes; tailBase for the tail
+        val expected = when(col("id") >= tailBase, lit(tailBase))
+          .otherwise(col("id") - pmod(col("id"), lit(stride)))
+        val wrong = labels.filter(col("comp") =!= expected).count()
+        val nNodes = labels.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[cc] edges=$nEdges nodes=$nNodes iterations=$iters " +
+          f"wall=$secs%.1fs mislabeled=$wrong")
       case "dedup_history" =>
         // two-drain replay of the self-maintaining ingest-dedup loop (the
         // stream-YAML dedup_history stage) over a dir's documents table:

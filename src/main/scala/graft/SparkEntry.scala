@@ -68,6 +68,43 @@ object SparkEntry {
         .forEach(f => { Files.delete(f); () })
   }
 
+  /** Session-lifetime deterministic REST fixture for q_api_roundtrip: a
+    * loopback JDK HttpServer serving 240 formula-derived records as 24
+    * pages of 10 under `data.items` — the page/limit/data_path shape of
+    * the reference APIExtractor. Lives as long as the JVM (the query's
+    * DataFrame is lazy: the server must still answer when Verify/Bench
+    * materializes it), stopped by a shutdown hook; lazy so batteries that
+    * never touch the API query never bind a port.
+    */
+  private lazy val apiFixtureUrl: String = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/records", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val params = Option(ex.getRequestURI.getQuery).toSeq
+        .flatMap(_.split("&")).flatMap(_.split("=", 2) match {
+          case Array(k, v) => Some(k -> v); case _ => None
+        }).toMap
+      val page = params.getOrElse("page", "1").toInt
+      val limit = params.getOrElse("limit", "10").toInt
+      val start = (page - 1) * limit
+      val items = (start until math.min(start + limit, 240)).map(i =>
+        s"""{"rec_id":$i,"name":"rec_$i","score":${(i % 7) * 10}}""")
+      val body = s"""{"data":{"items":[${items.mkString(",")}]}}"""
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    // start from a daemon thread: the JDK HttpServer's dispatcher thread
+    // inherits daemon status from its creator, and a non-daemon dispatcher
+    // would keep the (forked) Verify/Bench JVM alive after main returns
+    val starter = new Thread(() => server.start(), "graft-api-fixture-start")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
+    s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
   /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
     * generations and TIMESTAMP(MICROS, naive) in others; normalize both to a
     * session-zone (UTC) micro-precision TIMESTAMP so every downstream query
@@ -1801,6 +1838,29 @@ object SparkEntry {
              |  CAST(16 * (2 + doc_id % 8) AS BIGINT) AS width,
              |  CAST(16 * (1 + doc_id % 6) AS BIGINT) AS height
              |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // The API source under the hash gate (closes the last §2.1 family
+    // without a DuckDB oracle row, VERDICT r9 Next #4): a loopback JDK
+    // HttpServer serves 240 formula-derived records as page/limit JSON
+    // pages nested under data.items; the query reads them through the
+    // DataSourceV2 REST path (page ranges → InputPartitions, executors
+    // fetch in parallel — 16 partitions over 24 pages); DuckDB replays the
+    // record formula from generate_series. A hash match proves pagination,
+    // dotted data_path navigation, typed row decode, and partition
+    // planning return exactly the served rows.
+    "q_api_roundtrip" -> Q(
+      (s, _) => {
+        s.read.format("minietl.io.rest.RestDataSource")
+          .schema("rec_id LONG, name STRING, score LONG")
+          .option("url", s"$apiFixtureUrl/records")
+          .option("pages", "24").option("limit", "10")
+          .option("dataPath", "data.items")
+          .load()
+          .orderBy("rec_id")
+      },
+      Some("""SELECT CAST(i AS BIGINT) AS rec_id, 'rec_' || i AS name,
+             |  CAST((i % 7) * 10 AS BIGINT) AS score
+             |FROM generate_series(0, 239) AS t(i) ORDER BY rec_id""".stripMargin)),
 
     // The STREAMING surface driven from YAML config alone (round-8 mandate:
     // the config-level analog of the reference Scheduler done the

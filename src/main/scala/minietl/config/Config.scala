@@ -883,6 +883,10 @@ object Config {
     * stream:
     *   source:
     *     type: parquet              # csv | json | jsonl | parquet | orc
+    *                                #  | rate | socket (non-file: fixed
+    *                                #  schema, no path/schema keys; rate
+    *                                #  options e.g. {rowsPerSecond: 100},
+    *                                #  socket needs {host, port})
     *     path: /data/incoming
     *     schema:                    # REQUIRED: readStream never infers
     *       - {name: ts, dtype: timestamp}
@@ -910,7 +914,11 @@ object Config {
     * file sinks only; optional `compact_after: true` rewrites the digest
     * as one deduplicated file set after each one-shot drain — see
     * [[minietl.streaming.Streaming.dedupAndRecordHistory]] /
-    * [[minietl.streaming.Streaming.compactHistory]]).
+    * [[minietl.streaming.Streaming.compactHistory]]). History-stage sinks
+    * are written idempotently per micro-batch as `path/batch=<id>`
+    * subdirectories (exactly-once under crash/replay), so reading the
+    * sink directory surfaces an extra `batch` partition column;
+    * `output_mode` does not apply to them and is rejected at validation.
     * Stateless scan-side batch stages
     * ([[streamableStageTypes]]) apply verbatim — the `DataFrame =>
     * DataFrame` contract is source-agnostic by design.
@@ -1014,9 +1022,31 @@ object Config {
   /** Error list for the stream form (same contract as [[validate]]). */
   def validateStream(c: StreamConfig): Seq[String] = {
     val srcErrs = c.source.typ match {
+      // non-file sources — the streaming surface is not file-format-bound:
+      // `rate` is Spark's built-in generator (fixed schema: timestamp
+      // TIMESTAMP, value LONG; rows_per_second etc. under `options:`) and
+      // `socket` reads lines from a TCP endpoint (fixed schema: value
+      // STRING; needs options.host/options.port). Both stand in for a
+      // message-bus source in environments without a broker — the
+      // readStream plumbing is identical, only the format string changes.
+      case "rate" =>
+        (if (c.source.options.contains("schema"))
+           Seq("stream source rate has a fixed schema (timestamp TIMESTAMP, " +
+             "value LONG) — remove 'schema'")
+         else Nil) ++
+          (if (c.source.options.contains("filepath") || c.source.options.contains("path"))
+             Seq("stream source rate takes no path") else Nil)
+      case "socket" =>
+        val so = strMap(c.source.options.getOrElse("options", Map.empty[String, Any]))
+        (if (c.source.options.contains("schema"))
+           Seq("stream source socket has a fixed schema (value STRING) — " +
+             "remove 'schema'")
+         else Nil) ++
+          Seq("host", "port").filterNot(so.contains)
+            .map(k => s"stream source socket needs options.$k")
       case t if !streamSourceTypes.contains(t) =>
-        Seq(s"stream source type '$t' is not a file-stream format " +
-          s"(${streamSourceTypes.toSeq.sorted.mkString("/")})")
+        Seq(s"stream source type '$t' is not a stream source " +
+          s"(${(streamSourceTypes + "rate" + "socket").toSeq.sorted.mkString("/")})")
       case _ =>
         val pathErr =
           if (c.source.options.contains("filepath") || c.source.options.contains("path")) Nil
@@ -1077,6 +1107,13 @@ object Config {
               (if (c.sink.typ == "memory")
                  Seq(s"$at: requires a file sink (each micro-batch's survivors " +
                    "and their digest append are written together)")
+               else Nil) ++
+              // the loop writes through foreachBatch, which has no output
+              // mode — accepting the option and ignoring it would let a
+              // config run with different behavior than written
+              (if (c.sink.options.contains("output_mode"))
+                 Seq(s"$at: output_mode does not apply (the loop writes " +
+                   "per-micro-batch through foreachBatch); remove it")
                else Nil)
           val specific = s.typ match {
             case "dedup_history" =>
@@ -1097,6 +1134,24 @@ object Config {
                   val v = scala.util.Try(t.toString.toDouble).getOrElse(-1.0)
                   if (v > 0 && v <= 1) Nil
                   else Seq(s"$at: threshold must be in (0, 1], got '$t'")
+                } ++
+                s.options.get("verify").toSeq.flatMap { v =>
+                  if (Set("true", "false", "estimate", "exact")(
+                      v.toString.toLowerCase)) Nil
+                  else Seq(s"$at: verify must be true/false/estimate/exact " +
+                    s"(collision ← false; estimate ← true), got '$v'")
+                } ++ {
+                  // Dedup.lshBandKeys requires bands | num_hashes — make a
+                  // misconfiguration a pre-run error, not a drain-time one
+                  // (defaults 128/32 stand in for whichever is unset)
+                  def intOpt(key: String, dflt: Int) = scala.util.Try(
+                    s.options.get(key).map(_.toString.toDouble.toInt).getOrElse(dflt))
+                    .getOrElse(-1)
+                  val k = intOpt("num_hashes", 128)
+                  val b = intOpt("bands", 32)
+                  if (k > 0 && b > 0 && k % b == 0) Nil
+                  else Seq(s"$at: num_hashes ($k) must be a positive multiple " +
+                    s"of bands ($b)")
                 }
           }
           shared ++ specific
@@ -1141,6 +1196,21 @@ object Config {
     srcErrs ++ stageErrs ++ sinkErrs ++ modeErrs ++ triggerErrs
   }
 
+  /** The `verify:` option of a `neardup_history` stage, mapped to
+    * [[minietl.streaming.Streaming.nearDupDedupAndRecordHistory]]'s
+    * crossBatch mode: false (default) → collision, true/estimate →
+    * estimate-verified, exact → exact-Jaccard-verified over stored
+    * shingle hashes. Values validated by [[validateStream]].
+    */
+  private def crossBatchMode(dh: ComponentConfig): String =
+    dh.options.get("verify").map(_.toString.toLowerCase) match {
+      case None | Some("false") => "collision"
+      case Some("true") | Some("estimate") => "estimate"
+      case Some("exact") => "exact"
+      case Some(other) => throw new IllegalArgumentException(
+        s"neardup_history verify: unknown mode '$other'")
+    }
+
   /** StreamConfig → assembled [[StreamPipeline]]. Fails on validation
     * errors. The source is `readStream` over the declared schema; stages
     * fold left over the unbounded frame; the sink is `writeStream` with the
@@ -1151,7 +1221,9 @@ object Config {
     require(errs.isEmpty, s"invalid stream config: ${errs.mkString("; ")}")
     import minietl.streaming.Streaming
     val o = c.source.options
-    val schema = readerSchema(o("schema"))
+    // generator/endpoint sources carry their own fixed schema and no path
+    val generatorSource = c.source.typ == "rate" || c.source.typ == "socket"
+    val schema = if (generatorSource) null else readerSchema(o("schema"))
     val fmt = c.source.typ match {
       case "jsonl" => "json"
       case t => t
@@ -1187,9 +1259,9 @@ object Config {
         }
       }
     val frame = (spark: org.apache.spark.sql.SparkSession) => {
-      val src0 = spark.readStream.schema(schema).format(fmt)
+      val r0 = spark.readStream.format(fmt)
         .options(strMap(o.getOrElse("options", Map.empty[String, Any])))
-        .load(path(o))
+      val src0 = if (generatorSource) r0.load() else r0.schema(schema).load(path(o))
       val src = c.watermark match {
         case Some((wc, delay)) => src0.withWatermark(wc, delay)
         case None => src0
@@ -1212,14 +1284,23 @@ object Config {
           import org.apache.spark.sql.functions.{col, md5}
           val historyDir = str(dh.options, "history")
           val base = frame(spark)
-          def writeBatch(dropCol: Option[String]): org.apache.spark.sql.DataFrame => Unit = fresh => {
+          // idempotent by batchId (Streaming.batchOutputPath + overwrite):
+          // a replayed batch rewrites its own batch=<id> subdir instead of
+          // appending duplicates — the sink half of the loop's exactly-once
+          // contract (the digest half lives in dedupAndRecordHistory).
+          // Readers of the sink directory see a `batch` partition column.
+          def writeBatch(dropCol: Option[String])(
+              fresh: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
             val out = dropCol.fold(fresh)(fresh.drop(_))
             val pcols = so.get("partition_cols").map(strSeq).getOrElse(Nil)
+            val target = minietl.streaming.Streaming.batchOutputPath(path(so), batchId)
+            val w0 = out.write.mode("overwrite")
+            val w = if (pcols.nonEmpty) w0.partitionBy(pcols: _*) else w0
             c.sink.typ match {
-              case "csv" => minietl.io.Writers.csv(out, path(so), "append")
-              case "json" | "jsonl" => minietl.io.Writers.json(out, path(so), "append")
-              case "orc" => minietl.io.Writers.orc(out, path(so), "append", partitionBy = pcols)
-              case _ => minietl.io.Writers.parquet(out, path(so), "append", partitionBy = pcols)
+              case "csv" => w.option("header", "true").csv(target)
+              case "json" | "jsonl" => w.json(target)
+              case "orc" => w.orc(target)
+              case _ => w.parquet(target)
             }
           }
           dh.typ match {
@@ -1231,8 +1312,8 @@ object Config {
                 k = dh.options.get("num_hashes").map(_.toString.toDouble.toInt).getOrElse(128),
                 bands = dh.options.get("bands").map(_.toString.toDouble.toInt).getOrElse(32),
                 threshold = dh.options.get("threshold").map(_.toString.toDouble).getOrElse(0.8),
-                verifyCrossBatch = dh.options.get("verify").exists(_.toString.toBoolean),
-                trigger = trigger) { (fresh, _) => writeBatch(None)(fresh) }
+                crossBatch = crossBatchMode(dh),
+                trigger = trigger) { (fresh, bid) => writeBatch(None)(fresh, bid) }
             case _ =>
               // 'key' names an existing fingerprint column; 'columns'
               // derives one: md5 over the JSON encoding of the column
@@ -1252,7 +1333,7 @@ object Config {
               }
               minietl.streaming.Streaming.dedupAndRecordHistory(
                 prepared, fpCol, historyDir, checkpoint, trigger) {
-                (fresh, _) => writeBatch(if (derived) Some(fpCol) else None)(fresh)
+                (fresh, bid) => writeBatch(if (derived) Some(fpCol) else None)(fresh, bid)
               }
           }
         case None =>
@@ -1281,12 +1362,18 @@ object Config {
       .map { dh =>
         val historyDir = str(dh.options, "history")
         // (dir, distinct-cols) per sub-digest: the verified near-dup
-        // layout has TWO (bands + sigs); the others one flat table
+        // layouts have TWO (bands + sigs/shingles); the others one flat
+        // table
         val targets: Seq[(String, Seq[String])] = dh.typ match {
-          case "neardup_history" if dh.options.get("verify").exists(_.toString.toBoolean) =>
-            Seq((s"$historyDir/bands", Seq("band", "key", "id")),
-              (s"$historyDir/sigs", Seq("id", "sig")))
-          case "neardup_history" => Seq((historyDir, Seq("band", "key")))
+          case "neardup_history" => crossBatchMode(dh) match {
+            case "estimate" =>
+              Seq((s"$historyDir/bands", Seq("band", "key", "id")),
+                (s"$historyDir/sigs", Seq("id", "sig")))
+            case "exact" =>
+              Seq((s"$historyDir/bands", Seq("band", "key", "id")),
+                (s"$historyDir/shingles", Seq("id", "sh")))
+            case _ => Seq((historyDir, Seq("band", "key")))
+          }
           case _ => Seq((historyDir,
             Seq(dh.options.get("key").map(_.toString).getOrElse("__fp"))))
         }

@@ -200,27 +200,34 @@ final class PipelineDAG {
   def run(spark: SparkSession): Map[String, Long] = {
     val errs = validate()
     require(errs.isEmpty, s"invalid DAG: ${errs.mkString("; ")}")
-    val (out, cached) = compile(spark, persistFanOut = true)
+    // RunCaches scope covers COMPILE as well as the sink actions: the eager
+    // stage closures (semantic_decontaminate, lm_surprise) checkpoint their
+    // intermediates at composition time, so registration happens inside
+    // compile() — the scope must already be open there, and must release
+    // only after every sink has consumed the data
+    minietl.pipeline.RunCaches.scoped {
+      val (out, cached) = compile(spark, persistFanOut = true)
 
-    def inputFrame(id: String): DataFrame = {
-      val Seq((from, port)) = inputsOf(id)
-      out(from)(port)
-    }
+      def inputFrame(id: String): DataFrame = {
+        val Seq((from, port)) = inputsOf(id)
+        out(from)(port)
+      }
 
-    try {
-      nodes.collect { case (id, SinkNode(f)) =>
-        val obs = org.apache.spark.sql.Observation(
-          s"dag_${id}_${java.util.UUID.randomUUID().toString.take(8)}")
-        val observed = inputFrame(id).observe(obs,
-          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
-        f(observed)
-        id -> obs.get("rows").asInstanceOf[Long]
-      }.toMap
-    } finally {
-      // release exactly the frames that were persisted — even when a sink
-      // throws (the `out` values for a branch are its uncached filter
-      // children; unpersisting those would miss the parent's cache entry)
-      cached.foreach(df => { df.unpersist(); () })
+      try {
+        nodes.collect { case (id, SinkNode(f)) =>
+          val obs = org.apache.spark.sql.Observation(
+            s"dag_${id}_${java.util.UUID.randomUUID().toString.take(8)}")
+          val observed = inputFrame(id).observe(obs,
+            org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+          f(observed)
+          id -> obs.get("rows").asInstanceOf[Long]
+        }.toMap
+      } finally {
+        // release exactly the frames that were persisted — even when a sink
+        // throws (the `out` values for a branch are its uncached filter
+        // children; unpersisting those would miss the parent's cache entry)
+        cached.foreach(df => { df.unpersist(); () })
+      }
     }
   }
 

@@ -376,7 +376,19 @@ object Dedup {
   val DriverCcMaxPairs: Long = 2000000L
 
   def connectedComponents(pairs: DataFrame, maxIter: Int = 100,
-                          driverPathMaxPairs: Long = DriverCcMaxPairs): DataFrame = {
+                          driverPathMaxPairs: Long = DriverCcMaxPairs): DataFrame =
+    connectedComponentsWithStats(pairs, maxIter, driverPathMaxPairs)._1
+
+  /** [[connectedComponents]] plus the distributed loop's
+    * iterations-to-convergence (0 on the driver union-find fast path,
+    * which converges in one pass by construction) — the scale-probe /
+    * operations observable: iterations ≈ graph diameter, and a deployment
+    * watching this number knows how close its duplicate chains run to the
+    * maxIter guard.
+    */
+  def connectedComponentsWithStats(
+      pairs: DataFrame, maxIter: Int = 100,
+      driverPathMaxPairs: Long = DriverCcMaxPairs): (DataFrame, Int) = {
     // materialize the pair list before unioning it with its swap: the two
     // union branches are the SAME (expensive — LSH banding + verify) plan,
     // and an unmaterialized cache makes one job compute it twice
@@ -410,8 +422,8 @@ object Dedup {
       val out = parent.keysIterator.map(id => (id, find(id))).toSeq
       val spark = pairs.sparkSession
       import spark.implicits._
-      return out.toDF("id", "comp")
-        .select(col("id").cast(idType).as("id"), col("comp").cast(idType).as("comp"))
+      return (out.toDF("id", "comp")
+        .select(col("id").cast(idType).as("id"), col("comp").cast(idType).as("comp")), 0)
     }
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -445,7 +457,7 @@ object Dedup {
           "would silently under-deduplicate chains longer than the budget — " +
           "raise maxIter (label propagation needs one round per unit of " +
           "graph diameter)")
-    labels
+    (labels, iter)
   }
 
   /** Keep one representative per cluster implied by an undirected pair list:

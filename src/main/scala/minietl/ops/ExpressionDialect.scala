@@ -88,7 +88,19 @@ object ExpressionDialect {
 
   private final val CmpOps = Set("==", "!=", "<", "<=", ">", ">=", "=")
 
+  /** Spark SQL functions whose value changes per evaluation — a chained
+    * comparison may not share one (its SQL is emitted into two conjuncts).
+    */
+  private val NonDeterministicFns: Set[String] =
+    Set("rand", "randn", "random", "uuid", "shuffle",
+      "monotonically_increasing_id")
+
   private class Parser(var toks: List[Tok]) {
+    /** Names of functions called so far, in parse order — lets the chain
+      * expansion check whether a shared operand called a nondeterministic
+      * one (slice between two size marks = the calls inside that operand).
+      */
+    val calledFns = scala.collection.mutable.ListBuffer.empty[String]
     def peek: Option[Tok] = toks.headOption
     def next(): Tok = { val h = toks.head; toks = toks.tail; h }
 
@@ -124,18 +136,32 @@ object ExpressionDialect {
         peek match {
           // pandas-eval chained comparisons: `a < b < c` means
           // `(a < b) & (b < c)` (each middle operand shared), NOT the
-          // left-fold `(a < b) < c` a naive precedence climb would emit
+          // left-fold `(a < b) < c` a naive precedence climb would emit.
+          // The shared operand's SQL is re-emitted into both conjuncts, so
+          // it must be DETERMINISTIC — python evaluates each chain operand
+          // once, but a re-emitted rand() would draw twice and could make
+          // the conjunction inconsistent; rejected at translation time.
           case Some(Op(op)) if CmpOps.contains(op) && Prec(op) >= minPrec =>
             next()
+            var mark = calledFns.size
             var operand = parseExpr(Prec(op) + 1)
+            var operandFns = calledFns.drop(mark).toList
             var parts = List(emit(op, lhs, operand))
             var chaining = true
             while (chaining) peek match {
               case Some(Op(o2)) if CmpOps.contains(o2) =>
+                operandFns.find(NonDeterministicFns).foreach { f =>
+                  throw new IllegalArgumentException(
+                    s"chained comparison shares operand '$operand', which " +
+                      s"calls nondeterministic $f() — each conjunct would " +
+                      "re-evaluate it; derive it as a column first")
+                }
                 next()
+                mark = calledFns.size
                 val nxt = parseExpr(Prec(o2) + 1)
                 parts = parts :+ emit(o2, operand, nxt)
                 operand = nxt
+                operandFns = calledFns.drop(mark).toList
               case _ => chaining = false
             }
             lhs = parts.reduce((a, b) => s"($a AND $b)")
@@ -180,6 +206,7 @@ object ExpressionDialect {
       case Ident(name) =>
         peek match {
           case Some(LParen) => // function call, pass through
+            calledFns += name.toLowerCase
             next()
             val args = scala.collection.mutable.ListBuffer.empty[String]
             if (peek != Some(RParen)) {

@@ -153,17 +153,23 @@ final class Pipeline private (
                                exception: Exception): Unit = lm.unregister(this)
       })
     }
-    try {
-      val obs = Observation(s"${name}_${java.util.UUID.randomUUID().toString.take(8)}")
-      val observed = frame(spark).observe(obs, count(lit(1)).as("rows"))
-      out(observed)
-      finish(obs.get("rows").asInstanceOf[Long], errors = 0L)
-    } catch {
-      case e: Throwable => errorMode match {
-        case ErrorMode.Raise => throw e
-        case _ =>
-          System.err.println(s"[pipeline:$name] error (${errorMode}): ${e.getMessage}")
-          finish(rows = 0L, errors = 1L)
+    // run scope: stage closures that must checkpoint an intermediate
+    // (semantic_decontaminate's flagged ids, lm_surprise's scores) register
+    // the handle; released here once the sink action has consumed the data,
+    // so a config-driven run leaves no session-lifetime cache pins
+    RunCaches.scoped {
+      try {
+        val obs = Observation(s"${name}_${java.util.UUID.randomUUID().toString.take(8)}")
+        val observed = frame(spark).observe(obs, count(lit(1)).as("rows"))
+        out(observed)
+        finish(obs.get("rows").asInstanceOf[Long], errors = 0L)
+      } catch {
+        case e: Throwable => errorMode match {
+          case ErrorMode.Raise => throw e
+          case _ =>
+            System.err.println(s"[pipeline:$name] error (${errorMode}): ${e.getMessage}")
+            finish(rows = 0L, errors = 1L)
+        }
       }
     }
   }

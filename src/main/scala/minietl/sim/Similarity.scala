@@ -329,6 +329,10 @@ object Similarity {
     val flagged = pairs.select(col("corpus_id").as(idCol)).distinct()
       .localCheckpoint(true)
     prepC.unpersist()
+    // inside a Pipeline.run/Dag.run scope the (contamination-sized)
+    // checkpoint is released when the run's sink completes; otherwise the
+    // caller owns it (spark.catalog.clearCache() as a last resort)
+    minietl.pipeline.RunCaches.register(flagged)
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
 

@@ -299,6 +299,22 @@ object Streaming {
     * per-batch anti-join plans a digest-side scan, not a small-files
     * storm; the anti-join itself is re-planned per batch and broadcasts
     * or shuffles by size as usual.
+    *
+    * REPLAY SAFETY (exactly-once under crash/restart): the digest is a
+    * per-batch-keyed parquet layout (`historyDir/batch=<id>`), and each
+    * batch (a) first DELETES its own delta dir — discarding any partial
+    * write a crashed prior attempt of the same batchId left behind —
+    * then (b) recomputes `fresh` against the committed batches only, and
+    * (c) writes its delta with overwrite. A replayed batch therefore
+    * reproduces the exact same `fresh` set and converges the digest to
+    * the same state no matter where the previous attempt died. The SINK
+    * must uphold its half of the contract: it receives `batchId`
+    * precisely so it can write idempotently (the standard foreachBatch
+    * recipe — e.g. [[batchOutputPath]] + overwrite); an append-only sink
+    * degrades to at-least-once for the batch that crashed between the
+    * sink write and the digest append. Reading the digest directory
+    * yields an extra `batch` partition column — digest consumers should
+    * select the fingerprint columns explicitly (this function does).
     */
   def dedupAndRecordHistory(
       stream: DataFrame, fpCol: String, historyDir: String,
@@ -312,6 +328,7 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         requireNoCompactionDebris(spark, historyDir)
+        dropBatchDelta(spark, historyDir, batchId)
         val hist =
           try spark.read.parquet(historyDir).select(fpCol).distinct()
           catch {
@@ -326,10 +343,30 @@ object Streaming {
           .persist()
         try {
           sink(fresh, batchId)
-          fresh.select(fpCol).write.mode("append").parquet(historyDir)
+          fresh.select(fpCol).write.mode("overwrite")
+            .parquet(batchOutputPath(historyDir, batchId))
         } finally { fresh.unpersist(); () }
       }
       .start()
+
+  /** The batchId-keyed subdirectory (`dir/batch=<id>`) used for idempotent
+    * per-micro-batch writes — both by the ingest-dedup digests and as the
+    * documented recipe for their SINKS: writing each batch's output under
+    * this path with overwrite mode makes a replayed batch converge instead
+    * of duplicating (Hive-style naming, so reading the parent directory
+    * discovers the parts and adds a `batch` partition column).
+    */
+  def batchOutputPath(dir: String, batchId: Long): String =
+    s"${dir.stripSuffix("/")}/batch=$batchId"
+
+  /** Remove a batch's digest delta if a crashed prior attempt of the same
+    * batchId left one (possibly partial — a torn parquet file there would
+    * otherwise poison the digest read).
+    */
+  private def dropBatchDelta(spark: SparkSession, dir: String, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(batchOutputPath(dir, batchId))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true); ()
+  }
 
   /** The NEAR-duplicate twin of [[dedupAndRecordHistory]]: per
     * micro-batch, (1) drop within-batch near-duplicates with the full
@@ -340,23 +377,30 @@ object Streaming {
     * `sink`, and (3) append the admitted documents' (band, key) rows to
     * the digest.
     *
-    * Cross-history check, two modes:
-    *  - `verifyCrossBatch = false` (default): collision-based — the
-    *    digest stores 16 bytes per band per admitted doc, never text or
-    *    shingles, so a historical match cannot re-verify Jaccard. The
-    *    standard recall/precision dial of banded LSH: P(collision) ≈
-    *    1-(1-j^r)^b for true Jaccard j with r = k/bands rows per band;
-    *    size k/bands so that false drops (j ≪ threshold colliding
-    *    anyway) are acceptably rare for the corpus.
-    *  - `verifyCrossBatch = true`: ESTIMATE-verified — the digest also
-    *    stores each admitted doc's k-lane MinHash signature (~k×8 bytes
-    *    per doc, still never text) under `historyDir/sigs`, band rows
-    *    under `historyDir/bands`; band collisions only nominate
-    *    candidates and the drop requires minhashEstimate ≥ `threshold`
-    *    (the k-lane Jaccard estimator, ±O(1/√k)), so dissimilar docs
-    *    cannot false-drop on an unlucky bucket. The two layouts are not
-    *    interchangeable — pick a mode per digest and keep it.
-    * Within-batch semantics stay exact either way.
+    * Cross-history check, three `crossBatch` modes — a digest-size vs
+    * drop-precision dial; the layouts are not interchangeable, pick a
+    * mode per digest and keep it:
+    *  - `"collision"` (default): the digest stores 16 bytes per band per
+    *    admitted doc, never text or shingles, so a historical match
+    *    cannot re-verify similarity. The standard recall/precision dial
+    *    of banded LSH: P(collision) ≈ 1-(1-j^r)^b for true Jaccard j
+    *    with r = k/bands rows per band; size k/bands so that false drops
+    *    (j ≪ threshold colliding anyway) are acceptably rare.
+    *  - `"estimate"`: the digest also stores each admitted doc's k-lane
+    *    MinHash signature (~k×8 bytes per doc, still never text) under
+    *    `historyDir/sigs`, band rows under `historyDir/bands`; band
+    *    collisions only nominate candidates and the drop requires
+    *    minhashEstimate ≥ `threshold` (±O(1/√k)), so dissimilar docs
+    *    cannot false-drop on an unlucky bucket — but the estimator can
+    *    still mis-rank a pair whose true Jaccard sits within the
+    *    estimator error of the threshold.
+    *  - `"exact"`: the digest stores each admitted doc's sorted distinct
+    *    shingle HASHES (~8 bytes per shingle, still never text) under
+    *    `historyDir/shingles`; nominated candidates are re-verified with
+    *    exact Jaccard over the hash sets — the identical decision rule
+    *    the within-batch pass applies, at the price of the largest
+    *    digest of the three.
+    * Within-batch semantics stay exact in every mode.
     *
     * Scale shape per batch: signature + banding are scan-side; one
     * shuffle for the within-batch bucket self-join; the history check is
@@ -364,26 +408,42 @@ object Streaming {
     * size); digest growth is bands × admitted rows. Compact the digest
     * between drains with [[compactHistoryCols]]. foreachBatch runs
     * batches sequentially, so read-check-append is race-free.
+    *
+    * REPLAY SAFETY: same contract as [[dedupAndRecordHistory]] — every
+    * digest dir (flat band digest, or bands + sigs/shingles in the
+    * verified modes) is written as batchId-keyed deltas (`…/batch=<id>`,
+    * delete-then-overwrite), so a crashed batch replays to the identical admitted
+    * set and digest state; the sink receives `batchId` and must write
+    * idempotently by it ([[batchOutputPath]]) for end-to-end
+    * exactly-once.
     */
   def nearDupDedupAndRecordHistory(
       stream: DataFrame, idCol: String, textCol: String,
       historyDir: String, checkpoint: String,
       shingleN: Int = 3, k: Int = 128, bands: Int = 32,
       threshold: Double = 0.8,
-      verifyCrossBatch: Boolean = false,
+      crossBatch: String = "collision",
       trigger: Trigger = Trigger.AvailableNow())(
-      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(Set("collision", "estimate", "exact")(crossBatch),
+      s"crossBatch must be collision, estimate or exact, got '$crossBatch'")
     stream.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val verified = crossBatch != "collision"
+        val exact = crossBatch == "exact"
+        val bandsDir = s"$historyDir/bands"
+        val payloadDir = if (exact) s"$historyDir/shingles" else s"$historyDir/sigs"
         requireNoCompactionDebris(spark, historyDir)
-        if (verifyCrossBatch) {
-          requireNoCompactionDebris(spark, s"$historyDir/bands")
-          requireNoCompactionDebris(spark, s"$historyDir/sigs")
-        }
+        if (verified) {
+          requireNoCompactionDebris(spark, bandsDir)
+          requireNoCompactionDebris(spark, payloadDir)
+          dropBatchDelta(spark, bandsDir, batchId)
+          dropBatchDelta(spark, payloadDir, batchId)
+        } else dropBatchDelta(spark, historyDir, batchId)
         import minietl.dedup.Dedup
         // (1) within-batch: full verified near-dup semantics
         val withinDeduped = Dedup.minhashDedup(
@@ -400,7 +460,7 @@ object Streaming {
           .persist()
         try {
           def emptyLike(df: DataFrame): DataFrame = df.limit(0)
-          if (!verifyCrossBatch) {
+          if (!verified) {
             // collision mode: digest = flat (band, key); any-band collision
             // with history drops the row (see scaladoc dial)
             val hist =
@@ -420,55 +480,66 @@ object Streaming {
                 .join(fresh.select(col(idCol).as("__keep")),
                   bandsOf("__id") === col("__keep"), "left_semi")
                 .select("band", "key")
-                .write.mode("append").parquet(historyDir)
+                .write.mode("overwrite")
+                .parquet(batchOutputPath(historyDir, batchId))
             } finally { fresh.unpersist(); () }
           } else {
-            // VERIFIED mode: digest = $historyDir/bands (band, key, id) +
-            // $historyDir/sigs (id, sig) — ~k×8 bytes per admitted doc.
-            // Band collisions only nominate candidates; the drop decision
-            // is minhashEstimate(batch sig, historical sig) ≥ threshold,
-            // so an unlucky band collision between dissimilar docs cannot
-            // false-drop (the estimate is the standard k-lane Jaccard
-            // estimator, ±O(1/√k)).
-            val bandsDir = s"$historyDir/bands"
-            val sigsDir = s"$historyDir/sigs"
+            // VERIFIED modes: digest = $historyDir/bands (band, key, id) +
+            // one per-doc payload table. Band collisions only NOMINATE
+            // candidates; the drop decision re-checks similarity against
+            // the payload — minhashEstimate ≥ threshold over the k-lane
+            // signature ("estimate", ~k×8 B/doc), or exact Jaccard over
+            // the sorted shingle-hash set ("exact", ~8 B/shingle, the
+            // same decision rule as the within-batch pass) — so an
+            // unlucky band collision between dissimilar docs cannot
+            // false-drop.
+            val payloadCol = if (exact) "sh" else "sig"
+            val payloadExpr =
+              if (exact) Dedup.shingleHashesSorted(col(textCol), shingleN)
+              else col("__sig")
+            val withPayload = withSig.withColumn("__pay", payloadExpr)
             val histBands =
               try spark.read.parquet(bandsDir)
               catch {
                 case _: org.apache.spark.sql.AnalysisException =>
                   emptyLike(bandsOf.select(col("band"), col("key"), col("__id").as("id")))
               }
-            val histSigs =
-              try spark.read.parquet(sigsDir)
+            val histPayload =
+              try spark.read.parquet(payloadDir)
               catch {
                 case _: org.apache.spark.sql.AnalysisException =>
-                  emptyLike(bandsOf.select(col("__id").as("id"), col("__sig").as("sig")))
+                  emptyLike(withPayload.select(col(idCol).as("id"),
+                    col("__pay").as(payloadCol)))
               }
+            def similar(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+              if (exact) minietl.functions.vec.jaccardSorted(a, b) >= threshold
+              else Dedup.minhashEstimate(a, b) >= threshold
             val cand = bandsOf.select(col("__id"), col("band"), col("key"))
               .join(histBands, Seq("band", "key"))
               .select(col("__id"), col("id").as("__hist_id")).distinct()
             val dupIds = cand
-              .join(bandsOf.select(col("__id"), col("__sig")).distinct(), "__id")
-              .join(histSigs.select(col("id").as("__hist_id"), col("sig").as("__hist_sig")),
-                "__hist_id")
-              .where(Dedup.minhashEstimate(col("__sig"), col("__hist_sig")) >= threshold)
+              .join(withPayload.select(col(idCol).as("__id"), col("__pay")).distinct(), "__id")
+              .join(histPayload.select(col("id").as("__hist_id"),
+                col(payloadCol).as("__hist_pay")), "__hist_id")
+              .where(similar(col("__pay"), col("__hist_pay")))
               .select("__id").distinct()
-            val fresh = withSig
-              .join(dupIds, withSig(idCol) === dupIds("__id"), "left_anti")
+            val fresh = withPayload
+              .join(dupIds, withPayload(idCol) === dupIds("__id"), "left_anti")
               .persist()
             try {
-              sink(fresh.drop("__sig"), batchId)
+              sink(fresh.drop("__sig", "__pay"), batchId)
               val keep = fresh.select(col(idCol).as("__keep"))
               bandsOf.join(keep, bandsOf("__id") === col("__keep"), "left_semi")
                 .select(col("band"), col("key"), col("__id").as("id"))
-                .write.mode("append").parquet(bandsDir)
-              fresh.select(col(idCol).as("id"), col("__sig").as("sig"))
-                .write.mode("append").parquet(sigsDir)
+                .write.mode("overwrite").parquet(batchOutputPath(bandsDir, batchId))
+              fresh.select(col(idCol).as("id"), col("__pay").as(payloadCol))
+                .write.mode("overwrite").parquet(batchOutputPath(payloadDir, batchId))
             } finally { fresh.unpersist(); () }
           }
         } finally { bandsOf.unpersist(); () }
       }
       .start()
+  }
 
   /** Maintenance companion of [[dedupAndRecordHistory]]: rewrite the
     * fingerprint digest as one deduplicated, right-sized parquet set.
@@ -477,8 +548,14 @@ object Streaming {
     * pays to list and scan — compaction collapses it to
     * `ceil(n / rowsPerPartition)` files. SINGLE-WRITER contract: run
     * between drains, never concurrently with an active ingest query (the
-    * swap is delete-then-rename, and a concurrent append would be lost).
-    * Returns the digest's distinct-fingerprint count.
+    * swap is delete-then-rename, and a concurrent append would be lost) —
+    * and only after the previous drain TERMINATED GRACEFULLY: compacting
+    * while a crashed query still has an unreplayed batch would absorb
+    * that batch's delta into the merged set, so the replay would see its
+    * own fingerprints as history and hand the sink an empty batch.
+    * The compacted set lands under `batch=-1` to keep the digest's
+    * batchId-keyed partition layout uniform. Returns the digest's
+    * distinct-fingerprint count.
     */
   def compactHistory(spark: SparkSession, historyDir: String, fpCol: String,
                      rowsPerPartition: Long = 4000000L): Long =
@@ -497,7 +574,10 @@ object Streaming {
     val parts = math.max(1L, (n + rowsPerPartition - 1) / rowsPerPartition).toInt
     val tmp = historyDir.stripSuffix("/") + "__compact_tmp"
     val old = historyDir.stripSuffix("/") + "__compact_old"
-    distinctFps.repartition(parts).write.mode("overwrite").parquet(tmp)
+    // batch=-1 keeps the layout partition-uniform with the per-batch deltas
+    // (mixing bare files and batch= dirs would break partition discovery)
+    distinctFps.repartition(parts).write.mode("overwrite")
+      .parquet(batchOutputPath(tmp, -1L))
     val conf = spark.sessionState.newHadoopConf()
     val histPath = new org.apache.hadoop.fs.Path(historyDir)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)

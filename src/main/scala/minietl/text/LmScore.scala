@@ -57,6 +57,8 @@ object LmScore {
     val (scores, occ) = scoresAndOccCache(docs, idCol, textCol)
     val out = scores.localCheckpoint(true)
     occ.unpersist()
+    // released at end-of-run when a Pipeline.run/Dag.run scope is open
+    minietl.pipeline.RunCaches.register(out)
     out
   }
 

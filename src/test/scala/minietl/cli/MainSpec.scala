@@ -128,7 +128,12 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
       java.nio.file.Paths.get("examples/training_data_pipeline.yaml")), "UTF-8")
     val cfg = minietl.config.Config.parse(text, env)
     assert(minietl.config.Config.validate(cfg).isEmpty)
+    // the full training-data run must leave zero cache pins behind
+    // (lm_surprise's eager checkpoint registers with the run's RunCaches
+    // scope and is released when the sink completes)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     minietl.config.Config.build(cfg).run(spark)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === pinnedBefore)
     val out = Readers.parquet(spark, s"$dir/out/cleaned")
     // the short doc is gone; the survivors carry the cleaned text
     assert(out.count() > 0 && out.count() <= 30)

@@ -11,6 +11,14 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp() = Files.createTempDirectory("minietl-cfg").toString
 
+  /** Recursive data-file count — digests/sinks use batch=<id> subdirs. */
+  private def parquetFilesUnder(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(dir))
+  }
+
   test("env-var substitution covers ${VAR} and $VAR, leaves unknown verbatim") {
     val env = Map("DATA_DIR" -> "/data", "N" -> "5")
     assert(Config.substituteEnv("path: ${DATA_DIR}/in.csv", env) === "path: /data/in.csv")
@@ -440,10 +448,10 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(round2.map(_._2).contains("gamma") && round2.length === 5)
     // the derived __fp column is digest-internal, not sink output
     assert(!Readers.parquet(spark, s"$dir/out").columns.contains("__fp"))
-    assert(spark.read.parquet(s"$dir/digest").distinct().count() === 5L)
-    // compact_after collapsed the per-batch digest appends to one file
-    assert(new java.io.File(s"$dir/digest").listFiles()
-      .count(_.getName.endsWith(".parquet")) === 1)
+    assert(spark.read.parquet(s"$dir/digest").select("__fp").distinct().count() === 5L)
+    // compact_after collapsed the per-batch digest deltas to one file
+    // (under the uniform batch=-1 partition of the idempotent layout)
+    assert(parquetFilesUnder(s"$dir/digest") === 1)
     // structural validation: must be last, file-sink-only, one fingerprint spec
     assert(Config.validateStream(Config.parseStream(yaml.replace(
       "columns: [text]", "columns: [text]\n      key: text")))
@@ -501,14 +509,74 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$dir/bands/bands").count() === 96L)
     assert(spark.read.parquet(s"$dir/bands/sigs").count() === 3L)
     Seq("bands", "sigs").foreach { sub =>
-      assert(new java.io.File(s"$dir/bands/$sub").listFiles()
-        .count(_.getName.endsWith(".parquet")) === 1, sub)
+      assert(parquetFilesUnder(s"$dir/bands/$sub") === 1, sub)
     }
     // validation: missing id / bad threshold are pre-run errors
     assert(Config.validateStream(Config.parseStream(
       yaml.replace("      id: doc_id\n", ""))).exists(_.contains("'id'")))
     assert(Config.validateStream(Config.parseStream(
       yaml.replace("threshold: 0.6", "threshold: 1.5"))).exists(_.contains("threshold")))
+    // num_hashes must divide into bands — a drain-time require otherwise
+    assert(Config.validateStream(Config.parseStream(yaml.replace(
+      "threshold: 0.6", "threshold: 0.6\n      num_hashes: 100")))
+      .exists(_.contains("multiple of bands")))
+    // output_mode has no meaning for the foreachBatch loop — rejected, not
+    // silently ignored
+    assert(Config.validateStream(Config.parseStream(yaml.replace(
+      s"checkpoint: $dir/chk", s"checkpoint: $dir/chk\n    output_mode: append")))
+      .exists(_.contains("output_mode")))
+  }
+
+  test("dedup_history runs from a rate source — the streaming surface is not file-bound") {
+    val dir = tmp()
+    // rate generator → derive a 3-bucket fingerprint → the ingest-dedup
+    // loop admits each bucket exactly once EVER, however many rows the
+    // generator emits — timing-independent assertion for a wall-clock
+    // source
+    val yaml =
+      s"""name: rate_ingest
+         |stream:
+         |  source:
+         |    type: rate
+         |    options: {rowsPerSecond: "200"}
+         |  stages:
+         |    - {type: expression, expression: "bucket = value % 3"}
+         |    - type: dedup_history
+         |      history: $dir/digest
+         |      key: bucket
+         |  sink:
+         |    type: parquet
+         |    path: $dir/out
+         |    checkpoint: $dir/chk
+         |""".stripMargin
+    val cfg = Config.parseStream(yaml)
+    assert(Config.validateStream(cfg).isEmpty)
+    val q = Config.buildStream(cfg).startWith(spark,
+      Some(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)))
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def sunkRows(): Long =
+        // reading concurrently with the stream's writes: any transient
+        // read failure (no files yet, in-flight batch dir) counts as 0
+        try spark.read.parquet(s"$dir/out").count()
+        catch { case _: Exception => 0L }
+      while (sunkRows() < 3 && System.nanoTime() < deadline) Thread.sleep(200)
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    val buckets = out.select("bucket").as[Long].collect().toSeq
+    // exactly-once per fingerprint: every admitted bucket value is unique
+    assert(buckets.distinct.size === buckets.size)
+    assert(buckets.toSet.subsetOf(Set(0L, 1L, 2L)) && buckets.nonEmpty)
+    assert(spark.read.parquet(s"$dir/digest").select("bucket")
+      .as[Long].collect().toSet === buckets.toSet)
+    // validation: generator sources take no path/schema
+    assert(Config.validateStream(Config.parseStream(yaml.replace(
+      "    options: {rowsPerSecond: \"200\"}",
+      "    options: {rowsPerSecond: \"200\"}\n    path: /nope")))
+      .exists(_.contains("no path")))
+    assert(Config.validateStream(Config.parseStream(
+      yaml.replace("type: rate", "type: socket")))
+      .exists(_.contains("options.host")))
   }
 
   test("semantic_decontaminate stage drops embedding-near-benchmark rows from YAML") {
@@ -536,7 +604,12 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
          |sink: {type: parquet, filepath: $dir/out}
          |""".stripMargin
     assert(Config.validate(Config.parse(yaml)).isEmpty)
+    // the run must leave NO cache pins behind: the stage's flagged-id
+    // localCheckpoint registers with the RunCaches scope Pipeline.run
+    // opens, and is released once the sink action completes
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     assert(Config.load(yaml).run(spark).rows === 2)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === pinnedBefore)
     assert(Readers.parquet(spark, s"$dir/out").select("vec_id")
       .as[Long].collect().sorted.toSeq === Seq(2L, 3L))
     // threshold out of range is a pre-run validation error

@@ -142,6 +142,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("driver and distributed components agree on a non-trivial graph") {
+    // 40 chain clusters of 12 nodes each (multi-round propagation), plus
+    // 300 seeded random intra-cluster shortcuts — the distributed min-label
+    // loop (forced via driverPathMaxPairs = 0) must produce the exact same
+    // labeling as the driver union-find, over a graph where convergence
+    // genuinely takes several rounds
+    val rnd = new scala.util.Random(7)
+    val chainEdges = (0 until 40).flatMap { c =>
+      (0 until 11).map(i => ((c * 100 + i).toLong, (c * 100 + i + 1).toLong))
+    }
+    val extra = (1 to 300).map { _ =>
+      val c = rnd.nextInt(40)
+      ((c * 100 + rnd.nextInt(12)).toLong, (c * 100 + rnd.nextInt(12)).toLong)
+    }.filter(p => p._1 != p._2)
+    val pairs = (chainEdges ++ extra).toDF("id_a", "id_b")
+    val driver = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val (distDf, iters) = Dedup.connectedComponentsWithStats(
+      pairs, driverPathMaxPairs = 0L)
+    val dist = distDf.as[(Long, Long)].collect().toMap
+    assert(dist === driver)
+    assert(iters >= 2) // the loop really ran multi-round on this shape
+    assert(driver.values.toSet === (0 until 40).map(c => (c * 100).toLong).toSet)
+  }
+
   test("connectedComponents throws rather than returning partial labels") {
     // chain 0-1-2-3-4 on the DISTRIBUTED path: min-label propagation needs
     // >1 round to reach the tail (the driver path always converges exactly)

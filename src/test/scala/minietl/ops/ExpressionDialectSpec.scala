@@ -86,6 +86,22 @@ class ExpressionDialectSpec extends AnyFunSuite {
       === "(((`a` < `b`) AND (`b` < `c`)) AND `d`)")
   }
 
+  test("a chain may not share a nondeterministic operand (it would re-draw)") {
+    val e = intercept[IllegalArgumentException] {
+      ExpressionDialect.translate("a < rand() < b")
+    }
+    assert(e.getMessage.contains("rand"))
+    // deterministic calls are fine in any position...
+    assert(ExpressionDialect.translate("0 < abs(a) < 10")
+      === "((0 < abs(`a`)) AND (abs(`a`) < 10))")
+    // ...and nondeterministic ones are fine at the ENDS, which are emitted
+    // exactly once
+    assert(ExpressionDialect.translate("rand() < a < b")
+      === "((rand() < `a`) AND (`a` < `b`))")
+    assert(ExpressionDialect.translate("a < b < rand()")
+      === "((`a` < `b`) AND (`b` < rand()))")
+  }
+
   test("python modulo emits the divisor-sign form") {
     assert(ExpressionDialect.translate("a % 3") === "(((`a` % 3) + 3) % 3)")
   }

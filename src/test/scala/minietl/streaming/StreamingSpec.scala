@@ -14,6 +14,16 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
   private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
 
+  /** Count data files recursively — the digests lay out per-batch deltas as
+    * batch=<id> partition subdirectories.
+    */
+  private def parquetFilesUnder(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(dir))
+  }
+
   test("tumblingAgg: watermarked event-time windows aggregate per key") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
@@ -220,10 +230,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       input.addData((4L, "a"), (5L, "c"), (6L, "b"))
       q.processAllAvailable()
       assert(admitted.map(_._2).sorted === Seq("a", "b", "c"))
-      // the digest holds exactly the admitted fingerprints
-      assert(spark.read.parquet(hist).as[String].collect().sorted.toSeq
+      // the digest holds exactly the admitted fingerprints (reading the
+      // batchId-keyed layout adds a `batch` partition column)
+      assert(spark.read.parquet(hist).select("fp").as[String].collect().sorted.toSeq
         === Seq("a", "b", "c"))
     } finally q.stop()
+  }
+
+  test("dedupAndRecordHistory replays a crashed batch exactly once") {
+    val dir = Files.createTempDirectory("minietl-dedup-replay")
+    val in = s"$dir/in"
+    val hist = s"$dir/digest"
+    val out = s"$dir/out"
+    val chk = s"$dir/chk"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    def drain(failOn: Set[String]): Unit = {
+      val q = Streaming.dedupAndRecordHistory(
+        spark.readStream.schema("id LONG, fp STRING").parquet(in),
+        "fp", hist, chk) { (batch, bid) =>
+        // the documented idempotent-sink recipe: batchId-keyed overwrite
+        batch.write.mode("overwrite")
+          .parquet(Streaming.batchOutputPath(out, bid))
+        // simulate a crash AFTER the sink write committed but BEFORE the
+        // digest append — the advisor's duplication window
+        val fps = batch.select("fp").as[String].collect().toSet
+        if (failOn.exists(fps)) sys.error("injected crash after sink write")
+      }
+      try q.processAllAvailable()
+      catch { case _: Exception => () } // the injected failure surfaces here
+      finally q.stop()
+    }
+    Seq((1L, "a"), (2L, "b")).toDF("id", "fp")
+      .coalesce(1).write.mode("append").parquet(in)
+    drain(failOn = Set.empty) // batch 0 commits cleanly
+    Seq((3L, "a"), (4L, "c")).toDF("id", "fp")
+      .coalesce(1).write.mode("append").parquet(in)
+    drain(failOn = Set("c")) // batch 1: sink write lands, then "crash"
+    // plant a torn delta from the crashed attempt too: replay must discard
+    // it rather than dedup against its own partial fingerprints
+    Seq("c").toDF("fp").coalesce(1).write.mode("overwrite")
+      .parquet(Streaming.batchOutputPath(hist, 1L))
+    drain(failOn = Set.empty) // restart: batch 1 replays under the same id
+    // exactly-once: "c" appears once in the sink, digest = admitted set
+    val sunk = spark.read.parquet(out).select("fp").as[String].collect().sorted.toSeq
+    assert(sunk === Seq("a", "b", "c"))
+    assert(spark.read.parquet(hist).select("fp").as[String].collect().sorted.toSeq
+      === Seq("a", "b", "c"))
   }
 
   test("nearDupDedupAndRecordHistory drops near-dups within and across batches") {
@@ -258,11 +310,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(admitted.sorted.toSeq === Seq(1L, 3L, 6L))
       // digest holds bands only for admitted docs: 32 bands × 3 docs
       assert(spark.read.parquet(hist).count() === 96L)
-      // multi-column compaction collapses the per-batch appends
+      // multi-column compaction collapses the per-batch deltas into the
+      // single batch=-1 partition
       val n = Streaming.compactHistoryCols(spark, hist, Seq("band", "key"))
       assert(n === 96L) // (band, key) rows are already distinct across docs
-      assert(new java.io.File(hist).listFiles()
-        .count(_.getName.endsWith(".parquet")) === 1)
+      assert(parquetFilesUnder(hist) === 1)
+      assert(new java.io.File(s"$hist/batch=-1").isDirectory)
     } finally q.stop()
   }
 
@@ -277,7 +330,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val input = MemoryStream[(Long, String)]
     val q = Streaming.nearDupDedupAndRecordHistory(
       input.toDF().toDF("id", "text"), "id", "text", hist, s"$dir/chk",
-      threshold = 0.6, verifyCrossBatch = true,
+      threshold = 0.6, crossBatch = "estimate",
       trigger = Trigger.ProcessingTime(0)) { (batch, _) =>
       // the internal signature column must not reach the sink
       assert(!batch.columns.contains("__sig"))
@@ -293,8 +346,9 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       q.processAllAvailable()
       assert(admitted.sorted.toSeq === Seq(1L, 2L, 4L))
       // digest layout: bands carry ids, sigs one row per admitted doc
+      // (plus the batchId partition column of the idempotent delta layout)
       assert(spark.read.parquet(s"$hist/bands").columns.sorted.toSeq
-        === Seq("band", "id", "key"))
+        === Seq("band", "batch", "id", "key"))
       assert(spark.read.parquet(s"$hist/sigs").count() === 3L)
       // both sub-digests compact independently
       assert(Streaming.compactHistoryCols(spark, s"$hist/bands",
@@ -302,6 +356,59 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(Streaming.compactHistoryCols(spark, s"$hist/sigs",
         Seq("id", "sig")) === 3L)
     } finally q.stop()
+  }
+
+  test("exact cross-batch mode re-verifies with true Jaccard where the estimator overshoots") {
+    implicit val sqlCtx = spark.sqlContext
+    import minietl.dedup.Dedup
+    val dir = Files.createTempDirectory("minietl-neardup-exact")
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val base = words("omega", 16)
+    val (k, bands) = (16, 8) // few lanes → coarse estimator (±1/16 steps)
+    def sigOf(c: org.apache.spark.sql.Column) =
+      Dedup.minhashSignature(Dedup.shingles(c, 3), k)
+    // deterministic search (fixed hash seeds): a candidate that (a) shares
+    // ≥1 band with base, so both verified modes NOMINATE it, and (b) whose
+    // k-lane estimate OVERSHOOTS its true Jaccard by ≥ 0.1 — the window
+    // where the modes must disagree
+    val m = (1 to 80).map(i => words("omega", 12) + " " + words(s"z$i", 4))
+      .toDF("t")
+      .withColumn("est", Dedup.minhashEstimate(sigOf(col("t")), sigOf(lit(base))))
+      .withColumn("jac", minietl.functions.vec.jaccardSorted(
+        Dedup.shingleHashesSorted(col("t"), 3), Dedup.shingleHashesSorted(lit(base), 3)))
+      .withColumn("shared", size(array_intersect(
+        Dedup.lshBandKeys(sigOf(col("t")), bands, k),
+        Dedup.lshBandKeys(sigOf(lit(base)), bands, k))))
+      .select("t", "est", "jac", "shared").as[(String, Double, Double, Int)].collect()
+    val found = m.find { case (_, est, jac, shared) => shared >= 1 && est >= jac + 0.1 }
+    assert(found.isDefined,
+      s"no estimator-overshoot candidate found; max est-jac gap was " +
+        s"${m.map(x => x._2 - x._3).max} — widen the search")
+    val (variant, est, jac, _) = found.get
+    val thr = math.round((est + jac) / 2 * 1000) / 1000.0 // between jac and est
+    def run(mode: String, sub: String): Seq[Long] = {
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val input = MemoryStream[(Long, String)]
+      val q = Streaming.nearDupDedupAndRecordHistory(
+        input.toDF().toDF("id", "text"), "id", "text", s"$dir/$sub", s"$dir/chk_$sub",
+        k = k, bands = bands, threshold = thr, crossBatch = mode,
+        trigger = Trigger.ProcessingTime(0)) { (batch, _) =>
+        admitted ++= batch.select("id").as[Long].collect(); ()
+      }
+      try {
+        input.addData((1L, base)); q.processAllAvailable()
+        input.addData((2L, variant)); q.processAllAvailable()
+      } finally q.stop()
+      admitted.sorted.toSeq
+    }
+    // the estimator reads ≥ thr → estimate mode false-drops the variant…
+    assert(run("estimate", "est") === Seq(1L))
+    // …while exact re-verification (true Jaccard < thr) admits it
+    assert(run("exact", "ex") === Seq(1L, 2L))
+    // exact digest layout: shingle HASHES per admitted doc — never text
+    assert(spark.read.parquet(s"$dir/ex/shingles").columns.sorted.toSeq
+      === Seq("batch", "id", "sh"))
+    assert(spark.read.parquet(s"$dir/ex/shingles").count() === 2L)
   }
 
   test("compactHistory collapses the digest to deduplicated right-sized files") {
@@ -312,15 +419,14 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       Seq(s"fp$i", s"fp${i % 3}").toDF("fp").coalesce(1)
         .write.mode("append").parquet(hist)
     }
-    val filesBefore = new java.io.File(hist).listFiles().count(_.getName.endsWith(".parquet"))
+    val filesBefore = parquetFilesUnder(hist)
     assert(filesBefore >= 6)
     val n = Streaming.compactHistory(spark, hist, "fp")
     // fp0..fp6 distinct = 7 (i%3 adds fp0; fp1/fp2 collide with i=1,2)
     assert(n === 7L)
-    val back = spark.read.parquet(hist).as[String].collect().sorted.toSeq
+    val back = spark.read.parquet(hist).select("fp").as[String].collect().sorted.toSeq
     assert(back === Seq("fp0", "fp1", "fp2", "fp3", "fp4", "fp5", "fp6"))
-    assert(new java.io.File(hist).listFiles()
-      .count(_.getName.endsWith(".parquet")) === 1)
+    assert(parquetFilesUnder(hist) === 1)
     // the next drain's anti-join sees the same admitted set: dedup loop
     // correctness is unchanged by compaction (digest is a set, not a log)
 

@@ -105,6 +105,24 @@ object ScaleProbe {
           stamp("3-iterations+checkpoint")(last.select("node", "rank_fp").localCheckpoint(true))
           e.unpersist(); deg.unpersist(); e2.unpersist()
         }
+      case "lsh" =>
+        // embedding LSH near-dup with CORPUS-SIZED band width (the dial
+        // Similarity.cosineNearDupPairs documents: 2^bitsPerBand must stay
+        // >> n or within-bucket pair volume goes quadratic — the battery's
+        // 8-bit setting is tuned for sf0.1's ~5k vectors and at 100x it
+        // floods the shuffle with ~C(cap,2)-sized buckets; measured: >40 GB
+        // of shuffle spill, disk-killed). bitsPerBand passed as arg.
+        val dir = args(1)
+        val bits = args.lift(2).map(_.toInt).getOrElse(16)
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val rows = minietl.sim.Similarity.cosineNearDupPairs(
+            emb, threshold = 0.4, bitsPerBand = bits, bands = 32, dim = 64).count()
+          println(f"[lsh] dir=$dir bits=$bits run$i rows=$rows " +
+            f"time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+          spark.catalog.clearCache()
+        }
       case "embcheck" =>
         // classify q_emb_neardup output pairs: same-replica vs cross-replica
         val df = SparkEntry.queries("q_emb_neardup")(spark, args(1))

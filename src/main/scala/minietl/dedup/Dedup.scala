@@ -431,6 +431,7 @@ object Dedup {
     var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).persist()
     var labels = cached
+    var prevChk: Option[DataFrame] = None
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -447,6 +448,23 @@ object Dedup {
       cached = updated
       labels = updated.select("id", "comp")
       iter += 1
+      // lineage truncation every few rounds (the PageRank pattern): the
+      // label frame stays two-longs-per-node small, but without this the
+      // LOGICAL plan nests one join deeper per round and Catalyst
+      // re-analysis grows superlinearly — measured on a 2.25M-edge
+      // probe graph with a worst-case 40-edge-diameter tail, the
+      // untruncated loop was killed unfinished at 23 minutes while the
+      // truncated one converged in 40 rounds / 664 s, 0 mislabels
+      // (PLANS.md round-10 cc table). The superseded checkpoint's blocks
+      // are released immediately; only the latest stays pinned.
+      if (!converged && iter % 8 == 0) {
+        val chk = labels.localCheckpoint(true)
+        cached.unpersist()
+        prevChk.foreach(minietl.pipeline.RunCaches.releaseNow)
+        prevChk = Some(chk)
+        cached = chk
+        labels = chk
+      }
     }
     edges.unpersist()
     p.unpersist()

@@ -62,7 +62,13 @@ object RunCaches {
     * CacheManager, which is exactly why these frames used to pin blocks
     * for the session), so the leaf RDDs are unpersisted explicitly too.
     */
-  private def release(df: DataFrame): Unit = {
+  private def release(df: DataFrame): Unit = releaseNow(df)
+
+  /** [[release]], public for iterative operators that truncate lineage
+    * with rolling localCheckpoints and must free the superseded
+    * checkpoint's blocks themselves (the connected-components loop).
+    */
+  def releaseNow(df: DataFrame): Unit = {
     df.unpersist()
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()

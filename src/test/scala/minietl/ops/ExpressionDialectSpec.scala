@@ -230,4 +230,122 @@ class ExpressionDialectSemanticsSpec extends AnyFunSuite with minietl.SparkTestB
       assert(num(v) === want, s"for '${render(t)}'")
     }
   }
+
+  test("unary minus sits between ** and %/*// like python") {
+    val cases = Seq(
+      "-b ** c" -> -9.0,   // ** outbinds unary minus: -(3^2)
+      "(-b) ** c" -> 9.0,
+      "-a % b" -> 1.0,     // unary minus outbinds %: (7) % 3
+      "-a // c" -> 3.0,    // (7) // 2
+      "-a + b" -> 10.0,    // (-a) + b
+      "- -b" -> 3.0)
+    val got = sparkEval(cases.map(_._1))
+    cases.zip(got).foreach { case ((e, want), v) =>
+      assert(num(v) === want, s"for '$e'")
+    }
+  }
+
+  // ---- r9 stretch #8: random BOOLEAN trees (comparisons incl. strings,
+  // in/not-in membership, chains, &/|/~) vs the hand evaluator ----
+  private sealed trait B
+  private case class NCmp(op: String, l: E, r: E) extends B
+  private case class SCmp(op: String, l: String, r: String) extends B
+  private case class NIn(e: E, items: Seq[Long], neg: Boolean) extends B
+  private case class SIn(v: String, items: Seq[String], neg: Boolean) extends B
+  private case class Chain(first: E, rest: Seq[(String, E)]) extends B
+  private case class Bool(op: String, l: B, r: B) extends B
+  private case class Neg(b: B) extends B
+
+  private def cmpD(op: String, a: Double, b: Double): Boolean = op match {
+    case "==" => a == b
+    case "!=" => a != b
+    case "<" => a < b
+    case "<=" => a <= b
+    case ">" => a > b
+    case ">=" => a >= b
+  }
+  private def cmpS(op: String, a: String, b: String): Boolean = op match {
+    // python string comparison is lexicographic by code point — identical
+    // to Spark's default binary collation for these ASCII pools
+    case "==" => a == b
+    case "!=" => a != b
+    case "<" => a < b
+    case "<=" => a <= b
+    case ">" => a > b
+    case ">=" => a >= b
+  }
+  private def pyBool(b: B): Boolean = b match {
+    case NCmp(op, l, r) => cmpD(op, pyEval(l), pyEval(r))
+    case SCmp(op, l, r) => cmpS(op, l, r)
+    case NIn(e, items, neg) =>
+      val in = items.contains(pyEval(e).toLong); if (neg) !in else in
+    case SIn(v, items, neg) =>
+      val in = items.contains(v); if (neg) !in else in
+    case Chain(first, rest) =>
+      // python: each adjacent pair, conjoined, operands evaluated once
+      val vals = (first +: rest.map(_._2)).map(pyEval)
+      rest.map(_._1).zip(vals.zip(vals.tail)).forall {
+        case (op, (a, c)) => cmpD(op, a, c)
+      }
+    case Bool("&", l, r) => pyBool(l) && pyBool(r)
+    case Bool("|", l, r) => pyBool(l) || pyBool(r)
+    case Bool(op, _, _) => fail(s"bad bool op $op")
+    case Neg(x) => !pyBool(x)
+  }
+  private def q(s: String) = "'" + s + "'"
+  private def renderB(b: B): String = b match {
+    case NCmp(op, l, r) => s"(${render(l)} $op ${render(r)})"
+    case SCmp(op, l, r) => s"(${q(l)} $op ${q(r)})"
+    case NIn(e, items, neg) =>
+      s"(${render(e)} ${if (neg) "not in" else "in"} ${items.mkString("(", ", ", ")")})"
+    case SIn(v, items, neg) =>
+      s"(${q(v)} ${if (neg) "not in" else "in"} ${items.map(q).mkString("(", ", ", ")")})"
+    case Chain(first, rest) =>
+      // the chain stays BARE inside its parens so the pairwise expansion
+      // path is what parses it
+      s"(${render(first)} ${rest.map { case (op, e) => s"$op ${render(e)}" }.mkString(" ")})"
+    case Bool(op, l, r) => s"(${renderB(l)} $op ${renderB(r)})"
+    case Neg(x) => s"~${renderB(x)}"
+  }
+
+  test("random boolean trees (strings, in-lists, chains) agree with python") {
+    val rnd = new scala.util.Random(7)
+    val strPool = Array("", "a", "ab", "abc", "abd", "b", "zz")
+    val cmps = Array("==", "!=", "<", "<=", ">", ">=")
+    def smallE(): E = rnd.nextInt(3) match {
+      case 0 => Va(binds.keys.toArray.sorted.apply(rnd.nextInt(binds.size)))
+      case 1 => Lit(rnd.nextInt(11).toLong - 5L)
+      case 2 =>
+        val ops = Array("+", "-", "*")
+        Bin(ops(rnd.nextInt(3)),
+          Va(binds.keys.toArray.sorted.apply(rnd.nextInt(binds.size))),
+          Lit(rnd.nextInt(7).toLong - 3L))
+    }
+    def leaf(): B = rnd.nextInt(5) match {
+      case 0 => NCmp(cmps(rnd.nextInt(cmps.length)), smallE(), smallE())
+      case 1 => SCmp(cmps(rnd.nextInt(cmps.length)),
+        strPool(rnd.nextInt(strPool.length)), strPool(rnd.nextInt(strPool.length)))
+      case 2 => NIn(smallE(),
+        Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(11).toLong - 5L).distinct,
+        rnd.nextBoolean())
+      case 3 => SIn(strPool(rnd.nextInt(strPool.length)),
+        Seq.fill(1 + rnd.nextInt(3))(strPool(rnd.nextInt(strPool.length))).distinct,
+        rnd.nextBoolean())
+      case 4 => Chain(smallE(),
+        Seq.fill(1 + rnd.nextInt(2))((cmps(rnd.nextInt(cmps.length)), smallE())))
+    }
+    def genB(depth: Int): B =
+      if (depth == 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => Bool("&", genB(depth - 1), genB(depth - 1))
+        case 1 => Bool("|", genB(depth - 1), genB(depth - 1))
+        case 2 => Neg(genB(depth - 1))
+        case _ => leaf()
+      }
+    val trees = Seq.fill(150)(genB(1 + rnd.nextInt(2)))
+    val got = sparkEval(trees.map(renderB))
+    trees.zip(got).foreach { case (t, v) =>
+      assert(v === pyBool(t), s"for '${renderB(t)}'")
+    }
+  }
 }

@@ -908,9 +908,13 @@ object Config {
     * }}}
     * Streaming stage types: `window_agg` (tumbling; with `slide:` sliding),
     * `session_agg` (gap-merged), `dedup` (watermark-bounded exact dedup) —
-    * each requires the `watermark:` block — and `dedup_history` (the
-    * self-maintaining ingest-dedup loop over a durable parquet digest:
-    * `history:` path plus `key:` XOR `columns:`; must be the last stage,
+    * each requires the `watermark:` block — and `dedup_history` /
+    * `neardup_history` (the self-maintaining ingest-dedup loops over a
+    * durable parquet digest: `history:` path plus `key:` XOR `columns:`
+    * for exact, or `id:`/`column:`/`threshold:` for near-dup with an
+    * optional `verify:` digest mode — false = band-collision drops,
+    * true/estimate = k-lane-signature estimate re-check, exact = stored
+    * shingle hashes re-checked with true Jaccard; must be the last stage,
     * file sinks only; optional `compact_after: true` rewrites the digest
     * as one deduplicated file set after each one-shot drain — see
     * [[minietl.streaming.Streaming.dedupAndRecordHistory]] /

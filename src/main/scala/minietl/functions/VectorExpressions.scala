@@ -25,6 +25,30 @@ object VectorOps {
     * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)`. Null element or length
     * mismatch → null, matching zip_with's null-padding semantics.
     */
+  /** [[HyperplaneSignature]]'s kernel: bit b of the result is set iff
+    * Σ_j a(j)·planes(b·dim + j) > 0, each plane dot accumulated in index
+    * order with the same double arithmetic as [[dot]]. A length mismatch
+    * or null element yields 0 — in the per-bit when-chain formulation this
+    * replaces, those cases made every plane dot NULL and every bit take
+    * its otherwise-0 branch.
+    */
+  def hyperplaneSig(a: ArrayData, planes: Array[Double], bits: Int, dim: Int): Int = {
+    if (a.numElements() != dim) return 0
+    var i = 0
+    while (i < dim) { if (a.isNullAt(i)) return 0; i += 1 }
+    var sig = 0
+    var b = 0
+    while (b < bits) {
+      var s = 0.0
+      val off = b * dim
+      var j = 0
+      while (j < dim) { s += a.getDouble(j) * planes(off + j); j += 1 }
+      if (s > 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
   def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
@@ -398,6 +422,43 @@ case class ShingleHashes64(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd random-hyperplane LSH signature: one matrix-vector pass over
+  * `bits` ±1 sign planes (flattened row-major into `planes`, each row
+  * `dim` wide), bit i set iff the plane-i dot product is > 0. Replaces a
+  * per-bit `when(vec_dot(vec, plane_i) > 0, 1<<i)` chain whose generated
+  * code grew LINEARLY in the plane count — at 512 planes (corpus-sized
+  * 16-bit × 32-band configs, PLANS.md round-10) it exceeded Janino's
+  * 64KB method limit and the whole stage fell back to interpreted
+  * evaluation. Here the plane matrix travels as a codegen reference
+  * object and the generated code is one helper call — constant size in
+  * `bits`. Accumulation order and arithmetic match [[VectorOps.dot]]
+  * exactly, so signatures are bit-identical to the chain it replaces
+  * (the DuckDB oracles replay the same plane literals unchanged).
+  * Null/length edge semantics of the old chain are preserved by the
+  * caller wrapping with `coalesce(_, 0)`: every malformed input produced
+  * signature 0 there (null dot → every bit's otherwise-0 branch).
+  */
+case class HyperplaneSignature(child: Expression, planes: Array[Double],
+                               bits: Int, dim: Int)
+  extends UnaryExpression {
+  require(planes.length == bits * dim,
+    s"plane matrix must be bits*dim = ${bits * dim} long, got ${planes.length}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def nullSafeEval(in: Any): Any =
+    VectorOps.hyperplaneSig(in.asInstanceOf[ArrayData], planes, bits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplanes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = minietl.functions.VectorOps.hyperplaneSig($c, $ref, $bits, $dim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd 64-bit SimHash over an xxhash64'd token array. */
 case class SimHash64(child: Expression)
   extends UnaryExpression {
@@ -442,4 +503,8 @@ object vec {
 
   def simhash64(hashes: Column): Column =
     org.apache.spark.sql.minietl.ColumnBridge.column(SimHash64(expr(hashes)))
+
+  def hyperplaneSig(v: Column, planes: Array[Double], bits: Int, dim: Int): Column =
+    org.apache.spark.sql.minietl.ColumnBridge.column(
+      HyperplaneSignature(expr(v), planes, bits, dim))
 }

@@ -106,12 +106,19 @@ object Similarity {
     * double array — a sequential product-sum, bit-identical to DuckDB's
     * `list_inner_product`, which the verification oracle relies on.
     */
-  private def signatureFromPlanes(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      when(dotD(vec, typedlit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _).cast("int")
-  }
+  private def signatureFromPlanes(vec: Column, planes: Array[Array[Double]]): Column =
+    // one codegen'd matrix-vector pass (native HyperplaneSignature):
+    // generated-code size is constant in the plane count, where the
+    // previous per-bit when(vec_dot > 0) chain grew linearly and blew
+    // Janino's method limit at 512 planes (16-bit × 32 bands), dropping
+    // the whole stage to interpreted evaluation. Bit-identical: same
+    // accumulation order/arithmetic as vec_dot, and coalesce preserves
+    // the chain's signature-0 result for null/malformed vectors (a null
+    // dot sent every bit to its otherwise-0 branch).
+    coalesce(
+      minietl.functions.vec.hyperplaneSig(
+        vec, planes.flatten, planes.length, planes.headOption.map(_.length).getOrElse(0)),
+      lit(0))
 
   /** ANN top-k via LSH buckets: candidates come only from the query's
     * bucket; exact cosine ranks them. Recall is tunable by `bits` (fewer

@@ -579,6 +579,58 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
       .exists(_.contains("options.host")))
   }
 
+  test("dedup_history runs from a socket source — push-based, no files anywhere") {
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val dir = tmp()
+    val yaml =
+      s"""name: socket_ingest
+         |stream:
+         |  source:
+         |    type: socket
+         |    options: {host: "127.0.0.1", port: "${server.getLocalPort}"}
+         |  stages:
+         |    - type: dedup_history
+         |      history: $dir/digest
+         |      key: value
+         |  sink:
+         |    type: parquet
+         |    path: $dir/out
+         |    checkpoint: $dir/chk
+         |""".stripMargin
+    val cfg = Config.parseStream(yaml)
+    assert(Config.validateStream(cfg).isEmpty)
+    // the source CONNECTS to us: accept once and keep pushing duplicate
+    // lines until told to stop (closing early would fail the query)
+    @volatile var stop = false
+    val writer = new Thread(() => {
+      try {
+        val s = server.accept()
+        val out = new java.io.PrintWriter(s.getOutputStream, true)
+        val words = Array("xx", "yy", "zz")
+        var i = 0
+        while (!stop) { out.println(words(i % 3)); i += 1; Thread.sleep(25) }
+        s.close()
+      } catch { case _: Exception => () }
+    }, "socket-ingest-writer")
+    writer.setDaemon(true)
+    writer.start()
+    val q = Config.buildStream(cfg).startWith(spark,
+      Some(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)))
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def sunk(): Long =
+        try spark.read.parquet(s"$dir/out").count()
+        catch { case _: Exception => 0L }
+      while (sunk() < 3 && System.nanoTime() < deadline) Thread.sleep(200)
+    } finally { q.stop(); stop = true; server.close() }
+    // exactly-once per line value, however many duplicates were pushed
+    val vals = spark.read.parquet(s"$dir/out").select("value")
+      .as[String].collect().toSeq
+    assert(vals.distinct.size === vals.size)
+    assert(vals.toSet.subsetOf(Set("xx", "yy", "zz")) && vals.nonEmpty)
+  }
+
   test("semantic_decontaminate stage drops embedding-near-benchmark rows from YAML") {
     val dir = tmp()
     val in = s"$dir/vecs"

@@ -92,6 +92,19 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(VectorOps.simhash(a, 64) !== VectorOps.simhash(larr(99L, 98L, 97L), 64))
   }
 
+  test("hyperplaneSig: per-bit sign of the sequential dot, 0 on malformed input") {
+    val planes = Array(1.0, -1.0, 1.0, // plane 0
+      -1.0, -1.0, 1.0) // plane 1
+    assert(VectorOps.hyperplaneSig(arr(2, 1, 0.5), planes, 2, 3) === 1) // only dot0 > 0
+    assert(VectorOps.hyperplaneSig(arr(-2, 1, 0.5), planes, 2, 3) === 2) // only dot1 > 0
+    assert(VectorOps.hyperplaneSig(arr(2, 1, 10), planes, 2, 3) === 3) // both
+    // an exactly-zero dot is NOT > 0 — bit stays clear (plane0·(1,1,0)=0)
+    assert(VectorOps.hyperplaneSig(arr(1, 1, 0), planes, 2, 3) === 0)
+    // length mismatch → 0, matching the null-dot/otherwise-0 chain this
+    // kernel replaced
+    assert(VectorOps.hyperplaneSig(arr(1.0, 2.0), planes, 2, 3) === 0)
+  }
+
   test("equalLaneFraction counts matching positions") {
     assert(VectorOps.equalLaneFraction(larr(1, 2, 3, 4), larr(1, 9, 3, 9)) === 0.5)
     assert(VectorOps.equalLaneFraction(larr(1), larr(1, 2)) === null)

@@ -358,14 +358,22 @@ object Dedup {
 
   /** Connected components over an undirected pair list (columns id_a, id_b):
     * returns (id, comp) where comp is the minimum id reachable from id.
-    * Iterative min-label propagation — each round is one join + one groupBy,
-    * and the label frame (two longs per distinct id) is what iterates, not
-    * the data; converges in O(diameter) rounds, which for near-dup clusters
-    * (small, dense) is 2-3. Min-label propagation always converges (labels
-    * only decrease, bounded below), so `maxIter` is purely a runaway guard:
-    * hitting it THROWS rather than returning partially propagated labels,
-    * because a partial labeling silently under-deduplicates chains longer
-    * than the budget — raise maxIter for graphs with diameter > maxIter.
+    * The distributed path is ALTERNATING LARGE-STAR / SMALL-STAR contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+    * 2014): each round rewires every node's strictly-larger neighbors to its
+    * neighborhood minimum (large-star), then collapses each node's smaller
+    * neighbors onto their minimum (small-star). Both steps preserve
+    * components and strictly contract long chains, so convergence is
+    * O(log n) ROUNDS rather than the O(diameter) of plain min-label
+    * propagation — measured on the 2.25M-edge probe graphs (PLANS.md round
+    * 11): the diameter-40 adversarial tail that label propagation walked in
+    * 40 rounds / 664 s converges in 7 star rounds, 0 mislabels. The frame
+    * that iterates is the edge set, (two ids per edge), contracted toward
+    * one (node, root) row per non-root node. `maxIter` is purely a runaway
+    * guard: hitting it THROWS rather than returning a partially contracted
+    * labeling, because partial labels silently under-deduplicate longer
+    * chains — at the default 100 it allows graphs astronomically past any
+    * real corpus (rounds grow with log of the largest component).
     */
   /** Above this many pairs the driver fast path is off. 2M edges ≈ 32 MB of
     * longs — the same order of driver memory a broadcast join build side
@@ -382,9 +390,9 @@ object Dedup {
   /** [[connectedComponents]] plus the distributed loop's
     * iterations-to-convergence (0 on the driver union-find fast path,
     * which converges in one pass by construction) — the scale-probe /
-    * operations observable: iterations ≈ graph diameter, and a deployment
-    * watching this number knows how close its duplicate chains run to the
-    * maxIter guard.
+    * operations observable: iterations ≈ log of the largest component's
+    * size under star contraction, and a deployment watching this number
+    * knows how close its duplicate chains run to the maxIter guard.
     */
   def connectedComponentsWithStats(
       pairs: DataFrame, maxIter: Int = 100,
@@ -396,8 +404,8 @@ object Dedup {
     val nPairs = p.count()
     // size-based algorithm choice, same rationale as a broadcast join: the
     // pair count is already materialized, so when the graph fits in driver
-    // memory, a local union-find replaces O(diameter) join+agg rounds (each
-    // a full Spark job) with one collect — measured ~2-3 s saved per
+    // memory, a local union-find replaces O(log n) star-contraction rounds
+    // (each several Spark jobs) with one collect — measured ~2-3 s saved per
     // cluster-dedup call at sf0.1. The distributed loop below remains the
     // path for graphs above the threshold or with non-integral id types.
     val idType = p.schema("id_a").dataType
@@ -425,56 +433,79 @@ object Dedup {
       return (out.toDF("id", "comp")
         .select(col("id").cast(idType).as("id"), col("comp").cast(idType).as("comp")), 0)
     }
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
-    var cached = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).persist()
-    var labels = cached
-    var prevChk: Option[DataFrame] = None
+    // Alternating large-star / small-star contraction. Every edge frame in
+    // the loop is kept CANONICAL — (src, dst) with src > dst, no self-loops,
+    // distinct — so the convergence test is plain set equality and both star
+    // steps can assume orientation. Each round is eagerly localCheckpoint'ed:
+    // that bounds the logical plan at constant depth (the lineage-nesting
+    // blowup that killed the first round-10 probe run at 23 min grows per
+    // ROUND, and checkpointing every round costs nothing extra because the
+    // convergence check must materialize the round anyway); the superseded
+    // round's blocks are released immediately.
+    var edges = p.select(
+        greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = edges.count()
+    // node set checkpointed UP FRONT so the final label join never re-runs
+    // the (possibly expensive — LSH banding + verify) pair plan; p can then
+    // be released before the loop instead of after it
+    val nodes = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
+      .localCheckpoint(true)
+    p.unpersist()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels.select(col("id").as("dst"), col("comp")), "dst")
-        .groupBy(col("src").as("id")).agg(min("comp").as("nbr_comp"))
-      // carry the previous label alongside so convergence is a filter on
-      // the SAME materialized frame, not an extra join + scan per round
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("__old"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .persist()
-      converged = updated.filter(col("comp") =!= col("__old")).isEmpty
-      cached.unpersist() // `labels` may be a projection; unpersist its backing frame
-      cached = updated
-      labels = updated.select("id", "comp")
+      // large-star: for every node u (seen from both edge directions),
+      // m = min(N(u) ∪ {u}); rewire each strictly-LARGER neighbor v to m.
+      // Emitted edges (v, m) satisfy v > u ≥ m, so canonicity is preserved.
+      val d = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMin = d.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val ls = d.join(lsMin, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // small-star: edges point large→small, so every out-neighbor of u is
+      // smaller; m = min of them. Rewire each smaller neighbor to m and
+      // point u itself at m. Emitted edges again satisfy left > right
+      // (v ≥ m with v = m filtered; u > m always).
+      val ssMin = ls.groupBy("src").agg(min("dst").as("m"))
+      val next = ls.join(ssMin, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(ssMin.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      val nNext = next.count()
+      // exact set-equality convergence (both sides canonical + distinct):
+      // equal counts and an empty anti-join. At a fixed point the edge set
+      // IS the answer — one (node, root) edge per non-root node.
+      converged = nNext == nEdges &&
+        next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
+      minietl.pipeline.RunCaches.releaseNow(edges)
+      edges = next
+      nEdges = nNext
       iter += 1
-      // lineage truncation every few rounds (the PageRank pattern): the
-      // label frame stays two-longs-per-node small, but without this the
-      // LOGICAL plan nests one join deeper per round and Catalyst
-      // re-analysis grows superlinearly — measured on a 2.25M-edge
-      // probe graph with a worst-case 40-edge-diameter tail, the
-      // untruncated loop was killed unfinished at 23 minutes while the
-      // truncated one converged in 40 rounds / 664 s, 0 mislabels
-      // (PLANS.md round-10 cc table). The superseded checkpoint's blocks
-      // are released immediately; only the latest stays pinned.
-      if (!converged && iter % 8 == 0) {
-        val chk = labels.localCheckpoint(true)
-        cached.unpersist()
-        prevChk.foreach(minietl.pipeline.RunCaches.releaseNow)
-        prevChk = Some(chk)
-        cached = chk
-        labels = chk
-      }
     }
-    edges.unpersist()
-    p.unpersist()
-    if (!converged)
+    if (!converged) {
+      minietl.pipeline.RunCaches.releaseNow(edges)
+      minietl.pipeline.RunCaches.releaseNow(nodes)
       throw new IllegalStateException(
         s"connectedComponents did not converge within maxIter=$maxIter " +
-          "rounds: labels are PARTIALLY propagated and cluster-based dedup " +
-          "would silently under-deduplicate chains longer than the budget — " +
-          "raise maxIter (label propagation needs one round per unit of " +
-          "graph diameter)")
+          "rounds: the star contraction is PARTIAL and cluster-based dedup " +
+          "would silently under-deduplicate the unfinished chains — raise " +
+          "maxIter (alternating star contraction needs O(log n) rounds)")
+    }
+    // converged star edges: (node, root) for every non-root node; roots and
+    // any self-paired input ids label themselves (the left join + coalesce
+    // covers both without a separate roots union).
+    val labels = nodes
+      .join(edges.select(col("src").as("id"), col("dst").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
     (labels, iter)
   }
 

@@ -330,15 +330,28 @@ object Streaming {
         requireNoCompactionDebris(spark, historyDir)
         dropBatchDelta(spark, historyDir, batchId)
         val hist =
-          try spark.read.parquet(historyDir).select(fpCol).distinct()
+          try spark.read.parquet(historyDir).select(fpCol)
           catch {
             // first batch: no digest yet — empty frame with the right schema
             // (an interrupted compaction cannot masquerade as this case:
             // the debris check above fails first)
             case _: org.apache.spark.sql.AnalysisException => batch.select(fpCol).limit(0)
           }
+        // JOIN DIRECTION is the steady-state contract (digest ≫ batch after
+        // enough drains): a direct `batch ANTI JOIN digest` can only ever
+        // build/broadcast the DIGEST side (anti joins build right), so at
+        // steady state it would hash the whole history per batch. Instead the
+        // digest is STREAMED once through an inner join whose build side is
+        // the (small, distinct) batch fingerprint set, and only the matched
+        // fingerprints — bounded by batch size — feed the anti join. The
+        // digest is also never `.distinct()`ed here: multiplicity cannot
+        // change the matched set, and deduplicating it would shuffle the
+        // full history every batch (compaction owns digest hygiene).
+        // HistoryJoinDirectionSpec pins the executed plan.
+        val batchFps = batch.select(fpCol).where(col(fpCol).isNotNull).distinct()
+        val dupFps = hist.join(batchFps, Seq(fpCol)).select(fpCol).distinct()
         val fresh = batch
-          .join(hist, Seq(fpCol), "left_anti")
+          .join(dupFps, Seq(fpCol), "left_anti")
           .dropDuplicates(fpCol)
           .persist()
         try {
@@ -464,12 +477,19 @@ object Streaming {
             // collision mode: digest = flat (band, key); any-band collision
             // with history drops the row (see scaladoc dial)
             val hist =
-              try spark.read.parquet(historyDir).select("band", "key").distinct()
+              try spark.read.parquet(historyDir).select("band", "key")
               catch {
                 case _: org.apache.spark.sql.AnalysisException =>
                   emptyLike(bandsOf.select("band", "key"))
               }
-            val dupIds = bandsOf.join(hist, Seq("band", "key"), "left_semi")
+            // digest STREAMED, batch bands built (same join-direction
+            // contract as dedupAndRecordHistory — a semi join with the
+            // digest on the right could only build the digest side, and a
+            // digest-side distinct would shuffle the whole history per
+            // batch; the inner join's matched rows are bounded by
+            // batch bands × collisions, then collapsed to ids)
+            val dupIds = hist
+              .join(bandsOf.select("__id", "band", "key"), Seq("band", "key"))
               .select("__id").distinct()
             val fresh = withinDeduped
               .join(dupIds, withinDeduped(idCol) === dupIds("__id"), "left_anti")
@@ -514,8 +534,11 @@ object Streaming {
             def similar(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
               if (exact) minietl.functions.vec.jaccardSorted(a, b) >= threshold
               else Dedup.minhashEstimate(a, b) >= threshold
-            val cand = bandsOf.select(col("__id"), col("band"), col("key"))
-              .join(histBands, Seq("band", "key"))
+            // digest bands on the STREAMED side, batch bands on the build
+            // side (join-direction contract, as in collision mode)
+            val cand = histBands
+              .join(bandsOf.select(col("__id"), col("band"), col("key")),
+                Seq("band", "key"))
               .select(col("__id"), col("id").as("__hist_id")).distinct()
             val dupIds = cand
               .join(withPayload.select(col(idCol).as("__id"), col("__pay")).distinct(), "__id")

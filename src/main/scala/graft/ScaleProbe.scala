@@ -250,6 +250,186 @@ object ScaleProbe {
           minietl.config.Config.loadStream(yaml).runAvailableNow(spark))
         println(s"[nd] admitted=${spark.read.parquet(s"$work/out").count()} " +
           s"bands=${spark.read.parquet(s"$work/bands").count()}")
+      case "ann" =>
+        // 100× probes for the ANN SERVE family (VERDICT r10 Next #3) — the
+        // one heavy family absent from the PLANS.md 100× table. Same
+        // parameters as the battery queries (q_ivf_ann, q_ann_topk_int8,
+        // q_knn_label) so the 1× numbers are the battery's own shapes.
+        val dir = args(1)
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        def time2(tag: String)(body: => Long): Unit = (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val out = body
+          println(f"[ann] $tag dir=$dir run$i out=$out " +
+            f"time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+          spark.catalog.clearCache()
+        }
+        var model: minietl.sim.Ivf.Model = null
+        time2("ivf_train") {
+          model = minietl.sim.Ivf.train(emb, nlist = 8, iters = 3)
+          model.centroids.size.toLong
+        }
+        time2("ivf_topk") {
+          minietl.sim.Ivf.topK(emb, emb.filter(col("vec_id") < 10), model,
+            k = 5, nprobe = 3).count()
+        }
+        time2("int8_rerank") {
+          minietl.sim.Quantize.int8RerankTopK(
+            emb, emb.filter(col("vec_id") < 10), k = 5, preK = 20).count()
+        }
+        time2("knn_classify") {
+          minietl.sim.Similarity.knnClassify(emb, emb.filter(col("vec_id") < 20),
+            k = 10, labelCol = "label").count()
+        }
+      case "digest_longevity" =>
+        // N-drain longevity of the near-dup ingest loop (VERDICT r10 Next
+        // #4): every drain stages a full per-drain-suffixed corpus replica
+        // (all fresh texts) plus 20% re-emissions of the PREVIOUS drain's
+        // texts under new ids (history dups the digest must drop), with
+        // compaction engaged every `compactEvery` drains. Records per-drain
+        // wall, admitted, digest rows and digest file count — the trajectory
+        // that shows whether the self-maintaining loop reaches steady state
+        // or degrades.
+        val dir = args(1)
+        val drains = args.lift(2).map(_.toInt).getOrElse(20)
+        val compactEvery = args.lift(3).map(_.toInt).getOrElse(5)
+        val work = java.nio.file.Files.createTempDirectory("graft_longevity").toString
+        val in = s"$work/in"; val digest = s"$work/digest"
+        val chk = s"$work/chk"; val out = s"$work/out"
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        def parquetFiles(p: String): Long = {
+          val base = java.nio.file.Paths.get(p)
+          if (!java.nio.file.Files.exists(base)) 0L
+          else {
+            val s = java.nio.file.Files.walk(base)
+            try s.filter(_.toString.endsWith(".parquet")).count() finally s.close()
+          }
+        }
+        (0 until drains).foreach { i =>
+          def stamped(src: org.apache.spark.sql.DataFrame, suffix: Int, idOffset: Long) =
+            src.select((col("doc_id") + lit(i * 10000000L) + lit(idOffset)).as("doc_id"),
+              regexp_replace(col("text"), lit("(\\S+)"),
+                concat(lit("$1d"), lit(suffix))).as("text"))
+          val fresh = stamped(docs, i, 0L)
+          val re = if (i == 0) fresh.limit(0)
+            else stamped(docs.where(pmod(col("doc_id"), lit(5)) === 1), i - 1, 5000000L)
+          fresh.unionAll(re).write.mode("append").parquet(in)
+          var admitted = 0L
+          val t0 = System.nanoTime()
+          val q = minietl.streaming.Streaming.nearDupDedupAndRecordHistory(
+            spark.readStream.schema("doc_id LONG, text STRING").parquet(in),
+            "doc_id", "text", digest, chk) { (adm, bid) =>
+            admitted = adm.count()
+            adm.select("doc_id").write.mode("overwrite")
+              .parquet(minietl.streaming.Streaming.batchOutputPath(out, bid))
+          }
+          q.awaitTermination()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val digestRows = spark.read.parquet(digest).count()
+          println(f"[longevity] drain=$i wall=$wall%.2fs admitted=$admitted " +
+            f"digest_rows=$digestRows digest_files=${parquetFiles(digest)}")
+          if ((i + 1) % compactEvery == 0) {
+            val tc = System.nanoTime()
+            val n = minietl.streaming.Streaming.compactHistoryCols(
+              spark, digest, Seq("band", "key"))
+            println(f"[longevity] compact after drain $i: distinct=$n " +
+              f"wall=${(System.nanoTime() - tc) / 1e9}%.2fs " +
+              f"digest_files=${parquetFiles(digest)}")
+          }
+          spark.catalog.clearCache()
+        }
+      case "neardup_crash" =>
+        // crash-replay at probe scale (VERDICT r10 Next #8): drain the
+        // even-id half of a dir's documents through the near-dup loop with
+        // an injected crash BETWEEN the sink write and the digest append,
+        // then restart and let the batch replay — the admitted set must be
+        // IDENTICAL (count + order-independent content checksum).
+        val dir = args(1)
+        val work = java.nio.file.Files.createTempDirectory("graft_ndcrash").toString
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .where(pmod(col("doc_id"), lit(2)) === 0)
+          .write.mode("append").parquet(s"$work/in")
+        def drain(crash: Boolean): Double = {
+          val t0 = System.nanoTime()
+          val q = minietl.streaming.Streaming.nearDupDedupAndRecordHistory(
+            spark.readStream.schema("doc_id LONG, text STRING").parquet(s"$work/in"),
+            "doc_id", "text", s"$work/digest", s"$work/chk") { (fresh, bid) =>
+            fresh.select("doc_id", "text").write.mode("overwrite")
+              .parquet(minietl.streaming.Streaming.batchOutputPath(s"$work/out", bid))
+            if (crash) sys.error("injected crash after sink write")
+          }
+          try q.awaitTermination()
+          catch { case _: Exception => () } // the injected crash surfaces here
+          finally q.stop()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def checksum(): (Long, Long) = {
+          val r = spark.read.parquet(s"$work/out")
+            .agg(count(lit(1)), sum(xxhash64(col("doc_id"), col("text")))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val w1 = drain(crash = true)
+        val c1 = checksum()
+        val digestAfterCrash = parquetCount(spark, s"$work/digest")
+        val w2 = drain(crash = false)
+        val c2 = checksum()
+        val digestRows = parquetCount(spark, s"$work/digest")
+        println(f"[ndcrash] drain1(crashed)=$w1%.1fs admitted=${c1._1} sum=${c1._2} " +
+          s"digest_rows_after_crash=$digestAfterCrash")
+        println(f"[ndcrash] replay=$w2%.1fs admitted=${c2._1} sum=${c2._2} " +
+          s"digest_rows=$digestRows " +
+          s"identical=${c1 == c2} digest_is_32x=${digestRows == 32 * c2._1}")
+      case "pagerank_ab" =>
+        // q_pagerank residual A/B (VERDICT r10 Next #6): does serving the
+        // per-iteration join from a src-partitioned persisted edge layout
+        // (the in-session analog of a bucketed table) beat the production
+        // shape? Run both under default planning AND with broadcast
+        // disabled (the 100-TB regime where the rank table cannot
+        // broadcast and the edge-side exchange question is real).
+        val dir = args(1)
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        val edges = minietl.graph.PageRank.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+          .persist()
+        edges.count()
+        def timeAb(tag: String)(body: => Long): Unit = (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = body
+          println(f"[pr-ab] $tag run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        def variantB(): Long = {
+          // pageRankFixedPoint's loop with e2 explicitly hash-partitioned on
+          // src and persisted: the per-iteration join then satisfies
+          // ENSURE_REQUIREMENTS from the cache — no edge-side exchange
+          val e = edges
+          val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+          val n = deg.count()
+          val scale = 1000000000000L
+          val base = (15L * scale / 100L) / n
+          val e2 = e.join(deg, e("src") === deg("node"))
+            .select(col("src"), col("dst"), col("outdeg"))
+            .repartition(col("src")).persist()
+          e2.count()
+          val init = deg.select(col("node"), lit(scale / n).as("rank_fp"))
+          val last = (1 to 3).foldLeft(init) { (r, _) =>
+            e2.join(r, e2("src") === r("node"))
+              .groupBy(col("dst").as("node"))
+              .agg((lit(base) + expr("85 * sum(rank_fp DIV outdeg) DIV 100")).as("rank_fp"))
+          }
+          val out = last.localCheckpoint(true).count()
+          e2.unpersist()
+          out
+        }
+        for (bcast <- Seq("default", "off")) {
+          if (bcast == "off")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          timeAb(s"production_$bcast") {
+            minietl.graph.PageRank.pageRankFixedPoint(spark, edges, 3).count()
+          }
+          timeAb(s"src_partitioned_$bcast")(variantB())
+        }
+        edges.unpersist()
       case "time" =>
         val (dir, names) = (args(1), args(2).split(","))
         // warm plans + JIT on the small gate scale first, like Bench
@@ -269,6 +449,10 @@ object ScaleProbe {
     }
     spark.stop()
   }
+
+  private def parquetCount(spark: SparkSession, path: String): Long =
+    try spark.read.parquet(path).count()
+    catch { case _: org.apache.spark.sql.AnalysisException => 0L }
 
   private def gen(spark: SparkSession, src: String, out: String, replicas: Int): Unit = {
     val k = explode(sequence(lit(0), lit(replicas - 1))).as("k")

@@ -272,6 +272,25 @@ object Dedup {
   def md5Hashes60(arr: Column): Column =
     transform(arr, minietl.functions.PortableHash.md5Hash60(_))
 
+  /** Sorted distinct md5-60-bit shingle hashes — the PORTABLE twin of
+    * [[shingleHashesSorted]] (any SQL engine with md5 replays it).
+    */
+  def md5ShingleHashesSorted(text: Column, n: Int): Column =
+    array_sort(array_distinct(md5Hashes60(shingles(text, n))))
+
+  /** LSH band keys for the PORTABLE signature family: the band key is the
+    * raw lane slice (array<bigint> of k/bands values) instead of
+    * [[lshBandKeys]]' xxhash64 fold — any engine replays slice equality;
+    * the fatter key is the replayability tax. Returns
+    * array<struct<band:int, key:array<bigint>>> for `explode`.
+    */
+  def lshBandKeysPortable(sig: Column, bands: Int, k: Int): Column = {
+    val rpb = k / bands
+    require(bands * rpb == k, s"bands=$bands must divide k=$k")
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"), slice(sig, b * rpb + 1, rpb).as("key"))): _*)
+  }
+
   /** MinHash near-dup pairs, PORTABLE variant: md5-60-bit shingle hashes
     * and array-slice band keys in place of xxhash64. The lane arithmetic
     * `((x mod p) * a + b) mod p` with p = 2^31-1 never exceeds 2^62, so an
@@ -286,18 +305,28 @@ object Dedup {
                                   shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                                   threshold: Double = 0.5, seed: Long = 42L,
                                   maxBucketSize: Int = DefaultMaxBucket): DataFrame = {
-    val rpb = k / bands
-    require(bands * rpb == k, s"bands=$bands must divide k=$k")
     val base = spread(df).select(col(idCol).as("id"),
-        array_sort(array_distinct(md5Hashes60(shingles(col(textCol), shingleN)))).as("hsh"))
+        md5ShingleHashesSorted(col(textCol), shingleN).as("hsh"))
       .withColumn("sig", minhashFromHashes(col("hsh"), k, seed))
       .persist()
-    val banded = base.select(col("id"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), slice(col("sig"), b * rpb + 1, rpb).as("key"))): _*))
-          .as("bk"))
+    val banded = base
+      .select(col("id"), explode(lshBandKeysPortable(col("sig"), bands, k)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     minhashPairsFromBase(base, banded, threshold, maxBucketSize)
+  }
+
+  /** Keep one representative (min id) per near-dup cluster over the
+    * PORTABLE pair list — [[minhashDedup]]'s replayable twin, used by the
+    * oracle-gated ingest-dedup loop
+    * ([[minietl.streaming.Streaming.nearDupDedupAndRecordHistory]] with
+    * `portable = true`).
+    */
+  def minhashDedupPortable(df: DataFrame, textCol: String, idCol: String,
+                           shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                           threshold: Double = 0.5): DataFrame = {
+    val dupIds = minhashNearDupPairsPortable(df, textCol, idCol, shingleN, k, bands, threshold)
+      .select(col("id_b").as("__dup")).distinct()
+    df.join(dupIds, df(idCol) === col("__dup"), "left_anti")
   }
 
   /** ANSI SQL (DuckDB dialect) replaying [[minhashNearDupPairsPortable]]
@@ -342,6 +371,97 @@ object Dedup {
        |  FROM cand JOIN sig sa ON sa.id = cand.id_a JOIN sig sb ON sb.id = cand.id_b)
        |SELECT id_a, id_b, est, jac FROM ver WHERE jac >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** ANSI SQL (DuckDB dialect) replaying the PORTABLE collision-mode
+    * ingest-dedup loop
+    * ([[minietl.streaming.Streaming.nearDupDedupAndRecordHistory]] with
+    * `portable = true`) end to end, drain by drain: for each batch
+    * predicate (over the id column, in order), (1) the within-batch
+    * near-dup pass — signatures, capped banding, candidate pairs, exact
+    * Jaccard ≥ threshold, drop the greater id; (2) the cross-batch
+    * collision check — any band of a within-survivor matching the digest
+    * (the bands of every EARLIER batch's admitted docs) drops it; (3) the
+    * digest grows by `bands` rows per admitted doc. Emits one row per
+    * admitted (batch, doc) plus the batch's final digest row count — the
+    * full drain → admit → digest trajectory as one hashable relation.
+    *
+    * `batchPreds(i)` must be a predicate over `id` describing EXACTLY the
+    * rows staged into micro-batch i (a doc may appear in several batches —
+    * re-sighting an admitted doc is the cross-batch case — but at most once
+    * per batch).
+    */
+  def nearDupHistoryOracleSql(batchPreds: Seq[String],
+                              shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                              threshold: Double = 0.5, seed: Long = 42L,
+                              table: String = "documents", idCol: String = "doc_id",
+                              textCol: String = "text",
+                              maxBucketSize: Int = DefaultMaxBucket): String = {
+    require(batchPreds.nonEmpty, "need at least one batch predicate")
+    val rpb = k / bands
+    require(bands * rpb == k, s"bands=$bands must divide k=$k")
+    val (as, bs) = minietl.functions.VectorOps.hashParams(k, seed)
+    val aLit = as.mkString("[", ",", "]")
+    val bLit = bs.mkString("[", ",", "]")
+    val gram = (0 until shingleN)
+      .map(j => if (j == 0) "toks[i]" else s"toks[i+$j]").mkString(" || ' ' || ")
+    val inter = "len(list_filter(sa.hh, x -> list_contains(sb.hh, x)))"
+    val head =
+      s"""WITH d AS (SELECT $idCol AS id, $textCol AS t, string_split($textCol, ' ') AS toks
+         |           FROM $table),
+         |sh AS (SELECT id, CASE WHEN len(toks) < $shingleN THEN [t]
+         |         ELSE list_transform(range(1, len(toks) - ${shingleN - 2}), i -> $gram) END AS ss
+         |       FROM d),
+         |hs AS (SELECT id, list_sort(list_distinct(list_transform(ss,
+         |         s -> ${minietl.functions.PortableHash.sql("s")}))) AS hh FROM sh),
+         |sig AS (SELECT id, hh, list_transform(range(1, $k + 1),
+         |         i -> list_min(list_transform(hh,
+         |                x -> ((x % 2147483647) * ($aLit)[i] + ($bLit)[i]) % 2147483647))) AS sg
+         |        FROM hs),
+         |bnd_all AS (SELECT id, u.b AS band, sg[u.b * $rpb + 1 : (u.b + 1) * $rpb] AS key
+         |            FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) u)""".stripMargin
+    val perBatch = batchPreds.zipWithIndex.map { case (pred, i) =>
+      val within =
+        s""",
+           |bnd$i AS (SELECT * FROM bnd_all WHERE $pred),
+           |big$i AS (SELECT band, key FROM bnd$i GROUP BY band, key
+           |          HAVING count(*) > $maxBucketSize),
+           |bk$i AS (SELECT bnd$i.* FROM bnd$i ANTI JOIN big$i USING (band, key)),
+           |cand$i AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |           FROM bk$i a JOIN bk$i b
+           |             ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+           |dup$i AS (SELECT DISTINCT id_b AS id FROM cand$i
+           |          JOIN sig sa ON sa.id = cand$i.id_a
+           |          JOIN sig sb ON sb.id = cand$i.id_b
+           |          WHERE round(CAST($inter AS DOUBLE)
+           |            / (len(sa.hh) + len(sb.hh) - $inter), 4) >= $threshold),
+           |w$i AS (SELECT id FROM sig
+           |        WHERE ($pred) AND id NOT IN (SELECT id FROM dup$i))""".stripMargin
+      val cross =
+        if (i == 0) s""",
+           |fresh0 AS (SELECT id FROM w0)""".stripMargin
+        else {
+          val hist = (0 until i)
+            .map(j => s"SELECT band, key FROM bnd_all JOIN fresh$j USING (id)")
+            .mkString("\n           UNION ALL ")
+          s""",
+             |hist$i AS ($hist),
+             |coll$i AS (SELECT DISTINCT b.id FROM bnd_all b
+             |           JOIN w$i USING (id)
+             |           JOIN hist$i h ON b.band = h.band AND b.key = h.key),
+             |fresh$i AS (SELECT id FROM w$i
+             |            WHERE id NOT IN (SELECT id FROM coll$i))""".stripMargin
+        }
+      within + cross
+    }.mkString
+    val adm = batchPreds.indices
+      .map(i => s"SELECT $i AS batch, id FROM fresh$i")
+      .mkString("\n       UNION ALL ")
+    s"""$head$perBatch,
+       |adm AS ($adm)
+       |SELECT CAST(batch AS BIGINT) AS batch, id AS doc_id,
+       |  CAST($bands * count(*) OVER (PARTITION BY batch) AS BIGINT) AS digest_rows
+       |FROM adm ORDER BY doc_id""".stripMargin
   }
 
   /** Keep one representative (min id) per near-dup cluster: drops every row

@@ -390,6 +390,15 @@ object Streaming {
     * `sink`, and (3) append the admitted documents' (band, key) rows to
     * the digest.
     *
+    * `portable = true` swaps the whole hash family to the replayable
+    * variants (md5-60-bit shingle hashes, raw-slice band keys —
+    * [[minietl.dedup.Dedup.minhashDedupPortable]] /
+    * [[minietl.dedup.Dedup.lshBandKeysPortable]]) so an independent SQL
+    * engine replays every drain bit-for-bit
+    * ([[minietl.dedup.Dedup.nearDupHistoryOracleSql]]); the xxhash64
+    * family stays the production default (same plan shape, cheaper
+    * hashing, one folded long per band key instead of k/bands lanes).
+    *
     * Cross-history check, three `crossBatch` modes — a digest-size vs
     * drop-precision dial; the layouts are not interchangeable, pick a
     * mode per digest and keep it:
@@ -436,6 +445,7 @@ object Streaming {
       shingleN: Int = 3, k: Int = 128, bands: Int = 32,
       threshold: Double = 0.8,
       crossBatch: String = "collision",
+      portable: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow())(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(Set("collision", "estimate", "exact")(crossBatch),
@@ -458,16 +468,29 @@ object Streaming {
           dropBatchDelta(spark, payloadDir, batchId)
         } else dropBatchDelta(spark, historyDir, batchId)
         import minietl.dedup.Dedup
-        // (1) within-batch: full verified near-dup semantics
-        val withinDeduped = Dedup.minhashDedup(
-          batch, textCol, idCol, shingleN, k, bands, threshold)
-        // seed fixed at minhashDedup's own default so the digest bands are
+        // (1) within-batch: full verified near-dup semantics. `portable`
+        // swaps the whole hash family to the md5-60-bit / slice-band
+        // variants so an independent engine can replay the ENTIRE loop —
+        // Dedup.nearDupHistoryOracleSql generates that SQL, and
+        // q_stream_neardup_history hash-gates it per round.
+        val withinDeduped =
+          if (portable) Dedup.minhashDedupPortable(
+            batch, textCol, idCol, shingleN, k, bands, threshold)
+          else Dedup.minhashDedup(
+            batch, textCol, idCol, shingleN, k, bands, threshold)
+        // seed fixed at the dedup pass's own default so the digest bands are
         // the same family the within-batch pass used
-        val sigExpr = Dedup.minhashSignature(Dedup.shingles(col(textCol), shingleN), k)
+        val sigExpr =
+          if (portable) Dedup.minhashFromHashes(
+            Dedup.md5ShingleHashesSorted(col(textCol), shingleN), k)
+          else Dedup.minhashSignature(Dedup.shingles(col(textCol), shingleN), k)
         val withSig = withinDeduped.withColumn("__sig", sigExpr)
+        val bandKeysExpr =
+          if (portable) Dedup.lshBandKeysPortable(col("__sig"), bands, k)
+          else Dedup.lshBandKeys(col("__sig"), bands, k)
         val bandsOf = withSig
           .select(col(idCol).as("__id"), col("__sig"),
-            explode(Dedup.lshBandKeys(col("__sig"), bands, k)).as("__b"))
+            explode(bandKeysExpr).as("__b"))
           .select(col("__id"), col("__sig"),
             col("__b.band").as("band"), col("__b.key").as("key"))
           .persist()
@@ -515,8 +538,10 @@ object Streaming {
             // false-drop.
             val payloadCol = if (exact) "sh" else "sig"
             val payloadExpr =
-              if (exact) Dedup.shingleHashesSorted(col(textCol), shingleN)
-              else col("__sig")
+              if (exact) {
+                if (portable) Dedup.md5ShingleHashesSorted(col(textCol), shingleN)
+                else Dedup.shingleHashesSorted(col(textCol), shingleN)
+              } else col("__sig")
             val withPayload = withSig.withColumn("__pay", payloadExpr)
             val histBands =
               try spark.read.parquet(bandsDir)

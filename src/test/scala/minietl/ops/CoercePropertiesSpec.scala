@@ -2,6 +2,7 @@ package minietl.ops
 
 import minietl.SparkTestBase
 import minietl.schema.{ColumnSpec, SchemaValidator, TableSchema}
+import org.apache.spark.sql.functions.{col, unix_timestamp}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -71,6 +72,105 @@ class CoercePropertiesSpec extends AnyFunSuite with SparkTestBase {
         assert(out.count() === rows.length)
         assert(out.schema("a").dataType.typeName === "long")
         assert(out.schema("b").dataType.typeName === "string")
+    }
+  }
+
+  // ---- full §1.2 dtype matrix (VERDICT r10 Next #7) -----------------------
+
+  private val intWidths = Seq(
+    ("int8", Byte.MinValue.toLong, Byte.MaxValue.toLong),
+    ("int16", Short.MinValue.toLong, Short.MaxValue.toLong),
+    ("int32", Int.MinValue.toLong, Int.MaxValue.toLong),
+    ("int64", Long.MinValue, Long.MaxValue))
+
+  test("castCoerce integer widths from STRING: in-range round-trips, overflow and garbage null") {
+    val longGen = Gen.oneOf(
+      Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.choose(-40000L, 40000L), // exercises the int8/int16 boundaries
+      Gen.choose(-200L, 200L))
+    forAll(Gen.listOfN(15, longGen)) { (xs: List[Long]) =>
+      intWidths.foreach { case (alias, lo, hi) =>
+        val out = (xs.map(_.toString) :+ "garbage" :+ "" :+ "1.5e2")
+          .toDF("x").transform(Ops.castCoerce(Map("x" -> alias)))
+          .select(col("x").cast("long")).as[Option[Long]].collect()
+        xs.zip(out).foreach { case (v, got) =>
+          if (v >= lo && v <= hi) assert(got === Some(v), s"$alias in-range $v")
+          else assert(got === None, s"$alias overflow $v must coerce to null, not wrap")
+        }
+        assert(out.takeRight(3).forall(_.isEmpty), s"$alias garbage must null")
+      }
+    }
+  }
+
+  test("castCoerce integer NARROWING from a numeric column: overflow nulls, never wraps") {
+    forAll(Gen.listOfN(15, Gen.oneOf(
+        Gen.choose(Long.MinValue, Long.MaxValue), Gen.choose(-40000L, 40000L)))) {
+      (xs: List[Long]) =>
+        intWidths.foreach { case (alias, lo, hi) =>
+          val out = xs.toDF("x").transform(Ops.castCoerce(Map("x" -> alias)))
+            .select(col("x").cast("long")).as[Option[Long]].collect()
+          xs.zip(out).foreach { case (v, got) =>
+            if (v >= lo && v <= hi) assert(got === Some(v), s"$alias $v")
+            else assert(got === None, s"$alias overflow $v must coerce to null")
+          }
+        }
+    }
+  }
+
+  test("castCoerce to float32 never throws; in-range parseables round-trip at float precision") {
+    forAll(Gen.listOfN(20, anyStringGen)) { (xs: List[String]) =>
+      val out = xs.toDF("x").transform(Ops.castCoerce(Map("x" -> "float32")))
+        .as[Option[Float]].collect()
+      assert(out.length === xs.length)
+      xs.zip(out).foreach { case (s, v) =>
+        scala.util.Try(s.trim.toFloat).toOption match {
+          case Some(f) if !f.isNaN && !f.isInfinite =>
+            assert(v.exists(got => got == f || math.abs(got - f) <= math.ulp(f) * 4),
+              s"input '$s'")
+          case _ => () // NaN/Inf/garbage: must only not throw
+        }
+      }
+    }
+  }
+
+  test("castCoerce bool matrix: accepted literal sets, everything else nulls") {
+    val trues = Seq("true", "TRUE", "t", "y", "yes", "1", "  true  ")
+    val falses = Seq("false", "False", "f", "n", "no", "0")
+    val garbage = Seq("2", "maybe", "", "truthy", "-1")
+    val out = (trues ++ falses ++ garbage).toDF("x")
+      .transform(Ops.castCoerce(Map("x" -> "bool")))
+      .as[Option[Boolean]].collect()
+    val (t, rest) = out.splitAt(trues.size)
+    val (f, g) = rest.splitAt(falses.size)
+    assert(t.forall(_ === Some(true)), s"true literals: ${trues.zip(t)}")
+    assert(f.forall(_ === Some(false)), s"false literals: ${falses.zip(f)}")
+    assert(g.forall(_.isEmpty), s"garbage must null: ${garbage.zip(g)}")
+  }
+
+  test("castCoerce datetime: ISO strings round-trip to the second, garbage nulls, never throws") {
+    val epochGen = Gen.choose(0L, 4102444800L) // 1970..2100
+    forAll(Gen.listOfN(12, epochGen)) { (secs: List[Long]) =>
+      val iso = secs.map(s => java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(s)))
+      val out = (iso :+ "2024-13-45" :+ "not a date" :+ "")
+        .toDF("x").transform(Ops.castCoerce(Map("x" -> "datetime")))
+        .select(unix_timestamp(col("x"))).as[Option[Long]].collect()
+      secs.zip(out).foreach { case (s, got) =>
+        assert(got === Some(s), s"ISO ${java.time.Instant.ofEpochSecond(s)}")
+      }
+      assert(out.takeRight(3).forall(_.isEmpty), "garbage datetimes must null")
+    }
+  }
+
+  test("castCoerce string round-trip: int64 → string → int64 is identity") {
+    forAll(Gen.listOfN(20, Gen.choose(Long.MinValue, Long.MaxValue))) { (xs: List[Long]) =>
+      val out = xs.toDF("x")
+        .transform(Ops.castCoerce(Map("x" -> "string")))
+        .transform(Ops.castCoerce(Map("x" -> "int64")))
+        .as[Option[Long]].collect()
+      assert(out.toSeq === xs.map(Option(_)))
     }
   }
 

@@ -361,13 +361,26 @@ object ScaleProbe {
             if (crash) sys.error("injected crash after sink write")
           }
           try q.awaitTermination()
-          catch { case _: Exception => () } // the injected crash surfaces here
-          finally q.stop()
+          catch {
+            // only the INJECTED crash may be swallowed; a replay failure is
+            // a real bug and must surface
+            case e: Exception if crash => ()
+          }
+          finally {
+            q.stop()
+            // the within-batch dedup pass persists its signature base (the
+            // documented pair-function cache contract) — release it between
+            // drains or the replay competes for memory against drain 1's
+            // pinned blocks (measured: replay OOM at 250k docs without this)
+            spark.catalog.clearCache()
+          }
           (System.nanoTime() - t0) / 1e9
         }
         def checksum(): (Long, Long) = {
+          // bit_xor: order-independent content digest with no ANSI overflow
+          // (sum of 250k random 64-bit hashes overflows a long)
           val r = spark.read.parquet(s"$work/out")
-            .agg(count(lit(1)), sum(xxhash64(col("doc_id"), col("text")))).head()
+            .agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, text))")).head()
           (r.getLong(0), r.getLong(1))
         }
         val w1 = drain(crash = true)

@@ -1684,6 +1684,30 @@ object SparkEntry {
               |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // MOSS winnowing (Schleimer/Wilkerson/Aiken '03): position-local
+    // fingerprints with the shared-span guarantee — the copied-span /
+    // boilerplate detector that MinHash (order-blind) and the whole-doc
+    // rolling fingerprint (exact-equality) cannot express. The selection
+    // is pure scan-side array arithmetic (zero exchanges, spec-asserted);
+    // the portable md5 family makes every selected (pos, fp) and the
+    // overlap join DuckDB-replayable.
+    "q_winnow_fingerprints" -> Q(
+      (s, dir) =>
+        minietl.dedup.Winnow.fingerprintsPortable(
+            documents(s, dir), "text", "doc_id", k = 4, w = 8)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id", "pos"),
+      Some(minietl.dedup.Winnow.fingerprintsOracleSql(k = 4, w = 8))),
+
+    // copied-span candidate pairs: docs sharing >= 2 distinct winnow
+    // fingerprints, boilerplate values census-capped before the join
+    "q_winnow_overlap" -> Q(
+      (s, dir) =>
+        minietl.dedup.Winnow.overlapPairsPortable(
+            documents(s, dir), "text", "doc_id", k = 4, w = 8, minShared = 2)
+          .orderBy("id_a", "id_b"),
+      Some(minietl.dedup.Winnow.overlapOracleSql(k = 4, w = 8, minShared = 2))),
+
     "q_lsh_ann" -> Q(
       (s, dir) => {
         val e = embeddings(s, dir)

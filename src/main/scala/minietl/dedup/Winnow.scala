@@ -1,0 +1,183 @@
+package minietl.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import minietl.functions.PortableHash
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+  * the MOSS algorithm): position-local fingerprints with a coverage
+  * guarantee. Hash every k-token gram, slide a window of w consecutive gram
+  * hashes, and keep each window's minimum (ties broken toward the leftmost
+  * position). The selected set is tiny (~2/(w+1) of the grams) yet any two
+  * documents sharing a contiguous run of at least `w + k - 1` tokens are
+  * GUARANTEED to share a fingerprint value — the property that makes this
+  * the standard tool for copied-span / boilerplate detection, complementing
+  * MinHash (bag-of-shingles, order-blind, no locality) and the whole-doc
+  * rolling fingerprint (exact equality only). Reference scope: the
+  * reference engine (mini_etl) exposes only whole-frame `DeduplicateTransformer`
+  * (mini_etl/transformers/basic.py) — winnowing is a §2.8-style superset
+  * for training-data curation.
+  *
+  * Spark-first shape: the entire selection is SCAN-SIDE — one token-hash
+  * array per row into the native codegen'd
+  * [[minietl.functions.WinnowOrds]] expression (O(n·k + n) per document);
+  * a document never leaves its input partition until the final `explode`,
+  * so [[fingerprints]] plans with ZERO exchanges (spec-asserted). Only
+  * [[overlapPairs]] shuffles — once on the fingerprint value (with the same
+  * capped-posting census every other blocking join in this package uses),
+  * once for the pair aggregate. At 100 TB the fingerprint density knob is
+  * `w` (expected selected fraction 2/(w+1)); the join is protected from
+  * degenerate fingerprints (empty-string grams, boilerplate) by
+  * `maxPostings` exactly like n-gram containment.
+  *
+  * Hash families follow the package convention: xxhash64 in the production
+  * entry points, an md5-60-bit portable twin ([[fingerprintsPortable]] /
+  * [[overlapPairsPortable]]) whose every step an independent SQL engine
+  * replays — [[fingerprintsOracleSql]] / [[overlapOracleSql]] generate that
+  * SQL. Both families share [[selectedOrds]], so the selection logic cannot
+  * diverge between the audited and the fast path.
+  */
+object Winnow {
+
+  /** Modulus 2^31-1: token and gram hashes stay below 2^31, so the
+    * polynomial fold (`acc * 31 + x` < 2^36) and the position packing
+    * (`gram * 2^21 + pos` < 2^52) never overflow a long under ANSI
+    * arithmetic, in Spark or in the replaying engine.
+    */
+  private val M = 2147483647L
+  private val B = 31L
+
+  /** Position packing radix (2^21): `ord = gram * Pos + pos` makes one
+    * `array_min` implement "minimum hash, ties to the leftmost position" —
+    * the robust-winnowing tie rule — as a single comparison. Documents are
+    * limited to 2^21 (~2M) tokens; beyond that, chunk first
+    * ([[minietl.text.Chunking]]).
+    */
+  private val Pos = 2097152L
+
+  /** Packed (gram-hash, position) ords selected by winnowing, one array per
+    * document, built entirely scan-side: the token-hash array (one hash per
+    * token, computed once per row) feeds the native
+    * [[minietl.functions.WinnowOrds]] expression, which owns gram hashing,
+    * the sliding-window minimum, and dedup — see its scaladoc for why this
+    * is an expression and not `transform`/`array_min` columns (per-element
+    * lambda re-evaluation made the column formulation O(n³) per document).
+    */
+  private def selectedFrame(df: DataFrame, textCol: String, idCol: String,
+                            k: Int, w: Int,
+                            tokenHash: Column => Column): DataFrame =
+    df.select(col(idCol).as("id"),
+      minietl.functions.vec.winnowOrds(
+        transform(minietl.text.TextAnalysis.tokens(col(textCol)),
+          t => pmod(tokenHash(t), lit(M))), k, w).as("__s"))
+
+  private def fingerprintsWith(df: DataFrame, textCol: String, idCol: String,
+                               k: Int, w: Int,
+                               tokenHash: Column => Column): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(w >= 1, s"w must be >= 1 (got $w)")
+    selectedFrame(df, textCol, idCol, k, w, tokenHash)
+      .select(col("id"), explode(col("__s")).as("__ord"))
+      .select(col("id"),
+        pmod(col("__ord"), lit(Pos)).cast("int").as("pos"),
+        ((col("__ord") - pmod(col("__ord"), lit(Pos))) / Pos).cast("long").as("fp"))
+  }
+
+  /** Selected fingerprints, one row per (id, pos, fp) where `pos` is the
+    * 0-based token index the winning k-gram starts at. Production hash
+    * family (xxhash64). No shuffle: project + explode only.
+    */
+  def fingerprints(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 4, w: Int = 8): DataFrame =
+    fingerprintsWith(df, textCol, idCol, k, w, xxhash64(_))
+
+  /** [[fingerprints]] with the engine-portable md5-60-bit token hash —
+    * bit-replayable by any SQL engine via [[fingerprintsOracleSql]].
+    */
+  def fingerprintsPortable(df: DataFrame, textCol: String, idCol: String,
+                           k: Int = 4, w: Int = 8): DataFrame =
+    fingerprintsWith(df, textCol, idCol, k, w, PortableHash.md5Hash60(_))
+
+  private def overlapWith(df: DataFrame, textCol: String, idCol: String,
+                          k: Int, w: Int, minShared: Int, maxPostings: Int,
+                          tokenHash: Column => Column): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1 (got $minShared)")
+    val fp = fingerprintsWith(Dedup.spread(df), textCol, idCol, k, w, tokenHash)
+      .select("id", "fp").dropDuplicates("id", "fp")
+    val capped = Dedup.dropOversizedBuckets(fp, Seq("fp"), maxPostings, "winnow")
+    capped.as("a")
+      .join(capped.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Document pairs sharing at least `minShared` distinct fingerprint
+    * values — the copied-span candidate list. Fingerprint values held by
+    * more than `maxPostings` documents (boilerplate) are census-dropped
+    * before the join, the same contract as every LSH/blocking join in this
+    * package: the join is bucket-bounded, never all-pairs.
+    */
+  def overlapPairs(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 4, w: Int = 8, minShared: Int = 2,
+                   maxPostings: Int = Dedup.DefaultMaxBucket): DataFrame =
+    overlapWith(df, textCol, idCol, k, w, minShared, maxPostings, xxhash64(_))
+
+  /** [[overlapPairs]] over the portable hash family (replayed end-to-end by
+    * [[overlapOracleSql]]).
+    */
+  def overlapPairsPortable(df: DataFrame, textCol: String, idCol: String,
+                           k: Int = 4, w: Int = 8, minShared: Int = 2,
+                           maxPostings: Int = Dedup.DefaultMaxBucket): DataFrame =
+    overlapWith(df, textCol, idCol, k, w, minShared, maxPostings,
+      PortableHash.md5Hash60(_))
+
+  /** The shared CTE prefix replaying token hashes → gram hashes → packed
+    * ords → winnow selection in DuckDB SQL, ending in `sel(id, s)` where
+    * `s` is the selected-ord list.
+    */
+  private def selectionCte(k: Int, w: Int, table: String, idCol: String,
+                           textCol: String): String =
+    s"""WITH d AS (SELECT $idCol AS id, string_split($textCol, ' ') AS toks FROM $table),
+       |th AS (SELECT id, list_transform(toks, t -> ${PortableHash.sql("t")} % $M) AS h
+       |       FROM d),
+       |gr AS (SELECT id, CASE
+       |         WHEN len(h) >= $k THEN list_transform(range(0, len(h) - $k + 1),
+       |           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), h[i+1 : i+$k]),
+       |                  (acc, x) -> (acc * $B + x) % $M))
+       |         WHEN len(h) > 0 THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
+       |                  (acc, x) -> (acc * $B + x) % $M)]
+       |         ELSE CAST([] AS BIGINT[]) END AS g FROM th),
+       |ords AS (SELECT id, list_transform(range(0, len(g)), i -> g[i+1] * $Pos + i) AS o,
+       |         least($w, len(g)) AS weff FROM gr WHERE len(g) > 0),
+       |sel AS (SELECT id, list_distinct(list_transform(range(0, len(o) - weff + 1),
+       |          j -> list_min(o[j+1 : j+weff]))) AS s
+       |        FROM ords)""".stripMargin
+
+  /** ANSI SQL (DuckDB dialect) replaying [[fingerprintsPortable]]. */
+  def fingerprintsOracleSql(k: Int = 4, w: Int = 8, table: String = "documents",
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): String =
+    s"""${selectionCte(k, w, table, idCol, textCol)},
+       |f AS (SELECT id, unnest(s) AS ord FROM sel)
+       |SELECT id AS doc_id, CAST(ord % $Pos AS INT) AS pos, ord // $Pos AS fp
+       |FROM f ORDER BY doc_id, pos""".stripMargin
+
+  /** ANSI SQL (DuckDB dialect) replaying [[overlapPairsPortable]], capped
+    * postings included.
+    */
+  def overlapOracleSql(k: Int = 4, w: Int = 8, minShared: Int = 2,
+                       maxPostings: Int = Dedup.DefaultMaxBucket,
+                       table: String = "documents", idCol: String = "doc_id",
+                       textCol: String = "text"): String =
+    s"""${selectionCte(k, w, table, idCol, textCol)},
+       |f AS (SELECT DISTINCT id, ord // $Pos AS fp
+       |      FROM (SELECT id, unnest(s) AS ord FROM sel)),
+       |big AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > $maxPostings),
+       |fc AS (SELECT f.* FROM f ANTI JOIN big USING (fp))
+       |SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+       |FROM fc a JOIN fc b ON a.fp = b.fp AND a.id < b.id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY id_a, id_b""".stripMargin
+}

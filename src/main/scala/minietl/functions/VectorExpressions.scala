@@ -49,6 +49,63 @@ object VectorOps {
     sig
   }
 
+  /** [[WinnowOrds]]'s kernel. `th` holds token hashes already in
+    * [0, 2^31-1); documents shorter than k tokens hash as one
+    * whole-document gram. Window = min(w, gram count), so every non-empty
+    * document selects at least one fingerprint. Consecutive-duplicate
+    * suppression IS full dedup: if an ord is the minimum of windows j1 and
+    * j2 it is the minimum of every window between (each lies inside
+    * [j1, j2+w) and contains the ord's position), so equal selections are
+    * always adjacent. Any null element → null result (malformed input,
+    * callers hash non-null tokens).
+    */
+  def winnowOrds(th: ArrayData, k: Int, w: Int): ArrayData = {
+    val M = 2147483647L
+    val Pos = 2097152L
+    val n = th.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    var c = 0
+    while (c < n) { if (th.isNullAt(c)) return null; c += 1 }
+    val ng = if (n >= k) n - k + 1 else 1
+    val grams = new Array[Long](ng)
+    if (n >= k) {
+      var i = 0
+      while (i < ng) {
+        var acc = 0L
+        var j = 0
+        while (j < k) { acc = (acc * 31 + th.getLong(i + j)) % M; j += 1 }
+        grams(i) = acc
+        i += 1
+      }
+    } else {
+      var acc = 0L
+      var j = 0
+      while (j < n) { acc = (acc * 31 + th.getLong(j)) % M; j += 1 }
+      grams(0) = acc
+    }
+    val weff = if (w < ng) w else ng
+    val sel = new Array[Long](ng - weff + 1)
+    var selN = 0
+    val deque = new Array[Int](ng)
+    var head = 0
+    var tail = 0
+    var i = 0
+    while (i < ng) {
+      val ord = grams(i) * Pos + i
+      while (tail > head && grams(deque(tail - 1)) * Pos + deque(tail - 1) >= ord)
+        tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - weff) head += 1
+      if (i >= weff - 1) {
+        val m = grams(deque(head)) * Pos + deque(head)
+        if (selN == 0 || sel(selN - 1) != m) { sel(selN) = m; selN += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sel, selN))
+  }
+
   def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
@@ -459,6 +516,40 @@ case class HyperplaneSignature(child: Expression, planes: Array[Double],
     copy(child = newChild)
 }
 
+/** Codegen'd winnowing selection (Schleimer/Wilkerson/Aiken '03) over an
+  * array of token hashes already reduced mod 2^31-1. Computes the k-gram
+  * polynomial hashes (`acc * 31 + x mod 2^31-1`, the [[minietl.dedup.Winnow]]
+  * contract shared with the DuckDB oracle), packs each as
+  * `gram * 2^21 + position` (min = "smallest hash, leftmost position" in one
+  * comparison), and selects each w-window's minimum with a monotonic deque —
+  * O(n·k + n) per document.
+  *
+  * A native expression rather than `transform`/`slice`/`array_min` columns
+  * because higher-order-function lambdas re-evaluate every captured
+  * subexpression PER ELEMENT: the column formulation (original round-11
+  * draft) re-ran the token-hash array inside the gram lambda and the ords
+  * array inside the window lambda — O(n³) md5 calls per document once
+  * CollapseProject inlined the stages, ~300+ s for a 500-doc corpus that
+  * this expression handles in milliseconds.
+  */
+case class WinnowOrds(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1 (got $k)")
+  require(w >= 1, s"w must be >= 1 (got $w)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_ords"
+
+  override def nullSafeEval(in: Any): Any =
+    VectorOps.winnowOrds(in.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = minietl.functions.VectorOps.winnowOrds($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd 64-bit SimHash over an xxhash64'd token array. */
 case class SimHash64(child: Expression)
   extends UnaryExpression {
@@ -507,4 +598,8 @@ object vec {
   def hyperplaneSig(v: Column, planes: Array[Double], bits: Int, dim: Int): Column =
     org.apache.spark.sql.minietl.ColumnBridge.column(
       HyperplaneSignature(expr(v), planes, bits, dim))
+
+  def winnowOrds(tokenHashes: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.minietl.ColumnBridge.column(
+      WinnowOrds(expr(tokenHashes), k, w))
 }

@@ -1708,6 +1708,26 @@ object SparkEntry {
           .orderBy("id_a", "id_b"),
       Some(minietl.dedup.Winnow.overlapOracleSql(k = 4, w = 8, minShared = 2))),
 
+    // exact duplicated token spans (Lee et al. '22 substring dedup,
+    // re-expressed as gram-seeded seed-and-extend + gaps-and-islands);
+    // the corpus carries natural shared prefixes up to ~90 tokens
+    "q_shared_spans" -> Q(
+      (s, dir) =>
+        minietl.dedup.Winnow.sharedSpansPortable(
+            documents(s, dir), "text", "doc_id", k = 4, minSpanTokens = 8)
+          .orderBy("id_a", "id_b", "start_a", "start_b"),
+      Some(minietl.dedup.Winnow.sharedSpansOracleSql(k = 4, minSpanTokens = 8))),
+
+    // span-level REMOVAL: every duplicated span survives only in the
+    // lowest doc_id carrying it; untouched docs round-trip byte-identical
+    "q_span_dedup" -> Q(
+      (s, dir) =>
+        minietl.dedup.Winnow.spanDedupPortable(
+            documents(s, dir), "text", "doc_id", k = 4, minSpanTokens = 8)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id"),
+      Some(minietl.dedup.Winnow.spanDedupOracleSql(k = 4, minSpanTokens = 8))),
+
     "q_lsh_ann" -> Q(
       (s, dir) => {
         val e = embeddings(s, dir)

@@ -133,6 +133,177 @@ object Winnow {
     overlapWith(df, textCol, idCol, k, w, minShared, maxPostings,
       PortableHash.md5Hash60(_))
 
+  // ------------------------------------------------ exact shared spans
+  /** Exact duplicated token spans across documents — the span-level dedup
+    * of Lee et al. '22 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499), whose single-node form is a suffix array,
+    * re-expressed for Spark as gram-seeded seed-and-extend: every k-gram
+    * hash with its position ([[WinnowOrds]] with w = 1 — a window of one
+    * selects every gram), a capped equi-join on the gram value for seeds,
+    * and a relational gaps-and-islands pass (consecutive seed positions on
+    * one alignment diagonal `pos_a - pos_b` form one span; a run of c
+    * consecutive matching k-grams covers c + k - 1 tokens). Two shuffles
+    * total — the seed join on the gram value and the per-diagonal window —
+    * both key-partitioned, never all-pairs (`maxPostings` censors
+    * boilerplate grams exactly like [[overlapPairs]]).
+    *
+    * Matches are hash-exact (md5/xxhash64 k-gram equality), so a reported
+    * span is a true duplicate up to hash collision — and a false span of
+    * length L ≥ minSpanTokens needs L - k + 1 CONSECUTIVE independent
+    * collisions, vanishingly unlikely where a single-seed false positive
+    * is merely rare.
+    *
+    * Returns (id_a, id_b, start_a, start_b, span_len) with id_a < id_b,
+    * spans of at least `minSpanTokens` tokens.
+    */
+  def sharedSpans(df: DataFrame, textCol: String, idCol: String,
+                  k: Int = 4, minSpanTokens: Int = 8,
+                  maxPostings: Int = Dedup.DefaultMaxBucket): DataFrame =
+    sharedSpansWith(df, textCol, idCol, k, minSpanTokens, maxPostings,
+      xxhash64(_))
+
+  /** [[sharedSpans]] over the portable md5 hash family (replayed end-to-end
+    * by [[sharedSpansOracleSql]]).
+    */
+  def sharedSpansPortable(df: DataFrame, textCol: String, idCol: String,
+                          k: Int = 4, minSpanTokens: Int = 8,
+                          maxPostings: Int = Dedup.DefaultMaxBucket): DataFrame =
+    sharedSpansWith(df, textCol, idCol, k, minSpanTokens, maxPostings,
+      PortableHash.md5Hash60(_))
+
+  private def sharedSpansWith(df: DataFrame, textCol: String, idCol: String,
+                              k: Int, minSpanTokens: Int, maxPostings: Int,
+                              tokenHash: Column => Column): DataFrame = {
+    require(minSpanTokens >= k,
+      s"minSpanTokens must be >= k (got $minSpanTokens < $k)")
+    val fps = fingerprintsWith(Dedup.spread(df), textCol, idCol, k, w = 1,
+      tokenHash)
+    val capped = Dedup.dropOversizedBuckets(fps, Seq("fp"), maxPostings, "spans")
+    val seeds = capped.as("a")
+      .join(capped.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    seeds
+      .withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy("id_a", "id_b", "diag", "grp")
+      .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
+        (count(lit(1)) + (k - 1)).as("span_len"))
+      .filter(col("span_len") >= minSpanTokens)
+      .select("id_a", "id_b", "start_a", "start_b", "span_len")
+  }
+
+  /** Span-level dedup: rewrite each document with every token covered by a
+    * [[sharedSpans]] span REMOVED from the higher-id document (keep-first
+    * by id — the id_a side always keeps its copy, so every span survives
+    * exactly once in the lowest id that carries it). Documents shrink or
+    * empty out but are never dropped; untouched documents round-trip
+    * byte-identically (texts are single-space tokenized). One extra
+    * shuffle over [[sharedSpans]]: the anti-join of token positions
+    * against covered positions plus the per-doc rebuild aggregate.
+    */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+                k: Int = 4, minSpanTokens: Int = 8,
+                maxPostings: Int = Dedup.DefaultMaxBucket): DataFrame =
+    spanDedupWith(df, textCol, idCol, k, minSpanTokens, maxPostings,
+      xxhash64(_))
+
+  /** [[spanDedup]] over the portable md5 hash family (replayed by
+    * [[spanDedupOracleSql]]).
+    */
+  def spanDedupPortable(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 4, minSpanTokens: Int = 8,
+                        maxPostings: Int = Dedup.DefaultMaxBucket): DataFrame =
+    spanDedupWith(df, textCol, idCol, k, minSpanTokens, maxPostings,
+      PortableHash.md5Hash60(_))
+
+  private def spanDedupWith(df: DataFrame, textCol: String, idCol: String,
+                            k: Int, minSpanTokens: Int, maxPostings: Int,
+                            tokenHash: Column => Column): DataFrame = {
+    val spans = sharedSpansWith(df, textCol, idCol, k, minSpanTokens,
+      maxPostings, tokenHash)
+    val covered = spans
+      .select(col("id_b").as("id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("span_len") - 1)).as("pos"))
+      .distinct()
+    val toks = Dedup.spread(df)
+      .select(col(idCol).as("id"),
+        posexplode(minietl.text.TextAnalysis.tokens(col(textCol)))
+          .as(Seq("pos", "tok")))
+    val rebuilt = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("__kept"))
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__kept"), lit("")).as("text"))
+  }
+
+  /** The shared CTE prefix replaying token hashes → per-position gram
+    * hashes → seed join → gaps-and-islands spans in DuckDB SQL, ending in
+    * `spans(id_a, id_b, start_a, start_b, span_len)`.
+    */
+  private def spansCte(k: Int, minSpanTokens: Int, maxPostings: Int,
+                       table: String, idCol: String, textCol: String): String =
+    s"""WITH d AS (SELECT $idCol AS id, string_split($textCol, ' ') AS toks FROM $table),
+       |th AS (SELECT id, list_transform(toks, t -> ${PortableHash.sql("t")} % $M) AS h
+       |       FROM d),
+       |gr AS (SELECT id, CASE
+       |         WHEN len(h) >= $k THEN list_transform(range(0, len(h) - $k + 1),
+       |           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), h[i+1 : i+$k]),
+       |                  (acc, x) -> (acc * $B + x) % $M))
+       |         WHEN len(h) > 0 THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
+       |                  (acc, x) -> (acc * $B + x) % $M)]
+       |         ELSE CAST([] AS BIGINT[]) END AS g FROM th),
+       |f AS (SELECT id, i - 1 AS pos, g[i] AS fp
+       |      FROM gr, unnest(range(1, len(g) + 1)) AS u(i)),
+       |big AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > $maxPostings),
+       |fc AS (SELECT f.* FROM f ANTI JOIN big USING (fp)),
+       |seeds AS (SELECT a.id AS id_a, b.id AS id_b, a.pos AS pos_a, b.pos AS pos_b,
+       |                 a.pos - b.pos AS diag
+       |          FROM fc a JOIN fc b ON a.fp = b.fp AND a.id < b.id),
+       |isl AS (SELECT id_a, id_b, diag, pos_a, pos_b,
+       |          pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag
+       |                                     ORDER BY pos_a) AS grp
+       |        FROM seeds),
+       |spans AS (SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+       |                 count(*) + $k - 1 AS span_len
+       |          FROM isl GROUP BY id_a, id_b, diag, grp
+       |          HAVING count(*) + $k - 1 >= $minSpanTokens)""".stripMargin
+
+  /** ANSI SQL (DuckDB dialect) replaying [[sharedSpansPortable]]. */
+  def sharedSpansOracleSql(k: Int = 4, minSpanTokens: Int = 8,
+                           maxPostings: Int = Dedup.DefaultMaxBucket,
+                           table: String = "documents",
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): String =
+    s"""${spansCte(k, minSpanTokens, maxPostings, table, idCol, textCol)}
+       |SELECT id_a, id_b, CAST(start_a AS INT) AS start_a,
+       |       CAST(start_b AS INT) AS start_b, span_len FROM spans
+       |ORDER BY id_a, id_b, start_a, start_b""".stripMargin
+
+  /** ANSI SQL (DuckDB dialect) replaying [[spanDedupPortable]]. */
+  def spanDedupOracleSql(k: Int = 4, minSpanTokens: Int = 8,
+                         maxPostings: Int = Dedup.DefaultMaxBucket,
+                         table: String = "documents",
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): String =
+    s"""${spansCte(k, minSpanTokens, maxPostings, table, idCol, textCol)},
+       |covered AS (SELECT DISTINCT id_b AS id, start_b + u.o AS pos
+       |            FROM spans, unnest(range(0, span_len)) AS u(o)),
+       |tk AS (SELECT id, i - 1 AS pos, toks[i] AS tok
+       |       FROM d, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |kept AS (SELECT tk.* FROM tk ANTI JOIN covered USING (id, pos)),
+       |rebuilt AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS t2
+       |            FROM kept GROUP BY id)
+       |SELECT d.id AS $idCol, coalesce(rebuilt.t2, '') AS text
+       |FROM d LEFT JOIN rebuilt ON d.id = rebuilt.id
+       |ORDER BY $idCol""".stripMargin
+
   /** The shared CTE prefix replaying token hashes → gram hashes → packed
     * ords → winnow selection in DuckDB SQL, ending in `sel(id, s)` where
     * `s` is the selected-ord list.

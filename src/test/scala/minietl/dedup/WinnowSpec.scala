@@ -148,6 +148,56 @@ class WinnowSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.head._3 >= 2) // a 30-token span shares several fingerprints
   }
 
+  test("sharedSpans finds a planted exact span with exact positions and length") {
+    val span = (0 until 20).map("s" + _).mkString(" ")
+    val texts = Seq(
+      s"a0 a1 a2 $span z0 z1",          // span at tokens 3..22
+      s"b0 $span y0 y1 y2 y3",          // span at tokens 1..20
+      "no shared content in this one at all padding words here")
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("doc_id", "text")
+    val spans = Winnow.sharedSpansPortable(df, "text", "doc_id",
+        k = 4, minSpanTokens = 8)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(spans.toSeq === Seq((0, 1, 3, 1, 20)))
+  }
+
+  test("sharedSpans splits non-adjacent repeats into separate spans per diagonal") {
+    val s1 = (0 until 10).map("p" + _).mkString(" ")
+    val s2 = (0 until 10).map("q" + _).mkString(" ")
+    // doc0 = s1 GAP s2 ; doc1 = s2 GAP s1 -> two spans on different diagonals
+    val texts = Seq(s"$s1 gap0 $s2", s"$s2 gapx $s1")
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("doc_id", "text")
+    val spans = Winnow.sharedSpans(df, "text", "doc_id", k = 4, minSpanTokens = 8)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getLong(4))).sortBy(_._1)
+    assert(spans.toSeq === Seq((0, 11, 10L), (11, 0, 10L)))
+  }
+
+  test("spanDedup removes spans from the higher id only; untouched docs round-trip") {
+    val span = (0 until 12).map("c" + _).mkString(" ")
+    val texts = Seq(
+      s"keep0 keep1 $span tail0",
+      s"$span other0 other1",            // loses the span (higher id)
+      s"x0 x1 $span",                    // also loses it (vs doc0 AND doc1)
+      "fully untouched text with nothing shared anywhere in the corpus")
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("doc_id", "text")
+    val out = Winnow.spanDedupPortable(df, "text", "doc_id",
+        k = 4, minSpanTokens = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(out(0) === texts(0))                       // id_a side always keeps
+    assert(out(1) === "other0 other1")
+    assert(out(2) === "x0 x1")
+    assert(out(3) === texts(3))
+  }
+
+  test("spanDedup empties a doc that is one big duplicated span") {
+    val span = (0 until 15).map("e" + _).mkString(" ")
+    val df = Seq((0, s"pre $span post"), (1, span)).toDF("doc_id", "text")
+    val out = Winnow.spanDedup(df, "text", "doc_id", k = 4, minSpanTokens = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(out(0) === s"pre $span post")
+    assert(out(1) === "")
+  }
+
   test("overlap drops boilerplate fingerprints past the posting cap") {
     val k = 2; val w = 2
     val boiler = "same same same same"

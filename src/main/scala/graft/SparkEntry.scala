@@ -1724,7 +1724,7 @@ object SparkEntry {
       (s, dir) =>
         minietl.dedup.Winnow.spanDedupPortable(
             documents(s, dir), "text", "doc_id", k = 4, minSpanTokens = 8)
-          .withColumnRenamed("id", "doc_id")
+          .select("doc_id", "text")
           .orderBy("doc_id"),
       Some(minietl.dedup.Winnow.spanDedupOracleSql(k = 4, minSpanTokens = 8))),
 

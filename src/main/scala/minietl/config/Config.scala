@@ -48,7 +48,8 @@ object Config {
       "paragraph_dedup", "normalize_text", "feature_hash", "sigma_outlier_filter",
       "winsorize", "impute", "mad_outlier_filter", "top_p_select",
       "lm_surprise", "contamination_filter", "semantic_decontaminate",
-      "bpe_stats", "squeeze_repeats", "dedup_lines")
+      "bpe_stats", "squeeze_repeats", "dedup_lines",
+      "minhash_dedup", "span_dedup")
   private val declaredUnsupported = Set.empty[String]
 
   private val EnvBrace: Regex = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
@@ -271,6 +272,28 @@ object Config {
       case "bpe_stats" =>
         numeric("num_merges", 1.0, 100000.0) ++
           numeric("max_vocab", 1.0, 10000000.0)
+      case "minhash_dedup" =>
+        numeric("shingle_n", 1.0, 64.0) ++ numeric("k", 1.0, 4096.0) ++
+          numeric("bands", 1.0, 4096.0) ++ numeric("threshold", 0.0, 1.0) ++ {
+            // bands must divide k (lshBandKeys requires k % bands == 0)
+            (o.get("k").flatMap(v => scala.util.Try(v.toString.toDouble.toInt).toOption),
+             o.get("bands").flatMap(v => scala.util.Try(v.toString.toDouble.toInt).toOption)) match {
+              case (Some(kk), Some(b)) if b > 0 && kk % b != 0 =>
+                Seq(s"$at: 'bands' ($b) must divide 'k' ($kk)")
+              case _ => Nil
+            }
+          }
+      case "span_dedup" =>
+        numeric("k", 1.0, 64.0) ++ numeric("min_span_tokens", 1.0, 1e9) ++
+          numeric("max_postings", 1.0, 1e9) ++ {
+            // spanDedup requires minSpanTokens >= k — surface it pre-run
+            (o.get("k").flatMap(v => scala.util.Try(v.toString.toDouble.toInt).toOption),
+             o.get("min_span_tokens").flatMap(v => scala.util.Try(v.toString.toDouble.toInt).toOption)) match {
+              case (Some(kk), Some(m)) if m < kk =>
+                Seq(s"$at: 'min_span_tokens' ($m) must be >= 'k' ($kk)")
+              case _ => Nil
+            }
+          }
       case _ => Nil
     }
   }
@@ -304,6 +327,7 @@ object Config {
       Seq("key", "column", "benchmark_filepath", "threshold", "dim")
     case "bpe_stats" => Seq("key", "column", "num_merges")
     case "squeeze_repeats" | "dedup_lines" => Seq("column")
+    case "minhash_dedup" | "span_dedup" => Seq("text", "key")
     case _ => Nil
   }
 
@@ -516,6 +540,28 @@ object Config {
         val c = str(t.options, "column")
         val delim = t.options.get("delim").map(_.toString).getOrElse("\n")
         df => df.withColumn(c, minietl.text.TextAnalysis.dedupSegmentsInDoc(df(c), delim))
+      case "minhash_dedup" =>
+        // corpus-wide near-dup removal; transitive: true walks clusters
+        // (connected components) instead of the greedy pair drop
+        val (text, key) = (str(t.options, "text"), str(t.options, "key"))
+        val n = t.options.get("shingle_n").map(_.toString.toDouble.toInt).getOrElse(3)
+        val k = t.options.get("k").map(_.toString.toDouble.toInt).getOrElse(128)
+        val bands = t.options.get("bands").map(_.toString.toDouble.toInt).getOrElse(32)
+        val thr = t.options.get("threshold").map(_.toString.toDouble).getOrElse(0.8)
+        val transitive = t.options.get("transitive").exists(_.toString.toBoolean)
+        df =>
+          if (transitive)
+            minietl.dedup.Dedup.minhashDedupClusters(df, text, key, n, k, bands, thr)
+          else minietl.dedup.Dedup.minhashDedup(df, text, key, n, k, bands, thr)
+      case "span_dedup" =>
+        // substring-level dedup (Lee et al. '22): duplicated token spans
+        // survive only in the lowest-key document; text column rewritten
+        val (text, key) = (str(t.options, "text"), str(t.options, "key"))
+        val k = t.options.get("k").map(_.toString.toDouble.toInt).getOrElse(4)
+        val minSpan = t.options.get("min_span_tokens").map(_.toString.toDouble.toInt).getOrElse(8)
+        val maxPost = t.options.get("max_postings").map(_.toString.toDouble.toInt)
+          .getOrElse(minietl.dedup.Dedup.DefaultMaxBucket)
+        df => minietl.dedup.Winnow.spanDedup(df, text, key, k, minSpan, maxPost)
       case "feature_hash" =>
         val c = str(t.options, "column")
         val out = str(t.options, "out_column")

@@ -200,9 +200,11 @@ object Winnow {
     * by id — the id_a side always keeps its copy, so every span survives
     * exactly once in the lowest id that carries it). Documents shrink or
     * empty out but are never dropped; untouched documents round-trip
-    * byte-identically (texts are single-space tokenized). One extra
-    * shuffle over [[sharedSpans]]: the anti-join of token positions
-    * against covered positions plus the per-doc rebuild aggregate.
+    * byte-identically (texts are single-space tokenized). Every other
+    * column of `df` passes through unchanged (pipeline-stage shape); only
+    * `textCol` is rewritten. One extra shuffle over [[sharedSpans]]: the
+    * anti-join of token positions against covered positions plus the
+    * per-doc rebuild aggregate.
     */
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
                 k: Int = 4, minSpanTokens: Int = 8,
@@ -238,9 +240,11 @@ object Winnow {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
           s => s.getField("tok")), " ").as("__kept"))
-    df.select(col(idCol).as("id"))
-      .join(rebuilt, Seq("id"), "left")
-      .select(col("id"), coalesce(col("__kept"), lit("")).as("text"))
+    // a doc whose every token is covered has NO rebuilt row — left join +
+    // coalesce keeps it as an empty-text husk rather than dropping it
+    df.join(rebuilt, df(idCol) === rebuilt("id"), "left")
+      .withColumn(textCol, coalesce(col("__kept"), lit("")))
+      .drop(rebuilt("id")).drop("__kept")
   }
 
   /** The shared CTE prefix replaying token hashes → per-position gram

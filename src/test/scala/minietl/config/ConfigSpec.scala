@@ -924,6 +924,79 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(back === Seq("batch stream dup", "a b"))
   }
 
+  test("minhash_dedup and span_dedup stages run from YAML") {
+    val in = s"${tmp()}/nd_in"
+    val out = s"${tmp()}/nd_out"
+    val span = (0 until 12).map("s" + _).mkString(" ")
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    Writers.csv(Seq(
+      (1L, s"$base one"),
+      (2L, s"$base two"), // near-dup of 1 (J = 12/14) → dropped
+      (3L, s"intro $span tail"),
+      (4L, s"$span closing words here")) // J vs 3 = 10/15 < 0.7; shares the span
+      .toDF("doc_id", "text"), in)
+    Config.load(
+      s"""name: nd
+         |source: {type: csv, filepath: $in}
+         |transformers:
+         |  - type: cast
+         |    columns: {doc_id: int64}
+         |  - type: minhash_dedup
+         |    text: text
+         |    key: doc_id
+         |    threshold: 0.7
+         |  - type: span_dedup
+         |    text: text
+         |    key: doc_id
+         |    k: 4
+         |    min_span_tokens: 8
+         |sink: {type: parquet, filepath: $out}
+         |""".stripMargin).run(spark)
+    val back = Readers.parquet(spark, out).orderBy("doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // doc 2 near-dup-dropped; doc 4 loses the span to doc 3 (keep-first);
+    // untouched docs round-trip byte-identically through span_dedup
+    assert(back.map(_._1) === Seq(1L, 3L, 4L))
+    assert(back(0)._2 === s"$base one")
+    assert(back(1)._2 === s"intro $span tail")
+    assert(back(2)._2 === "closing words here")
+
+    // transitive: true walks clusters instead of the greedy pair drop
+    val outT = s"${tmp()}/nd_out_t"
+    Config.load(
+      s"""name: ndt
+         |source: {type: csv, filepath: $in}
+         |transformers:
+         |  - type: cast
+         |    columns: {doc_id: int64}
+         |  - type: minhash_dedup
+         |    text: text
+         |    key: doc_id
+         |    threshold: 0.7
+         |    transitive: true
+         |sink: {type: parquet, filepath: $outT}
+         |""".stripMargin).run(spark)
+    assert(Readers.parquet(spark, outT).orderBy("doc_id")
+      .select("doc_id").as[Long].collect().toSeq === Seq(1L, 3L, 4L))
+
+    // cross-field value checks surface pre-run, not as a mid-build require()
+    def cfg(stage: String) = Config.parse(
+      s"""name: x
+         |source: {type: parquet, filepath: /tmp/x}
+         |transformers:
+         |$stage
+         |sink: {type: parquet, filepath: /tmp/y}
+         |""".stripMargin)
+    assert(Config.validate(cfg(
+      "  - {type: minhash_dedup, text: text, key: doc_id, k: 128, bands: 24}"))
+      .exists(_.contains("must divide")))
+    assert(Config.validate(cfg(
+      "  - {type: span_dedup, text: text, key: doc_id, k: 6, min_span_tokens: 4}"))
+      .exists(_.contains("must be >= 'k'")))
+    assert(Config.validate(cfg(
+      "  - {type: span_dedup, text: text, key: doc_id}")) === Nil)
+  }
+
   test("winsorize stage clips from YAML and validates its bounds") {
     val in = s"${tmp()}/w_in"
     val out = s"${tmp()}/w_out"

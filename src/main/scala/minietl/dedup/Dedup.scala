@@ -149,6 +149,7 @@ object Dedup {
         shingleHashesSorted(col(textCol), shingleN).as("hsh"))
       .withColumn("sig", minhashFromHashes(col("hsh"), k, seed))
       .persist()
+    minietl.pipeline.RunCaches.register(base)
     // The band shuffle moves only (id, band, key) — 20 bytes/row/band — not
     // the signature or shingle arrays; candidate ids join back to `base` to
     // fetch the arrays exactly once per confirmed candidate pair.
@@ -309,6 +310,7 @@ object Dedup {
         md5ShingleHashesSorted(col(textCol), shingleN).as("hsh"))
       .withColumn("sig", minhashFromHashes(col("hsh"), k, seed))
       .persist()
+    minietl.pipeline.RunCaches.register(base)
     val banded = base
       .select(col("id"), explode(lshBandKeysPortable(col("sig"), bands, k)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -666,6 +668,7 @@ object Dedup {
     // shingling is the expensive scan-side step.
     val base = spread(df).select(col(idCol).as("id"), col(lenCol).as("len"),
       shingleHashesSorted(col(textCol), shingleN).as("sh")).persist()
+    minietl.pipeline.RunCaches.register(base)
     // The bucket join moves only (id, len, bucket); the shingle arrays join
     // back onto the surviving candidate pairs, so no array is copied per
     // bucket-pair — only per radius-qualified candidate.
@@ -710,6 +713,7 @@ object Dedup {
       s"threshold must be in (0, 1], got $threshold")
     val base = spread(df).select(col(idCol).as("id"),
       shingleHashesSorted(col(textCol), shingleN).as("sh")).persist()
+    minietl.pipeline.RunCaches.register(base)
     val posts = base.select(col("id"), explode(col("sh")).as("g"))
     // posting-length census rides the window over the explode shuffle;
     // persisted because the self-join reads it twice (without it the whole
@@ -719,6 +723,7 @@ object Dedup {
       .where(col("__plen") <= maxPostingLen)
       .select("id", "g")
       .persist()
+    minietl.pipeline.RunCaches.register(kept)
     val cand = kept.join(kept.select(col("g"), col("id").as("id_b")), "g")
       .where(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))

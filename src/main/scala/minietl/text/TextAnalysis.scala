@@ -307,6 +307,7 @@ object TextAnalysis {
     // spark.catalog.clearCache(); batch callers processing many corpora
     // should do the latter between corpora.
     val tf = termFrequencies(docs, idCol, textCol).persist()
+    minietl.pipeline.RunCaches.register(tf)
     // document count stays a lazy one-row aggregate (cross-joined like the
     // SQL formulation) — no eager job at construction time
     val n = docs.agg(count(lit(1)).as("__n"))
@@ -332,6 +333,7 @@ object TextAnalysis {
     // persisted: read by the score join, the DF aggregation, and the
     // average-length aggregate (cache lifecycle: see tfidf)
     val tf = termFrequencies(docs, idCol, textCol).persist()
+    minietl.pipeline.RunCaches.register(tf)
     // N and the average length stay lazy one-row aggregates — no eager jobs
     // at construction, and an empty corpus yields an empty frame instead of
     // a driver-side unboxing error

@@ -176,7 +176,16 @@ object Winnow {
                               tokenHash: Column => Column): DataFrame = {
     require(minSpanTokens >= k,
       s"minSpanTokens must be >= k (got $minSpanTokens < $k)")
-    val fps = fingerprintsWith(Dedup.spread(df), textCol, idCol, k, w = 1,
+    // Docs shorter than k tokens are excluded from SEEDING (not from
+    // [[spanDedup]]'s rebuild): the winnow selection's whole-doc fallback
+    // gram would otherwise let two identical sub-k docs seed an island
+    // whose c + k - 1 accounting over-reports the matched length as k —
+    // a phantom span at the minSpanTokens == k boundary. With the filter,
+    // every reported span covers true k-gram positions and span_len is
+    // exact. The oracle CTE applies the same `len(toks) >= k` guard.
+    val eligible = Dedup.spread(df).where(
+      size(minietl.text.TextAnalysis.tokens(col(textCol))) >= k)
+    val fps = fingerprintsWith(eligible, textCol, idCol, k, w = 1,
       tokenHash)
     val capped = Dedup.dropOversizedBuckets(fps, Seq("fp"), maxPostings, "spans")
     val seeds = capped.as("a")
@@ -260,8 +269,6 @@ object Winnow {
        |         WHEN len(h) >= $k THEN list_transform(range(0, len(h) - $k + 1),
        |           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), h[i+1 : i+$k]),
        |                  (acc, x) -> (acc * $B + x) % $M))
-       |         WHEN len(h) > 0 THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
-       |                  (acc, x) -> (acc * $B + x) % $M)]
        |         ELSE CAST([] AS BIGINT[]) END AS g FROM th),
        |f AS (SELECT id, i - 1 AS pos, g[i] AS fp
        |      FROM gr, unnest(range(1, len(g) + 1)) AS u(i)),

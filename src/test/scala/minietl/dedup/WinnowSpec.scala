@@ -189,6 +189,20 @@ class WinnowSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3) === texts(3))
   }
 
+  test("docs shorter than k never seed spans — no phantom k-length span at min == k") {
+    // two identical 2-token docs: the winnow whole-doc fallback gram would
+    // match and report span_len = k (4) for a 2-token overlap; the span
+    // path excludes sub-k docs from seeding, so nothing is reported, and
+    // spanDedup still round-trips them untouched
+    val df = Seq((0, "aa bb"), (1, "aa bb"), (2, (0 until 9).map("c" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Winnow.sharedSpansPortable(df, "text", "doc_id",
+      k = 4, minSpanTokens = 4).count() === 0)
+    val out = Winnow.spanDedup(df, "text", "doc_id", k = 4, minSpanTokens = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(out(0) === "aa bb" && out(1) === "aa bb")
+  }
+
   test("spanDedup empties a doc that is one big duplicated span") {
     val span = (0 until 15).map("e" + _).mkString(" ")
     val df = Seq((0, s"pre $span post"), (1, span)).toDF("doc_id", "text")

@@ -39,6 +39,11 @@ object ScaleProbe {
       case "gen" =>
         val (src, out, n) = (args(1), args(2), args(3).toInt)
         gen(spark, src, out, n)
+      case "gen_emb" =>
+        // embeddings-only replication (the full `gen` writes the 1000×
+        // lineitem — ~600M rows the document/vector probes never read)
+        val (src, out, n) = (args(1), args(2), args(3).toInt)
+        genEmbeddings(spark, src, out, n)
       case "skew" =>
         // A/B the salted join vs the plain shuffle join on a pathological
         // key: 90% of sf0.1 lineitem lands on ONE key. Broadcast disabled so
@@ -504,6 +509,13 @@ object ScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
+    genEmbeddings(spark, src, out, replicas)
+    println(s"[scale] generated ${replicas}x corpus at $out")
+  }
+
+  private def genEmbeddings(spark: SparkSession, src: String, out: String,
+                            replicas: Int): Unit = {
+    val k = explode(sequence(lit(0), lit(replicas - 1))).as("k")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     emb.select(col("vec_id"), col("embedding"), col("label"), k)
       .select(
@@ -515,6 +527,6 @@ object ScaleProbe {
         col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    println(s"[scale] generated ${replicas}x corpus at $out")
+    println(s"[scale] generated ${replicas}x embeddings at $out")
   }
 }

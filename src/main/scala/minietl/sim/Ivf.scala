@@ -93,9 +93,7 @@ object Ivf {
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos",
         round(vec.dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 4))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
+    Similarity.topKPerQuery(scored, k, Seq(col("cos").desc, col("n_id").asc))
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 

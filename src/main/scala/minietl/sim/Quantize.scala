@@ -53,14 +53,21 @@ object Quantize {
     * the ratio), keeps `preK` candidates per query, and only those pay the
     * full-precision cosine for the final top-`k`.
     *
-    * Scale shape: same broadcast-queries single corpus scan as
+    * Scale shape: same broadcast-queries corpus scan as
     * [[Similarity.bruteForceTopK]], but the scan-side pair work reads 1
     * byte/element instead of 8 and multiplies integers — the memory-bound
     * stage gets ~4-8× lighter, which is the whole point of quantizing a
-    * 100 TB embedding store. The exact stage touches only preK rows per
-    * query. Both stages use exactly-rounded arithmetic with total tie
-    * orders (approx cosine 6dp, id tie-break), so the result replays
-    * bit-for-bit in any engine.
+    * 100 TB embedding store. The pre-rank frame carries ONLY
+    * (q_id, n_id, acos) through its ranking exchange — shuffling the code
+    * and float arrays per PAIR is what the 1000× probe caught (50M
+    * ~KB-sized rows through one window partition per query: 23.6× wall
+    * time for 10× data at 5M vectors; still 70 s slimmed-but-unsplit);
+    * the preK × |queries| survivors broadcast back onto one more corpus
+    * scan to fetch full-precision vectors for the exact stage. At 100 TB
+    * the codes column would be a persisted table and both scans read it,
+    * not recompute it. Both stages use exactly-rounded arithmetic with
+    * total tie orders (approx cosine 6dp, id tie-break), so the result
+    * replays bit-for-bit in any engine.
     */
   def int8RerankTopK(corpus: DataFrame, queries: DataFrame, k: Int, preK: Int,
                      idCol: String = "vec_id",
@@ -76,16 +83,21 @@ object Quantize {
           sqrt(int8Dot(col(s"${pfx}_codes"), col(s"${pfx}_codes")).cast("double")))
     val q = prep(queries, "q_id", "q")
     val c = prep(corpus, "n_id", "n")
-    val pre = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+    val pre = c.select(col("n_id"), col("n_codes"), col("n_cnorm"))
+      .join(broadcast(q.select(col("q_id"), col("q_codes"), col("q_cnorm"))),
+        col("q_id") =!= col("n_id"))
       .withColumn("acos",
         round(int8Dot(col("q_codes"), col("n_codes")).cast("double") /
           (col("q_cnorm") * col("n_cnorm")), 6))
-    val wPre = Window.partitionBy("q_id").orderBy(col("acos").desc, col("n_id").asc)
-    val candidates = pre
-      .withColumn("prerank", row_number().over(wPre))
-      .filter(col("prerank") <= preK)
+      .select(col("q_id"), col("n_id"), col("acos"))
+    val candidates = Similarity
+      .topKPerQuery(pre, preK, Seq(col("acos").desc, col("n_id").asc))
+      .drop("rank", "acos")
+    val fetched = c.select(col("n_id"), col("n_vec"), col("n_norm"))
+      .join(broadcast(candidates), "n_id")
+      .join(broadcast(q.select(col("q_id"), col("q_vec"), col("q_norm"))), "q_id")
     val wFin = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    candidates
+    fetched
       .withColumn("cos",
         round(minietl.functions.vec.dot(col("q_vec"), col("n_vec")) /
           (col("q_norm") * col("n_norm")), 4))

@@ -57,6 +57,30 @@ object Similarity {
     transform(a, x => x.cast("double") / n)
   }
 
+  /** Scale-safe per-query top-k over a corpus-sized scored frame. A single
+    * `row_number() OVER (PARTITION BY q_id)` funnels the ENTIRE scored set
+    * into one window partition per query — parallelism |queries|, a full
+    * per-query sort, and (measured, 1000× ANN probe) a 23.6× wall-time
+    * step for 10× data on the int8 pre-rank at 5M vectors. Two phases fix
+    * the shape without changing one output row: a LOCAL top-k within each
+    * (q_id, physical input partition) — the exchange hashes on
+    * (q_id, pid), so it is balanced regardless of query count — then the
+    * global window runs over ≤ k × input-partitions survivors per query.
+    * Any TOTAL order (every caller tie-breaks on the neighbor id) makes
+    * the two-phase result identical to the single window: a globally
+    * top-k row is top-k within whatever group contains it.
+    */
+  private[minietl] def topKPerQuery(scored: DataFrame, k: Int,
+                                    order: Seq[Column]): DataFrame = {
+    val wLocal = Window.partitionBy(col("q_id"), col("__pid")).orderBy(order: _*)
+    val survivors = scored.withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(wLocal))
+      .filter(col("__lr") <= k).drop("__pid", "__lr")
+    val wGlobal = Window.partitionBy("q_id").orderBy(order: _*)
+    survivors.withColumn("rank", row_number().over(wGlobal).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact brute-force top-k cosine neighbors.
     *
     * `queries` is expected to be small (it is broadcast); the corpus is
@@ -71,9 +95,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("cos",
         round(dotD(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 4))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k, Seq(col("cos").desc, col("n_id").asc))
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
@@ -137,9 +159,7 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos",
         round(dotD(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 4))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k, Seq(col("cos").desc, col("n_id").asc))
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 

@@ -74,6 +74,37 @@ class EntryContractSpec extends AnyFunSuite with SparkTestBase {
       s"q_ann_topk reads unreferenced embeddings columns: $aSchema")
   }
 
+  test("ANN top-k ranks in two phases: no corpus-sized single-per-query window (plan contract)") {
+    // Similarity.topKPerQuery contract: the FIRST window over the scored
+    // frame must partition by (q_id, __pid) — the balanced local phase —
+    // and only the survivor-sized global window may partition by q_id
+    // alone. A single q_id-partitioned window over the scored set is the
+    // superlinear shape the 1000× probe caught (23.6× time for 10× data).
+    // the OPTIMIZED LOGICAL plan: the AQE-wrapped physical plan hides its
+    // subtree until execution, and the logical Window shape (post column
+    // pruning) is the contract anyway
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def windows(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    Seq("q_ann_topk", "q_lsh_ann", "q_ivf_ann").foreach { name =>
+      val ws = windows(name)
+      assert(ws.size === 2, s"$name: expected local+global windows, got ${ws.size}")
+      val partSizes = ws.map(_.partitionSpec.size).sorted
+      assert(partSizes === Seq(1, 2),
+        s"$name window partition specs: ${ws.map(_.partitionSpec.map(_.sql))}")
+    }
+    // int8 rerank: pre-rank local+global plus the exact-stage window = 3,
+    // and the local ranking phase sees only the slim (q_id, n_id, acos)
+    // row — never the code/vector arrays — after column pruning
+    val ws8 = windows("q_ann_topk_int8")
+    assert(ws8.size === 3, s"int8: expected 3 windows, got ${ws8.size}")
+    val localPhase = ws8.filter(_.partitionSpec.size == 2)
+    assert(localPhase.nonEmpty, "int8: local (q_id, __pid) phase missing")
+    val localCols = localPhase.head.child.output.map(_.name).toSet
+    assert(!localCols.exists(c => c.contains("codes") || c.contains("vec")),
+      s"int8 local ranking phase carries array columns through its exchange: $localCols")
+  }
+
   test("q_ivf_ann oracle apply fails fast before training; get/contains obey the Map contract") {
     // Before the query trains, the key is simply ABSENT: get returns None,
     // contains/getOrElse behave like any Map's (no Map-contract violation).

@@ -1,5 +1,7 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, to_json, xxhash64}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Benchmark main: runs every registered query at SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Untimed warm-up passes at sf0.001 AND sf0.01 first
@@ -9,6 +11,15 @@ import org.apache.spark.sql.SparkSession
   * iterations to push the string-heavy hot loops (explode+agg, LSH plane
   * dots) through C2 — measured: q_tfidf at sf0.1 is 11.4 s after an
   * sf0.001-only warm-up but 2.3 s after sf0.001+sf0.01.
+  *
+  * Each query is materialized through a full-row CHECKSUM, not `count()`:
+  * under count, Catalyst legitimately eliminates count-preserving operators
+  * (q_span_dedup's rebuilt-text join benched at 0.2 s while its honest cost
+  * was ~3 s — the join is count-preserving because build keys are unique),
+  * so a count-timed battery silently under-times every such plan. The
+  * checksum (`bit_xor(xxhash64(c0, …, cn))`) reads every column of every
+  * row, making elision impossible while adding only a codegen'd hash to the
+  * scan — and it is the same shape a deployment's sink write would force.
   *
   * The battery is then timed TWICE at the target scale, and both passes are
   * reported per query:
@@ -23,10 +34,22 @@ import org.apache.spark.sql.SparkSession
   * The headline "value" stays the cold-pass total (continuity with the
   * BENCH_r* trajectory, which timed first target-scale executions).
   *
-  * Machine-state markers (page cache size, load average, JVM heap) are
-  * recorded at the start of each pass so an outlier run can be classified
-  * mechanically (an inflated total with high starting load or a shrunken
-  * page cache is ambient machine state, not a code regression).
+  * RUN VALIDITY: a warm pass slower than its cold pass is physically
+  * backwards for this workload (same plans, same data, better JIT/page
+  * cache) — it means ambient interference landed mid-run (the committed
+  * r11 artifact's warm pass showed uniform 3-6x inflation on byte-identical
+  * trivial queries). A run whose warm total exceeds its cold total by >25%
+  * is therefore stamped `"suspect": true` in both artifacts rather than
+  * silently blessed; machine-state markers (page cache size, load average,
+  * JVM heap) recorded at the start of each pass supply the evidence to
+  * classify the interference.
+  *
+  * OUTPUT: the driver keeps only the LAST 2000 CHARS of the run log and
+  * parses the JSON line out of that tail — a full 155-query map is ~8 KB
+  * and has truncated to unparseable in every round so far. The printed
+  * line therefore carries the headline totals plus only the ~40 slowest
+  * queries; the COMPLETE per-query map (both passes) goes to a committable
+  * file (BENCH_full_latest.json, override with SPARK_GRAFT_BENCH_FULL).
   */
 object Bench {
 
@@ -50,6 +73,31 @@ object Bench {
       s""""load_avg_1m": ${loadAvg()}, "jvm_heap_used_mb": $heapUsedMb}"""
   }
 
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case a: ArrayType => containsMap(a.elementType)
+    case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+    case _ => false
+  }
+
+  /** Materialize the honest plan: checksum every column of every row.
+    * Columns are positionally renamed first (no quoting pitfalls), and map
+    * columns go through to_json (xxhash64 rejects MapType — maps have no
+    * canonical entry order).
+    */
+  private def force(df: DataFrame): Unit = {
+    val renamed = df.toDF(df.columns.indices.map("c" + _): _*)
+    val cols = renamed.schema.fields.map { f =>
+      if (containsMap(f.dataType)) to_json(col(f.name)) else col(f.name)
+    }
+    if (cols.isEmpty) { renamed.count(); () }
+    else {
+      renamed.select(xxhash64(cols.toIndexedSeq: _*).as("__row_h"))
+        .agg(expr("bit_xor(__row_h)")).collect()
+      ()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -70,7 +118,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { warmDir =>
       SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count(); () }
+        try force(fn(spark, warmDir))
         catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
@@ -78,7 +126,7 @@ object Bench {
     def timedPass(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
         val elapsed = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // release per-query persisted intermediates (untimed)
         name -> elapsed
@@ -89,25 +137,27 @@ object Bench {
     val warm = timedPass()
     val totalCold = cold.values.sum
     val totalWarm = warm.values.sum
-    val qs = cold.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$totalCold,"unit":"sec","queries":$qs,""" +
-      s""""total_warm_sec":${math.round(totalWarm * 1000) / 1000.0},"sf":"$sfDir"}""")
-    // Durable FULL per-query artifact: the driver's bench tail truncates at
-    // ~66 queries, which hid q_pagerank's 8.5 s for five rounds (PLANS.md).
-    // Every run therefore also writes the complete sorted timing map — one
-    // line per query, both passes — to a committable file (override the
-    // path with SPARK_GRAFT_BENCH_FULL).
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full_latest.json")
+    val ratio = if (totalCold > 0) totalWarm / totalCold else 1.0
+    val suspect = ratio > 1.25
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full_latest.json")
+    // compact line: headline totals + the 40 slowest queries only (driver
+    // tail budget is 2000 chars; the full map lives in fullPath)
+    val qs = cold.toSeq.sortBy(-_._2).take(40)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val lines = cold.toSeq.sortBy(_._1).map { case (k, v) =>
       "  \"" + k + "\": [" + fmt(v) + ", " + fmt(warm.getOrElse(k, -1.0)) + "]" }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
       s"""{
          |"sf": "$sfDir",
          |"n_queries": ${cold.size},
-         |"total_sec": ${math.round(totalCold * 1000) / 1000.0},
-         |"total_warm_sec": ${math.round(totalWarm * 1000) / 1000.0},
+         |"total_sec": ${fmt(totalCold)},
+         |"total_warm_sec": ${fmt(totalWarm)},
+         |"suspect": $suspect,
+         |"warm_cold_ratio": ${fmt(ratio)},
+         |"run_validity_policy": "suspect = warm-pass total > 1.25x cold-pass total: a slower warm pass on identical plans means ambient interference mid-run, not a code change; check machine_state markers",
+         |"timing_policy": "each query materialized via bit_xor(xxhash64(all columns)) so count-preserving operators cannot be plan-eliminated out of the timing",
          |"warmup_policy": "untimed full-battery passes at sf0.001 + sf0.01 (plan compile + C2), then two timed target-scale passes: queries[q] = [first target-scale execution, steady-state repeat]; no per-query warm-up exceptions",
          |"machine_state_at_cold_pass": $stateCold,
          |"machine_state_at_warm_pass": $stateWarm,
@@ -116,6 +166,10 @@ object Bench {
          |}
          |}
          |""".stripMargin)
+    println(s"""{"metric":"total","value":${fmt(totalCold)},"unit":"sec",""" +
+      s""""queries":$qs,"sf":"$sfDir","n_queries":${cold.size},""" +
+      s""""total_warm_sec":${fmt(totalWarm)},"suspect":$suspect,""" +
+      s""""queries_note":"40 slowest shown; full map in $fullPath"}""")
     spark.stop()
   }
 }

@@ -448,6 +448,61 @@ object ScaleProbe {
           timeAb(s"src_partitioned_$bcast")(variantB())
         }
         edges.unpersist()
+      case "hotstratum" =>
+        // Hot-stratum probe (VERDICT r11 Next #2): >=90% of rows land in ONE
+        // stratum, so the plain tokenBudget/topPSelect running-mass window
+        // serializes ~all rows onto one task. Measures the plain path vs the
+        // salted-shard path (Ops.tokenBudgetSalted/topPSelectSalted) at the
+        // given row count, and checks the salted budget invariant (kept
+        // tokens per stratum <= budget) distributedly.
+        val rows = args.lift(1).map(_.toLong).getOrElse(20000000L)
+        val shards = args.lift(2).map(_.toInt).getOrElse(32)
+        val df = spark.range(rows).select(
+            col("id"),
+            when(pmod(col("id"), lit(10)) < 9, lit("hot"))
+              .otherwise(concat(lit("s"), pmod(col("id"), lit(97)).cast("string")))
+              .as("stratum"),
+            (pmod(xxhash64(col("id")), lit(900)) + 100).as("n_tokens"))
+          .localCheckpoint(true)
+        val hotTokens = df.where(col("stratum") === "hot")
+          .agg(sum("n_tokens")).head().getLong(0)
+        val budget = hotTokens / 10
+        val order = minietl.ops.Ops.shuffleKey("id", "11")
+        val shardKey = xxhash64(col("id"), lit("shard"))
+        def stampHs(tag: String)(body: => Long): Unit = (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = body
+          println(f"[hot] $tag rows=$rows shards=$shards run$i kept=$n " +
+            f"time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        stampHs("token_budget_plain") {
+          minietl.ops.Ops.tokenBudget("stratum", "n_tokens", budget, order)(df).count()
+        }
+        stampHs("token_budget_salted") {
+          minietl.ops.Ops.tokenBudgetSalted("stratum", "n_tokens", budget,
+            order, shardKey, shards)(df).count()
+        }
+        // budget invariant: kept tokens per stratum <= budget on BOTH paths
+        Seq(
+          "plain" -> minietl.ops.Ops.tokenBudget("stratum", "n_tokens", budget, order)(df),
+          "salted" -> minietl.ops.Ops.tokenBudgetSalted("stratum", "n_tokens",
+            budget, order, shardKey, shards)(df)
+        ).foreach { case (tag, kept) =>
+          val over = kept.groupBy("stratum").agg(sum("n_tokens").as("t"))
+            .where(col("t") > budget).count()
+          val keptHot = kept.where(col("stratum") === "hot")
+            .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+          println(s"[hot] $tag budget=$budget hot_kept_tokens=$keptHot " +
+            s"strata_over_budget=$over fill=${keptHot.toDouble / budget}")
+        }
+        stampHs("top_p_plain") {
+          minietl.ops.Ops.topPSelect("stratum", "n_tokens", 2500,
+            Seq(col("n_tokens").desc, col("id").asc))(df).count()
+        }
+        stampHs("top_p_salted") {
+          minietl.ops.Ops.topPSelectSalted("stratum", "n_tokens", 2500,
+            Seq(col("n_tokens").desc, col("id").asc), shardKey, shards)(df).count()
+        }
       case "time" =>
         val (dir, names) = (args(1), args(2).split(","))
         // warm plans + JIT on the small gate scale first, like Bench

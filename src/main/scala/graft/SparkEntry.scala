@@ -2845,6 +2845,78 @@ object SparkEntry {
              |      6000 * CAST(total AS HUGEINT)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Salted token budget for hot strata: deterministic md5 shard, EXACT
+    // per-shard sub-budgets that sum to the stratum budget (1502 over 4
+    // shards -> 376,376,375,375 — the remainder path is exercised). Full
+    // DuckDB replay: shard hash, per-(lang,shard) running sum, shard cap.
+    "q_token_budget_salted" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .withColumn("n_tokens", minietl.text.TextAnalysis.tokenCount(col("text")))
+          .transform(Ops.tokenBudgetSalted("lang", "n_tokens", budget = 1502,
+            order = Ops.shuffleKey("doc_id", "7"),
+            shardKey = minietl.functions.PortableHash.md5Hash60(
+              concat(lit("tb#"), col("doc_id").cast("string"))),
+            shards = 4, cumColumn = Some("cum_tokens")))
+          .select("doc_id", "lang", "n_tokens", "cum_tokens")
+          .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    md5('7#' || CAST(doc_id AS VARCHAR)) AS sk,
+             |    CAST(concat('0x', substring(md5('tb#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 AS shard
+             |  FROM documents),
+             |c AS (SELECT doc_id, lang, n_tokens, shard,
+             |        CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY sk
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |      FROM d)
+             |SELECT doc_id, lang, n_tokens, cum_tokens
+             |FROM c WHERE cum_tokens <= 1502 // 4 + (CASE WHEN shard < 1502 % 4 THEN 1 ELSE 0 END)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Salted nucleus selection: the same 60% rule per (lang, md5-shard)
+    // against the SHARD's total mass — the documented escape hatch for
+    // strata too hot to sort on one task, replayed shard-exactly.
+    "q_top_p_salted" -> Q(
+      (s, dir) =>
+        documents(s, dir)
+          .withColumn("quality_bp",
+            minietl.text.TextAnalysis.qualityScore(col("text")))
+          .transform(Ops.topPSelectSalted("lang", "quality_bp", pBasisPoints = 6000,
+            order = Seq(col("quality_bp").desc, col("doc_id").asc),
+            shardKey = minietl.functions.PortableHash.md5Hash60(
+              concat(lit("tp#"), col("doc_id").cast("string"))),
+            shards = 4, cumColumn = Some("cum_mass")))
+          .select("doc_id", "lang", "quality_bp", "cum_mass")
+          .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    CAST(length(text) AS BIGINT) AS L,
+             |    CAST(greatest(len(string_split(text, ' ')), 1) AS BIGINT) AS n,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS u,
+             |    CAST(len(list_filter(string_split(lower(text), ' '),
+             |      t -> list_contains(['the','a','and','of','to','in','is','that','for','it'], t))) AS BIGINT) AS k,
+             |    CAST(len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS BIGINT) AS p,
+             |    CAST(concat('0x', substring(md5('tp#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 AS shard
+             |  FROM documents),
+             |q AS (SELECT doc_id, lang, shard,
+             |        3 * least(L * 20, 10000)
+             |          + 3 * CAST(floor(u * 10000.0 / n) AS BIGINT)
+             |          + 3 * least(CAST(floor(k * 50000.0 / n) AS BIGINT), 10000)
+             |          + (10000 - CAST(floor(p * 10000.0 / greatest(L, 1)) AS BIGINT))
+             |          AS quality_bp
+             |      FROM d),
+             |w AS (SELECT doc_id, lang, quality_bp,
+             |        CAST(sum(quality_bp) OVER (PARTITION BY lang, shard
+             |          ORDER BY quality_bp DESC, doc_id
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass,
+             |        CAST(sum(quality_bp) OVER (PARTITION BY lang, shard) AS BIGINT) AS total
+             |      FROM q)
+             |SELECT doc_id, lang, quality_bp, cum_mass FROM w
+             |WHERE CAST(cum_mass - quality_bp AS HUGEINT) * 10000 <
+             |      6000 * CAST(total AS HUGEINT)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Gopher format-rule battery: every ratio threshold is an exact integer
     // comparison, so the keep set replays bit-for-bit in DuckDB.
     "q_gopher_rules" -> Q(

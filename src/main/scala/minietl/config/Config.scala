@@ -275,9 +275,14 @@ object Config {
       case "minhash_dedup" =>
         numeric("shingle_n", 1.0, 64.0) ++ numeric("k", 1.0, 4096.0) ++
           numeric("bands", 1.0, 4096.0) ++ numeric("threshold", 0.0, 1.0) ++ {
-            // bands must divide k (lshBandKeys requires k % bands == 0)
-            (o.get("k").flatMap(v => scala.util.Try(v.toString.toDouble.toInt).toOption),
-             o.get("bands").flatMap(v => scala.util.Try(v.toString.toDouble.toInt).toOption)) match {
+            // bands must divide k (lshBandKeys requires k % bands == 0).
+            // Fill in the STAGE DEFAULTS (k=128, bands=32) before checking,
+            // so a config overriding just one key (e.g. bands: 24 against
+            // default k) is still caught pre-run instead of at runtime.
+            (o.get("k").flatMap(v => scala.util.Try(v.toString.toDouble.toInt).toOption)
+               .orElse(if (o.contains("k")) None else Some(128)),
+             o.get("bands").flatMap(v => scala.util.Try(v.toString.toDouble.toInt).toOption)
+               .orElse(if (o.contains("bands")) None else Some(32))) match {
               case (Some(kk), Some(b)) if b > 0 && kk % b != 0 =>
                 Seq(s"$at: 'bands' ($b) must divide 'k' ($kk)")
               case _ => Nil
@@ -285,10 +290,14 @@ object Config {
           }
       case "span_dedup" =>
         numeric("k", 1.0, 64.0) ++ numeric("min_span_tokens", 1.0, 1e9) ++
-          numeric("max_postings", 1.0, 1e9) ++ {
-            // spanDedup requires minSpanTokens >= k — surface it pre-run
-            (o.get("k").flatMap(v => scala.util.Try(v.toString.toDouble.toInt).toOption),
-             o.get("min_span_tokens").flatMap(v => scala.util.Try(v.toString.toDouble.toInt).toOption)) match {
+          numeric("max_postings", 1.0, 1e9) ++ numeric("max_iter", 1.0, 1000.0) ++ {
+            // spanDedup requires minSpanTokens >= k — surface it pre-run.
+            // Stage defaults (k=4, min_span_tokens=8) are filled in before
+            // the check so single-key overrides are validated too.
+            (o.get("k").flatMap(v => scala.util.Try(v.toString.toDouble.toInt).toOption)
+               .orElse(if (o.contains("k")) None else Some(4)),
+             o.get("min_span_tokens").flatMap(v => scala.util.Try(v.toString.toDouble.toInt).toOption)
+               .orElse(if (o.contains("min_span_tokens")) None else Some(8))) match {
               case (Some(kk), Some(m)) if m < kk =>
                 Seq(s"$at: 'min_span_tokens' ($m) must be >= 'k' ($kk)")
               case _ => Nil
@@ -555,13 +564,21 @@ object Config {
           else minietl.dedup.Dedup.minhashDedup(df, text, key, n, k, bands, thr)
       case "span_dedup" =>
         // substring-level dedup (Lee et al. '22): duplicated token spans
-        // survive only in the lowest-key document; text column rewritten
+        // survive only in the lowest-key document; text column rewritten.
+        // fixpoint: true re-runs detect-and-excise until no cross-doc span
+        // remains (excision junctions can create new adjacencies) or
+        // max_iter rounds.
         val (text, key) = (str(t.options, "text"), str(t.options, "key"))
         val k = t.options.get("k").map(_.toString.toDouble.toInt).getOrElse(4)
         val minSpan = t.options.get("min_span_tokens").map(_.toString.toDouble.toInt).getOrElse(8)
         val maxPost = t.options.get("max_postings").map(_.toString.toDouble.toInt)
           .getOrElse(minietl.dedup.Dedup.DefaultMaxBucket)
-        df => minietl.dedup.Winnow.spanDedup(df, text, key, k, minSpan, maxPost)
+        val fixpoint = t.options.get("fixpoint").exists(_.toString.toBoolean)
+        val maxIter = t.options.get("max_iter").map(_.toString.toDouble.toInt).getOrElse(10)
+        df =>
+          if (fixpoint)
+            minietl.dedup.Winnow.spanDedupFixpoint(df, text, key, k, minSpan, maxPost, maxIter)
+          else minietl.dedup.Winnow.spanDedup(df, text, key, k, minSpan, maxPost)
       case "feature_hash" =>
         val c = str(t.options, "column")
         val out = str(t.options, "out_column")

@@ -52,7 +52,9 @@ object Winnow {
     * `array_min` implement "minimum hash, ties to the leftmost position" —
     * the robust-winnowing tie rule — as a single comparison. Documents are
     * limited to 2^21 (~2M) tokens; beyond that, chunk first
-    * ([[minietl.text.Chunking]]).
+    * ([[minietl.text.Chunking]]). Enforced fail-fast inside
+    * [[minietl.functions.VectorOps.winnowOrds]] — an over-budget document
+    * raises rather than silently corrupting fingerprints.
     */
   private val Pos = 2097152L
 
@@ -232,15 +234,32 @@ object Winnow {
 
   private def spanDedupWith(df: DataFrame, textCol: String, idCol: String,
                             k: Int, minSpanTokens: Int, maxPostings: Int,
-                            tokenHash: Column => Column): DataFrame = {
-    val spans = sharedSpansWith(df, textCol, idCol, k, minSpanTokens,
-      maxPostings, tokenHash)
+                            tokenHash: Column => Column): DataFrame =
+    excise(df, sharedSpansWith(df, textCol, idCol, k, minSpanTokens,
+      maxPostings, tokenHash), textCol, idCol)
+
+  /** Rewrite `textCol` with every token covered by a span (id_b side of
+    * `spans`) removed. Id contract, enforced here rather than assumed:
+    *   - NULL ids pass through UNCHANGED. A null id can never appear in a
+    *     span (the seed join's `id_a < id_b` is never true under null), so
+    *     the only correct rewrite is identity — and excluding nulls from
+    *     the rebuild also stops several null-id documents being merged
+    *     into one token stream by the groupBy.
+    *   - DUPLICATE ids RAISE. Two documents sharing an id would have their
+    *     token streams silently interleaved into one rebuilt text; that is
+    *     corrupt training data with no error, so the plan embeds a lazy
+    *     `raise_error` guard (an id-count aggregate is slim — partial-agg'd
+    *     (id, count) pairs — next to the token-exploded shuffles this
+    *     operator already pays).
+    */
+  private def excise(df: DataFrame, spans: DataFrame,
+                     textCol: String, idCol: String): DataFrame = {
     val covered = spans
       .select(col("id_b").as("id"),
         explode(sequence(col("start_b"),
           col("start_b") + col("span_len") - 1)).as("pos"))
       .distinct()
-    val toks = Dedup.spread(df)
+    val toks = Dedup.spread(df).where(col(idCol).isNotNull)
       .select(col(idCol).as("id"),
         posexplode(minietl.text.TextAnalysis.tokens(col(textCol)))
           .as(Seq("pos", "tok")))
@@ -249,11 +268,91 @@ object Winnow {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
           s => s.getField("tok")), " ").as("__kept"))
+    val dupIds = df.where(col(idCol).isNotNull)
+      .groupBy(col(idCol).as("__did")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1)
     // a doc whose every token is covered has NO rebuilt row — left join +
     // coalesce keeps it as an empty-text husk rather than dropping it
+    // (rebuilt ids are unique by construction, so the join never fans out)
     df.join(rebuilt, df(idCol) === rebuilt("id"), "left")
-      .withColumn(textCol, coalesce(col("__kept"), lit("")))
-      .drop(rebuilt("id")).drop("__kept")
+      .join(dupIds, df(idCol) === dupIds("__did"), "left")
+      .withColumn(textCol,
+        when(col("__c").isNotNull, raise_error(concat(
+          lit(s"spanDedup: duplicate id in '$idCol': "),
+          df(idCol).cast("string"))).cast("string"))
+          .when(df(idCol).isNull, df(textCol))
+          .otherwise(coalesce(col("__kept"), lit(""))))
+      .drop(rebuilt("id")).drop("__kept").drop("__did").drop("__c")
+  }
+
+  /** [[spanDedup]] iterated to a FIXPOINT: excision junctions can create
+    * new cross-document adjacencies (removing span S from document B makes
+    * the tokens flanking S adjacent; the new k-grams spanning the junction
+    * may match a third document — Lee et al.'s suffix-array construction
+    * shares this property), so a single pass can leave residual duplicated
+    * spans. This mode re-runs detect-and-excise on the rewritten corpus
+    * until a round finds no span of at least `minSpanTokens` tokens, or
+    * `maxIter` rounds. Each round is eagerly `localCheckpoint`ed (constant
+    * plan depth, same rationale as the star-contraction CC loop) and the
+    * superseded round's blocks are released immediately. Unlike CC's
+    * maxIter — where a partial labeling silently under-deduplicates —
+    * hitting maxIter here returns a VALID partial dedup (exactly what
+    * single-pass mode already is, after maxIter rounds of improvement), so
+    * it returns rather than throws. Real corpora converge in 2-3 rounds:
+    * each round only chases spans newly created at excision junctions.
+    */
+  def spanDedupFixpoint(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 4, minSpanTokens: Int = 8,
+                        maxPostings: Int = Dedup.DefaultMaxBucket,
+                        maxIter: Int = 10): DataFrame =
+    spanDedupFixpointWith(df, textCol, idCol, k, minSpanTokens, maxPostings,
+      maxIter, xxhash64(_))._1
+
+  /** [[spanDedupFixpoint]] over the portable md5 hash family. */
+  def spanDedupFixpointPortable(df: DataFrame, textCol: String, idCol: String,
+                                k: Int = 4, minSpanTokens: Int = 8,
+                                maxPostings: Int = Dedup.DefaultMaxBucket,
+                                maxIter: Int = 10): DataFrame =
+    spanDedupFixpointWith(df, textCol, idCol, k, minSpanTokens, maxPostings,
+      maxIter, PortableHash.md5Hash60(_))._1
+
+  /** [[spanDedupFixpoint]] plus the rounds-to-convergence observable
+    * (rounds that EXCISED something; a corpus with no duplicated spans
+    * reports 0). The probe/operations hook, mirroring
+    * [[Dedup.connectedComponentsWithStats]].
+    */
+  def spanDedupFixpointWithStats(df: DataFrame, textCol: String, idCol: String,
+                                 k: Int = 4, minSpanTokens: Int = 8,
+                                 maxPostings: Int = Dedup.DefaultMaxBucket,
+                                 maxIter: Int = 10): (DataFrame, Int) =
+    spanDedupFixpointWith(df, textCol, idCol, k, minSpanTokens, maxPostings,
+      maxIter, xxhash64(_))
+
+  private def spanDedupFixpointWith(df: DataFrame, textCol: String,
+                                    idCol: String, k: Int, minSpanTokens: Int,
+                                    maxPostings: Int, maxIter: Int,
+                                    tokenHash: Column => Column): (DataFrame, Int) = {
+    require(maxIter >= 1, s"maxIter must be >= 1 (got $maxIter)")
+    var cur = df
+    var curOwned = false // never release the caller's frame
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      val spans = sharedSpansWith(cur, textCol, idCol, k, minSpanTokens,
+        maxPostings, tokenHash).localCheckpoint(true)
+      if (spans.isEmpty) {
+        minietl.pipeline.RunCaches.releaseNow(spans)
+        converged = true
+      } else {
+        val next = excise(cur, spans, textCol, idCol).localCheckpoint(true)
+        minietl.pipeline.RunCaches.releaseNow(spans)
+        if (curOwned) minietl.pipeline.RunCaches.releaseNow(cur)
+        cur = next
+        curOwned = true
+        rounds += 1
+      }
+    }
+    (cur, rounds)
   }
 
   /** The shared CTE prefix replaying token hashes → per-position gram
@@ -311,7 +410,7 @@ object Winnow {
        |kept AS (SELECT tk.* FROM tk ANTI JOIN covered USING (id, pos)),
        |rebuilt AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS t2
        |            FROM kept GROUP BY id)
-       |SELECT d.id AS $idCol, coalesce(rebuilt.t2, '') AS text
+       |SELECT d.id AS $idCol, coalesce(rebuilt.t2, '') AS $textCol
        |FROM d LEFT JOIN rebuilt ON d.id = rebuilt.id
        |ORDER BY $idCol""".stripMargin
 

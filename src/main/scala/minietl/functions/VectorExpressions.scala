@@ -58,6 +58,13 @@ object VectorOps {
     * [j1, j2+w) and contains the ord's position), so equal selections are
     * always adjacent. Any null element → null result (malformed input,
     * callers hash non-null tokens).
+    *
+    * The packing `ord = gram * 2^21 + pos` budgets 2^21 gram positions per
+    * document; a longer document would silently overflow position bits into
+    * the gram hash and corrupt every downstream fingerprint (span dedup
+    * would then excise WRONG spans with no error), so the bound is enforced
+    * fail-fast here — callers must chunk over-long documents first
+    * ([[minietl.text.Chunking]]).
     */
   def winnowOrds(th: ArrayData, k: Int, w: Int): ArrayData = {
     val M = 2147483647L
@@ -67,6 +74,10 @@ object VectorOps {
     var c = 0
     while (c < n) { if (th.isNullAt(c)) return null; c += 1 }
     val ng = if (n >= k) n - k + 1 else 1
+    if (ng > Pos) throw new IllegalArgumentException(
+      s"winnowOrds: document has $ng k-grams, exceeding the 2^21 position " +
+        "packing budget; chunk documents over ~2M tokens before " +
+        "fingerprinting (minietl.text.Chunking)")
     val grams = new Array[Long](ng)
     if (n >= k) {
       var i = 0

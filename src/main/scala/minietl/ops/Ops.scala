@@ -495,6 +495,83 @@ object Ops {
     if (cumColumn.isDefined) out else out.drop(cum)
   }
 
+  /** [[tokenBudget]] for HOT STRATA — the tested form of the salted-shard
+    * recipe the plain operator's scaladoc prescribes. The plain operator's
+    * exact running total forces each stratum onto ONE task; when one
+    * stratum holds most of the corpus (a web-dump `source` column at 100 TB)
+    * that task sorts the whole stratum alone. Here each row is assigned a
+    * deterministic shard in [0, shards) by `shardKey` (any engine-stable
+    * hash of a unique row key — the caller picks the hash family so the
+    * portable twin can replay it), and the stratum budget splits into EXACT
+    * per-shard sub-budgets that SUM to the stratum budget:
+    * `budget/shards + 1` for the first `budget % shards` shards,
+    * `budget/shards` for the rest. The window partitions by
+    * (stratum, shard) — `shards`-way parallel per stratum.
+    *
+    * Guarantees, vs the plain operator's: kept tokens per stratum never
+    * exceed `budget` (each shard caps at its sub-budget; the sub-budgets
+    * sum to `budget`); the kept SET is deterministic given a deterministic
+    * `shardKey` and a per-shard total `order`; each shard under-fills by at
+    * most one document's tokens, so the stratum under-fills by at most
+    * `shards` boundary documents — the "exact-enough" the scaladoc recipe
+    * promised, now enforced by code rather than prose.
+    */
+  def tokenBudgetSalted(strataCol: String, tokenCol: String, budget: Long,
+                        order: Column, shardKey: Column, shards: Int,
+                        cumColumn: Option[String] = None): Op = df => {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    val shard = freshName(df, "_tb_shard")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col(shard)).orderBy(order)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = cumColumn.getOrElse(freshName(df, "_tb_cum"))
+    val shardBudget = lit(budget / shards) +
+      when(col(shard) < lit(budget % shards), lit(1L)).otherwise(lit(0L))
+    val out = df.withColumn(shard, pmod(shardKey, lit(shards.toLong)))
+      .withColumn(cum, sum(coalesce(col(tokenCol), lit(0L))).over(w))
+      .filter(col(cum) <= shardBudget)
+      .drop(shard)
+    if (cumColumn.isDefined) out else out.drop(cum)
+  }
+
+  /** [[topPSelect]] for HOT STRATA — same salted-shard construction as
+    * [[tokenBudgetSalted]]: rows shard deterministically by `shardKey`, and
+    * the SAME `pBasisPoints` nucleus rule applies per (stratum, shard)
+    * against the SHARD's total mass. With a hash-uniform shard key each
+    * shard's mass distribution is an unbiased sample of the stratum's, so
+    * the union of per-shard nuclei approximates the global nucleus with a
+    * boundary error of at most one document per shard — unlike
+    * [[tokenBudgetSalted]] this is an approximation by construction (the
+    * global nucleus needs the global running order), which is why the plain
+    * operator stays the default and this is the documented escape hatch for
+    * strata too hot to sort on one task.
+    */
+  def topPSelectSalted(strataCol: String, massCol: String, pBasisPoints: Int,
+                       order: Seq[Column], shardKey: Column, shards: Int,
+                       cumColumn: Option[String] = None): Op = df => {
+    require(pBasisPoints >= 0 && pBasisPoints <= 10000,
+      s"pBasisPoints must be in [0, 10000], got $pBasisPoints")
+    require(order.nonEmpty, "topPSelectSalted needs at least one order column")
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    val shard = freshName(df, "_tp_shard")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col(shard)).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col(shard))
+    val cum = cumColumn.getOrElse(freshName(df, "_tp_cum"))
+    val total = freshName(df, "_tp_total")
+    val m = coalesce(col(massCol).cast("long"), lit(0L))
+    val out = df.withColumn(shard, pmod(shardKey, lit(shards.toLong)))
+      .withColumn(cum, sum(m).over(w))
+      .withColumn(total, sum(m).over(wAll))
+      .filter((col(cum) - m).cast("decimal(20,0)") * lit(10000).cast("decimal(5,0)") <
+        lit(pBasisPoints).cast("decimal(5,0)") * col(total).cast("decimal(20,0)"))
+      .drop(total).drop(shard)
+    if (cumColumn.isDefined) out else out.drop(cum)
+  }
+
   /** Deterministic pre-training shuffle key: md5 of (seed, key). Sorting by
     * it is a uniform pseudo-random permutation of the corpus that any
     * engine reproduces bit-for-bit from the same seed. Use it as the ORDER

@@ -995,6 +995,59 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
       .exists(_.contains("must be >= 'k'")))
     assert(Config.validate(cfg(
       "  - {type: span_dedup, text: text, key: doc_id}")) === Nil)
+    // single-key overrides are validated against the OTHER key's stage
+    // default (k=128/bands=32 for minhash, k=4/min_span_tokens=8 for spans)
+    assert(Config.validate(cfg(
+      "  - {type: minhash_dedup, text: text, key: doc_id, bands: 24}"))
+      .exists(_.contains("must divide")))
+    assert(Config.validate(cfg(
+      "  - {type: minhash_dedup, text: text, key: doc_id, k: 96}")) === Nil)
+    assert(Config.validate(cfg(
+      "  - {type: span_dedup, text: text, key: doc_id, k: 16}"))
+      .exists(_.contains("must be >= 'k'")))
+    assert(Config.validate(cfg(
+      "  - {type: span_dedup, text: text, key: doc_id, min_span_tokens: 2}"))
+      .exists(_.contains("must be >= 'k'")))
+  }
+
+  test("span_dedup fixpoint knob excises cascading splices from YAML") {
+    val in = s"${tmp()}/fx_in"
+    val out = s"${tmp()}/fx_out"
+    // doc2 carries the junction doc1 only exposes AFTER its span to doc0 is
+    // excised (k=4, min_span_tokens=8): single pass misses it, fixpoint
+    // excises it in round 2
+    val s = (1 to 8).map("s" + _).mkString(" ")
+    val p = (1 to 4).map("p" + _).mkString(" ")
+    val q = (1 to 4).map("q" + _).mkString(" ")
+    Writers.csv(Seq(
+      (0L, s), (1L, s"$p $s $q"), (2L, s"x1 $p $q x2"))
+      .toDF("doc_id", "text"), in)
+    Config.load(
+      s"""name: fx
+         |source: {type: csv, filepath: $in}
+         |transformers:
+         |  - type: cast
+         |    columns: {doc_id: int64}
+         |  - type: span_dedup
+         |    text: text
+         |    key: doc_id
+         |    fixpoint: true
+         |sink: {type: parquet, filepath: $out}
+         |""".stripMargin).run(spark)
+    val back = Readers.parquet(spark, out).orderBy("doc_id")
+      .select("text").as[String].collect().toSeq
+    assert(back === Seq(s, s"$p $q", "x1 x2"))
+    // max_iter validates as a numeric bound
+    def cfg(stage: String) = Config.parse(
+      s"""name: x
+         |source: {type: parquet, filepath: /tmp/x}
+         |transformers:
+         |$stage
+         |sink: {type: parquet, filepath: /tmp/y}
+         |""".stripMargin)
+    assert(Config.validate(cfg(
+      "  - {type: span_dedup, text: text, key: doc_id, fixpoint: true, max_iter: 0}"))
+      .nonEmpty)
   }
 
   test("winsorize stage clips from YAML and validates its bounds") {

@@ -134,6 +134,66 @@ class SpanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** Iterated single-pass reference: re-run [[refDedup]] on the rewritten
+    * corpus (re-tokenized the way the engine re-tokenizes its rebuilt
+    * texts) until a round changes nothing. Returns the fixpoint texts and
+    * the number of CHANGING rounds — the observable
+    * [[Winnow.spanDedupFixpointWithStats]] must match.
+    */
+  private def refDedupFixpoint(corpus: Vector[Vector[String]],
+                               minSpan: Int): (Vector[String], Int) = {
+    var cur = corpus
+    var rounds = 0
+    while (rounds < 100) {
+      val next = refDedup(cur, minSpan)
+      if (next == cur.map(_.mkString(" "))) return (next, rounds)
+      cur = next.map(_.split(" ", -1).toVector)
+      rounds += 1
+    }
+    sys.error("reference fixpoint did not converge")
+  }
+
+  test("cascading splice: single pass provably misses it, fixpoint excises it") {
+    // doc1 carries span S copied from doc0 with flanks p1 p2 / q1 q2 q3;
+    // doc2 contains the JUNCTION p1 p2 q1 q2 q3 — a 5-token run that exists
+    // in doc1 only AFTER S is excised (round 1 creates a new cross-doc
+    // adjacency, the construction Lee et al.'s single pass also misses)
+    val corpus = Vector(
+      Vector("s1", "s2", "s3", "s4", "s5"),
+      Vector("p1", "p2", "s1", "s2", "s3", "s4", "s5", "q1", "q2", "q3"),
+      Vector("x1", "p1", "p2", "q1", "q2", "q3", "x2"))
+    val onePass = Winnow.spanDedup(toDf(corpus), "text", "doc_id",
+        k = K, minSpanTokens = MinSpan)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    // single pass: doc1 loses S, but doc2's copy of the junction survives
+    assert(onePass(1) === "p1 p2 q1 q2 q3")
+    assert(onePass(2) === corpus(2).mkString(" "), "single pass must miss the cascade")
+    val (fixed, rounds) = Winnow.spanDedupFixpointWithStats(
+      toDf(corpus), "text", "doc_id", k = K, minSpanTokens = MinSpan)
+    val got = fixed.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(0) === corpus(0).mkString(" "))
+    assert(got(1) === "p1 p2 q1 q2 q3")
+    assert(got(2) === "x1 x2", "fixpoint must excise the junction copy")
+    assert(rounds === 2)
+    val (want, refRounds) = refDedupFixpoint(corpus, MinSpan)
+    assert(got === corpus.indices.map(i => i -> want(i)).toMap)
+    assert(refRounds === 2)
+  }
+
+  test("fixpoint matches the iterated reference on random corpora (rounds too)") {
+    forAll(corpusGen, 6) { (corpus, seed) =>
+      val (fixed, rounds) = Winnow.spanDedupFixpointWithStats(
+        toDf(corpus), "text", "doc_id", k = K, minSpanTokens = MinSpan)
+      val got = fixed.select("doc_id", "text")
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      val (want, refRounds) = refDedupFixpoint(corpus, MinSpan)
+      corpus.indices.foreach { i =>
+        assert(got(i) === want(i), s"seed $seed doc $i")
+      }
+      assert(rounds === refRounds, s"seed $seed")
+    }
+  }
+
   test("spanDedup rebuilds every doc to the reference kept-token sequence; min id untouched") {
     forAll(corpusGen, 8) { (corpus, seed) =>
       val got = Winnow.spanDedup(toDf(corpus), "text", "doc_id",

@@ -212,6 +212,55 @@ class WinnowSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1) === "")
   }
 
+  test("spanDedup: null ids pass through unchanged; non-null docs still dedup") {
+    val span = (0 until 12).map("n" + _).mkString(" ")
+    val df = Seq((Some(0), s"lead $span"), (Some(1), s"$span trail"),
+      (None, s"$span trail"), (None, "another null id doc"))
+      .toDF("doc_id", "text")
+    val out = Winnow.spanDedup(df, "text", "doc_id", k = 4, minSpanTokens = 8)
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getString(1)))
+    // a null id can never appear in a span (id_a < id_b is never true under
+    // null), so identity is the only correct rewrite — even for a null-id
+    // doc whose text duplicates a real doc's span; and two null-id docs must
+    // NOT be merged into one rebuilt token stream
+    assert(out.filter(_._1.isEmpty).map(_._2).toSet ===
+      Set(s"$span trail", "another null id doc"))
+    assert(out.find(_._1.contains(1)).get._2 === "trail")
+    assert(out.find(_._1.contains(0)).get._2 === s"lead $span")
+  }
+
+  test("spanDedup: duplicate ids fail fast instead of interleaving token streams") {
+    val df = Seq((7, "aa bb cc dd ee ff gg hh"), (7, "zz yy xx ww vv uu tt ss"),
+      (1, "unrelated words entirely here")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Winnow.spanDedup(df, "text", "doc_id").collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
+    assert(chain.contains("duplicate id"), chain.take(500))
+  }
+
+  test("fingerprints fail fast past the 2^21-gram position-packing budget") {
+    // n tokens with k=4 -> n-3 grams; one past 2^21 must raise rather than
+    // silently overflow position bits into the gram hash (corrupt
+    // fingerprints would excise WRONG spans downstream with no error)
+    val n = 2097152 + 4
+    val df = Seq((0, ("a " * n).trim)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Winnow.fingerprints(df, "text", "doc_id", k = 4, w = 8).count()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
+    assert(chain.contains("packing budget"), chain.take(500))
+    // exactly at the budget still works (positions 0 .. 2^21-1 all fit);
+    // all-equal grams make every window select its leftmost position, so
+    // the fingerprint count is exactly ng - w + 1
+    val ok = Seq((0, ("a " * (n - 1)).trim)).toDF("doc_id", "text")
+    assert(Winnow.fingerprints(ok, "text", "doc_id", k = 4, w = 8).count() ===
+      (2097152L - 8 + 1))
+  }
+
   test("overlap drops boilerplate fingerprints past the posting cap") {
     val k = 2; val w = 2
     val boiler = "same same same same"

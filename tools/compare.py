@@ -10,19 +10,35 @@ exactly (diagnosed in VERDICT r4 "What's wrong" #1-3):
   * the DuckDB oracle is materialized via ``.df()`` — every DECIMAL becomes
     float64, HUGEINT becomes float64/object.
 
-Rows are sorted in pandas over all columns (sorted by name), then every cell
-is canonicalized to a string WITH NO ROUNDING — ``Decimal('8784.30')`` and
-``8784.3`` deliberately do NOT match, exactly like the driver's hash. A query
-is green here iff it is green in CORRECTNESS_r{N}.json.
+FULL mode (default): rows are sorted in pandas over all columns (sorted by
+name), then every cell is canonicalized to a string WITH NO ROUNDING —
+``Decimal('8784.30')`` and ``8784.3`` deliberately do NOT match, exactly
+like the driver's hash. A query is green here iff it is green in
+CORRECTNESS_r{N}.json.
 
-Usage: python3 tools/compare.py <sfDir> <outDir> [only,names]
+FAST mode (``--fast``): the full mode's per-cell python canonicalization +
+multi-column object sort cost ~3 h at sf0.1 (11.6M-row tfidf/bm25 frames).
+Fast mode covers EVERY row and EVERY column but vectorizes: each column is
+canonicalized with pandas column ops (same equivalences the driver's
+compare exhibits on green queries — midnight timestamps render as dates,
+integer widths collapse, float NULL and NaN both render NaN), rows are
+joined into one string Series, and the two sides compare as an
+ORDER-INDEPENDENT MULTISET DIGEST (count + sum + xor of per-row hashes) —
+no sort. Any fast-mode mismatch is automatically RE-CHECKED in full mode,
+so a reported FAIL always carries the driver-exact diagnosis and the only
+divergence risk is a fast-PASS/full-FAIL (see ``--crosscheck``, which runs
+both modes and compares verdicts).
+
+Usage: python3 tools/compare.py <sfDir> <outDir> [only,names] [--fast] [--crosscheck]
 """
 import datetime
 import json
 import math
 import sys
+import time
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -68,15 +84,93 @@ def canon_frame(df):
     return cols, [tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
 
 
-def main(sf_dir, out_dir, only=None):
+# ------------------------------------------------------------- fast mode
+
+def fast_canon_col(s):
+    """Vectorized canonical string Series for one column, matching the
+    equivalences full mode exhibits on green queries:
+      * datetime64: midnight -> date iso (the DATE-vs-midnight collapse),
+        else full iso; NaT -> <NULL>
+      * float: pandas astype(str) is shortest-repr; NaN stays 'nan' on BOTH
+        sides (full mode renders float NULLs as NaN too — both read paths
+        deliver them as NaN)
+      * int/bool: width-insensitive decimal string
+      * object (str / date / Decimal / None): per-cell cell() — unavoidable,
+        but object columns are strings/dates, far cheaper than sorting
+    """
+    if pd.api.types.is_datetime64_any_dtype(s):
+        s = pd.Series(s.values).dt.tz_localize(None) if getattr(s.dtype, "tz", None) else s
+        iso = s.dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        date = s.dt.strftime("%Y-%m-%d")
+        out = date.where(s == s.dt.normalize(), iso)
+        return out.fillna("<NULL>").astype(str)
+    if pd.api.types.is_float_dtype(s):
+        return pd.Series(s.astype(float).values.astype(str), index=s.index)
+    if pd.api.types.is_bool_dtype(s) or pd.api.types.is_integer_dtype(s):
+        if s.isna().any():
+            return s.map(cell)
+        return s.astype(str)
+    return s.map(cell)
+
+
+def fast_digest(df):
+    """(columns, row_count, multiset digest) without sorting: canonical
+    per-column strings -> one joined string per row -> uint64 row hashes ->
+    (count, sum mod 2^64, xor). Order-independent, every row and column
+    contributes."""
+    df = df.rename(columns={c: c.lower() for c in df.columns})
+    cols = sorted(df.columns)
+    n = len(df)
+    if n == 0 or not cols:
+        return cols, n, (n, 0, 0)
+    canon = [fast_canon_col(df[c]).reset_index(drop=True) for c in cols]
+    joined = canon[0]
+    if len(canon) > 1:
+        joined = joined.str.cat(canon[1:], sep="\x1f")
+    h = pd.util.hash_pandas_object(joined, index=False).values
+    return cols, n, (n, int(np.sum(h, dtype=np.uint64)), int(np.bitwise_xor.reduce(h)))
+
+
+def compare_one(name, spark_df, oracle_df, fast):
+    """None if PASS, else failure message. Fast mode falls back to the full
+    driver-exact compare on ANY mismatch, so FAIL diagnoses (and verdicts on
+    the FAIL side) are always full-mode."""
+    if fast:
+        try:
+            s_cols, s_n, s_dig = fast_digest(spark_df)
+            o_cols, o_n, o_dig = fast_digest(oracle_df)
+            if s_cols == o_cols and s_n == o_n and s_dig == o_dig:
+                return None
+        except Exception:
+            pass  # odd shapes (arrays in object cells, ...) -> full mode
+        return compare_one(name, spark_df, oracle_df, fast=False)
+    try:
+        s_cols, s_rows = canon_frame(spark_df)
+        o_cols, o_rows = canon_frame(oracle_df)
+    except Exception as e:
+        return f"CANON ERROR (driver would err too): {type(e).__name__}: {e}"
+    if s_cols != o_cols:
+        return f"COLS spark={s_cols} oracle={o_cols}"
+    if len(s_rows) != len(o_rows):
+        return f"ROWS spark={len(s_rows)} oracle={len(o_rows)}"
+    mism = [(i, x, y) for i, (x, y) in enumerate(zip(s_rows, o_rows)) if x != y]
+    if mism:
+        i, x, y = mism[0]
+        return (f"VALUES {len(mism)}/{len(s_rows)} differ; first @{i}:\n"
+                f"  spark : {x}\n  oracle: {y}")
+    return None
+
+
+def main(sf_dir, out_dir, only=None, fast=False, crosscheck=False):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    ok, bad = [], []
+    ok, bad, disagree = [], [], []
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             spark_df = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
@@ -87,33 +181,36 @@ def main(sf_dir, out_dir, only=None):
         except Exception as e:
             bad.append((name, f"ORACLE ERROR: {e}"))
             continue
-        try:
-            s_cols, s_rows = canon_frame(spark_df)
-            o_cols, o_rows = canon_frame(oracle_df)
-        except Exception as e:
-            bad.append((name, f"CANON ERROR (driver would err too): {type(e).__name__}: {e}"))
-            continue
-        if s_cols != o_cols:
-            bad.append((name, f"COLS spark={s_cols} oracle={o_cols}"))
-            continue
-        if len(s_rows) != len(o_rows):
-            bad.append((name, f"ROWS spark={len(s_rows)} oracle={len(o_rows)}"))
-            continue
-        mism = [(i, x, y) for i, (x, y) in enumerate(zip(s_rows, o_rows)) if x != y]
-        if mism:
-            i, x, y = mism[0]
-            bad.append((name, f"VALUES {len(mism)}/{len(s_rows)} differ; first @{i}:\n"
-                              f"  spark : {x}\n  oracle: {y}"))
+        if crosscheck:
+            f_msg = compare_one(name, spark_df, oracle_df, fast=True)
+            g_msg = compare_one(name, spark_df, oracle_df, fast=False)
+            if (f_msg is None) != (g_msg is None):
+                disagree.append((name, f"fast={'PASS' if f_msg is None else 'FAIL'} "
+                                       f"full={'PASS' if g_msg is None else 'FAIL'}"))
+            msg = g_msg  # full mode is the verdict of record
         else:
+            msg = compare_one(name, spark_df, oracle_df, fast=fast)
+        took = time.time() - t0
+        if msg is None:
             ok.append(name)
-    for n in ok:
-        print(f"PASS {n}")
+            print(f"PASS {name} ({took:.1f}s)", flush=True)
+        else:
+            bad.append((name, msg))
+            print(f"FAIL {name}: {msg}", flush=True)
     for n, msg in bad:
         print(f"FAIL {n}: {msg}")
+    if crosscheck:
+        for n, msg in disagree:
+            print(f"DISAGREE {n}: {msg}")
+        print(f"crosscheck: {len(disagree)} fast/full verdict disagreements")
     print(f"\n{len(ok)}/{len(ok) + len(bad)} queries match")
-    return 1 if bad else 0
+    return 1 if bad or disagree else 0
 
 
 if __name__ == "__main__":
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
-    sys.exit(main(sys.argv[1], sys.argv[2], only))
+    argv = [a for a in sys.argv[1:]]
+    fast = "--fast" in argv
+    crosscheck = "--crosscheck" in argv
+    argv = [a for a in argv if not a.startswith("--")]
+    only = set(argv[2].split(",")) if len(argv) > 2 else None
+    sys.exit(main(argv[0], argv[1], only, fast, crosscheck))

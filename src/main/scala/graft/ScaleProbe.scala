@@ -448,6 +448,89 @@ object ScaleProbe {
           timeAb(s"src_partitioned_$bcast")(variantB())
         }
         edges.unpersist()
+      case "winnow" =>
+        // Stretch (r11 Next #8): winnow overlap join and spanDedup at a
+        // scale dir with FORCED text materialization (a content checksum —
+        // count() provably elides spanDedup's rebuilt-text join) and a
+        // configurable window w. w=4 doubles fingerprint density vs the
+        // battery's w=8 (expected selected fraction 2/(w+1)), stressing the
+        // posting-cap census and the overlap join's shuffle the way the
+        // 16-bit-band probe stressed LSH.
+        val dir = args(1)
+        val w = args.lift(2).map(_.toInt).getOrElse(8)
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        def t2(tag: String)(body: => Long): Unit = (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val out = body
+          println(f"[winnow] $tag dir=$dir w=$w run$i out=$out " +
+            f"time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+          spark.catalog.clearCache()
+        }
+        t2(s"overlap_pairs") {
+          minietl.dedup.Winnow.overlapPairs(docs, "text", "doc_id",
+            k = 4, w = w, minShared = 2).count()
+        }
+        t2(s"span_dedup_forced") {
+          minietl.dedup.Winnow.spanDedup(docs, "text", "doc_id",
+              k = 4, minSpanTokens = 8)
+            .agg(expr("bit_xor(xxhash64(doc_id, text))")).head()
+          docs.count()
+        }
+      case "pipeline" =>
+        // Composed-pipeline probe (VERDICT r11 Next #6/#7): drive the
+        // committed examples/training_data_pipeline.yaml END TO END at a
+        // scale dir through the Config path. The stages are individually
+        // probed; this measures their COMPOSITION — cache-pin hygiene,
+        // stage interaction, total/peak shuffle — which no per-operator
+        // probe covers. ${CORPUS_DIR}/${OUT_DIR} are substituted the same
+        // way the env would be; benchmark.parquet (the decontamination
+        // input) is synthesized as 200 corpus texts.
+        val dir = args(1)
+        val work = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$work/corpus"))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$work/corpus/documents.parquet"),
+          java.nio.file.Paths.get(s"$dir/documents.parquet"))
+        spark.read.parquet(s"$dir/documents.parquet")
+          .where(pmod(col("doc_id"), lit(4099)) === 0).limit(200).select("text")
+          .write.mode("overwrite").parquet(s"$work/corpus/benchmark.parquet")
+        val yaml = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("examples/training_data_pipeline.yaml")),
+            java.nio.charset.StandardCharsets.UTF_8)
+          .replace("${CORPUS_DIR}", s"$work/corpus")
+          .replace("${OUT_DIR}", s"$work/out")
+        object metrics extends org.apache.spark.scheduler.SparkListener {
+          @volatile var write = 0L
+          @volatile var read = 0L
+          @volatile var peakStageWrite = 0L
+          @volatile var spill = 0L
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = sc.stageInfo.taskMetrics
+            if (m != null) {
+              write += m.shuffleWriteMetrics.bytesWritten
+              read += m.shuffleReadMetrics.remoteBytesRead +
+                m.shuffleReadMetrics.localBytesRead
+              peakStageWrite = math.max(peakStageWrite,
+                m.shuffleWriteMetrics.bytesWritten)
+              spill += m.diskBytesSpilled
+            }
+          }
+        }
+        spark.sparkContext.addSparkListener(metrics)
+        val tp0 = System.nanoTime()
+        val stats = minietl.config.Config.load(yaml).run(spark)
+        val wall = (System.nanoTime() - tp0) / 1e9
+        Thread.sleep(2000) // let stage-completed events drain
+        val pins = spark.sparkContext.getPersistentRDDs.size
+        val outRows = spark.read.parquet(s"$work/out/cleaned").count()
+        println(f"[pipeline] dir=$dir wall=$wall%.1fs stats_rows=${stats.rows} " +
+          f"out_rows=$outRows shuffle_write_mb=${metrics.write / 1048576} " +
+          f"shuffle_read_mb=${metrics.read / 1048576} " +
+          f"peak_stage_shuffle_write_mb=${metrics.peakStageWrite / 1048576} " +
+          f"spill_mb=${metrics.spill / 1048576} cache_pins_after_run=$pins")
       case "hotstratum" =>
         // Hot-stratum probe (VERDICT r11 Next #2): >=90% of rows land in ONE
         // stratum, so the plain tokenBudget/topPSelect running-mass window

@@ -254,7 +254,8 @@ object Config {
       case "temperature_sample" =>
         numeric("target_fraction", 0.0, 1.0) ++
           numeric("alpha", Double.MinPositiveValue, 1.0)
-      case "token_budget" => numeric("budget", 0.0, Double.MaxValue)
+      case "token_budget" =>
+        numeric("budget", 0.0, Double.MaxValue) ++ numeric("shards", 1.0, 65536.0)
       case "gopher_filter" =>
         numeric("min_words", 0.0, Double.MaxValue) ++
           numeric("max_words", 0.0, Double.MaxValue)
@@ -262,7 +263,8 @@ object Config {
       case "feature_hash" => numeric("dim", 1.0, 1048576.0)
       case "sigma_outlier_filter" => numeric("k", 1.0, 9.0)
       case "mad_outlier_filter" => numeric("k", 1.0, 9.0)
-      case "top_p_select" => numeric("p_basis_points", 0.0, 10000.0)
+      case "top_p_select" =>
+        numeric("p_basis_points", 0.0, 10000.0) ++ numeric("shards", 1.0, 65536.0)
       case "winsorize" => numeric("lo", 0.0, 1.0) ++ numeric("hi", 0.0, 1.0)
       case "contamination_filter" =>
         numeric("max_permille", 0.0, 1000.0) ++ numeric("n", 2.0, 20.0)
@@ -527,10 +529,25 @@ object Config {
           str(t.options, "target_fraction").toDouble,
           t.options.get("alpha").map(_.toString.toDouble).getOrElse(0.5))
       case "token_budget" =>
-        Ops.tokenBudget(str(t.options, "strata"), str(t.options, "tokens"),
-          str(t.options, "budget").toDouble.toLong,
-          Ops.shuffleKey(str(t.options, "key"),
-            t.options.get("seed").map(_.toString).getOrElse("0")))
+        // shards > 1 switches to the salted-shard path for hot strata:
+        // exact per-shard sub-budgets summing to the stratum budget,
+        // shards-way parallel per stratum (never overshoots the budget)
+        val key = str(t.options, "key")
+        val seed = t.options.get("seed").map(_.toString).getOrElse("0")
+        val tbShards = t.options.get("shards").map(_.toString.toDouble.toInt).getOrElse(1)
+        if (tbShards > 1)
+          Ops.tokenBudgetSalted(str(t.options, "strata"), str(t.options, "tokens"),
+            str(t.options, "budget").toDouble.toLong,
+            Ops.shuffleKey(key, seed),
+            minietl.functions.PortableHash.md5Hash60(
+              org.apache.spark.sql.functions.concat(
+                org.apache.spark.sql.functions.lit(s"$seed-shard#"),
+                org.apache.spark.sql.functions.col(key).cast("string"))),
+            tbShards)
+        else
+          Ops.tokenBudget(str(t.options, "strata"), str(t.options, "tokens"),
+            str(t.options, "budget").toDouble.toLong,
+            Ops.shuffleKey(key, seed))
       case "paragraph_dedup" =>
         df => minietl.text.ParagraphDedup.dedupParagraphs(
           df, str(t.options, "text"), str(t.options, "key"),
@@ -597,11 +614,23 @@ object Config {
           .where(!org.apache.spark.sql.functions.col("is_outlier"))
           .drop("group_n", "median_x2_cents", "mad_x4_cents", "is_outlier")
       case "top_p_select" =>
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, concat, lit}
         val mass = str(t.options, "mass")
-        Ops.topPSelect(str(t.options, "strata"), mass,
-          str(t.options, "p_basis_points").toDouble.toInt,
-          Seq(col(mass).desc, col(str(t.options, "tie_break")).asc))
+        val tie = str(t.options, "tie_break")
+        val tpShards = t.options.get("shards").map(_.toString.toDouble.toInt).getOrElse(1)
+        // shards > 1: per-(stratum, shard) nucleus — the documented
+        // approximation for strata too hot to sort on one task
+        if (tpShards > 1)
+          Ops.topPSelectSalted(str(t.options, "strata"), mass,
+            str(t.options, "p_basis_points").toDouble.toInt,
+            Seq(col(mass).desc, col(tie).asc),
+            minietl.functions.PortableHash.md5Hash60(
+              concat(lit("tp-shard#"), col(tie).cast("string"))),
+            tpShards)
+        else
+          Ops.topPSelect(str(t.options, "strata"), mass,
+            str(t.options, "p_basis_points").toDouble.toInt,
+            Seq(col(mass).desc, col(tie).asc))
       case "winsorize" =>
         Ops.winsorize(strSeq(t.options("group_by")), str(t.options, "value"),
           t.options.get("lo").map(_.toString.toDouble).getOrElse(0.01),

@@ -436,8 +436,10 @@ object Ops {
     * Scale shape: ONE shuffle on the stratum key; each stratum's rows sort
     * on a single task (inherent to an exact running total). Right-sized
     * when strata are domains/sources with bounded per-stratum volume; for
-    * a handful of giant strata, split the budget across shards first
-    * (`budget/k` over a salted stratum) — exact-enough and parallel.
+    * a handful of giant strata use [[tokenBudgetSalted]] — measured on a
+    * 20M-row corpus with 90% in one stratum: 65-68 s plain (the hot
+    * stratum sorts on one task) vs 9-14 s salted at 32 shards, identical
+    * budget guarantee (PLANS.md round-12 hot-stratum probe).
     */
   def tokenBudget(strataCol: String, tokenCol: String, budget: Long,
                   order: Column, cumColumn: Option[String] = None): Op = df => {
@@ -470,8 +472,10 @@ object Ops {
     *
     * Scale shape: ONE shuffle on the stratum key; both windows (running
     * and total) share that partitioning. Like [[tokenBudget]], each
-    * stratum's exact running sum sorts on a single task — split giant
-    * strata with a salted sub-budget when that bites.
+    * stratum's exact running sum sorts on a single task — use
+    * [[topPSelectSalted]] for giant strata (measured 27-30 s plain vs
+    * 5-6 s at 32 shards on a 90%-hot 20M-row corpus, +0.06% boundary
+    * rows; PLANS.md round-12 hot-stratum probe).
     */
   def topPSelect(strataCol: String, massCol: String, pBasisPoints: Int,
                  order: Seq[Column], cumColumn: Option[String] = None): Op = df => {

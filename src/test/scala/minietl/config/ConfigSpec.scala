@@ -1112,6 +1112,57 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(errs.exists(_.contains("out of [0.0, 10000.0]")))
   }
 
+  test("token_budget and top_p_select shards knob engages the salted path") {
+    val in = s"${tmp()}/sh_in"
+    val out = s"${tmp()}/sh_out"
+    // one hot stratum of 40 docs, 10 tokens each; budget 100 over 4 shards
+    // -> per-shard budget exactly 25 (2 docs of 10 fit; the 3rd would hit
+    // 30 > 25), so kept tokens <= 100 with ~2 docs kept per shard
+    Writers.csv((1L to 40L).map(i => (i, "hot", 10L)).toDF("doc_id", "grp", "n_tokens"), in)
+    Config.load(
+      s"""name: sh
+         |source: {type: csv, filepath: $in}
+         |transformers:
+         |  - type: cast
+         |    columns: {doc_id: int64, n_tokens: int64}
+         |  - type: token_budget
+         |    strata: grp
+         |    tokens: n_tokens
+         |    budget: 100
+         |    key: doc_id
+         |    shards: 4
+         |sink: {type: parquet, filepath: $out}
+         |""".stripMargin).run(spark)
+    val keptTokens = Readers.parquet(spark, out)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).as[Long].head()
+    assert(keptTokens <= 100L && keptTokens >= 60L,
+      s"salted budget must never overshoot and roughly fill: $keptTokens")
+
+    val outP = s"${tmp()}/shp_out"
+    Config.load(
+      s"""name: shp
+         |source: {type: csv, filepath: $in}
+         |transformers:
+         |  - type: cast
+         |    columns: {doc_id: int64, n_tokens: int64}
+         |  - {type: top_p_select, strata: grp, mass: n_tokens,
+         |     p_basis_points: 5000, tie_break: doc_id, shards: 4}
+         |sink: {type: parquet, filepath: $outP}
+         |""".stripMargin).run(spark)
+    // uniform mass: each shard keeps the smallest prefix crossing half its
+    // own mass, so the union holds 50%..(50% + one doc per shard) of rows
+    val keptRows = Readers.parquet(spark, outP).count()
+    assert(keptRows >= 20L && keptRows <= 24L, s"per-shard nucleus size: $keptRows")
+
+    assert(Config.validate(Config.parse(
+      s"""name: x
+         |source: {type: parquet, filepath: /tmp/x}
+         |transformers:
+         |  - {type: token_budget, strata: g, tokens: t, budget: 10, key: k, shards: 0}
+         |sink: {type: parquet, filepath: /tmp/y}
+         |""".stripMargin)).nonEmpty)
+  }
+
   test("missing required keys in new stage types are validation errors") {
     val c = Config.parse(
       """name: x

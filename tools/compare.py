@@ -29,11 +29,20 @@ so a reported FAIL always carries the driver-exact diagnosis and the only
 divergence risk is a fast-PASS/full-FAIL (see ``--crosscheck``, which runs
 both modes and compares verdicts).
 
-Usage: python3 tools/compare.py <sfDir> <outDir> [only,names] [--fast] [--crosscheck]
+PARALLEL (``--jobs N``): queries are independent (own parquet read, own
+oracle SQL), so the sweep wall clock is dominated by the one or two giant
+DuckDB replays (the ingest-loop oracles) running SERIALLY with everything
+queued behind them. --jobs runs N worker processes, each with its own
+DuckDB connection (threads capped to cores/N so workers don't
+oversubscribe); verdict semantics are untouched.
+
+Usage: python3 tools/compare.py <sfDir> <outDir> [only,names] [--fast] [--crosscheck] [--jobs N]
 """
 import datetime
 import json
 import math
+import multiprocessing
+import os
 import sys
 import time
 
@@ -161,42 +170,70 @@ def compare_one(name, spark_df, oracle_df, fast):
     return None
 
 
-def main(sf_dir, out_dir, only=None, fast=False, crosscheck=False):
+_W = {}  # per-worker state (connection, dirs, mode)
+
+
+def _init_worker(sf_dir, out_dir, fast, crosscheck, jobs):
     con = duckdb.connect()
+    threads = max(1, (os.cpu_count() or 8) // max(1, jobs))
+    con.sql(f"SET threads TO {threads}")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    _W.update(con=con, out_dir=out_dir, fast=fast, crosscheck=crosscheck)
+
+
+def _run_one(item):
+    """(name, sql) -> (name, msg_or_None, disagree_msg_or_None, seconds)."""
+    name, sql = item
+    t0 = time.time()
+    try:
+        spark_df = pd.read_parquet(f"{_W['out_dir']}/{name}")
+    except Exception as e:
+        return name, f"SPARK READ ERROR: {e}", None, time.time() - t0
+    try:
+        oracle_df = _W["con"].sql(sql).df()
+    except Exception as e:
+        return name, f"ORACLE ERROR: {e}", None, time.time() - t0
+    disagree = None
+    if _W["crosscheck"]:
+        f_msg = compare_one(name, spark_df, oracle_df, fast=True)
+        g_msg = compare_one(name, spark_df, oracle_df, fast=False)
+        if (f_msg is None) != (g_msg is None):
+            disagree = (f"fast={'PASS' if f_msg is None else 'FAIL'} "
+                        f"full={'PASS' if g_msg is None else 'FAIL'}")
+        msg = g_msg  # full mode is the verdict of record
+    else:
+        msg = compare_one(name, spark_df, oracle_df, fast=_W["fast"])
+    return name, msg, disagree, time.time() - t0
+
+
+def main(sf_dir, out_dir, only=None, fast=False, crosscheck=False, jobs=1):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    items = [(n, s) for n, s in sorted(oracles.items())
+             if not only or n in only]
     ok, bad, disagree = [], [], []
-    for name, sql in sorted(oracles.items()):
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            spark_df = pd.read_parquet(f"{out_dir}/{name}")
-        except Exception as e:
-            bad.append((name, f"SPARK READ ERROR: {e}"))
-            continue
-        try:
-            oracle_df = con.sql(sql).df()
-        except Exception as e:
-            bad.append((name, f"ORACLE ERROR: {e}"))
-            continue
-        if crosscheck:
-            f_msg = compare_one(name, spark_df, oracle_df, fast=True)
-            g_msg = compare_one(name, spark_df, oracle_df, fast=False)
-            if (f_msg is None) != (g_msg is None):
-                disagree.append((name, f"fast={'PASS' if f_msg is None else 'FAIL'} "
-                                       f"full={'PASS' if g_msg is None else 'FAIL'}"))
-            msg = g_msg  # full mode is the verdict of record
-        else:
-            msg = compare_one(name, spark_df, oracle_df, fast=fast)
-        took = time.time() - t0
+
+    def handle(result):
+        name, msg, dis, took = result
         if msg is None:
             ok.append(name)
             print(f"PASS {name} ({took:.1f}s)", flush=True)
         else:
             bad.append((name, msg))
             print(f"FAIL {name}: {msg}", flush=True)
+        if dis:
+            disagree.append((name, dis))
+
+    if jobs <= 1:
+        _init_worker(sf_dir, out_dir, fast, crosscheck, 1)
+        for it in items:
+            handle(_run_one(it))
+    else:
+        with multiprocessing.Pool(
+                jobs, initializer=_init_worker,
+                initargs=(sf_dir, out_dir, fast, crosscheck, jobs)) as pool:
+            for result in pool.imap_unordered(_run_one, items):
+                handle(result)
     for n, msg in bad:
         print(f"FAIL {n}: {msg}")
     if crosscheck:
@@ -211,6 +248,11 @@ if __name__ == "__main__":
     argv = [a for a in sys.argv[1:]]
     fast = "--fast" in argv
     crosscheck = "--crosscheck" in argv
-    argv = [a for a in argv if not a.startswith("--")]
+    jobs = 1
+    for a in argv:
+        if a.startswith("--jobs"):
+            jobs = int(a.split("=", 1)[1]) if "=" in a \
+                else int(argv[argv.index(a) + 1])
+    argv = [a for a in argv if not a.startswith("--") and not a.isdigit()]
     only = set(argv[2].split(",")) if len(argv) > 2 else None
-    sys.exit(main(argv[0], argv[1], only, fast, crosscheck))
+    sys.exit(main(argv[0], argv[1], only, fast, crosscheck, jobs))

@@ -448,6 +448,31 @@ object ScaleProbe {
           timeAb(s"src_partitioned_$bcast")(variantB())
         }
         edges.unpersist()
+      case "force_time" =>
+        // checksum-forced per-query timing (Bench's policy, ad hoc): the
+        // full output is materialized via bit_xor(xxhash64(cols)) so
+        // count()-pruned select lists are actually computed
+        val (dir, names) = (args(1), args(2).split(","))
+        def force(df: org.apache.spark.sql.DataFrame): Unit = {
+          val renamed = df.toDF(df.columns.indices.map("c" + _): _*)
+          renamed.select(xxhash64(renamed.columns.map(col).toIndexedSeq: _*).as("__h"))
+            .agg(expr("bit_xor(__h)")).collect()
+          ()
+        }
+        names.foreach { q =>
+          try force(SparkEntry.queries(q)(spark, "/root/testdata/sf0.01"))
+          catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+        }
+        names.foreach { q =>
+          (1 to 2).foreach { i =>
+            val t0 = System.nanoTime()
+            force(SparkEntry.queries(q)(spark, dir))
+            println(f"[force] $q dir=$dir run$i " +
+              f"time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+            spark.catalog.clearCache()
+          }
+        }
       case "winnow" =>
         // Stretch (r11 Next #8): winnow overlap join and spanDedup at a
         // scale dir with FORCED text materialization (a content checksum —

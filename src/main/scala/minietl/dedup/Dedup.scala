@@ -57,13 +57,19 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- shingles
-  /** Distinct word n-gram shingles of a text column. */
+  /** Distinct word n-gram shingles of a text column. The gram join uses
+    * [[minietl.text.TextAnalysis.ngrams]] (slices in lambda ARGUMENT
+    * position) — the previous `transform(sequence(...), i =>
+    * concat_ws(" ", slice(toks, i, n)))` CAPTURED `toks` inside the lambda,
+    * re-running the split once per element (O(len²) per document; the
+    * capture rule TextAnalysis.consecDupFraction documents).
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
+    val grams = if (n <= 1) toks else minietl.text.TextAnalysis.ngrams(toks, n)
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
+        .otherwise(grams))
   }
 
   /** Exact Jaccard similarity of two distinct-element arrays. */

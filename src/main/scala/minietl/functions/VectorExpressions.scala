@@ -117,6 +117,24 @@ object VectorOps {
     new GenericArrayData(java.util.Arrays.copyOf(sel, selN))
   }
 
+  /** [[SlotHistogram]]'s kernel: counts of each slot id in [0, dim), one
+    * pass, O(tokens + dim). Null or out-of-range ids → null (malformed
+    * input; callers produce ids via `hash % dim`).
+    */
+  def slotHistogram(slots: ArrayData, dim: Int): ArrayData = {
+    val out = new Array[Long](dim)
+    val n = slots.numElements()
+    var i = 0
+    while (i < n) {
+      if (slots.isNullAt(i)) return null
+      val s = slots.getLong(i)
+      if (s < 0 || s >= dim) return null
+      out(s.toInt) += 1
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
@@ -561,6 +579,36 @@ case class WinnowOrds(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd slot histogram (the hashing-trick TF vector): one pass over an
+  * array of slot ids in [0, dim), counting occurrences into a dim-length
+  * long array — O(tokens + dim) per document.
+  *
+  * A native expression for the same reason as [[WinnowOrds]]: the column
+  * formulation `transform(sequence(0, dim-1), s -> size(filter(slots, h ->
+  * h = s)))` re-evaluates the CAPTURED slots array — md5 per token — once
+  * PER SLOT after CollapseProject inlines it, an O(dim × tokens) md5 blow-up
+  * (measured: q_feature_hash 7.9 s warm at sf0.1 with dim = 32; this
+  * expression retimes it at ~0.6 s, and the r12 checksum-forcing Bench fix
+  * is what exposed the cost — count() had been pruning the vector away).
+  * Out-of-range or null slot ids → null result (callers mod by dim).
+  */
+case class SlotHistogram(child: Expression, dim: Int)
+  extends UnaryExpression {
+  require(dim > 0, s"dim must be positive (got $dim)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "slot_histogram"
+
+  override def nullSafeEval(in: Any): Any =
+    VectorOps.slotHistogram(in.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = minietl.functions.VectorOps.slotHistogram($c, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd 64-bit SimHash over an xxhash64'd token array. */
 case class SimHash64(child: Expression)
   extends UnaryExpression {
@@ -613,4 +661,8 @@ object vec {
   def winnowOrds(tokenHashes: Column, k: Int, w: Int): Column =
     org.apache.spark.sql.minietl.ColumnBridge.column(
       WinnowOrds(expr(tokenHashes), k, w))
+
+  def slotHistogram(slots: Column, dim: Int): Column =
+    org.apache.spark.sql.minietl.ColumnBridge.column(
+      SlotHistogram(expr(slots), dim))
 }

@@ -15,11 +15,12 @@ import minietl.functions.PortableHash
   * ([[minietl.functions.PortableHash]]), so the whole vectorization replays
   * bit-for-bit in any SQL engine (see [[oracleExpr]]).
   *
-  * Cost note: the slot array is hashed ONCE per token; building the dense
-  * vector is then an O(dim × tokens) comparison fold inside codegen. That is
-  * the right trade for dim ≤ a few hundred (the common hashing-trick sizes
-  * here). For dims in the tens of thousands, explode the slots and pivot —
-  * the dense per-row fold stops being scan-cheap.
+  * Cost note: the slot array is hashed ONCE per token; the dense vector is
+  * then a single O(tokens + dim) native-expression pass
+  * ([[minietl.functions.SlotHistogram]]). Dense output is still
+  * dim × 8 bytes per row — for dims in the tens of thousands prefer a
+  * sparse layout (explode the slots and aggregate) so row width stays
+  * bounded.
   */
 object FeatureHash {
 
@@ -30,13 +31,18 @@ object FeatureHash {
   }
 
   /** Dense term-frequency vector (array<bigint>, length dim): element s =
-    * number of tokens hashing to slot s.
+    * number of tokens hashing to slot s. One native-expression pass over
+    * the slot array — O(tokens + dim) per document. The earlier
+    * `transform(sequence(...), s -> size(filter(slots, ...)))` column
+    * formulation re-evaluated the CAPTURED slots array (md5 per token)
+    * once per slot after CollapseProject inlined it — O(dim × tokens) md5
+    * calls per document, the same HOF re-evaluation trap
+    * [[minietl.functions.WinnowOrds]] documents (exposed when the r12
+    * Bench switched from count() to full-output checksums: 7.9 s warm at
+    * sf0.1/dim=32 under count-pruning-immune timing, ~0.6 s with this).
     */
-  def tfVector(text: Column, dim: Int): Column = {
-    val sl = slots(text, dim)
-    transform(sequence(lit(0), lit(dim - 1)),
-      s => size(filter(sl, h => h === s)).cast("bigint"))
-  }
+  def tfVector(text: Column, dim: Int): Column =
+    minietl.functions.vec.slotHistogram(slots(text, dim), dim)
 
   /** Number of non-empty slots (distinct hashed terms — a cheap lexical
     * diversity signal under the same portable contract).

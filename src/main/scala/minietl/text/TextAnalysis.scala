@@ -90,12 +90,23 @@ object TextAnalysis {
     */
   def consecDupFraction(text: Column): Column = {
     val t = tokens(trim(text))
-    // sequence(1, 0) would generate a DESCENDING [1,0], so the short-doc
-    // case must be guarded, not clamped
-    val eq = filter(sequence(lit(1), size(t) - 1),
-      i => element_at(t, i) === element_at(t, i + 1))
+    // PER-ELEMENT CAPTURE RULE (also applied in squeezeRepeats /
+    // dedupSegmentsInDoc below): a column referenced INSIDE an HOF lambda
+    // body is a captured subtree re-evaluated on EVERY lambda invocation
+    // once CollapseProject inlines it — the old
+    // `filter(sequence(...), i => element_at(t, i) === element_at(t, i+1))`
+    // re-ran the tokenizing split per ELEMENT, O(len²) splits per document
+    // (the trap minietl.functions.WinnowOrds documents; exposed when the
+    // r12 Bench stopped letting count() prune the select list). Arrays in
+    // lambda ARGUMENT position evaluate once per row, so the adjacent-pair
+    // comparison zips t with its shifted self instead.
+    val eq = zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => when(a === b, 1L).otherwise(0L))
     when(size(t) > 1,
-      round(size(eq).cast("double") / (size(t) - 1), 4))
+      round(aggregate(eq, lit(0L), (acc, x) => acc + x).cast("double")
+        / (size(t) - 1), 4))
       .otherwise(lit(0.0))
   }
 
@@ -103,28 +114,37 @@ object TextAnalysis {
     * run of consecutive identical tokens to one occurrence ("batch batch
     * batch" → "batch") — the cleaning twin of the signal, for pipelines
     * that repair instead of drop. Pure per-row array work at the scan
-    * (codegen'd HOFs); `get` (0-based, null out of bounds) avoids the
-    * 1-based element_at's index-0 error on the first token, and null <=>
-    * comparisons keep the first element unconditionally.
+    * (codegen'd HOFs); the predecessor array is passed in lambda ARGUMENT
+    * position (see consecDupFraction's capture rule — the old
+    * `get(t, i-1)` capture re-split per element), with a null at the left
+    * edge so null <=> comparisons keep the first element unconditionally;
+    * the null-skipping array_join drops the squeezed slots (split never
+    * yields null elements).
     */
   def squeezeRepeats(text: Column, delim: String = " "): Column = {
     val t = split(text, java.util.regex.Pattern.quote(delim))
-    array_join(
-      filter(t, (x, i) => !(x <=> get(t, i - 1))),
-      delim)
+    val prev = concat(array(lit(null).cast("string")),
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))))
+    array_join(zip_with(t, prev, (x, p) => when(!(x <=> p), x)), delim)
   }
 
   /** Keep only the FIRST occurrence of each distinct segment, preserving
     * order — the C4 "deduplicate repeated lines within a document" step
     * with the segment delimiter as a parameter (default newline). Per-row
-    * cost is O(segments²) via `array_position` (first-match index), which
-    * is the right trade for documents with a bounded line count; corpus-
-    * level paragraph dedup is [[minietl.text.ParagraphDedup]].
+    * cost is O(segments²) equality checks — inherent to first-occurrence
+    * keep — which is the right trade for documents with a bounded line
+    * count; corpus-level paragraph dedup is
+    * [[minietl.text.ParagraphDedup]]. The seen-set lives in the aggregate
+    * ACCUMULATOR (a lambda variable, not a capture — the old
+    * `array_position(t, x)` capture re-split per element; see
+    * consecDupFraction's capture rule).
     */
   def dedupSegmentsInDoc(text: Column, delim: String = "\n"): Column = {
     val t = split(text, java.util.regex.Pattern.quote(delim))
     array_join(
-      filter(t, (x, i) => array_position(t, x) - 1 === i),
+      aggregate(t, array().cast("array<string>"),
+        (acc, x) => when(array_contains(acc, x), acc)
+          .otherwise(concat(acc, array(x)))),
       delim)
   }
 

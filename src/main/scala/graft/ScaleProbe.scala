@@ -448,6 +448,28 @@ object ScaleProbe {
           timeAb(s"src_partitioned_$bcast")(variantB())
         }
         edges.unpersist()
+      case "span_fixpoint" =>
+        // spanDedupFixpoint at a scale dir: rounds-to-convergence, wall, and
+        // how many documents the extra rounds changed vs single-pass (a real
+        // corpus converging in 1-2 rounds is itself the expected evidence)
+        val dir = args(1)
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val t1 = System.nanoTime()
+        val single = minietl.dedup.Winnow.spanDedup(docs, "text", "doc_id",
+          k = 4, minSpanTokens = 8).localCheckpoint(true)
+        val singleWall = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val (fixed, rounds) = minietl.dedup.Winnow.spanDedupFixpointWithStats(
+          docs, "text", "doc_id", k = 4, minSpanTokens = 8)
+        val fixedMat = fixed.localCheckpoint(true)
+        val fixWall = (System.nanoTime() - t2) / 1e9
+        val changed = single.as("a").join(fixedMat.as("b"),
+            col("a.doc_id") === col("b.doc_id"))
+          .where(col("a.text") =!= col("b.text")).count()
+        println(f"[spanfix] dir=$dir single_pass=$singleWall%.1fs " +
+          f"fixpoint=$fixWall%.1fs rounds=$rounds docs_changed_by_extra_rounds=$changed " +
+          s"n_docs=${docs.count()}")
       case "force_time" =>
         // checksum-forced per-query timing (Bench's policy, ad hoc): the
         // full output is materialized via bit_xor(xxhash64(cols)) so

@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses bench/verify output from the raw process tail: route
+// the forked run's stdout straight through (no "[info] " logger prefix on
+// every line) and drop the trailing "[success] Total time" banner so the
+// final stdout line is the program's own JSON line (BENCH parsed-tail fix).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not another setting —
+// lintUnused can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,15 +34,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   * The headline "value" stays the cold-pass total (continuity with the
   * BENCH_r* trajectory, which timed first target-scale executions).
   *
-  * RUN VALIDITY: a warm pass slower than its cold pass is physically
-  * backwards for this workload (same plans, same data, better JIT/page
-  * cache) — it means ambient interference landed mid-run (the committed
-  * r11 artifact's warm pass showed uniform 3-6x inflation on byte-identical
-  * trivial queries). A run whose warm total exceeds its cold total by >25%
-  * is therefore stamped `"suspect": true` in both artifacts rather than
-  * silently blessed; machine-state markers (page cache size, load average,
-  * JVM heap) recorded at the start of each pass supply the evidence to
-  * classify the interference.
+  * RUN VALIDITY is TWO-SIDED (see [[RunValidity]] for rationale and the
+  * r12 calibration): (a) a warm pass slower than its cold pass by >25% is
+  * physically backwards (same plans, better JIT/page cache) — interference
+  * in the warm pass; (b) each pass is band-checked per query against the
+  * committed clean-run baseline (BENCH_baseline_clean.json), which catches
+  * the case the one-sided ratio rule structurally cannot: interference in
+  * the COLD pass makes the warm/cold ratio look BETTER (the committed
+  * BENCH_r12 driver artifact was the live counterexample — q1 13.4 s cold
+  * vs a 1.9 s clean band, stamped healthy at ratio 0.44). Machine-state
+  * markers (page cache, load average, heap) at startup and both pass
+  * starts are recorded as evidence, not verdict drivers — the r12 clean
+  * runs measured HIGHER cold-start load (2.9-5.4) than the contaminated
+  * one (3.92), because the battery's own warm-ups drive load.
   *
   * OUTPUT: the driver keeps only the LAST 2000 CHARS of the run log and
   * parses the JSON line out of that tail — a full 155-query map is ~8 KB
@@ -50,6 +54,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   * line therefore carries the headline totals plus only the ~40 slowest
   * queries; the COMPLETE per-query map (both passes) goes to a committable
   * file (BENCH_full_latest.json, override with SPARK_GRAFT_BENCH_FULL).
+  * Twelve rounds of `parsed: null` traced to sbt's logger: the forked
+  * JVM's stdout was re-emitted under an `[info] ` prefix and followed by a
+  * `[success] Total time` line, so the tail's last line never parsed as
+  * JSON. build.sbt now routes forked run output straight through
+  * (`run / outputStrategy := StdoutOutput`) and suppresses the success
+  * banner (`Global / showSuccess := false`); the JSON is printed bare
+  * AFTER `spark.stop()` and re-printed from a JVM shutdown hook, making it
+  * the final stdout line under every parse strategy (last-line, reverse
+  * line scan, brace scan).
   */
 object Bench {
 
@@ -101,6 +114,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val stateStartup = machineState()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -138,7 +152,18 @@ object Bench {
     val totalCold = cold.values.sum
     val totalWarm = warm.values.sum
     val ratio = if (totalCold > 0) totalWarm / totalCold else 1.0
-    val suspect = ratio > 1.25
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "BENCH_baseline_clean.json")
+    val baseline = RunValidity.loadBaseline(baselinePath)
+    val verdict = RunValidity.assess(cold, warm,
+      baseline.map { case (k, v) => k -> v._1 },
+      baseline.map { case (k, v) => k -> v._2 })
+    val suspect = verdict.suspect
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val reasonsJson = verdict.reasons.map(jstr).mkString("[", ",", "]")
+    val baselineNote =
+      if (baseline.isEmpty) s"BASELINE MISSING ($baselinePath) — band checks skipped, only the warm/cold ratio rule ran"
+      else s"${baseline.size}-query clean baseline from $baselinePath"
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full_latest.json")
     // compact line: headline totals + the 40 slowest queries only (driver
@@ -155,10 +180,13 @@ object Bench {
          |"total_sec": ${fmt(totalCold)},
          |"total_warm_sec": ${fmt(totalWarm)},
          |"suspect": $suspect,
+         |"suspect_reasons": $reasonsJson,
          |"warm_cold_ratio": ${fmt(ratio)},
-         |"run_validity_policy": "suspect = warm-pass total > 1.25x cold-pass total: a slower warm pass on identical plans means ambient interference mid-run, not a code change; check machine_state markers",
+         |"run_validity_policy": "TWO-SIDED: (a) warm-pass total > 1.25x cold-pass total (warm-pass interference); (b) >= 3 queries in either pass exceeding 2.5x the committed clean baseline by > 0.75 s (cold/warm-pass interference OR code regression — see RunValidity scaladoc for the r12 calibration). load_avg is evidence, not a verdict driver",
+         |"baseline": "$baselineNote",
          |"timing_policy": "each query materialized via bit_xor(xxhash64(all columns)) so count-preserving operators cannot be plan-eliminated out of the timing",
          |"warmup_policy": "untimed full-battery passes at sf0.001 + sf0.01 (plan compile + C2), then two timed target-scale passes: queries[q] = [first target-scale execution, steady-state repeat]; no per-query warm-up exceptions",
+         |"machine_state_at_startup": $stateStartup,
          |"machine_state_at_cold_pass": $stateCold,
          |"machine_state_at_warm_pass": $stateWarm,
          |"queries": {
@@ -166,10 +194,23 @@ object Bench {
          |}
          |}
          |""".stripMargin)
-    println(s"""{"metric":"total","value":${fmt(totalCold)},"unit":"sec",""" +
+    // compact reasons: the driver tail is 2000 chars and the query map is
+    // ~1100 of them — keep at most two reasons, each clipped
+    val reasonsCompact = verdict.reasons.take(2)
+      .map(r => jstr(if (r.length > 110) r.take(107) + "..." else r))
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${fmt(totalCold)},"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfDir","n_queries":${cold.size},""" +
       s""""total_warm_sec":${fmt(totalWarm)},"suspect":$suspect,""" +
-      s""""queries_note":"40 slowest shown; full map in $fullPath"}""")
+      s""""suspect_reasons":$reasonsCompact,""" +
+      s""""queries_note":"40 slowest shown; full map in $fullPath"}"""
+    // the line must be the FINAL stdout content: print it bare after
+    // spark.stop() (no executor/log chatter follows at WARN level) and once
+    // more from a shutdown hook so nothing sbt or Spark appends can displace
+    // it from the driver's 2000-char tail parse
     spark.stop()
+    println(line)
+    System.out.flush()
+    sys.addShutdownHook { println(line); System.out.flush() }
   }
 }

@@ -524,16 +524,38 @@ object ScaleProbe {
             .agg(expr("bit_xor(xxhash64(doc_id, text))")).head()
           docs.count()
         }
+      case "gen_docs" =>
+        // documents-only replication for the composed-pipeline probe (the
+        // full `gen` also writes the Nx lineitem + events this probe never
+        // reads — at 100 replicas of sf0.1 that is ~60M spurious rows)
+        val (src, out, n) = (args(1), args(2), args(3).toInt)
+        val k = explode(sequence(lit(0), lit(n - 1))).as("k")
+        spark.read.parquet(s"$src/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), k)
+          .select(
+            (col("doc_id") + col("k") * lit(10000000L)).as("doc_id"),
+            when(col("k") === 0, col("text"))
+              .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+                concat(lit("$1r"), col("k").cast("string")))).as("text"),
+            col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$out/documents.parquet")
       case "pipeline" =>
-        // Composed-pipeline probe (VERDICT r11 Next #6/#7): drive the
-        // committed examples/training_data_pipeline.yaml END TO END at a
-        // scale dir through the Config path. The stages are individually
-        // probed; this measures their COMPOSITION — cache-pin hygiene,
-        // stage interaction, total/peak shuffle — which no per-operator
-        // probe covers. ${CORPUS_DIR}/${OUT_DIR} are substituted the same
-        // way the env would be; benchmark.parquet (the decontamination
-        // input) is synthesized as 200 corpus texts.
+        // Composed-pipeline probe (VERDICT r11 Next #6/#7, r12 Next #7):
+        // drive the committed examples/training_data_pipeline.yaml END TO
+        // END at a scale dir through the Config path. The stages are
+        // individually probed; this measures their COMPOSITION —
+        // cache-pin hygiene, stage interaction, total/peak shuffle — which
+        // no per-operator probe covers. ${CORPUS_DIR}/${OUT_DIR} are
+        // substituted the same way the env would be; benchmark.parquet
+        // (the decontamination input) is synthesized as 200 corpus texts.
+        // Optional 3rd arg "fixpoint": patch the span_dedup stage to
+        // `fixpoint: true, max_iter: 5` so the probe exercises fixpoint
+        // rounds on realistic (non-planted) duplication; rounds are read
+        // back from Winnow.lastFixpointRounds.
         val dir = args(1)
+        val fixpoint = args.lift(2).contains("fixpoint")
         val work = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(s"$work/corpus"))
@@ -548,6 +570,13 @@ object ScaleProbe {
             java.nio.charset.StandardCharsets.UTF_8)
           .replace("${CORPUS_DIR}", s"$work/corpus")
           .replace("${OUT_DIR}", s"$work/out")
+        val yamlEff =
+          if (fixpoint)
+            yaml.replace("min_span_tokens: 50",
+              "min_span_tokens: 50\n    fixpoint: true\n    max_iter: 5")
+          else yaml
+        require(!fixpoint || yamlEff.contains("fixpoint: true"),
+          "fixpoint patch failed — span_dedup stage not found in the YAML")
         object metrics extends org.apache.spark.scheduler.SparkListener {
           @volatile var write = 0L
           @volatile var read = 0L
@@ -568,16 +597,18 @@ object ScaleProbe {
         }
         spark.sparkContext.addSparkListener(metrics)
         val tp0 = System.nanoTime()
-        val stats = minietl.config.Config.load(yaml).run(spark)
+        val stats = minietl.config.Config.load(yamlEff).run(spark)
         val wall = (System.nanoTime() - tp0) / 1e9
         Thread.sleep(2000) // let stage-completed events drain
         val pins = spark.sparkContext.getPersistentRDDs.size
         val outRows = spark.read.parquet(s"$work/out/cleaned").count()
+        val rounds = if (fixpoint)
+          s" fixpoint_rounds=${minietl.dedup.Winnow.lastFixpointRounds.get()}" else ""
         println(f"[pipeline] dir=$dir wall=$wall%.1fs stats_rows=${stats.rows} " +
           f"out_rows=$outRows shuffle_write_mb=${metrics.write / 1048576} " +
           f"shuffle_read_mb=${metrics.read / 1048576} " +
           f"peak_stage_shuffle_write_mb=${metrics.peakStageWrite / 1048576} " +
-          f"spill_mb=${metrics.spill / 1048576} cache_pins_after_run=$pins")
+          f"spill_mb=${metrics.spill / 1048576} cache_pins_after_run=$pins$rounds")
       case "hotstratum" =>
         // Hot-stratum probe (VERDICT r11 Next #2): >=90% of rows land in ONE
         // stratum, so the plain tokenBudget/topPSelect running-mass window

@@ -1294,6 +1294,12 @@ object SparkEntry {
              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
+    // EXACT percentiles buffer every group's values on one task — fine here
+    // (4 groups, 2.7 s warm at sf0.1) but NOT the 100 TB tool: at that
+    // scale use the mergeable sketch twins (q_quantile_sketch's log-hist /
+    // minietl.sketch.Sketches) whose state is O(buckets) per group, or
+    // approx_percentile (q_approx_percentile) whose bounded-error digest
+    // Spark partial-aggregates map-side.
     "q_percentile" -> Q(
       (s, dir) =>
         t(s, dir, "lineitem")
@@ -1307,6 +1313,34 @@ object SparkEntry {
              |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
              |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
              |  round(quantile_cont(l_quantity, 0.25), 4) AS q25
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // The 100 TB percentile: approx_percentile's Greenwald-Khanna digest
+    // partial-aggregates map-side (no per-group value buffer). Its value is
+    // algorithm-specific so no SQL engine replays it bit-for-bit; the
+    // oracle instead gates the ACCURACY CONTRACT — the returned value's
+    // exact rank interval [rank_lt+1, rank_le] must intersect
+    // [0.5n - n/acc, 0.5n + n/acc] (accuracy acc = 100). Spark emits the
+    // per-group boolean, DuckDB emits the literal contract — any violation
+    // hash-mismatches.
+    "q_approx_percentile" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ap = li.groupBy("l_returnflag")
+          .agg(expr("approx_percentile(l_extendedprice, 0.5, 100)").as("ap50"),
+            count(lit(1)).as("n"))
+        li.join(broadcast(ap), "l_returnflag")
+          .groupBy(col("l_returnflag"), col("ap50"), col("n"))
+          .agg(
+            sum(when(col("l_extendedprice") <= col("ap50"), 1L).otherwise(0L)).as("rank_le"),
+            sum(when(col("l_extendedprice") < col("ap50"), 1L).otherwise(0L)).as("rank_lt"))
+          .select(col("l_returnflag"),
+            ((col("rank_lt") + 1 <= col("n") * 0.5 + col("n") / 100.0 + 1) &&
+              (col("rank_le") >= col("n") * 0.5 - col("n") / 100.0 - 1))
+              .as("within_bounds"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, true AS within_bounds
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // The declarative YAML surface (SURVEY §2.6) driving the same engine:
@@ -1727,6 +1761,39 @@ object SparkEntry {
           .select("doc_id", "text")
           .orderBy("doc_id"),
       Some(minietl.dedup.Winnow.spanDedupOracleSql(k = 4, minSpanTokens = 8))),
+
+    // spanDedup iterated to a FIXPOINT, on documents plus a PLANTED
+    // three-doc cascade (synthetic zq* tokens that collide with nothing in
+    // the corpus; negative ids below every natural doc_id):
+    //   L(-3) = A1..A12                     (a 12-token phrase)
+    //   W(-2) = X1..X8                      (an 8-token block)
+    //   M(-1) = A1..A6  X1..X8  A7..A12
+    // Round 1 excises X from M (shared with lower-id W; M's A-runs are 6 < 8
+    // tokens, invisible). The excision junction makes M = A1..A12, which
+    // round 2 excises against L — a span a single pass provably cannot see.
+    // The DuckDB twin unrolls exactly maxIter rounds (identity once
+    // converged), so the replay is exact for any convergence count <= 4.
+    "q_span_dedup_fixpoint" -> Q(
+      (s, dir) => {
+        val planted = s.createDataFrame(Seq(
+          (-3L, (1 to 12).map("zqa" + _).mkString(" ")),
+          (-2L, (1 to 8).map("zqx" + _).mkString(" ")),
+          (-1L, ((1 to 6).map("zqa" + _) ++ (1 to 8).map("zqx" + _) ++
+            (7 to 12).map("zqa" + _)).mkString(" ")))).toDF("doc_id", "text")
+        minietl.dedup.Winnow.spanDedupFixpointPortable(
+            documents(s, dir).select("doc_id", "text").union(planted),
+            "text", "doc_id", k = 4, minSpanTokens = 8, maxIter = 4)
+          .select("doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(minietl.dedup.Winnow.spanDedupFixpointOracleSql(
+        k = 4, minSpanTokens = 8, maxIter = 4,
+        table = ("(SELECT doc_id, text FROM documents UNION ALL " +
+          "SELECT * FROM (VALUES " +
+          s"(CAST(-3 AS BIGINT), '${(1 to 12).map("zqa" + _).mkString(" ")}'), " +
+          s"(CAST(-2 AS BIGINT), '${(1 to 8).map("zqx" + _).mkString(" ")}'), " +
+          s"(CAST(-1 AS BIGINT), '${((1 to 6).map("zqa" + _) ++ (1 to 8).map("zqx" + _) ++ (7 to 12).map("zqa" + _)).mkString(" ")}')" +
+          ") v(doc_id, text)) AS src")))),
 
     "q_lsh_ann" -> Q(
       (s, dir) => {

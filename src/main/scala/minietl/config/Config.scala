@@ -234,6 +234,13 @@ object Config {
         case _ => Nil
       }
     }
+    // numeric, except the literal "auto" is allowed (salted-shard count
+    // derived from the stratum census at run time — Ops.autoShards)
+    def numericOrAuto(key: String, min: Double, max: Double): Seq[String] =
+      o.get(key) match {
+        case Some(v) if v.toString == "auto" => Nil
+        case _ => numeric(key, min, max)
+      }
     typ match {
       case "hash_sample" => numeric("fraction", 0.0, 1.0)
       case "quality_filter" => numeric("min_score", 0.0, 100000.0)
@@ -255,7 +262,7 @@ object Config {
         numeric("target_fraction", 0.0, 1.0) ++
           numeric("alpha", Double.MinPositiveValue, 1.0)
       case "token_budget" =>
-        numeric("budget", 0.0, Double.MaxValue) ++ numeric("shards", 1.0, 65536.0)
+        numeric("budget", 0.0, Double.MaxValue) ++ numericOrAuto("shards", 1.0, 65536.0)
       case "gopher_filter" =>
         numeric("min_words", 0.0, Double.MaxValue) ++
           numeric("max_words", 0.0, Double.MaxValue)
@@ -264,7 +271,7 @@ object Config {
       case "sigma_outlier_filter" => numeric("k", 1.0, 9.0)
       case "mad_outlier_filter" => numeric("k", 1.0, 9.0)
       case "top_p_select" =>
-        numeric("p_basis_points", 0.0, 10000.0) ++ numeric("shards", 1.0, 65536.0)
+        numeric("p_basis_points", 0.0, 10000.0) ++ numericOrAuto("shards", 1.0, 65536.0)
       case "winsorize" => numeric("lo", 0.0, 1.0) ++ numeric("hi", 0.0, 1.0)
       case "contamination_filter" =>
         numeric("max_permille", 0.0, 1000.0) ++ numeric("n", 2.0, 20.0)
@@ -534,8 +541,14 @@ object Config {
         // shards-way parallel per stratum (never overshoots the budget)
         val key = str(t.options, "key")
         val seed = t.options.get("seed").map(_.toString).getOrElse("0")
-        val tbShards = t.options.get("shards").map(_.toString.toDouble.toInt).getOrElse(1)
-        if (tbShards > 1)
+        // "auto" -> AutoShards sentinel (count derived from the stratum
+        // census at run time); absent -> the plain exact operator
+        val tbShards = t.options.get("shards").map(_.toString) match {
+          case Some("auto") => minietl.ops.Ops.AutoShards
+          case Some(v) => v.toDouble.toInt
+          case None => 1
+        }
+        if (tbShards > 1 || tbShards == minietl.ops.Ops.AutoShards)
           Ops.tokenBudgetSalted(str(t.options, "strata"), str(t.options, "tokens"),
             str(t.options, "budget").toDouble.toLong,
             Ops.shuffleKey(key, seed),
@@ -617,10 +630,14 @@ object Config {
         import org.apache.spark.sql.functions.{col, concat, lit}
         val mass = str(t.options, "mass")
         val tie = str(t.options, "tie_break")
-        val tpShards = t.options.get("shards").map(_.toString.toDouble.toInt).getOrElse(1)
-        // shards > 1: per-(stratum, shard) nucleus — the documented
-        // approximation for strata too hot to sort on one task
-        if (tpShards > 1)
+        val tpShards = t.options.get("shards").map(_.toString) match {
+          case Some("auto") => minietl.ops.Ops.AutoShards
+          case Some(v) => v.toDouble.toInt
+          case None => 1
+        }
+        // shards > 1 (or auto): per-(stratum, shard) nucleus — the
+        // documented approximation for strata too hot to sort on one task
+        if (tpShards > 1 || tpShards == minietl.ops.Ops.AutoShards)
           Ops.topPSelectSalted(str(t.options, "strata"), mass,
             str(t.options, "p_basis_points").toDouble.toInt,
             Seq(col(mass).desc, col(tie).asc),

@@ -40,6 +40,17 @@ import minietl.functions.PortableHash
   */
 object Winnow {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Rounds the most recent [[spanDedupFixpoint]]-family call took on this
+    * JVM — the operations/probe observable for runs driven through the
+    * Config path (which calls [[spanDedupFixpoint]], not the WithStats
+    * variant). Driver-side, set once per call; concurrent pipelines each
+    * see the LAST writer, so treat it as a probe hook, not an API — use
+    * [[spanDedupFixpointWithStats]] when the count matters programmatically.
+    */
+  val lastFixpointRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   /** Modulus 2^31-1: token and gram hashes stay below 2^31, so the
     * polynomial fold (`acc * 31 + x` < 2^36) and the position packing
     * (`gram * 2^21 + pos` < 2^52) never overflow a long under ANSI
@@ -352,6 +363,9 @@ object Winnow {
         rounds += 1
       }
     }
+    lastFixpointRounds.set(rounds)
+    log.info(s"spanDedupFixpoint: $rounds excision round(s), " +
+      s"${if (converged) "converged" else s"stopped at maxIter=$maxIter"}")
     (cur, rounds)
   }
 
@@ -413,6 +427,81 @@ object Winnow {
        |SELECT d.id AS $idCol, coalesce(rebuilt.t2, '') AS $textCol
        |FROM d LEFT JOIN rebuilt ON d.id = rebuilt.id
        |ORDER BY $idCol""".stripMargin
+
+  /** One unrolled detect-and-excise round for the fixpoint oracle: assumes
+    * CTE `d$r(id, toks)` exists, emits the suffixed spans + excise CTEs and
+    * ends in `out$r(id, txt)`. Same SQL as [[spansCte]]/[[spanDedupOracleSql]]
+    * modulo the `$r` suffixes.
+    */
+  private def fixpointRoundCtes(r: Int, k: Int, minSpanTokens: Int,
+                                maxPostings: Int): String =
+    s"""th$r AS (SELECT id, list_transform(toks, t -> ${PortableHash.sql("t")} % $M) AS h
+       |       FROM d$r),
+       |gr$r AS (SELECT id, CASE
+       |         WHEN len(h) >= $k THEN list_transform(range(0, len(h) - $k + 1),
+       |           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), h[i+1 : i+$k]),
+       |                  (acc, x) -> (acc * $B + x) % $M))
+       |         ELSE CAST([] AS BIGINT[]) END AS g FROM th$r),
+       |f$r AS (SELECT id, i - 1 AS pos, g[i] AS fp
+       |      FROM gr$r, unnest(range(1, len(g) + 1)) AS u(i)),
+       |big$r AS (SELECT fp FROM f$r GROUP BY fp HAVING count(*) > $maxPostings),
+       |fc$r AS MATERIALIZED (SELECT f$r.* FROM f$r ANTI JOIN big$r USING (fp)),
+       |seeds$r AS (SELECT a.id AS id_a, b.id AS id_b, a.pos AS pos_a, b.pos AS pos_b,
+       |                 a.pos - b.pos AS diag
+       |          FROM fc$r a JOIN fc$r b ON a.fp = b.fp AND a.id < b.id),
+       |isl$r AS (SELECT id_a, id_b, diag, pos_a, pos_b,
+       |          pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag
+       |                                     ORDER BY pos_a) AS grp
+       |        FROM seeds$r),
+       |spans$r AS (SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+       |                 count(*) + $k - 1 AS span_len
+       |          FROM isl$r GROUP BY id_a, id_b, diag, grp
+       |          HAVING count(*) + $k - 1 >= $minSpanTokens),
+       |cov$r AS (SELECT DISTINCT id_b AS id, start_b + u.o AS pos
+       |            FROM spans$r, unnest(range(0, span_len)) AS u(o)),
+       |tk$r AS (SELECT id, i - 1 AS pos, toks[i] AS tok
+       |       FROM d$r, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |kept$r AS (SELECT tk$r.* FROM tk$r ANTI JOIN cov$r USING (id, pos)),
+       |rb$r AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS t2
+       |            FROM kept$r GROUP BY id),
+       |out$r AS MATERIALIZED (SELECT d$r.id AS id, coalesce(rb$r.t2, '') AS txt
+       |          FROM d$r LEFT JOIN rb$r ON d$r.id = rb$r.id)""".stripMargin
+
+  /** ANSI SQL (DuckDB dialect) replaying [[spanDedupFixpointPortable]] by
+    * UNROLLING exactly `maxIter` detect-and-excise rounds. This matches the
+    * engine's early-stopping loop for EVERY convergence count r <= maxIter:
+    * once a round finds no span, excision is the identity (the rebuild
+    * re-joins the same single-space tokens — and round 1 already
+    * canonicalized every text to single-space form), so the extra unrolled
+    * rounds replay the converged corpus unchanged. Precondition shared with
+    * the engine query it oracles: no NULL and no duplicate ids (the engine
+    * passes nulls through / raises on duplicates; this replay would instead
+    * blank null-id texts).
+    */
+  def spanDedupFixpointOracleSql(k: Int = 4, minSpanTokens: Int = 8,
+                                 maxPostings: Int = Dedup.DefaultMaxBucket,
+                                 maxIter: Int = 4,
+                                 table: String = "documents",
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text"): String = {
+    require(maxIter >= 1, s"maxIter must be >= 1 (got $maxIter)")
+    val rounds = (1 to maxIter).map { r =>
+      // MATERIALIZED on the multiply-referenced CTEs (d$r feeds th/tk/out;
+      // fc$r self-joins; out$r feeds the next round): without the hint
+      // DuckDB re-inlines the whole upstream chain per reference and the
+      // 4-round unroll replayed 40x slower (measured 25.4 s -> 0.6 s at
+      // sf0.001, byte-identical result)
+      val feed =
+        if (r == 1)
+          s"d1 AS MATERIALIZED (SELECT $idCol AS id, string_split($textCol, ' ') AS toks FROM $table)"
+        else
+          s"d$r AS MATERIALIZED (SELECT id, string_split(txt, ' ') AS toks FROM out${r - 1})"
+      feed + ",\n" + fixpointRoundCtes(r, k, minSpanTokens, maxPostings)
+    }.mkString("WITH ", ",\n", "")
+    s"""$rounds
+       |SELECT id AS $idCol, txt AS $textCol FROM out$maxIter
+       |ORDER BY $idCol""".stripMargin
+  }
 
   /** The shared CTE prefix replaying token hashes → gram hashes → packed
     * ords → winnow selection in DuckDB SQL, ending in `sel(id, s)` where

@@ -566,14 +566,24 @@ case class WinnowOrds(child: Expression, k: Int, w: Int)
   require(k >= 1, s"k must be >= 1 (got $k)")
   require(w >= 1, s"w must be >= 1 (got $w)")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // the kernel returns null for null token hashes — the codegen must test
+  // for it (DotProductDouble pattern) or a null ArrayData escapes with
+  // isNull=false and the consuming operator NPEs
+  override def nullable: Boolean = true
   override def prettyName: String = "winnow_ords"
 
   override def nullSafeEval(in: Any): Any =
     VectorOps.winnowOrds(in.asInstanceOf[ArrayData], k, w)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = minietl.functions.VectorOps.winnowOrds($c, $k, $w);")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("winnowRes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  minietl.functions.VectorOps.winnowOrds($c, $k, $w);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -596,14 +606,25 @@ case class SlotHistogram(child: Expression, dim: Int)
   extends UnaryExpression {
   require(dim > 0, s"dim must be positive (got $dim)")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // the kernel returns null for null or out-of-range slot ids — unreachable
+  // via FeatureHash.tfVector (slots are pmod(hash, dim)), but slotHistogram
+  // is public API, so the codegen must surface the documented null instead
+  // of leaking a null ArrayData with isNull=false
+  override def nullable: Boolean = true
   override def prettyName: String = "slot_histogram"
 
   override def nullSafeEval(in: Any): Any =
     VectorOps.slotHistogram(in.asInstanceOf[ArrayData], dim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = minietl.functions.VectorOps.slotHistogram($c, $dim);")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("histRes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  minietl.functions.VectorOps.slotHistogram($c, $dim);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -499,6 +499,58 @@ object Ops {
     if (cumColumn.isDefined) out else out.drop(cum)
   }
 
+  /** Sentinel `shards` value asking the salted operators to DERIVE the
+    * shard count from the stratum census ([[autoShards]]).
+    */
+  val AutoShards: Int = 0
+
+  /** Default target mass (tokens / quality points) per (stratum, shard)
+    * sort task for [[autoShards]]: 64M tokens ≈ a few hundred MB of text —
+    * a single-task window sort that completes in seconds on one core.
+    */
+  val AutoShardTargetMass: Long = 64000000L
+
+  /** Cap on the derived shard count. The approximation cost of salting
+    * grows with the shard count (the stratum under-fills by at most one
+    * boundary document PER SHARD — see [[tokenBudgetSalted]]), so the cap
+    * keeps the worst-case under-fill bounded at `maxShards` documents even
+    * for strata far hotter than the target mass can absorb.
+    */
+  val AutoShardMax: Int = 1024
+
+  /** Derive the shard count for the salted hot-stratum operators from the
+    * data itself: `ceil(hottest-stratum mass / targetShardMass)`, clamped
+    * to [1, [[AutoShardMax]]]. One extra column-pruned pass over
+    * (strata, mass) — a partial-agg'd census whose driver-side result is a
+    * single row, the same price every skew-handling operator in
+    * [[minietl.ops.Skew]] pays. At 100 TB the right shard count depends on
+    * the stratum histogram, which the caller cannot know statically; this
+    * is the measured default, and an explicit `shards` always overrides.
+    *
+    * Approximation ledger as a function of the returned count S:
+    * [[tokenBudgetSalted]] under-fills its budget by at most S boundary
+    * documents (never overshoots); [[topPSelectSalted]] deviates from the
+    * global nucleus by at most S boundary rows. With the default target
+    * mass, S stays small exactly when strata are small (S = 1 reproduces
+    * the plain operators bit-for-bit modulo the no-op pmod(·, 1) shard).
+    */
+  def autoShards(df: DataFrame, strataCol: String, massCol: String,
+                 targetShardMass: Long = AutoShardTargetMass,
+                 maxShards: Int = AutoShardMax): Int = {
+    require(targetShardMass >= 1, s"targetShardMass must be >= 1: $targetShardMass")
+    val hot = df
+      .groupBy(col(strataCol))
+      .agg(sum(coalesce(col(massCol).cast("long"), lit(0L))).as("__mass"))
+      .agg(max(col("__mass")))
+      .collect()(0)
+    if (hot.isNullAt(0)) 1
+    else {
+      val mass = math.max(0L, hot.getLong(0))
+      math.max(1L, math.min(maxShards.toLong,
+        (mass + targetShardMass - 1) / targetShardMass)).toInt
+    }
+  }
+
   /** [[tokenBudget]] for HOT STRATA — the tested form of the salted-shard
     * recipe the plain operator's scaladoc prescribes. The plain operator's
     * exact running total forces each stratum onto ONE task; when one
@@ -512,6 +564,11 @@ object Ops {
     * `budget/shards` for the rest. The window partitions by
     * (stratum, shard) — `shards`-way parallel per stratum.
     *
+    * `shards` defaults to [[AutoShards]]: the count is derived per run by
+    * [[autoShards]] from the hottest stratum's token mass (explicit values
+    * override — oracle-replayed queries pin an explicit count so the
+    * cross-engine replay is static).
+    *
     * Guarantees, vs the plain operator's: kept tokens per stratum never
     * exceed `budget` (each shard caps at its sub-budget; the sub-budgets
     * sum to `budget`); the kept SET is deterministic given a deterministic
@@ -521,18 +578,23 @@ object Ops {
     * promised, now enforced by code rather than prose.
     */
   def tokenBudgetSalted(strataCol: String, tokenCol: String, budget: Long,
-                        order: Column, shardKey: Column, shards: Int,
-                        cumColumn: Option[String] = None): Op = df => {
+                        order: Column, shardKey: Column,
+                        shards: Int = AutoShards,
+                        cumColumn: Option[String] = None,
+                        autoTargetMass: Long = AutoShardTargetMass): Op = df => {
     require(budget >= 0, s"budget must be >= 0: $budget")
-    require(shards >= 1, s"shards must be >= 1: $shards")
+    require(shards >= 1 || shards == AutoShards,
+      s"shards must be >= 1 or AutoShards: $shards")
+    val n = if (shards == AutoShards)
+      autoShards(df, strataCol, tokenCol, autoTargetMass) else shards
     val shard = freshName(df, "_tb_shard")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol), col(shard)).orderBy(order)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = cumColumn.getOrElse(freshName(df, "_tb_cum"))
-    val shardBudget = lit(budget / shards) +
-      when(col(shard) < lit(budget % shards), lit(1L)).otherwise(lit(0L))
-    val out = df.withColumn(shard, pmod(shardKey, lit(shards.toLong)))
+    val shardBudget = lit(budget / n) +
+      when(col(shard) < lit(budget % n), lit(1L)).otherwise(lit(0L))
+    val out = df.withColumn(shard, pmod(shardKey, lit(n.toLong)))
       .withColumn(cum, sum(coalesce(col(tokenCol), lit(0L))).over(w))
       .filter(col(cum) <= shardBudget)
       .drop(shard)
@@ -549,15 +611,23 @@ object Ops {
     * [[tokenBudgetSalted]] this is an approximation by construction (the
     * global nucleus needs the global running order), which is why the plain
     * operator stays the default and this is the documented escape hatch for
-    * strata too hot to sort on one task.
+    * strata too hot to sort on one task. `shards` defaults to
+    * [[AutoShards]] ([[autoShards]] over the mass column derives the
+    * count; explicit values override, and the boundary error above is the
+    * cost function to weigh when picking one).
     */
   def topPSelectSalted(strataCol: String, massCol: String, pBasisPoints: Int,
-                       order: Seq[Column], shardKey: Column, shards: Int,
-                       cumColumn: Option[String] = None): Op = df => {
+                       order: Seq[Column], shardKey: Column,
+                       shards: Int = AutoShards,
+                       cumColumn: Option[String] = None,
+                       autoTargetMass: Long = AutoShardTargetMass): Op = df => {
     require(pBasisPoints >= 0 && pBasisPoints <= 10000,
       s"pBasisPoints must be in [0, 10000], got $pBasisPoints")
     require(order.nonEmpty, "topPSelectSalted needs at least one order column")
-    require(shards >= 1, s"shards must be >= 1: $shards")
+    require(shards >= 1 || shards == AutoShards,
+      s"shards must be >= 1 or AutoShards: $shards")
+    val n = if (shards == AutoShards)
+      autoShards(df, strataCol, massCol, autoTargetMass) else shards
     val shard = freshName(df, "_tp_shard")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol), col(shard)).orderBy(order: _*)
@@ -567,7 +637,7 @@ object Ops {
     val cum = cumColumn.getOrElse(freshName(df, "_tp_cum"))
     val total = freshName(df, "_tp_total")
     val m = coalesce(col(massCol).cast("long"), lit(0L))
-    val out = df.withColumn(shard, pmod(shardKey, lit(shards.toLong)))
+    val out = df.withColumn(shard, pmod(shardKey, lit(n.toLong)))
       .withColumn(cum, sum(m).over(w))
       .withColumn(total, sum(m).over(wAll))
       .filter((col(cum) - m).cast("decimal(20,0)") * lit(10000).cast("decimal(5,0)") <

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Replays the committed r12 bench artifacts through [[RunValidity]]:
+  * the driver's contaminated run must classify suspect, the clean runs
+  * must not — the two-sided-validity done-criteria from VERDICT r12 #1.
+  */
+class RunValiditySpec extends AnyFunSuite {
+
+  private def load(name: String): Map[String, (Double, Double)] = {
+    val m = RunValidity.loadBaseline(name)
+    assert(m.nonEmpty, s"fixture $name missing or unparseable")
+    m
+  }
+
+  private val baseline = load("BENCH_baseline_clean.json")
+  private val baseCold = baseline.map { case (k, v) => k -> v._1 }
+  private val baseWarm = baseline.map { case (k, v) => k -> v._2 }
+
+  private def verdictOf(file: String): RunValidity.Verdict = {
+    val run = load(file)
+    RunValidity.assess(run.map { case (k, v) => k -> v._1 },
+      run.map { case (k, v) => k -> v._2 }, baseCold, baseWarm)
+  }
+
+  test("the contaminated r12 driver run (busy COLD pass, ratio 0.44) is suspect") {
+    val v = verdictOf("BENCH_full_latest.json")
+    assert(v.suspect)
+    // the failure mode the old one-sided rule could not catch: cold-pass
+    // offenders with a healthy-looking warm/cold ratio
+    assert(v.offendersCold.size >= 3, v.offendersCold.mkString(", "))
+    assert(v.offendersCold.exists(_.startsWith("q1_pricing_summary")))
+    assert(v.reasons.exists(_.contains("cold pass")))
+  }
+
+  test("the committed clean r12 runs stay unsuspect") {
+    // run2/run3 are the baseline's own sources — exactly the replay the
+    // done-criteria asks for ("clean runs still passing")
+    for (f <- Seq("BENCH_full_r12_run2.json", "BENCH_full_r12_run3.json")) {
+      val v = verdictOf(f)
+      assert(!v.suspect, s"$f flagged: ${v.reasons.mkString("; ")}")
+    }
+  }
+
+  test("warm-pass interference (the r11 failure mode) still flags") {
+    val cold = Map("a" -> 10.0, "b" -> 10.0)
+    val warm = Map("a" -> 20.0, "b" -> 15.0) // ratio 1.75 > 1.25
+    val v = RunValidity.assess(cold, warm, Map.empty, Map.empty)
+    assert(v.suspect && v.reasons.exists(_.contains("warm total")))
+  }
+
+  test("band check needs BOTH the ratio and the absolute floor") {
+    val base = Map("tiny" -> 0.1, "big" -> 10.0)
+    // tiny query at 4x but only +0.3 s: scheduling noise, not interference
+    val v1 = RunValidity.assess(
+      Map("tiny" -> 0.4, "big" -> 10.0), Map("tiny" -> 0.1, "big" -> 10.0),
+      base, base)
+    assert(v1.offendersCold.isEmpty)
+    // three queries at 3x with > 0.75 s deltas: flags
+    val base3 = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    val v2 = RunValidity.assess(
+      Map("a" -> 3.0, "b" -> 3.0, "c" -> 3.0), base3.map(identity), base3, base3)
+    assert(v2.suspect && v2.offendersCold.size == 3)
+  }
+
+  test("queries absent from the baseline are skipped, empty baseline disables bands") {
+    val v = RunValidity.assess(Map("new_q" -> 99.0), Map("new_q" -> 99.0),
+      Map.empty, Map.empty)
+    assert(!v.suspect)
+  }
+
+  test("parseQueriesBlock reads the committed artifact format") {
+    val m = RunValidity.parseQueriesBlock(
+      """"queries": {
+        |  "q_a": [1.5, 0.75],
+        |  "q_b": [0.1, -1.000]
+        |}""".stripMargin)
+    assert(m === Map("q_a" -> (1.5, 0.75), "q_b" -> (0.1, -1.0)))
+  }
+}

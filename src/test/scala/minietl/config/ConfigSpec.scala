@@ -1161,6 +1161,31 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
          |  - {type: token_budget, strata: g, tokens: t, budget: 10, key: k, shards: 0}
          |sink: {type: parquet, filepath: /tmp/y}
          |""".stripMargin)).nonEmpty)
+
+    // shards: auto validates clean and engages the salted path with the
+    // census-derived count (hot stratum 400 tokens < 64M target -> 1 shard,
+    // which reproduces the plain budget exactly)
+    assert(Config.validate(Config.parse(
+      s"""name: x
+         |source: {type: parquet, filepath: /tmp/x}
+         |transformers:
+         |  - {type: token_budget, strata: g, tokens: t, budget: 10, key: k, shards: auto}
+         |sink: {type: parquet, filepath: /tmp/y}
+         |""".stripMargin)).isEmpty)
+    val outA = s"${tmp()}/sha_out"
+    Config.load(
+      s"""name: sha
+         |source: {type: csv, filepath: $in}
+         |transformers:
+         |  - type: cast
+         |    columns: {doc_id: int64, n_tokens: int64}
+         |  - {type: token_budget, strata: grp, tokens: n_tokens,
+         |     budget: 100, key: doc_id, shards: auto}
+         |sink: {type: parquet, filepath: $outA}
+         |""".stripMargin).run(spark)
+    val keptAuto = Readers.parquet(spark, outA)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).as[Long].head()
+    assert(keptAuto === 100L, s"auto=1 shard must fill the budget exactly: $keptAuto")
   }
 
   test("missing required keys in new stage types are validation errors") {

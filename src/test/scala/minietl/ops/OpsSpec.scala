@@ -442,6 +442,59 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rev === Set(4L, 3L, 6L))
   }
 
+  test("autoShards derives the count from the hottest stratum; salted budget stays exact at it") {
+    // 90%-hot stratum: g=a carries 9000 mass over 90 rows, g=b only 1000.
+    // Doc size (100) stays under the per-shard sub-budget (2000/9 = 222)
+    // so every shard can keep at least one document.
+    val rows = (1 to 90).map(i => (i.toLong, "a", 100L)) ++
+      (91 to 100).map(i => (i.toLong, "b", 100L))
+    val df = rows.toDF("id", "g", "toks")
+    // hottest stratum mass 9000 / target 1000 -> 9 shards; cap applies
+    assert(Ops.autoShards(df, "g", "toks", targetShardMass = 1000) === 9)
+    assert(Ops.autoShards(df, "g", "toks", targetShardMass = 1000, maxShards = 4) === 4)
+    // huge target -> 1 shard (small strata reproduce the plain operator)
+    assert(Ops.autoShards(df, "g", "toks") === 1)
+    // empty frame -> 1 (no census row)
+    assert(Ops.autoShards(df.limit(0), "g", "toks", 1000) === 1)
+
+    // END-TO-END at the AUTO value (shards left at the AutoShards default,
+    // small target mass so auto > 1): the budget guarantee must hold —
+    // per-stratum kept tokens never exceed the budget, and each shard's
+    // sub-budget is exact (cum <= floor + remainder split)
+    val budget = 2000L
+    val kept = df.transform(Ops.tokenBudgetSalted("g", "toks", budget,
+        order = col("id"),
+        shardKey = org.apache.spark.sql.functions.xxhash64(col("id")),
+        autoTargetMass = 1000L, cumColumn = Some("cum")))
+    val perStratum = kept.groupBy("g").agg(sum("toks").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(perStratum.values.forall(_ <= budget), perStratum.toString)
+    // stratum b (1000 mass) is under budget, but sub-budgets are PER SHARD
+    // (2000/9 = 222 each): a shard holding 3+ of b's 100-token docs drops
+    // the overflow — the documented <= shards boundary-doc under-fill
+    assert(perStratum("b") <= 1000L && perStratum("b") >= 1000L - 9 * 100)
+    // stratum a under-fills by at most (shards x max doc tokens): with 9
+    // auto shards and 100-token docs, kept >= 2000 - 9*100 (each shard has
+    // ~10 docs of supply, so the bound is the boundary docs, not supply)
+    assert(perStratum("a") >= budget - 9 * 100, perStratum.toString)
+    // determinism: same inputs -> same kept set
+    val again = df.transform(Ops.tokenBudgetSalted("g", "toks", budget,
+        order = col("id"),
+        shardKey = org.apache.spark.sql.functions.xxhash64(col("id")),
+        autoTargetMass = 1000L, cumColumn = Some("cum")))
+    assert(kept.select("id").as[Long].collect().toSet ===
+      again.select("id").as[Long].collect().toSet)
+
+    // topPSelectSalted at the auto value: per-shard nucleus is well-formed
+    // (every stratum keeps at least one row for p > 0)
+    val tp = df.transform(Ops.topPSelectSalted("g", "toks", 5000,
+        order = Seq(col("toks").desc, col("id").asc),
+        shardKey = org.apache.spark.sql.functions.xxhash64(col("id")),
+        autoTargetMass = 1000L))
+    val byG = tp.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG.keySet === Set("a", "b") && byG.values.forall(_ >= 1))
+  }
+
   test("rollingWindow: trailing range is inclusive of the bound, per key") {
     val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
     val df = Seq(

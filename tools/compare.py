@@ -36,9 +36,31 @@ queued behind them. --jobs runs N worker processes, each with its own
 DuckDB connection (threads capped to cores/N so workers don't
 oversubscribe); verdict semantics are untouched.
 
-Usage: python3 tools/compare.py <sfDir> <outDir> [only,names] [--fast] [--crosscheck] [--jobs N]
+ORACLE CACHE (default on, ``--no-cache`` to disable): the r12 sf0.1 sweep
+wall was 100% bounded by three DuckDB replays (q_dedup_clusters 2993 s)
+whose oracle SQL and input parquet almost never change between sweeps. The
+ORACLE result frame (never the Spark side, which is what's under test) is
+pickled under tools/.oracle_cache keyed on sha256(query name, oracle SQL,
+duckdb version, pandas major, and the (size, mtime) fingerprint of every
+input table in sfDir) — touching the oracle SQL or regenerating testdata
+changes the key and forces a fresh replay. Pickle (not parquet) so the
+cached frame round-trips with the EXACT dtypes ``.df()`` produced
+(Decimal objects, HUGEINT floats) — byte-identical verdicts by
+construction. Cache hits print "(cached)".
+
+CROSSCHECK SAMPLE (``--crosscheck-sample N``): full --crosscheck runs both
+modes on everything; the sample picks N queries deterministically spread
+over the sorted query list and crosschecks just those, so every sweep
+continuously guards against fast/full canonicalization drift at the sweep's
+own scale without the full double-compare cost.
+
+Usage: python3 tools/compare.py <sfDir> <outDir> [--only a,b] [--fast]
+       [--crosscheck] [--crosscheck-sample N] [--jobs N] [--no-cache]
+       [--clear-cache]
 """
+import argparse
 import datetime
+import hashlib
 import json
 import math
 import multiprocessing
@@ -49,6 +71,9 @@ import time
 import duckdb
 import numpy as np
 import pandas as pd
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".oracle_cache")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -108,7 +133,10 @@ def fast_canon_col(s):
         but object columns are strings/dates, far cheaper than sorting
     """
     if pd.api.types.is_datetime64_any_dtype(s):
-        s = pd.Series(s.values).dt.tz_localize(None) if getattr(s.dtype, "tz", None) else s
+        # tz-aware: convert to UTC and drop the tz ON THE SERIES (r12 ADVICE:
+        # .values already yields naive UTC, so tz_localize(None) on it raised
+        # TypeError and silently demoted every tz-aware column to slow mode)
+        s = s.dt.tz_convert(None) if getattr(s.dtype, "tz", None) else s
         iso = s.dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
         date = s.dt.strftime("%Y-%m-%d")
         out = date.where(s == s.dt.normalize(), iso)
@@ -173,29 +201,73 @@ def compare_one(name, spark_df, oracle_df, fast):
 _W = {}  # per-worker state (connection, dirs, mode)
 
 
-def _init_worker(sf_dir, out_dir, fast, crosscheck, jobs):
+def _testdata_fingerprint(sf_dir):
+    """(table, size, mtime_ns) for every input table — regenerated testdata
+    invalidates every cached oracle for that sfDir."""
+    fp = []
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        try:
+            st = os.stat(p)
+            fp.append((t, st.st_size, st.st_mtime_ns))
+        except OSError:
+            fp.append((t, -1, -1))
+    return fp
+
+
+def _init_worker(sf_dir, out_dir, fast, crosscheck, jobs, cache, sample):
     con = duckdb.connect()
     threads = max(1, (os.cpu_count() or 8) // max(1, jobs))
     con.sql(f"SET threads TO {threads}")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    _W.update(con=con, out_dir=out_dir, fast=fast, crosscheck=crosscheck)
+    _W.update(con=con, out_dir=out_dir, fast=fast, crosscheck=crosscheck,
+              cache=cache, sample=sample or set(),
+              fingerprint=_testdata_fingerprint(sf_dir))
+
+
+def _oracle_df(name, sql):
+    """DuckDB oracle frame, from the cache when the (sql, testdata, engine
+    versions) key matches a prior replay. Only SUCCESSFUL replays are cached;
+    writes are atomic (tmp + rename) so parallel workers never read a torn
+    pickle."""
+    if not _W["cache"]:
+        return _W["con"].sql(sql).df(), False
+    key = hashlib.sha256(json.dumps(
+        [name, sql, duckdb.__version__, pd.__version__.split(".")[0],
+         _W["fingerprint"]], default=str).encode()).hexdigest()[:24]
+    path = os.path.join(CACHE_DIR, f"{name}-{key}.pkl")
+    if os.path.exists(path):
+        try:
+            return pd.read_pickle(path), True
+        except Exception:
+            pass  # torn/incompatible pickle -> replay fresh below
+    df = _W["con"].sql(sql).df()
+    try:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        df.to_pickle(tmp)
+        os.replace(tmp, path)
+    except Exception:
+        pass  # cache is an optimization; never fail the verdict for it
+    return df, False
 
 
 def _run_one(item):
-    """(name, sql) -> (name, msg_or_None, disagree_msg_or_None, seconds)."""
+    """(name, sql) -> (name, msg_or_None, disagree_msg_or_None, seconds,
+    cached)."""
     name, sql = item
     t0 = time.time()
     try:
         spark_df = pd.read_parquet(f"{_W['out_dir']}/{name}")
     except Exception as e:
-        return name, f"SPARK READ ERROR: {e}", None, time.time() - t0
+        return name, f"SPARK READ ERROR: {e}", None, time.time() - t0, False
     try:
-        oracle_df = _W["con"].sql(sql).df()
+        oracle_df, cached = _oracle_df(name, sql)
     except Exception as e:
-        return name, f"ORACLE ERROR: {e}", None, time.time() - t0
+        return name, f"ORACLE ERROR: {e}", None, time.time() - t0, False
     disagree = None
-    if _W["crosscheck"]:
+    if _W["crosscheck"] or name in _W["sample"]:
         f_msg = compare_one(name, spark_df, oracle_df, fast=True)
         g_msg = compare_one(name, spark_df, oracle_df, fast=False)
         if (f_msg is None) != (g_msg is None):
@@ -204,55 +276,79 @@ def _run_one(item):
         msg = g_msg  # full mode is the verdict of record
     else:
         msg = compare_one(name, spark_df, oracle_df, fast=_W["fast"])
-    return name, msg, disagree, time.time() - t0
+    return name, msg, disagree, time.time() - t0, cached
 
 
-def main(sf_dir, out_dir, only=None, fast=False, crosscheck=False, jobs=1):
+def main(sf_dir, out_dir, only=None, fast=False, crosscheck=False, jobs=1,
+         cache=True, crosscheck_sample=0):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     items = [(n, s) for n, s in sorted(oracles.items())
              if not only or n in only]
-    ok, bad, disagree = [], [], []
+    # deterministic spread over the sorted list: same queries every sweep
+    # until the query set changes, covering the alphabet ends and middle
+    sample = set()
+    if crosscheck_sample > 0 and items:
+        step = max(1, len(items) // crosscheck_sample)
+        sample = {items[i][0] for i in range(0, len(items), step)}
+    ok, bad, disagree, n_cached = [], [], [], 0
 
     def handle(result):
-        name, msg, dis, took = result
+        nonlocal n_cached
+        name, msg, dis, took, cached = result
+        n_cached += 1 if cached else 0
+        note = " (cached)" if cached else ""
         if msg is None:
             ok.append(name)
-            print(f"PASS {name} ({took:.1f}s)", flush=True)
+            print(f"PASS {name} ({took:.1f}s){note}", flush=True)
         else:
             bad.append((name, msg))
-            print(f"FAIL {name}: {msg}", flush=True)
+            print(f"FAIL {name}: {msg}{note}", flush=True)
         if dis:
             disagree.append((name, dis))
 
     if jobs <= 1:
-        _init_worker(sf_dir, out_dir, fast, crosscheck, 1)
+        _init_worker(sf_dir, out_dir, fast, crosscheck, 1, cache, sample)
         for it in items:
             handle(_run_one(it))
     else:
         with multiprocessing.Pool(
                 jobs, initializer=_init_worker,
-                initargs=(sf_dir, out_dir, fast, crosscheck, jobs)) as pool:
+                initargs=(sf_dir, out_dir, fast, crosscheck, jobs, cache,
+                          sample)) as pool:
             for result in pool.imap_unordered(_run_one, items):
                 handle(result)
     for n, msg in bad:
         print(f"FAIL {n}: {msg}")
-    if crosscheck:
+    if crosscheck or sample:
         for n, msg in disagree:
             print(f"DISAGREE {n}: {msg}")
-        print(f"crosscheck: {len(disagree)} fast/full verdict disagreements")
+        scope = "all" if crosscheck else f"sampled {sorted(sample)}"
+        print(f"crosscheck ({scope}): {len(disagree)} fast/full verdict disagreements")
+    if cache:
+        print(f"oracle cache: {n_cached}/{len(items)} hits")
     print(f"\n{len(ok)}/{len(ok) + len(bad)} queries match")
     return 1 if bad or disagree else 0
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:]]
-    fast = "--fast" in argv
-    crosscheck = "--crosscheck" in argv
-    jobs = 1
-    for a in argv:
-        if a.startswith("--jobs"):
-            jobs = int(a.split("=", 1)[1]) if "=" in a \
-                else int(argv[argv.index(a) + 1])
-    argv = [a for a in argv if not a.startswith("--") and not a.isdigit()]
-    only = set(argv[2].split(",")) if len(argv) > 2 else None
-    sys.exit(main(argv[0], argv[1], only, fast, crosscheck, jobs))
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("only_pos", nargs="?", default=None,
+                    help="comma-separated query names (positional, legacy)")
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--crosscheck", action="store_true")
+    ap.add_argument("--crosscheck-sample", type=int, default=0, metavar="N")
+    ap.add_argument("--jobs", type=int, default=1)
+    ap.add_argument("--no-cache", action="store_true")
+    ap.add_argument("--clear-cache", action="store_true",
+                    help="delete tools/.oracle_cache before running")
+    a = ap.parse_args()
+    if a.clear_cache and os.path.isdir(CACHE_DIR):
+        for f in os.listdir(CACHE_DIR):
+            os.unlink(os.path.join(CACHE_DIR, f))
+    only = set((a.only or a.only_pos).split(",")) if (a.only or a.only_pos) else None
+    sys.exit(main(a.sf_dir, a.out_dir, only, a.fast, a.crosscheck, a.jobs,
+                  cache=not a.no_cache, crosscheck_sample=a.crosscheck_sample))

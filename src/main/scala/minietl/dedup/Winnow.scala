@@ -184,28 +184,29 @@ object Winnow {
     sharedSpansWith(df, textCol, idCol, k, minSpanTokens, maxPostings,
       PortableHash.md5Hash60(_))
 
-  private def sharedSpansWith(df: DataFrame, textCol: String, idCol: String,
-                              k: Int, minSpanTokens: Int, maxPostings: Int,
-                              tokenHash: Column => Column): DataFrame = {
-    require(minSpanTokens >= k,
-      s"minSpanTokens must be >= k (got $minSpanTokens < $k)")
-    // Docs shorter than k tokens are excluded from SEEDING (not from
-    // [[spanDedup]]'s rebuild): the winnow selection's whole-doc fallback
-    // gram would otherwise let two identical sub-k docs seed an island
-    // whose c + k - 1 accounting over-reports the matched length as k —
-    // a phantom span at the minSpanTokens == k boundary. With the filter,
-    // every reported span covers true k-gram positions and span_len is
-    // exact. The oracle CTE applies the same `len(toks) >= k` guard.
-    val eligible = Dedup.spread(df).where(
-      size(minietl.text.TextAnalysis.tokens(col(textCol))) >= k)
-    val fps = fingerprintsWith(eligible, textCol, idCol, k, w = 1,
-      tokenHash)
-    val capped = Dedup.dropOversizedBuckets(fps, Seq("fp"), maxPostings, "spans")
-    val seeds = capped.as("a")
-      .join(capped.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"),
-        (col("a.pos") - col("b.pos")).as("diag"))
+  /** Seed fingerprints for span detection: every k-gram hash with its
+    * position (w = 1 selects every gram). Docs shorter than k tokens are
+    * excluded from SEEDING (not from [[spanDedup]]'s rebuild): the winnow
+    * selection's whole-doc fallback gram would otherwise let two identical
+    * sub-k docs seed an island whose c + k - 1 accounting over-reports the
+    * matched length as k — a phantom span at the minSpanTokens == k
+    * boundary. With the filter, every reported span covers true k-gram
+    * positions and span_len is exact. The oracle CTE applies the same
+    * `len(toks) >= k` guard.
+    */
+  private def spanFps(df: DataFrame, textCol: String, idCol: String, k: Int,
+                      tokenHash: Column => Column): DataFrame =
+    fingerprintsWith(
+      Dedup.spread(df).where(
+        size(minietl.text.TextAnalysis.tokens(col(textCol))) >= k),
+      textCol, idCol, k, w = 1, tokenHash)
+
+  /** Gaps-and-islands over seed pairs: consecutive matching k-gram
+    * positions on one alignment diagonal collapse to one span of
+    * c + k - 1 tokens.
+    */
+  private def islandsToSpans(seeds: DataFrame, k: Int,
+                             minSpanTokens: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
     seeds
@@ -215,6 +216,24 @@ object Winnow {
         (count(lit(1)) + (k - 1)).as("span_len"))
       .filter(col("span_len") >= minSpanTokens)
       .select("id_a", "id_b", "start_a", "start_b", "span_len")
+  }
+
+  private def seedSelect(a: String, b: String): Seq[Column] = Seq(
+    col(s"$a.id").as("id_a"), col(s"$b.id").as("id_b"),
+    col(s"$a.pos").as("pos_a"), col(s"$b.pos").as("pos_b"),
+    (col(s"$a.pos") - col(s"$b.pos")).as("diag"))
+
+  private def sharedSpansWith(df: DataFrame, textCol: String, idCol: String,
+                              k: Int, minSpanTokens: Int, maxPostings: Int,
+                              tokenHash: Column => Column): DataFrame = {
+    require(minSpanTokens >= k,
+      s"minSpanTokens must be >= k (got $minSpanTokens < $k)")
+    val fps = spanFps(df, textCol, idCol, k, tokenHash)
+    val capped = Dedup.dropOversizedBuckets(fps, Seq("fp"), maxPostings, "spans")
+    val seeds = capped.as("a")
+      .join(capped.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(seedSelect("a", "b"): _*)
+    islandsToSpans(seeds, k, minSpanTokens)
   }
 
   /** Span-level dedup: rewrite each document with every token covered by a
@@ -296,6 +315,61 @@ object Winnow {
       .drop(rebuilt("id")).drop("__kept").drop("__did").drop("__c")
   }
 
+  /** [[excise]] restricted to the CHANGED documents (the distinct id_b set
+    * of `spans`): only they are re-tokenized and rebuilt; every other row
+    * of `df` passes through as-is. Byte-identical to full [[excise]]
+    * because `split(text, " ")` / `array_join(_, " ")` are exact inverses
+    * for ANY text (empty tokens round-trip), so the full rebuild never
+    * altered untouched documents anyway — restricting it is purely a cost
+    * change (rebuild work ∝ changed docs, not corpus). The duplicate-id
+    * guard is optional: the fixpoint loop runs it on round 1 only (ids
+    * never change between rounds, so one full-corpus check covers all).
+    */
+  private def exciseSubset(df: DataFrame, spans: DataFrame,
+                           changedIds: DataFrame, textCol: String,
+                           idCol: String, checkDupIds: Boolean): DataFrame = {
+    val covered = spans
+      .select(col("id_b").as("id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("span_len") - 1)).as("pos"))
+      .distinct()
+    val changedDf = df.join(changedIds, df(idCol) === changedIds("id"),
+      "left_semi")
+    val toks = changedDf
+      .select(col(idCol).as("id"),
+        posexplode(minietl.text.TextAnalysis.tokens(col(textCol)))
+          .as(Seq("pos", "tok")))
+    val rebuilt = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("__kept"))
+    // a fully-excised doc has no rebuilt row — keep it as an empty husk
+    val rebuiltChanged = changedDf
+      .join(rebuilt, changedDf(idCol) === rebuilt("id"), "left")
+      .withColumn(textCol, coalesce(col("__kept"), lit("")))
+      .drop(rebuilt("id")).drop("__kept")
+      .select(df.columns.map(col): _*)
+    // null-id rows never match the semi-join, so they land here untouched —
+    // the same pass-through contract as full excise
+    val untouched = df.join(changedIds, df(idCol) === changedIds("id"),
+      "left_anti")
+    val out = untouched.unionByName(rebuiltChanged)
+    if (!checkDupIds) out
+    else {
+      val dupIds = df.where(col(idCol).isNotNull)
+        .groupBy(col(idCol).as("__did")).agg(count(lit(1)).as("__c"))
+        .where(col("__c") > 1)
+      out.join(dupIds, out(idCol) === dupIds("__did"), "left")
+        .withColumn(textCol,
+          when(col("__c").isNotNull, raise_error(concat(
+            lit(s"spanDedup: duplicate id in '$idCol': "),
+            out(idCol).cast("string"))).cast("string"))
+            .otherwise(col(textCol)))
+        .drop("__did").drop("__c")
+    }
+  }
+
   /** [[spanDedup]] iterated to a FIXPOINT: excision junctions can create
     * new cross-document adjacencies (removing span S from document B makes
     * the tokens flanking S adjacent; the new k-grams spanning the junction
@@ -339,30 +413,92 @@ object Winnow {
     spanDedupFixpointWith(df, textCol, idCol, k, minSpanTokens, maxPostings,
       maxIter, xxhash64(_))
 
+  /** The fixpoint loop is INCREMENTAL past round 1. Invariant (induction
+    * on rounds): at the start of round r, every document pair with BOTH
+    * sides outside round r-1's changed set is span-free —
+    *   base: round 1 seed-checks ALL pairs; a span between two docs
+    *   neither of which ended up changed would have excised its higher-id
+    *   side, contradiction;
+    *   step: a both-unchanged-in-(r-1) pair was either span-free at the
+    *   start of r-1 (invariant) or was seed-checked in round r-1 (one side
+    *   in changed_{r-2}) with nothing found; its texts did not change
+    *   during r-1, so it is still span-free.
+    * Hence round r only needs seed pairs with AT LEAST ONE side in
+    * changed_{r-1}, and a round finding none proves the WHOLE corpus
+    * span-free. Two costs become ∝ changed docs instead of ∝ corpus: the
+    * seed join shrinks from all×all to changed×all + unchanged×changed per
+    * fingerprint bucket, and the excision rebuild re-tokenizes only changed
+    * docs ([[exciseSubset]]). The seed FINGERPRINTS are deliberately
+    * recomputed from the checkpointed text each round rather than carried
+    * over: a carried fps frame needs a full-corpus localCheckpoint per
+    * round, and measured at 5M docs those two ~250M-row materializations
+    * cost MORE than the streaming re-scan they save (fixpoint premium
+    * 190 s carried vs 156 s recomputed) — the fps scan pipelines into the
+    * census shuffle without ever materializing. The maxPostings census
+    * runs over the full fps each round (it must see the round's whole
+    * corpus or the cap would diverge from the oracle replay); within the
+    * single seeds plan its exchange is reused across the a/b/changed
+    * references.
+    */
   private def spanDedupFixpointWith(df: DataFrame, textCol: String,
                                     idCol: String, k: Int, minSpanTokens: Int,
                                     maxPostings: Int, maxIter: Int,
                                     tokenHash: Column => Column): (DataFrame, Int) = {
     require(maxIter >= 1, s"maxIter must be >= 1 (got $maxIter)")
+    require(minSpanTokens >= k,
+      s"minSpanTokens must be >= k (got $minSpanTokens < $k)")
+    val release = minietl.pipeline.RunCaches.releaseNow _
     var cur = df
     var curOwned = false // never release the caller's frame
+    var changedIds: DataFrame = null // round r-1's changed set (null = round 1)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
-      val spans = sharedSpansWith(cur, textCol, idCol, k, minSpanTokens,
-        maxPostings, tokenHash).localCheckpoint(true)
+      val capped = Dedup.dropOversizedBuckets(
+        spanFps(cur, textCol, idCol, k, tokenHash), Seq("fp"), maxPostings,
+        "spans")
+      val seeds =
+        if (changedIds == null)
+          capped.as("a").join(capped.as("b"),
+              col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+            .select(seedSelect("a", "b"): _*)
+        else {
+          // pairs with >= 1 changed side, each exactly once: changed(a)
+          // against everything (covers changed-changed and changed-lower
+          // ids), plus unchanged(a) against changed(b)
+          val cappedC = capped.join(changedIds,
+            capped("id") === changedIds("id"), "left_semi")
+          val cappedU = capped.join(changedIds,
+            capped("id") === changedIds("id"), "left_anti")
+          cappedC.as("a").join(capped.as("b"),
+              col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+            .select(seedSelect("a", "b"): _*)
+            .unionByName(
+              cappedU.as("a").join(cappedC.as("b"),
+                  col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+                .select(seedSelect("a", "b"): _*))
+        }
+      val spans = islandsToSpans(seeds, k, minSpanTokens).localCheckpoint(true)
       if (spans.isEmpty) {
-        minietl.pipeline.RunCaches.releaseNow(spans)
+        release(spans)
         converged = true
       } else {
-        val next = excise(cur, spans, textCol, idCol).localCheckpoint(true)
-        minietl.pipeline.RunCaches.releaseNow(spans)
-        if (curOwned) minietl.pipeline.RunCaches.releaseNow(cur)
+        val nextChanged = spans.select(col("id_b").as("id")).distinct()
+          .localCheckpoint(true)
+        // round 1 embeds the duplicate-id guard over the FULL frame (ids
+        // never change between rounds, so one check covers the run)
+        val next = exciseSubset(cur, spans, nextChanged, textCol, idCol,
+          checkDupIds = rounds == 0).localCheckpoint(true)
+        release(spans)
+        if (changedIds != null) release(changedIds)
+        if (curOwned) release(cur)
         cur = next
         curOwned = true
+        changedIds = nextChanged
         rounds += 1
       }
     }
+    if (changedIds != null) release(changedIds)
     lastFixpointRounds.set(rounds)
     log.info(s"spanDedupFixpoint: $rounds excision round(s), " +
       s"${if (converged) "converged" else s"stopped at maxIter=$maxIter"}")

@@ -23,9 +23,18 @@ import org.apache.spark.sql.functions._
   *    cyclic rotation instead; the generator's embeddings are NOT
   *    rotation-decorrelated and the 10x corpus grew 105x near-dup pairs —
   *    measured, then replaced with signs.)
-  * doc_id/vec_id move to id + k*10^7 so ids stay unique and dense-ish.
+  * doc_id/vec_id move to id + k*2^40 so replica ranges can never overlap:
+  * a 10^7 stride silently collided for source ids >= 10M (ADVICE r13), and
+  * span_dedup is the only stage that RAISES on duplicate ids — the others
+  * just misbehave. 2^40 leaves headroom for any plausible source id and
+  * k <= ~8M replicas within a Long.
   */
 object ScaleProbe {
+
+  /** Per-replica id stride for every `gen`-family table; [[main]]'s
+    * `embcheck` divides by the same constant to recover the replica.
+    */
+  private val ReplicaStride = 1L << 40
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -133,8 +142,8 @@ object ScaleProbe {
         val df = SparkEntry.queries("q_emb_neardup")(spark, args(1))
         df.printSchema()
         val cols = df.columns
-        val a = col(cols(0)) / lit(10000000L)
-        val b = col(cols(1)) / lit(10000000L)
+        val a = col(cols(0)) / lit(ReplicaStride)
+        val b = col(cols(1)) / lit(ReplicaStride)
         df.groupBy((a.cast("long") === b.cast("long")).as("same_replica"))
           .count().show()
       case "cc" =>
@@ -313,7 +322,7 @@ object ScaleProbe {
         }
         (0 until drains).foreach { i =>
           def stamped(src: org.apache.spark.sql.DataFrame, suffix: Int, idOffset: Long) =
-            src.select((col("doc_id") + lit(i * 10000000L) + lit(idOffset)).as("doc_id"),
+            src.select((col("doc_id") + lit(i * ReplicaStride) + lit(idOffset)).as("doc_id"),
               regexp_replace(col("text"), lit("(\\S+)"),
                 concat(lit("$1d"), lit(suffix))).as("text"))
           val fresh = stamped(docs, i, 0L)
@@ -470,6 +479,54 @@ object ScaleProbe {
         println(f"[spanfix] dir=$dir single_pass=$singleWall%.1fs " +
           f"fixpoint=$fixWall%.1fs rounds=$rounds docs_changed_by_extra_rounds=$changed " +
           s"n_docs=${docs.count()}")
+      case "ab_fixpoint" =>
+        // Interleaved A/B harness for the incremental-fixpoint claim
+        // (VERDICT r13 Next #4): probe numbers used to ride single runs on
+        // a noisy box (single-pass walls swung 178-500 s between r13
+        // probes). Variants now run INTERLEAVED (A,B,A,B,...), so ambient
+        // interference hits both variants symmetrically; per-variant
+        // MEDIANS are the reported numbers, and each trial is band-flagged
+        // RunValidity-style against its own variant's median (>1.5x AND
+        // >5 s over => suspect) with a median-of-clean-trials recomputed
+        // after exclusion. args: <dir> [trials=3]
+        val dir = args(1)
+        val trials = args.lift(2).map(_.toInt).getOrElse(3)
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        def trial(tag: String)(body: => (org.apache.spark.sql.DataFrame, Int)): Double = {
+          val t0 = System.nanoTime()
+          val (out, rounds) = body
+          val n = out.count()
+          val w = (System.nanoTime() - t0) / 1e9
+          println(f"[abfix] $tag wall=$w%.1fs rounds=$rounds rows=$n " +
+            f"load_avg=${loadAvg()}%.2f")
+          minietl.pipeline.RunCaches.releaseNow(out)
+          spark.catalog.clearCache()
+          w
+        }
+        val full = scala.collection.mutable.Buffer.empty[Double]
+        val inc = scala.collection.mutable.Buffer.empty[Double]
+        (1 to trials).foreach { i =>
+          full += trial(s"full#$i")(
+            minietl.dedup.Winnow.spanDedupFixpointFullRescanWithStats(
+              docs, "text", "doc_id", k = 4, minSpanTokens = 8))
+          inc += trial(s"incremental#$i")(
+            minietl.dedup.Winnow.spanDedupFixpointWithStats(
+              docs, "text", "doc_id", k = 4, minSpanTokens = 8))
+        }
+        def median(xs: Seq[Double]): Double = {
+          val s = xs.sorted; s((s.size - 1) / 2)
+        }
+        def report(tag: String, xs: Seq[Double]): Unit = {
+          val m = median(xs)
+          val suspect = xs.filter(x => x > m * 1.5 && x - m > 5.0)
+          val clean = xs.filterNot(x => x > m * 1.5 && x - m > 5.0)
+          println(f"[abfix] $tag median=$m%.1fs clean_median=${median(clean)}%.1fs " +
+            s"suspect_trials=${suspect.map(x => f"$x%.1f").mkString("[", ",", "]")} " +
+            s"all=${xs.map(x => f"$x%.1f").mkString("[", ",", "]")}")
+        }
+        report("full", full.toSeq)
+        report("incremental", inc.toSeq)
       case "force_time" =>
         // checksum-forced per-query timing (Bench's policy, ad hoc): the
         // full output is materialized via bit_xor(xxhash64(cols)) so
@@ -533,7 +590,7 @@ object ScaleProbe {
         spark.read.parquet(s"$src/documents.parquet")
           .select(col("doc_id"), col("text"), col("lang"), col("source"), k)
           .select(
-            (col("doc_id") + col("k") * lit(10000000L)).as("doc_id"),
+            (col("doc_id") + col("k") * lit(ReplicaStride)).as("doc_id"),
             when(col("k") === 0, col("text"))
               .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
                 concat(lit("$1r"), col("k").cast("string")))).as("text"),
@@ -556,6 +613,34 @@ object ScaleProbe {
         // back from Winnow.lastFixpointRounds.
         val dir = args(1)
         val fixpoint = args.lift(2).contains("fixpoint")
+        // Fail-fast heap guard (VERDICT r13 Next #5): in LOCAL mode one JVM
+        // holds every executor's cache blocks, so the composed pipeline's
+        // working set concentrates in the driver heap — the r13 1000x probe
+        // (~600 MB of snappy parquet, 5M docs) OOM'd at the 8 GB default
+        // and completed at 64 GB. Calibrated guard: require heap >= 16x the
+        // corpus's on-disk bytes (600 MB x16 ≈ 10 GB > 8 GB catches the
+        // observed OOM; the 100x probe, ~60 MB, passes at default memory as
+        // it did in r13). On a real cluster the same working set spreads
+        // over executors and this guard does not apply — it reads local-JVM
+        // maxMemory, which IS the whole world only in local mode.
+        val corpusBytes = {
+          val p = java.nio.file.Paths.get(s"$dir/documents.parquet")
+          val s = java.nio.file.Files.walk(p)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size).sum
+          finally s.close()
+        }
+        val heap = Runtime.getRuntime.maxMemory
+        if (heap < corpusBytes * 16) {
+          val needGb = math.max(8L, corpusBytes * 100 >> 30)
+          System.err.println(
+            s"[pipeline] heap ${heap >> 20} MB is too small for a " +
+              s"${corpusBytes >> 20} MB corpus in local mode (one JVM holds " +
+              s"all executors' cache blocks) — rerun with SPARK_DRIVER_MEM=" +
+              s"${needGb}g")
+          spark.stop()
+          sys.exit(2)
+        }
         val work = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(s"$work/corpus"))
@@ -684,6 +769,10 @@ object ScaleProbe {
     spark.stop()
   }
 
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   private def parquetCount(spark: SparkSession, path: String): Long =
     try spark.read.parquet(path).count()
     catch { case _: org.apache.spark.sql.AnalysisException => 0L }
@@ -694,7 +783,7 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     docs.select(col("doc_id"), col("text"), col("lang"), col("source"), k)
       .select(
-        (col("doc_id") + col("k") * lit(10000000L)).as("doc_id"),
+        (col("doc_id") + col("k") * lit(ReplicaStride)).as("doc_id"),
         when(col("k") === 0, col("text"))
           .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("$1r"), col("k").cast("string")))).as("text"),
@@ -708,7 +797,7 @@ object ScaleProbe {
     // input — are exactly the original's at Nx the row count)
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     li.select(col("*"), k)
-      .withColumn("l_orderkey", col("l_orderkey") + col("k") * lit(100000000L))
+      .withColumn("l_orderkey", col("l_orderkey") + col("k") * lit(ReplicaStride))
       .drop("k")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
@@ -719,8 +808,8 @@ object ScaleProbe {
     // busier stream looks like; users stay disjoint per replica)
     val ev = spark.read.parquet(s"$src/events.parquet")
     ev.select(col("*"), k)
-      .withColumn("event_id", col("event_id") + col("k") * lit(1000000000L))
-      .withColumn("user_id", col("user_id") + col("k") * lit(1000000000L))
+      .withColumn("event_id", col("event_id") + col("k") * lit(ReplicaStride))
+      .withColumn("user_id", col("user_id") + col("k") * lit(ReplicaStride))
       .drop("k")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
@@ -735,7 +824,7 @@ object ScaleProbe {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     emb.select(col("vec_id"), col("embedding"), col("label"), k)
       .select(
-        (col("vec_id") + col("k") * lit(10000000L)).as("vec_id"),
+        (col("vec_id") + col("k") * lit(ReplicaStride)).as("vec_id"),
         expr("""CASE WHEN k = 0 THEN embedding
                 ELSE transform(embedding,
                   (x, i) -> CAST(x * (1 - 2 * pmod(hash(i, k), 2)) AS FLOAT))

@@ -1795,6 +1795,40 @@ object SparkEntry {
           s"(CAST(-1 AS BIGINT), '${((1 to 6).map("zqa" + _) ++ (1 to 8).map("zqx" + _) ++ (7 to 12).map("zqa" + _)).mkString(" ")}')" +
           ") v(doc_id, text)) AS src")))),
 
+    // fixpoint STICKY maxPostings semantics, gated through DuckDB on a
+    // planted cap-crossing corpus (ADVICE r13; same planted-fixture
+    // precedent as the cascade above — the sf tables carry no bucket that
+    // crosses the default cap between rounds, so the rule needs its own
+    // micro corpus): H's grams sit in 3 docs (over cap=2) in round 1;
+    // round 1 excises E2's middle down to one token, so a PER-ROUND census
+    // would re-admit H in round 2 and excise it from doc 2 — sticky keeps
+    // it censored, doc 2 must round-trip intact. The oracle unrolls 3
+    // rounds with the accumulated bigacc sets, replaying the rule
+    // independently.
+    "q_span_fixpoint_sticky_cap" -> Q(
+      (s, dir) => {
+        val h = (1 to 5).map("zsh" + _).mkString(" ")
+        val ahb = (1 to 5).map("zsa" + _).mkString(" ") + " " + h + " " +
+          (1 to 5).map("zsb" + _).mkString(" ")
+        minietl.dedup.Winnow.spanDedupFixpointPortable(
+            s.createDataFrame(Seq((0L, ahb), (1L, ahb), (2L, h)))
+              .toDF("doc_id", "text"),
+            "text", "doc_id", k = 3, minSpanTokens = 5, maxPostings = 2,
+            maxIter = 3)
+          .select("doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some {
+        val h = (1 to 5).map("zsh" + _).mkString(" ")
+        val ahb = (1 to 5).map("zsa" + _).mkString(" ") + " " + h + " " +
+          (1 to 5).map("zsb" + _).mkString(" ")
+        minietl.dedup.Winnow.spanDedupFixpointOracleSql(
+          k = 3, minSpanTokens = 5, maxPostings = 2, maxIter = 3,
+          table = ("(SELECT * FROM (VALUES " +
+            s"(CAST(0 AS BIGINT), '$ahb'), (CAST(1 AS BIGINT), '$ahb'), " +
+            s"(CAST(2 AS BIGINT), '$h')) v(doc_id, text)) AS src"))
+      }),
+
     "q_lsh_ann" -> Q(
       (s, dir) => {
         val e = embeddings(s, dir)
@@ -3960,6 +3994,61 @@ object SparkEntry {
              |  min(c_acctbal) AS min_bal,
              |  min(c_name) AS first_name
              |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
+    // MultiLoader + CallbackLoader under the hash gate (loaders.py:453-484,
+    // 512-545; VERDICT r13 Next #3 — the last spec-only §2.5 sinks):
+    // documents' scalar columns fan out ONCE-PERSISTED through
+    // Writers.multi to THREE real sinks (csv, jsonl, parquet) plus a
+    // Writers.foreachPartition collecting sink (each executor partition
+    // appends its rows to a partition-indexed TSV — the callback-side
+    // effect pattern; the read-back relies on local-mode's shared FS,
+    // exactly like every staged roundtrip in this battery, while a cluster
+    // callback would target an external system). All four legs are read
+    // back tagged by sink and unioned; the oracle cross-joins documents
+    // with the four sink names, so the hash equality proves each leg
+    // round-tripped every row byte-exactly AND that the fan-out wrote no
+    // leg twice. NullLoader stays oracle-less by definition (it discards).
+    "q_multi_sink" -> Q(
+      (s, dir) => {
+        val base = stagingDir("multisink", dir)
+        java.nio.file.Files.createDirectories(base)
+        val src = documents(s, dir).select("doc_id", "lang", "n_chars")
+        // recreate the callback dir per call: the file sinks overwrite via
+        // SaveMode, the callback leg must not accrete stale partition files
+        // across a repeat run in the same session (idempotence check)
+        val cb = s"$base/cb"
+        deleteTree(java.nio.file.Paths.get(cb))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cb))
+        minietl.io.Writers.multi(src, Seq(
+          d => minietl.io.Writers.csv(d, s"$base/csv"),
+          d => minietl.io.Writers.json(d, s"$base/jsonl"),
+          d => minietl.io.Writers.parquet(d, s"$base/pq"),
+          d => minietl.io.Writers.foreachPartition(d, { it =>
+            if (it.hasNext) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val w = java.nio.file.Files.newBufferedWriter(
+                java.nio.file.Paths.get(cb, f"part-$pid%05d.tsv"))
+              try it.foreach { r =>
+                w.write(s"${r.getLong(0)}\t${r.getString(1)}\t${r.getLong(2)}\n")
+              } finally w.close()
+            }
+          })))
+        val schema = src.schema
+        def tag(d: DataFrame, sink: String) =
+          d.select(col("doc_id"), col("lang"), col("n_chars"),
+            lit(sink).as("sink"))
+        tag(minietl.io.Readers.csv(s, s"$base/csv", schema = Some(schema)), "csv")
+          .unionByName(tag(minietl.io.Readers.json(s, s"$base/jsonl",
+            lines = true, schema = Some(schema)), "jsonl"))
+          .unionByName(tag(s.read.parquet(s"$base/pq"), "parquet"))
+          .unionByName(tag(s.read.schema(schema).option("sep", "\t").csv(cb),
+            "callback"))
+          .orderBy("doc_id", "sink")
+      },
+      Some("""SELECT doc_id, lang, n_chars, v.sink
+             |FROM documents
+             |CROSS JOIN (VALUES ('csv'), ('jsonl'), ('parquet'), ('callback')) v(sink)
+             |ORDER BY doc_id, sink""".stripMargin)),
 
     // JDBC interchange under the hash gate (test_loaders.py:197-276 /
     // test_extractors.py:285-356): supplier → embedded Derby (Writers.jdbc,

@@ -351,6 +351,20 @@ object Config {
 
   // ------------------------------------------------------------ building
   private def str(o: Map[String, Any], k: String): String = o(k).toString
+  /** `shards` option: ONLY the literal "auto" maps to the AutoShards
+    * sentinel; numeric values must be >= 1 (mirrors the validator, so a
+    * caller that skips validate — ADVICE r13 — gets a fail-fast instead of
+    * `shards: 0` silently engaging auto derivation via the sentinel).
+    */
+  private def parseShards(o: Map[String, Any]): Int =
+    o.get("shards").map(_.toString) match {
+      case Some("auto") => minietl.ops.Ops.AutoShards
+      case Some(v) =>
+        val n = v.toDouble.toInt
+        require(n >= 1, s"shards must be >= 1 or 'auto' (got $v)")
+        n
+      case None => 1
+    }
   private def path(o: Map[String, Any]): String =
     o.get("filepath").orElse(o.get("path")).map(_.toString)
       .getOrElse(throw new IllegalArgumentException("needs filepath"))
@@ -543,11 +557,7 @@ object Config {
         val seed = t.options.get("seed").map(_.toString).getOrElse("0")
         // "auto" -> AutoShards sentinel (count derived from the stratum
         // census at run time); absent -> the plain exact operator
-        val tbShards = t.options.get("shards").map(_.toString) match {
-          case Some("auto") => minietl.ops.Ops.AutoShards
-          case Some(v) => v.toDouble.toInt
-          case None => 1
-        }
+        val tbShards = parseShards(t.options)
         if (tbShards > 1 || tbShards == minietl.ops.Ops.AutoShards)
           Ops.tokenBudgetSalted(str(t.options, "strata"), str(t.options, "tokens"),
             str(t.options, "budget").toDouble.toLong,
@@ -630,11 +640,7 @@ object Config {
         import org.apache.spark.sql.functions.{col, concat, lit}
         val mass = str(t.options, "mass")
         val tie = str(t.options, "tie_break")
-        val tpShards = t.options.get("shards").map(_.toString) match {
-          case Some("auto") => minietl.ops.Ops.AutoShards
-          case Some(v) => v.toDouble.toInt
-          case None => 1
-        }
+        val tpShards = parseShards(t.options)
         // shards > 1 (or auto): per-(stratum, shard) nucleus — the
         // documented approximation for strata too hot to sort on one task
         if (tpShards > 1 || tpShards == minietl.ops.Ops.AutoShards)

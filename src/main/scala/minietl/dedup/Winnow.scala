@@ -385,6 +385,14 @@ object Winnow {
     * single-pass mode already is, after maxIter rounds of improvement), so
     * it returns rather than throws. Real corpora converge in 2-3 rounds:
     * each round only chases spans newly created at excision junctions.
+    *
+    * The `maxPostings` cap is STICKY across rounds (a bucket over the cap
+    * in any round stays dropped for the run — see
+    * [[spanDedupFixpointWith]]), so on a corpus whose hot buckets shrink
+    * below the cap after excision this is NOT literally "[[spanDedup]]
+    * applied N times" (which would re-admit them); the oracle replay
+    * ([[spanDedupFixpointOracleSql]]) defines the semantics and replays
+    * the sticky rule exactly.
     */
   def spanDedupFixpoint(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 4, minSpanTokens: Int = 8,
@@ -413,37 +421,67 @@ object Winnow {
     spanDedupFixpointWith(df, textCol, idCol, k, minSpanTokens, maxPostings,
       maxIter, xxhash64(_))
 
-  /** The fixpoint loop is INCREMENTAL past round 1. Invariant (induction
-    * on rounds): at the start of round r, every document pair with BOTH
-    * sides outside round r-1's changed set is span-free —
-    *   base: round 1 seed-checks ALL pairs; a span between two docs
-    *   neither of which ended up changed would have excised its higher-id
-    *   side, contradiction;
-    *   step: a both-unchanged-in-(r-1) pair was either span-free at the
-    *   start of r-1 (invariant) or was seed-checked in round r-1 (one side
-    *   in changed_{r-2}) with nothing found; its texts did not change
-    *   during r-1, so it is still span-free.
+  /** FULL-RESCAN fixpoint: identical semantics to [[spanDedupFixpoint]]
+    * (sticky cap included) but every round seeds ALL pairs instead of only
+    * those with a changed side. Not a production entry point: it exists as
+    * (a) the A/B baseline for the incremental-rounds probe
+    * (`ScaleProbe ab_fixpoint`, which lives outside this package) and
+    * (b) the equivalence witness the incremental invariant is spec-checked
+    * against. Production callers want [[spanDedupFixpoint]].
+    */
+  def spanDedupFixpointFullRescanWithStats(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 4, minSpanTokens: Int = 8,
+      maxPostings: Int = Dedup.DefaultMaxBucket,
+      maxIter: Int = 10): (DataFrame, Int) =
+    spanDedupFixpointWith(df, textCol, idCol, k, minSpanTokens, maxPostings,
+      maxIter, xxhash64(_), incremental = false)
+
+  /** The fixpoint loop is INCREMENTAL past round 1, and the maxPostings
+    * cap is STICKY for the run: a fingerprint bucket that exceeds the cap
+    * in ANY round stays dropped in every later round. Stickiness is what
+    * makes the incremental invariant sound (ADVICE r13): under a per-round
+    * census, a bucket above the cap in round 1 that shrinks below it after
+    * excision would make both-unchanged pairs newly eligible in round 2 —
+    * pairs the incremental seed join never checks. Under the sticky cap,
+    * eligibility of an fp can only shrink over rounds, so:
+    *
+    * Invariant (induction on rounds): at the start of round r, every
+    * document pair with BOTH sides outside round r-1's changed set shares
+    * no span visible through round-r-ELIGIBLE fingerprints —
+    *   base: round 1 seed-checks ALL pairs over the eligible fps; a
+    *   visible span between two docs neither of which ended up changed
+    *   would have excised its higher-id side, contradiction;
+    *   step: a both-unchanged-in-(r-1) pair emits the same postings in
+    *   round r as in r-1, and every fp eligible at r was eligible at r-1
+    *   (sticky: the dropped set only grows), so the pair was either
+    *   visibly span-free at the start of r-1 (invariant) or seed-checked
+    *   in round r-1 (one side in changed_{r-2}) with nothing found; its
+    *   texts did not change during r-1, so it is still span-free.
     * Hence round r only needs seed pairs with AT LEAST ONE side in
     * changed_{r-1}, and a round finding none proves the WHOLE corpus
-    * span-free. Two costs become ∝ changed docs instead of ∝ corpus: the
-    * seed join shrinks from all×all to changed×all + unchanged×changed per
-    * fingerprint bucket, and the excision rebuild re-tokenizes only changed
-    * docs ([[exciseSubset]]). The seed FINGERPRINTS are deliberately
-    * recomputed from the checkpointed text each round rather than carried
-    * over: a carried fps frame needs a full-corpus localCheckpoint per
-    * round, and measured at 5M docs those two ~250M-row materializations
-    * cost MORE than the streaming re-scan they save (fixpoint premium
-    * 190 s carried vs 156 s recomputed) — the fps scan pipelines into the
-    * census shuffle without ever materializing. The maxPostings census
-    * runs over the full fps each round (it must see the round's whole
-    * corpus or the cap would diverge from the oracle replay); within the
-    * single seeds plan its exchange is reused across the a/b/changed
-    * references.
+    * span-free (under the capped visibility every span-dedup variant here
+    * already has). Two costs become ∝ changed docs instead of ∝ corpus:
+    * the seed join shrinks from all×all to changed×all + unchanged×changed
+    * per fingerprint bucket, and the excision rebuild re-tokenizes only
+    * changed docs ([[exciseSubset]]). The seed FINGERPRINTS are
+    * deliberately recomputed from the checkpointed text each round rather
+    * than carried over: a carried fps frame needs a full-corpus
+    * localCheckpoint per round, and measured at 5M docs those two
+    * ~250M-row materializations cost MORE than the streaming re-scan they
+    * save (fixpoint premium 190 s carried vs 156 s recomputed). The census
+    * still RUNS over the full fps each round (excision splices can mint
+    * NEW hot buckets — e.g. one span excised from many docs with identical
+    * flanks leaves the same splice gram everywhere — and an uncensused
+    * round could blow up O(n^2) seed pairs); its hot-fp OUTPUT is tiny
+    * (> maxPostings members each, so at most grams/maxPostings rows),
+    * checkpointed per round, and anti-joined into the seeds plan.
     */
   private def spanDedupFixpointWith(df: DataFrame, textCol: String,
                                     idCol: String, k: Int, minSpanTokens: Int,
                                     maxPostings: Int, maxIter: Int,
-                                    tokenHash: Column => Column): (DataFrame, Int) = {
+                                    tokenHash: Column => Column,
+                                    incremental: Boolean = true): (DataFrame, Int) = {
     require(maxIter >= 1, s"maxIter must be >= 1 (got $maxIter)")
     require(minSpanTokens >= k,
       s"minSpanTokens must be >= k (got $minSpanTokens < $k)")
@@ -451,14 +489,25 @@ object Winnow {
     var cur = df
     var curOwned = false // never release the caller's frame
     var changedIds: DataFrame = null // round r-1's changed set (null = round 1)
+    var stickyBig: DataFrame = null // fps over the cap in ANY round so far
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
-      val capped = Dedup.dropOversizedBuckets(
-        spanFps(cur, textCol, idCol, k, tokenHash), Seq("fp"), maxPostings,
-        "spans")
+      val fps = spanFps(cur, textCol, idCol, k, tokenHash)
+      // sticky cap: this round's census unioned into the accumulated
+      // dropped set (tiny — each member had > maxPostings postings), then
+      // anti-joined below; AQE broadcasts it once sizes are known
+      val bigNow = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxPostings).select("fp")
+      val allBig = (if (stickyBig == null) bigNow
+                    else bigNow.unionByName(stickyBig).distinct())
+        .localCheckpoint(true)
+      if (stickyBig != null) release(stickyBig)
+      stickyBig = allBig
+      val capped = fps.join(allBig, Seq("fp"), "left_anti")
       val seeds =
-        if (changedIds == null)
+        if (changedIds == null || !incremental)
           capped.as("a").join(capped.as("b"),
               col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
             .select(seedSelect("a", "b"): _*)
@@ -499,9 +548,13 @@ object Winnow {
       }
     }
     if (changedIds != null) release(changedIds)
+    val hotFps = if (stickyBig == null) 0L else stickyBig.count()
+    if (stickyBig != null) release(stickyBig)
     lastFixpointRounds.set(rounds)
     log.info(s"spanDedupFixpoint: $rounds excision round(s), " +
-      s"${if (converged) "converged" else s"stopped at maxIter=$maxIter"}")
+      s"${if (converged) "converged" else s"stopped at maxIter=$maxIter"}" +
+      (if (hotFps > 0) s"; $hotFps fingerprint bucket(s) over maxPostings=" +
+        s"$maxPostings censored sticky for the run" else ""))
     (cur, rounds)
   }
 
@@ -567,7 +620,11 @@ object Winnow {
   /** One unrolled detect-and-excise round for the fixpoint oracle: assumes
     * CTE `d$r(id, toks)` exists, emits the suffixed spans + excise CTEs and
     * ends in `out$r(id, txt)`. Same SQL as [[spansCte]]/[[spanDedupOracleSql]]
-    * modulo the `$r` suffixes.
+    * modulo the `$r` suffixes — EXCEPT the maxPostings cap, which replays
+    * the engine's STICKY rule: `bigacc$r` accumulates every round's
+    * over-cap fingerprints (`bigacc1 = big1`, `bigacc$r = big$r UNION
+    * bigacc${r-1}`) and `fc$r` anti-joins the accumulated set, so a bucket
+    * dropped once stays dropped for the run.
     */
   private def fixpointRoundCtes(r: Int, k: Int, minSpanTokens: Int,
                                 maxPostings: Int): String =
@@ -581,7 +638,10 @@ object Winnow {
        |f$r AS (SELECT id, i - 1 AS pos, g[i] AS fp
        |      FROM gr$r, unnest(range(1, len(g) + 1)) AS u(i)),
        |big$r AS (SELECT fp FROM f$r GROUP BY fp HAVING count(*) > $maxPostings),
-       |fc$r AS MATERIALIZED (SELECT f$r.* FROM f$r ANTI JOIN big$r USING (fp)),
+       |bigacc$r AS MATERIALIZED (${
+      if (r == 1) s"SELECT fp FROM big$r"
+      else s"SELECT fp FROM big$r UNION SELECT fp FROM bigacc${r - 1}"}),
+       |fc$r AS MATERIALIZED (SELECT f$r.* FROM f$r ANTI JOIN bigacc$r USING (fp)),
        |seeds$r AS (SELECT a.id AS id_a, b.id AS id_b, a.pos AS pos_a, b.pos AS pos_b,
        |                 a.pos - b.pos AS diag
        |          FROM fc$r a JOIN fc$r b ON a.fp = b.fp AND a.id < b.id),
@@ -604,12 +664,14 @@ object Winnow {
        |          FROM d$r LEFT JOIN rb$r ON d$r.id = rb$r.id)""".stripMargin
 
   /** ANSI SQL (DuckDB dialect) replaying [[spanDedupFixpointPortable]] by
-    * UNROLLING exactly `maxIter` detect-and-excise rounds. This matches the
-    * engine's early-stopping loop for EVERY convergence count r <= maxIter:
-    * once a round finds no span, excision is the identity (the rebuild
-    * re-joins the same single-space tokens — and round 1 already
-    * canonicalized every text to single-space form), so the extra unrolled
-    * rounds replay the converged corpus unchanged. Precondition shared with
+    * UNROLLING exactly `maxIter` detect-and-excise rounds, with the
+    * engine's STICKY maxPostings rule (accumulated `bigacc$r` sets). This
+    * matches the engine's early-stopping loop for EVERY convergence count
+    * r <= maxIter: once a round finds no span, excision is the identity
+    * (the rebuild re-joins the same single-space tokens — and round 1
+    * already canonicalized every text to single-space form) and the
+    * census output is unchanged, so the extra unrolled rounds replay the
+    * converged corpus unchanged. Precondition shared with
     * the engine query it oracles: no NULL and no duplicate ids (the engine
     * passes nulls through / raises on duplicates; this replay would instead
     * blank null-id texts).

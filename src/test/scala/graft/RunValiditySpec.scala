@@ -5,6 +5,16 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Replays the committed r12 bench artifacts through [[RunValidity]]:
   * the driver's contaminated run must classify suspect, the clean runs
   * must not — the two-sided-validity done-criteria from VERDICT r12 #1.
+  *
+  * Fixture discipline (VERDICT r13 #1): every file this spec asserts on is
+  * IMMUTABLE — either a frozen copy under src/test/resources (the
+  * contaminated r12 run, which used to live at BENCH_full_latest.json until
+  * the driver's next bench run rewrote it and silently flipped the
+  * assertion) or a round-stamped BENCH_full_rNN_runK.json the driver never
+  * touches again. BENCH_baseline_clean.json is the one deliberate
+  * exception: it is the band input the PRODUCTION check reads, refreshed
+  * each round by hand, and the suspect/clean replays below are exactly the
+  * re-calibration that refresh must keep passing.
   */
 class RunValiditySpec extends AnyFunSuite {
 
@@ -25,7 +35,7 @@ class RunValiditySpec extends AnyFunSuite {
   }
 
   test("the contaminated r12 driver run (busy COLD pass, ratio 0.44) is suspect") {
-    val v = verdictOf("BENCH_full_latest.json")
+    val v = verdictOf("src/test/resources/bench_r12_contaminated.json")
     assert(v.suspect)
     // the failure mode the old one-sided rule could not catch: cold-pass
     // offenders with a healthy-looking warm/cold ratio
@@ -68,6 +78,30 @@ class RunValiditySpec extends AnyFunSuite {
     val v = RunValidity.assess(Map("new_q" -> 99.0), Map("new_q" -> 99.0),
       Map.empty, Map.empty)
     assert(!v.suspect)
+  }
+
+  test("every registered query has a band in the committed clean baseline") {
+    // RunValidity.assess SKIPS queries absent from the baseline (they get
+    // no band until the next refresh), so a refresh that drops entries — or
+    // a round that adds queries without refreshing — silently weakens the
+    // production check. Fail loudly instead: the band file must cover the
+    // exact battery Bench runs, i.e. every SparkEntry.queries key.
+    val missing = SparkEntry.queries.keySet -- baseline.keySet
+    assert(missing.isEmpty,
+      s"queries with no band in BENCH_baseline_clean.json (refresh it from " +
+        s"this round's clean runs): ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("the contaminated fixture is frozen, not the driver-mutable path") {
+    // Guards the fixture-discipline regression itself: the suspect replay
+    // above must never silently point back at a file the driver rewrites.
+    val src = scala.io.Source.fromFile(
+      "src/test/scala/graft/RunValiditySpec.scala", "UTF-8")
+    val text = try src.mkString finally src.close()
+    val asserted = """verdictOf\("([^"]+)"\)""".r
+      .findAllMatchIn(text).map(_.group(1)).toSet
+    assert(!asserted.contains("BENCH_full_latest.json"),
+      "spec asserts on BENCH_full_latest.json, which the driver overwrites every bench run")
   }
 
   test("parseQueriesBlock reads the committed artifact format") {

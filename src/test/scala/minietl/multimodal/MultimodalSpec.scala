@@ -241,6 +241,94 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("syntheticAvis → videoFrames round-trip matches the closed form (real BI_RGB decode)") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 59L, 1000L)
+    val out = Multimodal.videoFrames(
+        Multimodal.syntheticAvis(ids.toDF("doc_id"), "doc_id"))
+      .orderBy("media_id", "frame_idx").collect()
+    def px(id: Long, f: Long, y: Long, x: Long, c: Long): Long =
+      (id * 7 + f * 131 + y * 17 + x * 3 + c * 29) % 251
+    val want = for {
+      id <- ids.sorted
+      w = 4 * (2 + id % 4); h = 2 + id % 5
+      f <- 0L until (2 + id % 3)
+    } yield {
+      val vs = for (y <- 0L until h; x <- 0L until w; c <- 0L until 3)
+        yield px(id, f, y, x, c)
+      (id, f, w, h, vs.sum, vs.min, vs.max,
+        (0L until 3).map(px(id, f, 0, 0, _)).sum)
+    }
+    assert(out.length === want.size)
+    out.zip(want).foreach { case (r, (id, f, w, h, sum, mn, mx, tl)) =>
+      assert((r.getLong(0), r.getLong(1)) === ((id, f)))
+      assert((r.getLong(2), r.getLong(3)) === ((w, h)), s"dims id=$id f=$f")
+      assert(r.getLong(4) === sum, s"byte_sum id=$id f=$f")
+      assert((r.getLong(5), r.getLong(6)) === ((mn, mx)), s"min/max id=$id f=$f")
+      assert(r.getLong(7) === tl, s"top_left_sum id=$id f=$f (bottom-up layout)")
+    }
+  }
+
+  test("BI_RGB stride padding: a non-multiple-of-4 width decodes excluding pad bytes") {
+    // w=3 → row bytes 9, stride 12: three 0xFF pad bytes per row must NOT
+    // reach the stats
+    val w = 3; val h = 2; val stride = 12
+    val frame = Array.fill((stride * h))(0xff.toByte)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      frame(y * stride + x * 3 + c) = (y * 10 + x * 3 + c).toByte
+    val avi = Multimodal.aviContainer(w, h, 40000L, None, Seq(frame))
+    val parsed = Multimodal.parseAvi(avi).get
+    assert(parsed.width === w && parsed.height === h)
+    assert(parsed.compression === "BI_RGB" && parsed.frames.size === 1)
+    val st = Multimodal.decodeAviFrame(parsed, parsed.frames.head).get
+    val vals = for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      yield y * 10 + x * 3 + c
+    assert(st.byteSum === vals.sum.toLong, "pad bytes leaked into byte_sum")
+    assert(st.byteMax === vals.max, "a 0xFF pad byte leaked into byte_max")
+    // top-left = FILE row h-1 (bottom-up): y_top=0 is stored last
+    assert(st.topLeftSum === (0 + 1 + 2) + 3 * 10)
+  }
+
+  test("MJPEG AVI frames decode through the JDK JPEG codec") {
+    // two solid-color frames; JPEG is lossy but near-exact on solid color
+    def jpegFrame(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    val (w, h) = (16, 8)
+    val avi = Multimodal.aviContainer(w, h, 40000L, Some("MJPG"),
+      Seq(jpegFrame(0x808080, w, h), jpegFrame(0x202020, w, h)))
+    val parsed = Multimodal.parseAvi(avi).get
+    assert(parsed.compression === "MJPG" && parsed.frames.size === 2)
+    val stats = parsed.frames.map(Multimodal.decodeAviFrame(parsed, _).get)
+    assert(stats.forall(s => s.width === w && s.height === h))
+    val means = stats.map(s => s.byteSum.toDouble / (w * h * 3))
+    assert(math.abs(means(0) - 0x80) <= 3.0, s"frame 0 mean ${means(0)}")
+    assert(math.abs(means(1) - 0x20) <= 3.0, s"frame 1 mean ${means(1)}")
+  }
+
+  test("parseAvi never throws: random bytes, bit-flips, truncations") {
+    val rnd = new scala.util.Random(11)
+    (1 to 500).foreach { _ =>
+      Multimodal.parseAvi(Array.fill(rnd.nextInt(256))(rnd.nextInt(256).toByte))
+    }
+    val good = Multimodal.aviContainer(8, 2, 40000L, None,
+      Seq(new Array[Byte](48), new Array[Byte](48)))
+    (1 to 500).foreach { _ =>
+      val b = good.clone()
+      val p = rnd.nextInt(b.length)
+      b(p) = (b(p) ^ (1 << rnd.nextInt(8))).toByte
+      Multimodal.parseAvi(b) // Option either way, never an exception
+    }
+    (0 until good.length).foreach { n =>
+      Multimodal.parseAvi(java.util.Arrays.copyOf(good, n))
+    }
+    assert(Multimodal.parseAvi(good).exists(_.frames.size === 2))
+  }
+
   test("sampleFrames explodes fixed slices and drops empty payloads") {
     val m = Multimodal.fakeMedia(Seq((1L, "abcdefgh")).toDF("doc_id", "text"), "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, frames = 4).orderBy("frame_idx").collect()

@@ -3908,6 +3908,55 @@ object SparkEntry {
               |${minietl.text.FeatureHash.nnzOracleExpr("text", 32)} AS nnz
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Trained-classifier-in-the-loop routing (text/NaiveBayes.scala): train
+    // multinomial NB on lang over hashed token features, classify the same
+    // corpus, report the argmax per document. The oracle REPLAYS THE WHOLE
+    // TRAIN-THEN-SERVE PIPELINE in DuckDB — counts, smoothing, priors, the
+    // sequential score fold, and the (score desc, label asc) tie-break —
+    // so a hash match proves the trained model's arithmetic end to end.
+    "q_naive_bayes" -> Q(
+      (s, dir) => {
+        val docs = documents(s, dir)
+        val model = minietl.text.NaiveBayes.train(docs, "lang", "text", 64)
+        minietl.text.NaiveBayes.classify(docs, model, "doc_id", "text", 64)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select(col("doc_id"), col("lang"), col("pred"),
+            round(col("score"), 4).as("score"),
+            when(col("pred") === col("lang"), lit(1L)).otherwise(lit(0L))
+              .as("correct"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val nb = minietl.text.NaiveBayes.oracleSql(
+          "documents", "lang", "doc_id", "text", 64)
+        s"""WITH nb AS ($nb)
+           |SELECT nb.doc_id, d.lang, nb.pred, nb.score,
+           |  CAST(CASE WHEN nb.pred = d.lang THEN 1 ELSE 0 END AS BIGINT)
+           |    AS correct
+           |FROM nb JOIN documents d ON d.doc_id = nb.doc_id
+           |ORDER BY nb.doc_id""".stripMargin
+      }),
+
+    // DSIR-style data selection (text/Dsir.scala): hashed-feature importance
+    // log-ratio between the en target domain and the raw corpus, score every
+    // document, keep the deterministic top-200. The oracle rebuilds both
+    // distributions, the ratio vector, the sequential fold, and the same
+    // (score desc, doc_id asc) top-k in DuckDB.
+    "q_dsir_select" -> Q(
+      (s, dir) => {
+        val docs = documents(s, dir)
+        val ratio = minietl.text.Dsir.logRatio(docs, "text",
+          col("lang") === "en", 64)
+        minietl.text.Dsir.select(docs, ratio, "doc_id", "text", 64, k = 200)
+          // + 0.0: a near-zero score rounds to IEEE -0.0, whose string form
+          // breaks the value-sorted compare (see the round() scaladoc note)
+          .select(col("doc_id"), (round(col("score"), 4) + lit(0.0)).as("score"),
+            col("rank"))
+          .orderBy("rank")
+      },
+      Some(minietl.text.Dsir.oracleSql("documents", "doc_id", "text",
+        "lang = 'en'", 64, k = 200) + " ORDER BY rank")),
+
     // Canonical text normalization over a deterministically uglified input
     // (tabs, doubled spaces, uppercase) so the scrub is actually exercised.
     "q_text_normalize" -> Q(

@@ -1956,6 +1956,100 @@ object SparkEntry {
              |    FROM documents))
              |ORDER BY media_id""".stripMargin)),
 
+    // Perceptual image dedup (multimodal/PerceptualHash.scala): REAL
+    // decode → 56-bit dHash → exact-duplicate grouping on the full hash.
+    // The corpus is gradient PNGs whose every sampled gray value is
+    // closed-form over doc_id, so the oracle recomputes all 56 gradient-
+    // sign bits from arithmetic alone — a hash match proves the decode,
+    // the 8×8 nearest-neighbor sampling, AND the bit packing.
+    "q_image_dhash" -> Q(
+      (s, dir) => {
+        val imgs = minietl.multimodal.PerceptualHash
+          .syntheticGradientImages(documents(s, dir), "doc_id")
+        val hashes = minietl.multimodal.PerceptualHash.dHashes(imgs)
+        val groups = hashes.groupBy("dhash").agg(
+          count(lit(1)).as("group_size"), min("media_id").as("canon"))
+        hashes.join(groups, "dhash")
+          .select(col("media_id"), col("width"), col("height"), col("dhash"),
+            col("group_size"),
+            when(col("media_id") === col("canon"), lit(1L)).otherwise(lit(0L))
+              .as("keep"))
+          .orderBy("media_id")
+      },
+      Some {
+        val dh = minietl.multimodal.PerceptualHash.dHashOracleExpr("doc_id")
+        s"""WITH h AS (
+           |  SELECT doc_id AS media_id,
+           |    CAST(8 + doc_id % 5 AS INT) AS width,
+           |    CAST(8 + doc_id % 4 AS INT) AS height,
+           |    $dh AS dhash
+           |  FROM documents),
+           |g AS (SELECT dhash, count(*) AS group_size, min(media_id) AS canon
+           |      FROM h GROUP BY 1)
+           |SELECT h.media_id, h.width, h.height, h.dhash, g.group_size,
+           |  CAST(CASE WHEN h.media_id = g.canon THEN 1 ELSE 0 END AS BIGINT)
+           |    AS keep
+           |FROM h JOIN g USING (dhash) ORDER BY h.media_id""".stripMargin
+      }),
+
+    // Banded Hamming near-dup over the same dHash corpus: 4×14-bit bands
+    // (pigeonhole recall 1.0 for distance ≤ 3), exact bit_count(xor)
+    // verify on band-collided candidates only — never an all-pairs
+    // product. The oracle replays hash + bands + verify in DuckDB.
+    "q_image_neardup_hamming" -> Q(
+      (s, dir) => {
+        val imgs = minietl.multimodal.PerceptualHash
+          .syntheticGradientImages(documents(s, dir), "doc_id")
+        val hashes = minietl.multimodal.PerceptualHash.dHashes(imgs)
+        val pairs = minietl.multimodal.PerceptualHash
+          .hammingPairs(hashes, "media_id", "dhash", maxDist = 3)
+        // per-image summary keeps the output LINEAR in corpus size (the
+        // raw pair set is ~quadratic inside hot parameter groups: 13k
+        // pairs over 500 docs at sf0.01); any wrong pair flips some
+        // image's count / nearest, so the gate strength is unchanged
+        val sym = pairs
+          .select(col("id_a").as("id"), col("id_b").as("nb"), col("hamming"))
+          .union(pairs
+            .select(col("id_b").as("id"), col("id_a").as("nb"), col("hamming")))
+        val summary = sym.groupBy("id").agg(
+          count(lit(1)).as("n_neighbors"),
+          min(struct(col("hamming"), col("nb"))).as("m"))
+        hashes.select(col("media_id")).join(
+            summary.select(col("id").as("media_id"), col("n_neighbors"),
+              col("m.hamming").as("min_hamming"), col("m.nb").as("nearest_id")),
+            Seq("media_id"), "left")
+          .select(col("media_id"),
+            coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+            col("min_hamming"), col("nearest_id"))
+          .orderBy("media_id")
+      },
+      Some {
+        val dh = minietl.multimodal.PerceptualHash.dHashOracleExpr("doc_id")
+        s"""WITH h AS (SELECT doc_id AS id, $dh AS dhash FROM documents),
+           |b AS (SELECT id, dhash, bb.b AS band,
+           |        (dhash >> (14 * bb.b)) & 16383 AS bv
+           |      FROM h, (SELECT unnest(range(0, 4)) AS b) bb),
+           |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+           |           CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT)
+           |             AS hamming
+           |         FROM b x JOIN b y
+           |           ON x.band = y.band AND x.bv = y.bv AND x.id < y.id),
+           |p AS (SELECT id_a, id_b, hamming FROM cand
+           |      WHERE hamming BETWEEN 1 AND 3),
+           |sym AS (SELECT id_a AS id, id_b AS nb, hamming FROM p
+           |        UNION ALL
+           |        SELECT id_b AS id, id_a AS nb, hamming FROM p),
+           |summ AS (SELECT id, count(*) AS n_neighbors,
+           |           min(hamming) AS min_hamming,
+           |           first(nb ORDER BY hamming, nb) AS nearest_id
+           |         FROM sym GROUP BY id)
+           |SELECT h.id AS media_id,
+           |  coalesce(s.n_neighbors, 0) AS n_neighbors,
+           |  s.min_hamming, s.nearest_id
+           |FROM h LEFT JOIN summ s ON s.id = h.id
+           |ORDER BY media_id""".stripMargin
+      }),
+
     // REAL PCM audio decode under the hash gate — the audio twin of
     // q_image_features: a deterministic period-2 square-wave WAV is
     // generated per document (Multimodal.syntheticWavs documents the

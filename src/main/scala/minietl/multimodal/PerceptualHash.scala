@@ -1,0 +1,182 @@
+package minietl.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Perceptual difference-hash (dHash) over REAL decoded images — the
+  * multimodal twin of the text near-dup family: a 56-bit gradient-sign
+  * fingerprint per image, exact-duplicate grouping on the full hash, and a
+  * banded Hamming join for near-duplicates.
+  *
+  * The hash: decode (JDK ImageIO — PNG/BMP/GIF/JPEG, same zero-dependency
+  * contract as [[Multimodal.decodeImage]]), sample an 8×8 luminance grid
+  * with nearest-neighbor coordinates `gx(i) = i·w / 8`, `gy(j) = j·h / 8`
+  * (integer floor), then one bit per horizontally-adjacent comparison:
+  * `bit(j,i) = gray(gx(i+1), gy(j)) > gray(gx(i), gy(j))` packed at
+  * position `j·7 + i` — 8 rows × 7 comparisons = 56 bits. 56, not the
+  * textbook 64, keeps the hash strictly inside a signed 64-bit integer in
+  * EVERY engine (a 64th bit at position 63 wraps negative in Java and is
+  * out-of-range in DuckDB's checked `<<`) — the dedup quality loss of one
+  * comparison row is nil, the cross-engine replayability is the point.
+  *
+  * Scale design (100 TB): hashing is one mapPartitions decode pass (binary
+  * media is the one place the engine uses RDD code — same contract as
+  * [[Multimodal.extractFeatures]]); exact grouping is a hash-partitioned
+  * groupBy on the 8-byte hash; near-dup is a 4×14-bit BAND join (pigeonhole:
+  * any pair with Hamming ≤ 3 shares at least one of 4 bands — recall 1.0,
+  * never an all-pairs product), then `bit_count(xor)` verifies the exact
+  * distance on band-collided candidates only.
+  */
+object PerceptualHash {
+
+  /** 56-bit dHash of a decoded image; None if the payload doesn't decode. */
+  def dHash56(content: Array[Byte]): Option[Long] = {
+    if (content == null || content.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    // 8x8 nearest-neighbor luminance grid
+    val g = Array.ofDim[Int](8, 8)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val p = img.getRGB(i * w / 8, j * h / 8)
+        g(j)(i) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        i += 1
+      }
+      j += 1
+    }
+    var hash = 0L
+    j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 7) {
+        if (g(j)(i + 1) > g(j)(i)) hash |= 1L << (j * 7 + i)
+        i += 1
+      }
+      j += 1
+    }
+    Some(hash)
+  }
+
+  /** Per-image hash frame `(media_id, width, height, dhash)`; undecodable
+    * payloads yield nulls (same contract as [[Multimodal.imageStats]]).
+    */
+  def dHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("dhash", LongType, nullable = true)))
+    val rows = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        (Multimodal.decodeImage(bytes), dHash56(bytes)) match {
+          case (Some(st), Some(hsh)) => Row(id, st.width, st.height, hsh)
+          case _ => Row(id, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Near-duplicate candidate pairs at Hamming distance in `[1, maxDist]`
+    * (distance 0 — exact duplicates — belongs to the full-hash groupBy,
+    * which never needs a pair join). Banded: 4 bands of 14 bits; requires
+    * `maxDist <= 3` so the pigeonhole recall guarantee holds.
+    * Output: `(id_a, id_b, hamming)` with `id_a < id_b`.
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"4x14-bit bands guarantee recall only for maxDist in [1,3], got $maxDist")
+    val banded = hashes
+      .select(col(idCol).as("id"), col(hashCol).as("h"))
+      .where(col("h").isNotNull)
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bv", expr("shiftright(h, 14 * b) & 16383"))
+    banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        expr("bit_count(x.h ^ y.h)").cast("long").as("hamming"))
+      .where(col("hamming").between(1, maxDist))
+      .distinct()
+  }
+
+  // ------------------------------------------------------------- synthetic
+  /** Grayscale gradient PNG: pixel (x, y) has r=g=b = (a·x + b·y + c) % 256.
+    * Unlike the two-color checkerboards ([[Multimodal.checkerPng]]), the
+    * gradient family gives every image a distinct gradient-SIGN structure,
+    * so dHash56 takes many values across a corpus (wraparound points of the
+    * mod-256 ramp move with a, b, c, w, h) while still being closed-form
+    * replayable from the parameters alone.
+    */
+  def gradientPng(w: Int, h: Int, a: Int, b: Int, c: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (a * x + b * y + c) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic per-row gradient PNG corpus: for each id,
+    * `w = 8 + id%5`, `h = 8 + id%4`, `a = 1 + id%7`, `b = 1 + id%5`,
+    * `c = id % 256`. Every dHash56 bit is closed-form arithmetic over the
+    * id ([[dHashOracleExpr]]), so an external SQL oracle verifies the REAL
+    * decode-and-hash without decoding PNGs.
+    */
+  def syntheticGradientImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (8 + id % 5).toInt
+        val h = (8 + id % 4).toInt
+        val a = (1 + id % 7).toInt
+        val b = (1 + id % 5).toInt
+        val c = (id % 256).toInt
+        Row(id, gradientPng(w, h, a, b, c), Row("image/png", w, h, null))
+      }
+    }
+    spark.createDataFrame(rows, Multimodal.mediaSchema)
+  }
+
+  /** DuckDB twin of dHash56 over the [[syntheticGradientImages]] corpus:
+    * recomputes every sampled gray value from the generator's arithmetic
+    * (`(a·gx + b·gy + c) % 256` at `gx = i·w/8`, `gy = j·h/8`) and sums
+    * `bit << (j·7+i)` over the 56 comparison positions — pure integer
+    * arithmetic, no image parsing, associative SUM (safe in any engine).
+    * `idSql` is the id expression (e.g. a column name).
+    */
+  def dHashOracleExpr(idSql: String): String = {
+    // per-id params in SQL
+    val w = s"(8 + $idSql % 5)"; val h = s"(8 + $idSql % 4)"
+    val a = s"(1 + $idSql % 7)"; val b = s"(1 + $idSql % 5)"
+    val c = s"($idSql % 256)"
+    def gray(ix: String, jy: String) =
+      s"(($a * (($ix) * $w // 8) + $b * (($jy) * $h // 8) + $c) % 256)"
+    s"""(SELECT CAST(sum(CASE WHEN ${gray("p.i + 1", "p.j")} > ${gray("p.i", "p.j")}
+       |  THEN (1::BIGINT << (p.j * 7 + p.i)) ELSE 0 END) AS BIGINT)
+       | FROM (SELECT jj.j AS j, ii.i AS i
+       |       FROM (SELECT unnest(range(0, 8)) AS j) jj,
+       |            (SELECT unnest(range(0, 7)) AS i) ii) p)""".stripMargin
+  }
+}

@@ -1,0 +1,103 @@
+package minietl.multimodal
+
+import minietl.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PerceptualHashSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** Closed-form dHash56 straight from the gradient formula — the same
+    * arithmetic the DuckDB oracle runs, written independently of the
+    * production decode path.
+    */
+  private def expectedHash(id: Long): Long = {
+    val w = (8 + id % 5).toInt; val h = (8 + id % 4).toInt
+    val a = (1 + id % 7).toInt; val b = (1 + id % 5).toInt
+    val c = (id % 256).toInt
+    def gray(x: Int, y: Int) = (a * x + b * y + c) % 256
+    var hash = 0L
+    for (j <- 0 until 8; i <- 0 until 7) {
+      val g1 = gray((i + 1) * w / 8, j * h / 8)
+      val g0 = gray(i * w / 8, j * h / 8)
+      if (g1 > g0) hash |= 1L << (j * 7 + i)
+    }
+    hash
+  }
+
+  test("dHash56 of a real PNG decode matches the closed-form formula") {
+    (0L until 40L).foreach { id =>
+      val w = (8 + id % 5).toInt; val h = (8 + id % 4).toInt
+      val png = PerceptualHash.gradientPng(w, h, (1 + id % 7).toInt,
+        (1 + id % 5).toInt, (id % 256).toInt)
+      assert(PerceptualHash.dHash56(png) === Some(expectedHash(id)),
+        s"id=$id")
+    }
+  }
+
+  test("dHash56 stays in [0, 2^56) — never sign-wraps") {
+    (0L until 200L).foreach { id =>
+      val hsh = expectedHash(id)
+      assert(hsh >= 0L && hsh < (1L << 56))
+    }
+  }
+
+  test("undecodable payloads yield null hash rows") {
+    val media = Seq((1L, Array[Byte](1, 2, 3)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "content")
+    val out = PerceptualHash.dHashes(media).collect()
+    assert(out.length === 2)
+    out.foreach(r => assert(r.isNullAt(r.fieldIndex("dhash"))))
+  }
+
+  test("banded hammingPairs equals brute-force all-pairs for distance 1..3") {
+    // crafted fixture: clusters of bit-flipped variants around distinct
+    // bases, flips spread across DIFFERENT 14-bit bands (the adversarial
+    // case for a banded join), plus exact dups (distance 0, must NOT
+    // appear) and isolated far-away hashes
+    val rnd = new scala.util.Random(7)
+    val bases = Seq.fill(6)(rnd.nextLong() & ((1L << 56) - 1))
+    val rows = bases.zipWithIndex.flatMap { case (base, g) =>
+      Seq(
+        (g * 100L + 0L, base),
+        (g * 100L + 1L, base ^ (1L << 3)),                        // d=1, band 0
+        (g * 100L + 2L, base ^ (1L << 15) ^ (1L << 29)),          // d=2, bands 1+2
+        (g * 100L + 3L, base ^ (1L << 2) ^ (1L << 30) ^ (1L << 45)), // d=3, 3 bands
+        (g * 100L + 4L, base),                                    // exact dup: d=0
+        (g * 100L + 5L, ~base & ((1L << 56) - 1)))                // far away
+    }
+    val hashes = rows.toDF("media_id", "dhash")
+    val banded = PerceptualHash.hammingPairs(hashes, "media_id", "dhash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d >= 1 && d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(brute.size >= 6 * 6, "fixture must produce near-dup pairs")
+    assert(banded === brute)
+  }
+
+  test("gradient corpus near-dups at corpus scale match brute force") {
+    // the real corpus path end-to-end (decode → hash → band join) over a
+    // stride of ids wide enough that parameter patterns actually recur
+    val ids = spark.range(0, 300).select((col("id") * 37L).as("doc_id"))
+    val imgs = PerceptualHash.syntheticGradientImages(ids, "doc_id")
+    val hashes = PerceptualHash.dHashes(imgs).cache()
+    val banded = PerceptualHash.hammingPairs(hashes, "media_id", "dhash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hs = hashes.collect().map(r => (r.getLong(0), r.getLong(3)))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d >= 1 && d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(banded === brute)
+    hashes.unpersist()
+  }
+
+  test("maxDist beyond the pigeonhole guarantee is rejected") {
+    val hashes = Seq((1L, 0L)).toDF("media_id", "dhash")
+    intercept[IllegalArgumentException] {
+      PerceptualHash.hammingPairs(hashes, "media_id", "dhash", 4)
+    }
+  }
+}

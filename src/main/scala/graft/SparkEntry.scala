@@ -1899,6 +1899,20 @@ object SparkEntry {
       },
       None),
 
+    // SemDeDup (sim/SemDedup.scala): k-means bounds the quadratic, cosine
+    // edges inside clusters, connected components pick one canonical per
+    // duplicate set. Train-then-serve oracle: centroid literals + pairwise
+    // + recursive reachability CTE replay the whole serving path.
+    "q_semdedup" -> Q(
+      (s, dir) => {
+        val e = embeddings(s, dir)
+        val model = minietl.sim.Ivf.train(e, nlist = 8, iters = 3)
+        semdedupServingOracle = Some(
+          minietl.sim.SemDedup.oracleSql(model, tau = 0.4))
+        minietl.sim.SemDedup.semDedup(e, model, tau = 0.4).orderBy("id")
+      },
+      None),
+
     // decodeStub features are exact binary doubles (integer fold + power-of-2
     // scale), so no rounding is needed and DuckDB can replay a slot's strided
     // fold independently (text is ASCII: char positions = byte positions)
@@ -4283,6 +4297,9 @@ object SparkEntry {
   /** Set by q_kmeans_clusters after training — same lifecycle. */
   @volatile private var kmeansServingOracle: Option[String] = None
 
+  /** Set by q_semdedup after training — same lifecycle. */
+  @volatile private var semdedupServingOracle: Option[String] = None
+
   /** Queries whose oracle exists only after their query function ran
     * (train-then-serve): key → the oracle if trained, None before — an
     * unconditional apply() of a None entry is a sequencing bug and fails
@@ -4291,7 +4308,8 @@ object SparkEntry {
   private def trainedOracles: Map[String, Option[String]] = Map(
     "q_ivf_ann" -> ivfServingOracle,
     "q_bpe_encode" -> bpeServingOracle,
-    "q_kmeans_clusters" -> kmeansServingOracle)
+    "q_kmeans_clusters" -> kmeansServingOracle,
+    "q_semdedup" -> semdedupServingOracle)
 
   /** Oracle SQL per query. A train-then-serve entry ([[trainedOracles]]:
     * q_ivf_ann embeds learned centroids, q_bpe_encode the learned

@@ -1,0 +1,78 @@
+package minietl.sim
+
+import minietl.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SemDedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // two well-separated directions in R^4, plus a chain around the first
+  private def corpus = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),     // cluster A canonical
+    (2L, Seq(0.98f, 0.199f, 0.0f, 0.0f)),  // ≈ 1
+    (3L, Seq(0.92f, 0.392f, 0.0f, 0.0f)),  // ≈ 2, NOT ≈ 1 at a tight τ
+    (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),     // cluster B canonical
+    (5L, Seq(0.0f, 0.0f, 0.98f, 0.199f)),  // ≈ 4
+    (6L, Seq(0.0f, 0.0f, 0.0f, 1.0f))      // isolated-ish
+  ).toDF("vec_id", "embedding")
+
+  test("transitive chains collapse to one canonical even when ends are far") {
+    val model = Ivf.Model(Vector(
+      Vector(1.0, 0.0, 0.0, 0.0), Vector(0.0, 0.0, 1.0, 0.0)))
+    // cos(1,2) ≈ .98, cos(2,3) ≈ .987, cos(1,3) ≈ .92 — τ=.97 connects the
+    // chain only through 2: transitivity must still fold 3 into comp 1
+    val out = SemDedup.semDedup(corpus, model, tau = 0.97)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === (1L, 1L))
+    assert(out(2L) === (1L, 0L))
+    assert(out(3L)._1 === 1L, "chain end must join via transitivity")
+    assert(out(3L)._2 === 0L)
+    assert(out(4L) === (4L, 1L))
+    assert(out(5L) === (4L, 0L))
+    assert(out(6L)._2 === 1L)
+  }
+
+  test("pairs never cross cluster boundaries (the published recall trade)") {
+    // identical vectors forced into different clusters by the model can't
+    // be connected — SemDeDup's documented design point, verified here so
+    // a regression toward all-pairs would fail loudly
+    val twins = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      // 3 (tie → cluster 0) and 4 (clearly cluster 0) merge within-cluster;
+      // 5 sits across the boundary in cluster 1, near-identical to both
+      // (cos ≈ .998) yet must NOT merge — that is the recall trade
+      (3L, Seq(0.71f, 0.71f)), (4L, Seq(0.72f, 0.70f)), (5L, Seq(0.70f, 0.72f))
+    ).toDF("vec_id", "embedding")
+    val model = Ivf.Model(Vector(Vector(1.0, 0.0), Vector(0.0, 1.0)))
+    val rows = SemDedup.semDedup(twins, model, tau = 0.9).collect()
+    val out = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val cl = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(3L) === 0L && cl(4L) === 0L && cl(5L) === 1L)
+    assert(out(3L) === out(4L))
+    assert(out(5L) === 5L, "cross-cluster near-identical rows must not merge")
+    assert(out(1L) === 1L && out(2L) === 2L)
+  }
+
+  test("trained end-to-end on a bimodal corpus: every row labeled, keeps canonical") {
+    val model = Ivf.train(corpus, nlist = 2, iters = 2)
+    val out = SemDedup.semDedup(corpus, model, tau = 0.97).collect()
+    assert(out.length === 6)
+    // canonical rows are exactly the distinct comps
+    val comps = out.map(_.getLong(2)).toSet
+    val keeps = out.filter(_.getLong(3) == 1L).map(_.getLong(0)).toSet
+    assert(keeps === comps)
+    // every comp is the min id of its members
+    out.groupBy(_.getLong(2)).foreach { case (c, rows) =>
+      assert(rows.map(_.getLong(0)).min === c)
+    }
+  }
+
+  test("pair join is keyed on the cluster id, not a cross product") {
+    val model = Ivf.Model(Vector(Vector(1.0, 0.0, 0.0, 0.0),
+      Vector(0.0, 0.0, 1.0, 0.0)))
+    val plan = SemDedup.semDedup(corpus, model, tau = 0.9)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cross"), s"within-cluster join must be an equi-join:\n$plan")
+  }
+}

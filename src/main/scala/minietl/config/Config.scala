@@ -49,7 +49,8 @@ object Config {
       "winsorize", "impute", "mad_outlier_filter", "top_p_select",
       "lm_surprise", "contamination_filter", "semantic_decontaminate",
       "bpe_stats", "squeeze_repeats", "dedup_lines",
-      "minhash_dedup", "span_dedup")
+      "minhash_dedup", "span_dedup",
+      "naive_bayes_filter", "dsir_select", "semdedup", "image_dhash_dedup")
   private val declaredUnsupported = Set.empty[String]
 
   private val EnvBrace: Regex = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
@@ -312,6 +313,12 @@ object Config {
               case _ => Nil
             }
           }
+      case "naive_bayes_filter" => numeric("dim", 1.0, 1048576.0)
+      case "dsir_select" =>
+        numeric("dim", 1.0, 1048576.0) ++ numeric("k", 1.0, 1e12)
+      case "semdedup" =>
+        numeric("nlist", 1.0, 65536.0) ++ numeric("iters", 1.0, 100.0) ++
+          numeric("tau", -1.0, 1.0)
       case _ => Nil
     }
   }
@@ -346,6 +353,10 @@ object Config {
     case "bpe_stats" => Seq("key", "column", "num_merges")
     case "squeeze_repeats" | "dedup_lines" => Seq("column")
     case "minhash_dedup" | "span_dedup" => Seq("text", "key")
+    case "naive_bayes_filter" => Seq("label", "text", "key")
+    case "dsir_select" => Seq("target_condition", "text", "key", "k")
+    case "semdedup" => Seq("vec", "key")
+    case "image_dhash_dedup" => Seq("content", "key")
     case _ => Nil
   }
 
@@ -624,6 +635,55 @@ object Config {
         val out = str(t.options, "out_column")
         val dim = str(t.options, "dim").toDouble.toInt
         df => df.withColumn(out, minietl.text.FeatureHash.tfVector(df(c), dim))
+      case "naive_bayes_filter" =>
+        // label-noise routing: train multinomial NB on the frame's own
+        // (label, text) and keep rows whose self-prediction AGREES with the
+        // recorded label — the cheap confident-learning pass a corpus
+        // pipeline runs before trusting provenance labels
+        val (label, text, key) =
+          (str(t.options, "label"), str(t.options, "text"), str(t.options, "key"))
+        val dim = t.options.get("dim").map(_.toString.toDouble.toInt).getOrElse(64)
+        df => {
+          import org.apache.spark.sql.functions.col
+          val model = minietl.text.NaiveBayes.train(df, label, text, dim)
+          val agree = minietl.text.NaiveBayes.classify(df, model, key, text, dim)
+            .join(df.select(col(key), col(label)), key)
+            .where(col("pred") === col(label))
+            .select(key)
+          df.join(agree, Seq(key), "left_semi")
+        }
+      case "dsir_select" =>
+        // DSIR data selection: score against the target_condition domain's
+        // hashed-feature distribution, keep the deterministic top-k rows
+        val (cond, text, key) = (str(t.options, "target_condition"),
+          str(t.options, "text"), str(t.options, "key"))
+        val k = str(t.options, "k").toDouble.toInt
+        val dim = t.options.get("dim").map(_.toString.toDouble.toInt).getOrElse(64)
+        df => {
+          val ratio = minietl.text.Dsir.logRatio(df, text,
+            org.apache.spark.sql.functions.expr(cond), dim)
+          val top = minietl.text.Dsir.select(df, ratio, key, text, dim, k)
+          df.join(top.select(key), Seq(key), "left_semi")
+        }
+      case "semdedup" =>
+        // SemDeDup: k-means-bounded cosine components, keep canonicals
+        val (vecCol, key) = (str(t.options, "vec"), str(t.options, "key"))
+        val nlist = t.options.get("nlist").map(_.toString.toDouble.toInt).getOrElse(8)
+        val iters = t.options.get("iters").map(_.toString.toDouble.toInt).getOrElse(3)
+        val tau = t.options.get("tau").map(_.toString.toDouble).getOrElse(0.9)
+        df => {
+          import org.apache.spark.sql.functions.col
+          val model = minietl.sim.Ivf.train(df, nlist, iters, key, vecCol)
+          val keep = minietl.sim.SemDedup.semDedup(df, model, tau, key, vecCol)
+            .where(col("keep") === 1L)
+            .select(col("id").as(key))
+          df.join(keep, Seq(key), "left_semi")
+        }
+      case "image_dhash_dedup" =>
+        // perceptual exact-dup removal on a binary media column; rows the
+        // decoder cannot read pass through
+        val (content, key) = (str(t.options, "content"), str(t.options, "key"))
+        df => minietl.multimodal.PerceptualHash.dedupExact(df, key, content)
       case "sigma_outlier_filter" =>
         val (g, v) = (strSeq(t.options("group_by")), str(t.options, "value"))
         val k = t.options.get("k").map(_.toString.toDouble.toInt).getOrElse(3)

@@ -111,6 +111,40 @@ object PerceptualHash {
       .distinct()
   }
 
+  /** `(keyCol, dhash)` over an arbitrary frame — the key keeps its original
+    * type (string keys are as common as numeric ones in media corpora);
+    * undecodable payloads hash to null.
+    */
+  def dHashFrame(df: DataFrame, keyCol: String, contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      df.schema(keyCol).copy(name = "__ph_key"),
+      StructField("dhash", LongType, nullable = true)))
+    val rows = df.select(col(keyCol), col(contentCol)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        Row(r.get(0), dHash56(bytes).map(Long.box).orNull)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+      .withColumnRenamed("__ph_key", keyCol)
+  }
+
+  /** Perceptual exact-dup removal as a frame-in/frame-out pipeline stage:
+    * keep, per full-dHash group, only the row with the minimum key;
+    * undecodable rows pass through (a dedup stage must never silently drop
+    * data it cannot read). Plan: one decode pass, one hash-partitioned
+    * groupBy on the 8-byte hash, one semi-join back on the key.
+    */
+  def dedupExact(df: DataFrame, keyCol: String, contentCol: String): DataFrame = {
+    val hashes = dHashFrame(df, keyCol, contentCol)
+    val keepers = hashes.where(col("dhash").isNotNull)
+      .groupBy("dhash").agg(min(col(keyCol)).as(keyCol))
+      .select(keyCol)
+      .union(hashes.where(col("dhash").isNull).select(keyCol))
+    df.join(keepers, Seq(keyCol), "left_semi")
+  }
+
   // ------------------------------------------------------------- synthetic
   /** Grayscale gradient PNG: pixel (x, y) has r=g=b = (a·x + b·y + c) % 256.
     * Unlike the two-color checkerboards ([[Multimodal.checkerPng]]), the

@@ -1419,4 +1419,87 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     val stats = Config.build(Config.parse(yaml, Map("CFG_TEST_DIR" -> dir))).run(spark)
     assert(stats.rows === 1)
   }
+
+  test("round-14 stages run from YAML: naive_bayes_filter / dsir_select") {
+    val in = s"${tmp()}/nb_in"
+    val out = s"${tmp()}/nb_out"
+    // doc 9 carries an en-vocabulary text but an fr label — the NB filter
+    // must drop exactly that row (the mislabel is a MINORITY of fr's token
+    // mass, so the poisoned class still loses the argmax for it)
+    Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog ate the bone and the cat ran", "en"),
+      (3L, "the cat and the dog sat on the bone", "en"),
+      (4L, "the mat and the bone and the cat", "en"),
+      (5L, "le chat dort sur le tapis", "fr"),
+      (6L, "le chien mange un os et le chat", "fr"),
+      (7L, "le tapis et le chat et le chien", "fr"),
+      (8L, "le chien dort sur le tapis et le chat mange", "fr"),
+      (9L, "the cat sat on the mat and the dog", "fr")
+    ).toDF("doc_id", "text", "lang").write.parquet(in)
+    Config.load(
+      s"""name: nbf
+         |source: {type: parquet, filepath: $in}
+         |transformers:
+         |  - {type: naive_bayes_filter, label: lang, text: text, key: doc_id, dim: 512}
+         |sink: {type: parquet, filepath: $out}
+         |""".stripMargin).run(spark)
+    assert(Readers.parquet(spark, out).orderBy("doc_id")
+      .select("doc_id").as[Long].collect().toSeq ===
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+
+    val out2 = s"${tmp()}/dsir_out"
+    Config.load(
+      s"""name: dsir
+         |source: {type: parquet, filepath: $in}
+         |transformers:
+         |  - type: dsir_select
+         |    target_condition: "lang = 'en'"
+         |    text: text
+         |    key: doc_id
+         |    k: 2
+         |sink: {type: parquet, filepath: $out2}
+         |""".stripMargin).run(spark)
+    val picked = Readers.parquet(spark, out2).select("doc_id").as[Long].collect().toSet
+    assert(picked.size === 2)
+    assert(picked.forall(Set(1L, 2L, 3L, 4L, 9L)), // en-vocabulary docs outscore fr
+      s"top-2 must be en-vocabulary docs, got $picked")
+  }
+
+  test("round-14 stages run from YAML: semdedup / image_dhash_dedup") {
+    val in = s"${tmp()}/sd_in"
+    val out = s"${tmp()}/sd_out"
+    Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.999f, 0.04f)), // near-dup of 1
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding").write.parquet(in)
+    Config.load(
+      s"""name: sd
+         |source: {type: parquet, filepath: $in}
+         |transformers:
+         |  - {type: semdedup, vec: embedding, key: vec_id, nlist: 2, tau: 0.99}
+         |sink: {type: parquet, filepath: $out}
+         |""".stripMargin).run(spark)
+    assert(Readers.parquet(spark, out).orderBy("vec_id")
+      .select("vec_id").as[Long].collect().toSeq === Seq(1L, 3L, 4L))
+
+    val in2 = s"${tmp()}/img_in"
+    val out2 = s"${tmp()}/img_out"
+    val pngA = minietl.multimodal.PerceptualHash.gradientPng(9, 9, 2, 3, 5)
+    val pngB = minietl.multimodal.PerceptualHash.gradientPng(9, 9, 200, 1, 7)
+    Seq(
+      (1L, pngA), (2L, pngA),                       // exact dup → keep 1
+      (3L, pngB),
+      (4L, Array[Byte](9, 9, 9))                    // undecodable → passes
+    ).toDF("media_id", "content").write.parquet(in2)
+    Config.load(
+      s"""name: imgdd
+         |source: {type: parquet, filepath: $in2}
+         |transformers:
+         |  - {type: image_dhash_dedup, content: content, key: media_id}
+         |sink: {type: parquet, filepath: $out2}
+         |""".stripMargin).run(spark)
+    assert(Readers.parquet(spark, out2).orderBy("media_id")
+      .select("media_id").as[Long].collect().toSeq === Seq(1L, 3L, 4L))
+  }
 }

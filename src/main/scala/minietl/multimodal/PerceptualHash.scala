@@ -172,10 +172,14 @@ object PerceptualHash {
   }
 
   /** Deterministic per-row gradient PNG corpus: for each id,
-    * `w = 8 + id%5`, `h = 8 + id%4`, `a = 1 + id%7`, `b = 1 + id%5`,
-    * `c = id % 256`. Every dHash56 bit is closed-form arithmetic over the
-    * id ([[dHashOracleExpr]]), so an external SQL oracle verifies the REAL
-    * decode-and-hash without decoding PNGs.
+    * `w = 8 + id%5`, `h = 8 + id%4`, `a = 1 + (7id)%251`, `b = 1 +
+    * (13id)%249`, `c = id % 256`. The wide a/b ranges make the mod-256
+    * ramp WRAP inside most images — without wraparound nearly every
+    * gradient is monotone, every bit is 1, and 86% of a corpus lands in
+    * one all-ones band bucket (measured 37M candidate pairs at sf0.1;
+    * these params: 237k). Every dHash56 bit stays closed-form arithmetic
+    * over the id ([[dHashOracleExpr]]), so an external SQL oracle verifies
+    * the REAL decode-and-hash without decoding PNGs.
     */
   def syntheticGradientImages(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -184,8 +188,8 @@ object PerceptualHash {
         val id = r.getLong(0)
         val w = (8 + id % 5).toInt
         val h = (8 + id % 4).toInt
-        val a = (1 + id % 7).toInt
-        val b = (1 + id % 5).toInt
+        val a = (1 + (id * 7) % 251).toInt
+        val b = (1 + (id * 13) % 249).toInt
         val c = (id % 256).toInt
         Row(id, gradientPng(w, h, a, b, c), Row("image/png", w, h, null))
       }
@@ -203,7 +207,7 @@ object PerceptualHash {
   def dHashOracleExpr(idSql: String): String = {
     // per-id params in SQL
     val w = s"(8 + $idSql % 5)"; val h = s"(8 + $idSql % 4)"
-    val a = s"(1 + $idSql % 7)"; val b = s"(1 + $idSql % 5)"
+    val a = s"(1 + ($idSql * 7) % 251)"; val b = s"(1 + ($idSql * 13) % 249)"
     val c = s"($idSql % 256)"
     def gray(ix: String, jy: String) =
       s"(($a * (($ix) * $w // 8) + $b * (($jy) * $h // 8) + $c) % 256)"

@@ -34,11 +34,16 @@ object SemDedup {
     */
   def semDedup(corpus: DataFrame, model: Ivf.Model, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // the prepared frame feeds BOTH sides of the pair join plus the final
+    // labeling join — persist it (released by the caller's RunCaches scope)
+    // so the cast/norm/argmin scan runs once, not three times
     val a = corpus
       .select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(minietl.functions.vec.dot(col("v"), col("v"))))
       .withColumn("cluster", Ivf.assignList(col("v"), model).cast("bigint"))
+      .persist()
+    minietl.pipeline.RunCaches.register(a)
     val pairs = a.as("x").join(a.as("y"),
         col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
       .withColumn("cos",

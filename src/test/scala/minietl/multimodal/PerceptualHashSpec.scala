@@ -13,7 +13,7 @@ class PerceptualHashSpec extends AnyFunSuite with SparkTestBase {
     */
   private def expectedHash(id: Long): Long = {
     val w = (8 + id % 5).toInt; val h = (8 + id % 4).toInt
-    val a = (1 + id % 7).toInt; val b = (1 + id % 5).toInt
+    val a = (1 + (id * 7) % 251).toInt; val b = (1 + (id * 13) % 249).toInt
     val c = (id % 256).toInt
     def gray(x: Int, y: Int) = (a * x + b * y + c) % 256
     var hash = 0L
@@ -28,8 +28,8 @@ class PerceptualHashSpec extends AnyFunSuite with SparkTestBase {
   test("dHash56 of a real PNG decode matches the closed-form formula") {
     (0L until 40L).foreach { id =>
       val w = (8 + id % 5).toInt; val h = (8 + id % 4).toInt
-      val png = PerceptualHash.gradientPng(w, h, (1 + id % 7).toInt,
-        (1 + id % 5).toInt, (id % 256).toInt)
+      val png = PerceptualHash.gradientPng(w, h, (1 + (id * 7) % 251).toInt,
+        (1 + (id * 13) % 249).toInt, (id % 256).toInt)
       assert(PerceptualHash.dHash56(png) === Some(expectedHash(id)),
         s"id=$id")
     }

@@ -1899,6 +1899,32 @@ object SparkEntry {
       },
       None),
 
+    // JL random projection (sim/RandomProjection.scala): 64 → 8 dims with
+    // deterministic ±1 hash-derived signs, the ingest-time reducer ahead
+    // of LSH/IVF. The oracle regenerates the identical sign matrix from
+    // (seed, dims) and replays the sequential folds and the √dimOut scale.
+    "q_random_projection" -> Q(
+      (s, dir) => {
+        val comps = minietl.sim.RandomProjection.components(
+          col("embedding"), seed = 7, dimIn = 64, dimOut = 8)
+        embeddings(s, dir)
+          .select(col("vec_id") +: comps.zipWithIndex.map { case (c, k) =>
+            (round(c, 4) + lit(0.0)).as(s"y$k")
+          }: _*)
+          .orderBy("vec_id")
+      },
+      Some {
+        val exprs = minietl.sim.RandomProjection.componentOracleExprs(
+          "v", seed = 7, dimIn = 64, dimOut = 8)
+        val cols = exprs.zipWithIndex
+          .map { case (e, k) => s"round($e, 4) + 0.0 AS y$k" }.mkString(",\n  ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |           FROM embeddings)
+           |SELECT vec_id,
+           |  $cols
+           |FROM e ORDER BY vec_id""".stripMargin
+      }),
+
     // SemDeDup (sim/SemDedup.scala): k-means bounds the quadratic, cosine
     // edges inside clusters, connected components pick one canonical per
     // duplicate set. Train-then-serve oracle: centroid literals + pairwise

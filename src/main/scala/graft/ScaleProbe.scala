@@ -146,6 +146,47 @@ object ScaleProbe {
         val b = col(cols(1)) / lit(ReplicaStride)
         df.groupBy((a.cast("long") === b.cast("long")).as("same_replica"))
           .count().show()
+      case "semdedup" =>
+        // SemDeDup at a (replicated) embeddings dir: nlist is THE scale
+        // dial — clusters must stay executor-sized or the within-cluster
+        // pairwise goes quadratic on the corpus. args: <dir> [nlist] [tau]
+        val dir = args(1)
+        val nlist = args.lift(2).map(_.toInt).getOrElse(64)
+        val tau = args.lift(3).map(_.toDouble).getOrElse(0.9)
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val n = emb.count()
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val model = minietl.sim.Ivf.train(emb, nlist = nlist, iters = 3)
+          val tTrain = (System.nanoTime() - t0) / 1e9
+          val out = minietl.sim.SemDedup.semDedup(emb, model, tau)
+          val kept = out.filter(col("keep") === 1L).count()
+          val total = (System.nanoTime() - t0) / 1e9
+          println(f"[semdedup] dir=$dir n=$n nlist=$nlist tau=$tau run$i " +
+            f"kept=$kept dropped=${n - kept} train=$tTrain%.1fs total=$total%.1fs")
+          spark.catalog.clearCache()
+        }
+      case "dhash" =>
+        // perceptual-hash linearity: generate n gradient PNGs in-flight,
+        // time decode+hash and the banded Hamming join. args: <n>
+        val n = args.lift(1).map(_.toLong).getOrElse(100000L)
+        val ids = spark.range(n).select((col("id") * 37L).as("doc_id"))
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val imgs = minietl.multimodal.PerceptualHash
+            .syntheticGradientImages(ids, "doc_id")
+          val hashes = minietl.multimodal.PerceptualHash.dHashes(imgs)
+            .persist()
+          val nh = hashes.count()
+          val tHash = (System.nanoTime() - t0) / 1e9
+          val pairs = minietl.multimodal.PerceptualHash
+            .hammingPairs(hashes, "media_id", "dhash", maxDist = 3).count()
+          val total = (System.nanoTime() - t0) / 1e9
+          println(f"[dhash] n=$nh run$i hash_wall=$tHash%.1fs pairs=$pairs " +
+            f"total=$total%.1fs")
+          hashes.unpersist()
+          spark.catalog.clearCache()
+        }
       case "cc" =>
         // Exercise the distributed connectedComponents path PAST the 2M-pair
         // driver gate (VERDICT r9 Next #1): synthesize `nClusters` chain
@@ -506,13 +547,21 @@ object ScaleProbe {
         }
         val full = scala.collection.mutable.Buffer.empty[Double]
         val inc = scala.collection.mutable.Buffer.empty[Double]
+        // COUNTERBALANCED order (A,B / B,A alternating — ABBA): measured
+        // per-trial walls trend DOWN across a session (C2 warmup + page
+        // cache: 450→318→166 s for the same variant in the r14 busy-box
+        // run), so a fixed A-then-B order systematically flatters whichever
+        // variant runs second in each pair. Alternating cancels the drift
+        // to first order; the per-variant median then compares like trials.
+        def runFull(i: Int): Unit = full += trial(s"full#$i")(
+          minietl.dedup.Winnow.spanDedupFixpointFullRescanWithStats(
+            docs, "text", "doc_id", k = 4, minSpanTokens = 8))
+        def runInc(i: Int): Unit = inc += trial(s"incremental#$i")(
+          minietl.dedup.Winnow.spanDedupFixpointWithStats(
+            docs, "text", "doc_id", k = 4, minSpanTokens = 8))
         (1 to trials).foreach { i =>
-          full += trial(s"full#$i")(
-            minietl.dedup.Winnow.spanDedupFixpointFullRescanWithStats(
-              docs, "text", "doc_id", k = 4, minSpanTokens = 8))
-          inc += trial(s"incremental#$i")(
-            minietl.dedup.Winnow.spanDedupFixpointWithStats(
-              docs, "text", "doc_id", k = 4, minSpanTokens = 8))
+          if (i % 2 == 1) { runFull(i); runInc(i) }
+          else { runInc(i); runFull(i) }
         }
         def median(xs: Seq[Double]): Double = {
           val s = xs.sorted; s((s.size - 1) / 2)

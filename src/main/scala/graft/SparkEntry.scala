@@ -2066,9 +2066,12 @@ object SparkEntry {
       Some {
         val dh = minietl.multimodal.PerceptualHash.dHashOracleExpr("doc_id")
         s"""WITH h AS (SELECT doc_id AS id, $dh AS dhash FROM documents),
-           |b AS (SELECT id, dhash, bb.b AS band,
+           |b0 AS (SELECT id, dhash, bb.b AS band,
            |        (dhash >> (14 * bb.b)) & 16383 AS bv
            |      FROM h, (SELECT unnest(range(0, 4)) AS b) bb),
+           |big AS (SELECT band, bv FROM b0 GROUP BY band, bv
+           |        HAVING count(*) > ${minietl.dedup.Dedup.DefaultMaxBucket}),
+           |b AS (SELECT b0.* FROM b0 ANTI JOIN big USING (band, bv)),
            |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
            |           CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT)
            |             AS hamming

@@ -92,9 +92,18 @@ object PerceptualHash {
     * which never needs a pair join). Banded: 4 bands of 14 bits; requires
     * `maxDist <= 3` so the pigeonhole recall guarantee holds.
     * Output: `(id_a, id_b, hamming)` with `id_a < id_b`.
+    *
+    * `maxBucketSize` is the same census cap every banded path in the
+    * engine carries (simhash/minhash/winnow contract,
+    * [[minietl.dedup.Dedup.DefaultMaxBucket]]): a band value shared by
+    * more than the cap contributes quadratic candidate volume — the
+    * original dHash corpus put 86% of images in ONE all-ones bucket (37M
+    * candidates at sf0.1) — so over-cap buckets are dropped from pairing,
+    * a documented recall trade an oracle must replay.
     */
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int,
+      maxBucketSize: Int = minietl.dedup.Dedup.DefaultMaxBucket): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3,
       s"4x14-bit bands guarantee recall only for maxDist in [1,3], got $maxDist")
     val banded = hashes
@@ -102,7 +111,11 @@ object PerceptualHash {
       .where(col("h").isNotNull)
       .select(col("id"), col("h"), explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("bv", expr("shiftright(h, 14 * b) & 16383"))
-    banded.as("x").join(banded.as("y"),
+    val big = banded.groupBy("b", "bv")
+      .agg(count(lit(1)).as("__n")).where(col("__n") > maxBucketSize)
+      .select("b", "bv")
+    val pruned = banded.join(big, Seq("b", "bv"), "left_anti")
+    pruned.as("x").join(pruned.as("y"),
         col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
@@ -137,7 +150,12 @@ object PerceptualHash {
     * groupBy on the 8-byte hash, one semi-join back on the key.
     */
   def dedupExact(df: DataFrame, keyCol: String, contentCol: String): DataFrame = {
-    val hashes = dHashFrame(df, keyCol, contentCol)
+    // the hash frame feeds the group census AND the undecodable branch —
+    // persist (released by the caller's RunCaches scope, e.g. Pipeline.run)
+    // so the media DECODE runs once; unlike the synthetic battery corpora,
+    // real media decode dominates everything downstream
+    val hashes = dHashFrame(df, keyCol, contentCol).persist()
+    minietl.pipeline.RunCaches.register(hashes)
     val keepers = hashes.where(col("dhash").isNotNull)
       .groupBy("dhash").agg(min(col(keyCol)).as(keyCol))
       .select(keyCol)

@@ -94,6 +94,31 @@ class PerceptualHashSpec extends AnyFunSuite with SparkTestBase {
     hashes.unpersist()
   }
 
+  test("over-cap band buckets are dropped from pairing (census contract)") {
+    // 30 hashes sharing band 0's value (and everything else) would give
+    // C(30,2) pairs at distance 1; a cap of 10 on that bucket must kill
+    // them, while a small disjoint cluster in a different value survives
+    val hot = (0L until 30L).map(i => (i, 0L ^ (if (i % 2 == 0) 0L else 1L << 2)))
+    // the cool pair's band-0 and band-1 values (5 and 9) are UNIQUE to it,
+    // so its own buckets stay size-2 even though it shares the all-zero
+    // band-3 bucket with the hot cluster
+    val cool = Seq((100L, 5L | (9L << 14)), (101L, (5L | (9L << 14)) ^ (1L << 30)))
+    val hashes = (hot ++ cool).toDF("media_id", "dhash")
+    val capped = PerceptualHash.hammingPairs(hashes, "media_id", "dhash", 3,
+      maxBucketSize = 10).collect()
+    // the hot cluster shares EVERY band value (bands 1-3 are all zero for
+    // both variants; band 0 differs between the two variants but each
+    // variant's bucket alone exceeds 10) — all its pairs must vanish
+    assert(capped.forall(r => r.getLong(0) >= 100L),
+      s"hot-bucket pairs survived: ${capped.mkString(",")}")
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((100L, 101L)))
+    // with the cap above the bucket sizes, the same fixture yields the
+    // full brute-force pair set again
+    val uncapped = PerceptualHash.hammingPairs(hashes, "media_id", "dhash", 3,
+      maxBucketSize = 1000).count()
+    assert(uncapped > 100)
+  }
+
   test("maxDist beyond the pigeonhole guarantee is rejected") {
     val hashes = Seq((1L, 0L)).toDF("media_id", "dhash")
     intercept[IllegalArgumentException] {

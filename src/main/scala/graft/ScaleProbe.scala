@@ -661,7 +661,13 @@ object ScaleProbe {
         // rounds on realistic (non-planted) duplication; rounds are read
         // back from Winnow.lastFixpointRounds.
         val dir = args(1)
-        val fixpoint = args.lift(2).contains("fixpoint")
+        val fixpoint = args.drop(2).contains("fixpoint")
+        // yaml=<path> drives a different committed example through the same
+        // harness (default: the r11 training_data_pipeline; round 14 adds
+        // examples/curation_pipeline.yaml composing the trained stages)
+        val yamlPath = args.drop(2).find(_.startsWith("yaml="))
+          .map(_.stripPrefix("yaml="))
+          .getOrElse("examples/training_data_pipeline.yaml")
         // Fail-fast heap guard (VERDICT r13 Next #5): in LOCAL mode one JVM
         // holds every executor's cache blocks, so the composed pipeline's
         // working set concentrates in the driver heap — the r13 1000x probe
@@ -702,7 +708,7 @@ object ScaleProbe {
           .where(pmod(col("doc_id"), lit(4099)) === 0).limit(200).select("text")
           .write.mode("overwrite").parquet(s"$work/corpus/benchmark.parquet")
         val yaml = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get("examples/training_data_pipeline.yaml")),
+            java.nio.file.Paths.get(yamlPath)),
             java.nio.charset.StandardCharsets.UTF_8)
           .replace("${CORPUS_DIR}", s"$work/corpus")
           .replace("${OUT_DIR}", s"$work/out")
@@ -737,7 +743,10 @@ object ScaleProbe {
         val wall = (System.nanoTime() - tp0) / 1e9
         Thread.sleep(2000) // let stage-completed events drain
         val pins = spark.sparkContext.getPersistentRDDs.size
-        val outRows = spark.read.parquet(s"$work/out/cleaned").count()
+        // the sink subdir differs per example (cleaned / curated / ...)
+        val outDir = java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/out"))
+          .findFirst().orElseThrow().toString
+        val outRows = spark.read.parquet(outDir).count()
         val rounds = if (fixpoint)
           s" fixpoint_rounds=${minietl.dedup.Winnow.lastFixpointRounds.get()}" else ""
         println(f"[pipeline] dir=$dir wall=$wall%.1fs stats_rows=${stats.rows} " +

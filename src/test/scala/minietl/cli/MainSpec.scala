@@ -107,6 +107,43 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     assert(new java.io.File(s"$dir/out/k=a").isDirectory)
   }
 
+  test("the committed curation example (trained stages) validates and runs") {
+    val dir = tmp()
+    // two separable language vocabularies + one mislabeled doc (en text,
+    // fr label → naive_bayes_filter must drop it) + a near-dup pair
+    // (minhash_dedup keeps the smaller id)
+    val en = (1L to 12L).map { i =>
+      val filler = (1L to 40L).map(j => f"en${(i * 11 + j) % 53}%02d").mkString(" ")
+      (i, s"the cat and the dog sat with $filler", "en", "web")
+    }
+    val fr = (21L to 32L).map { i =>
+      val filler = (1L to 40L).map(j => f"fr${(i * 13 + j) % 53}%02d").mkString(" ")
+      (i, s"le chat et le chien dort avec $filler", "fr", "web")
+    }
+    val mislabeled = (40L, s"the cat and the dog sat with " +
+      (1L to 40L).map(j => f"en${(11 + j) % 53}%02d").mkString(" "), "fr", "web")
+    val dup = (41L, en.head._2 + " tail", "en", "web")
+    (en ++ fr :+ mislabeled :+ dup)
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val env = Map("CORPUS_DIR" -> dir, "OUT_DIR" -> s"$dir/out")
+    val text = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("examples/curation_pipeline.yaml")), "UTF-8")
+    val cfg = minietl.config.Config.parse(text, env)
+    assert(minietl.config.Config.validate(cfg).isEmpty)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    minietl.config.Config.build(cfg).run(spark)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === pinnedBefore,
+      "the curation run must leave zero cache pins behind")
+    val out = Readers.parquet(spark, s"$dir/out/curated")
+    import spark.implicits._
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(40L), "mislabeled doc must be NB-filtered")
+    assert(!kept.contains(41L), "near-dup must lose to doc 1")
+    assert(kept.contains(1L))
+    assert(kept.nonEmpty && kept.size <= 24)
+  }
+
   test("the committed example pipeline validates and runs end-to-end") {
     val dir = tmp()
     // tiny corpus exercising every stage: stutter, dup lines, short docs,

@@ -61,22 +61,39 @@ object NaiveBayes {
             / (col("total") + lit(dim.toDouble)))).as("w"))
   }
 
-  /** Score every document against every label (broadcast model) and keep
-    * the argmax: `(idCol, pred: string, score: double)`. Tie-break is
-    * (score desc, label asc), encoded as `min(struct(-score, label, score))`
-    * so the argmax stays a partial-aggregable groupBy, not a window.
+  /** Score every document against every label and keep the argmax:
+    * `(idCol, pred: string, score: double)`. The model is COLLECTED
+    * (n_labels rows — model-sized by construction, the same contract as
+    * [[minietl.sim.Ivf]]'s centroid inlining) and each label's weight
+    * vector is inlined as literals, so serving is ONE scan with ZERO
+    * shuffles: per row, n_labels sequential folds and a lexicographic
+    * `array_min` over `(-score, label, score)` structs — the earlier
+    * crossJoin-then-groupBy formulation shuffled the whole corpus keyed on
+    * the document id just to argmax n_labels rows it had itself produced.
+    * Tie-break unchanged: score desc, then label asc.
     */
   def classify(df: DataFrame, model: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
-    val feats = df.select(col(idCol),
-      FeatureHash.tfVector(col(textCol), dim).as("tf"))
-    val scored = feats.crossJoin(broadcast(model))
-      .withColumn("score",
-        aggregate(zip_with(col("tf"), col("w"), (t, wt) => t * wt),
-          col("log_prior"), (acc, x) => acc + x))
-    scored.groupBy(idCol)
-      .agg(min(struct((-col("score")).as("ns"), col("label").as("pred"),
-        col("score").as("sc"))).as("b"))
+    val labels = model.collect().map { r =>
+      (r.getAs[String]("label"), r.getAs[Double]("log_prior"),
+        r.getAs[scala.collection.Seq[Double]]("w").toVector)
+    }.sortBy(_._1)
+    require(labels.nonEmpty, "empty model — train() saw no rows")
+    // `let` binds a subexpression to a lambda variable so it is evaluated
+    // ONCE no matter how many times the body references it — CollapseProject
+    // would otherwise inline the tf vector n_labels times and each score
+    // fold twice (the HOF re-evaluation trap FeatureHash documents)
+    def let(e: Column)(f: Column => Column): Column =
+      element_at(transform(array(e), f), 1)
+    val best = let(FeatureHash.tfVector(col(textCol), dim)) { tfv =>
+      array_min(array(labels.map { case (label, prior, w) =>
+        let(aggregate(zip_with(tfv, typedlit(w), (t, wt) => t * wt),
+          lit(prior), (acc, x) => acc + x)) { s =>
+          struct((-s).as("ns"), lit(label).as("pred"), s.as("sc"))
+        }
+      }: _*))
+    }
+    df.select(col(idCol), best.as("b"))
       .select(col(idCol), col("b.pred").as("pred"), col("b.sc").as("score"))
   }
 

@@ -52,19 +52,25 @@ object Dsir {
       .select(zip_with(col("t.logp"), col("r.logp"), (a, b) => a - b).as("r"))
   }
 
-  /** Score each document with the broadcast log-ratio vector and keep the
-    * top-k by (score desc, id asc): `(idCol, score, rank)`. TakeOrdered —
-    * never a full sort.
+  /** Score each document with the log-ratio vector and keep the top-k by
+    * (score desc, id asc): `(idCol, score, rank)`. The ratio frame is ONE
+    * row — collected and inlined as a literal (the same model-sized
+    * inlining as [[NaiveBayes.classify]] / Ivf centroids), so scoring is a
+    * single scan with zero joins; top-k is TakeOrdered — never a full sort.
     */
   def select(df: DataFrame, ratio: DataFrame, idCol: String, textCol: String,
       dim: Int, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val scored = df
-      .select(col(idCol), FeatureHash.tfVector(col(textCol), dim).as("tf"))
-      .crossJoin(broadcast(ratio))
-      .withColumn("score",
-        aggregate(zip_with(col("tf"), col("r"), (t, w) => t * w),
-          lit(0.0), (acc, x) => acc + x))
+    val rv = ratio.collect() match {
+      case Array(row) => row.getAs[scala.collection.Seq[Double]]("r").toVector
+      case other => throw new IllegalArgumentException(
+        s"ratio must be exactly one row (got ${other.length}) — use logRatio()")
+    }
+    val scored = df.select(col(idCol),
+      aggregate(
+        zip_with(FeatureHash.tfVector(col(textCol), dim), typedlit(rv),
+          (t, w) => t * w),
+        lit(0.0), (acc, x) => acc + x).as("score"))
     val top = scored.orderBy(col("score").desc, col(idCol)).limit(k)
     // rank within the k survivors: k rows, a window here is driver-cheap
     top.select(col(idCol), col("score"),

@@ -166,6 +166,40 @@ object ScaleProbe {
             f"kept=$kept dropped=${n - kept} train=$tTrain%.1fs total=$total%.1fs")
           spark.catalog.clearCache()
         }
+      case "semdedup_adversarial" =>
+        // VERDICT r14 Next #2: the degenerate single-cluster regime — every
+        // vector sits in a tiny cone around one direction, k-means collapses
+        // the corpus into one hot cluster, and WITHOUT the census cap the
+        // within-cluster pair join emits ~n^2/2 rows no nlist dial can
+        // bound. The uncapped CONTROL runs at small doubling sizes to
+        // document the quadratic; the CAPPED run at full n must complete
+        // with zero pairs (every cluster over cap → all rows isolated
+        // keep=1). args: [n] [nlist]
+        val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+        val nlist = args.lift(2).map(_.toInt).getOrElse(8)
+        def adversarial(rows: Long) = spark.range(rows).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(15)), d =>
+            (when(d === lit(0), lit(1.0)).otherwise(lit(0.0)) +
+              (pmod(xxhash64(col("id"), d), lit(1001)).cast("double") - lit(500.0))
+                / lit(1e7)).cast("float")).as("embedding"))
+          .localCheckpoint(true)
+        def run1(rows: Long, cap: Int, tag: String): Unit = {
+          val emb = adversarial(rows)
+          val t0 = System.nanoTime()
+          val model = minietl.sim.Ivf.train(emb, nlist = nlist, iters = 3)
+          val out = minietl.sim.SemDedup.semDedup(emb, model, tau = 0.99,
+            maxClusterSize = cap)
+          val agg = out.agg(
+            sum(when(col("keep") === 1L, 1L).otherwise(0L)).as("kept"),
+            countDistinct(col("cluster")).as("clusters")).head()
+          val wall = (System.nanoTime() - t0) / 1e9
+          println(f"[semdedup_adv] $tag%-8s n=$rows cap=$cap " +
+            f"kept=${agg.getLong(0)} clusters=${agg.getLong(1)} wall=$wall%.1fs")
+          spark.catalog.clearCache()
+        }
+        Seq(2000L, 4000L, 8000L).foreach(m => run1(m, Int.MaxValue, "uncapped"))
+        run1(n, minietl.dedup.Dedup.DefaultMaxBucket, "capped")
       case "dhash" =>
         // perceptual-hash linearity: generate n gradient PNGs in-flight,
         // time decode+hash and the banded Hamming join. args: <n>
@@ -743,9 +777,20 @@ object ScaleProbe {
         val wall = (System.nanoTime() - tp0) / 1e9
         Thread.sleep(2000) // let stage-completed events drain
         val pins = spark.sparkContext.getPersistentRDDs.size
-        // the sink subdir differs per example (cleaned / curated / ...)
-        val outDir = java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/out"))
-          .findFirst().orElseThrow().toString
+        // the sink subdir differs per example (cleaned / curated / ...);
+        // list with the stream CLOSED (Files.list holds a directory handle
+        // until closed — ADVICE r14) and require exactly one subdir so a
+        // multi-sink example can never silently read the wrong data
+        val outDir = {
+          val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/out"))
+          val dirs = try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.toList
+          } finally s.close()
+          require(dirs.size == 1,
+            s"expected exactly one sink subdir under $work/out, found ${dirs.size}: $dirs")
+          dirs.head.toString
+        }
         val outRows = spark.read.parquet(outDir).count()
         val rounds = if (fixpoint)
           s" fixpoint_rounds=${minietl.dedup.Winnow.lastFixpointRounds.get()}" else ""

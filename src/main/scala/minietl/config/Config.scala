@@ -315,10 +315,15 @@ object Config {
           }
       case "naive_bayes_filter" => numeric("dim", 1.0, 1048576.0)
       case "dsir_select" =>
-        numeric("dim", 1.0, 1048576.0) ++ numeric("k", 1.0, 1e12)
+        // k upper bound = Int.MaxValue so validation matches runtime: the
+        // builder parses k with .toDouble.toInt, which CLAMPS anything
+        // larger to 2147483647 instead of erroring (ADVICE r14) — a
+        // validator range beyond that would bless configs the runtime
+        // silently alters
+        numeric("dim", 1.0, 1048576.0) ++ numeric("k", 1.0, Int.MaxValue.toDouble)
       case "semdedup" =>
         numeric("nlist", 1.0, 65536.0) ++ numeric("iters", 1.0, 100.0) ++
-          numeric("tau", -1.0, 1.0)
+          numeric("tau", -1.0, 1.0) ++ numeric("max_cluster_size", 2.0, 1e9)
       case _ => Nil
     }
   }
@@ -645,12 +650,20 @@ object Config {
         val dim = t.options.get("dim").map(_.toString.toDouble.toInt).getOrElse(64)
         df => {
           import org.apache.spark.sql.functions.col
+          // training sees the whole frame (priors reflect the recorded
+          // label frequencies; all-null-text labels survive via train's
+          // left-joined priors); the agreement check scores only rows the
+          // model CAN score, and null-text rows PASS THROUGH — a routing
+          // filter must never silently drop rows it cannot score (ADVICE
+          // r14; same contract as image_dhash_dedup's undecodable rows)
           val model = minietl.text.NaiveBayes.train(df, label, text, dim)
-          val agree = minietl.text.NaiveBayes.classify(df, model, key, text, dim)
-            .join(df.select(col(key), col(label)), key)
+          val scorable = df.where(col(text).isNotNull)
+          val agree = minietl.text.NaiveBayes.classify(scorable, model, key, text, dim)
+            .join(scorable.select(col(key), col(label)), key)
             .where(col("pred") === col(label))
             .select(key)
           df.join(agree, Seq(key), "left_semi")
+            .unionByName(df.where(col(text).isNull))
         }
       case "dsir_select" =>
         // DSIR data selection: score against the target_condition domain's
@@ -671,10 +684,14 @@ object Config {
         val nlist = t.options.get("nlist").map(_.toString.toDouble.toInt).getOrElse(8)
         val iters = t.options.get("iters").map(_.toString.toDouble.toInt).getOrElse(3)
         val tau = t.options.get("tau").map(_.toString.toDouble).getOrElse(0.9)
+        val maxCluster = t.options.get("max_cluster_size")
+          .map(_.toString.toDouble.toInt)
+          .getOrElse(minietl.dedup.Dedup.DefaultMaxBucket)
         df => {
           import org.apache.spark.sql.functions.col
           val model = minietl.sim.Ivf.train(df, nlist, iters, key, vecCol)
-          val keep = minietl.sim.SemDedup.semDedup(df, model, tau, key, vecCol)
+          val keep = minietl.sim.SemDedup
+            .semDedup(df, model, tau, key, vecCol, maxCluster)
             .where(col("keep") === 1L)
             .select(col("id").as(key))
           df.join(keep, Seq(key), "left_semi")

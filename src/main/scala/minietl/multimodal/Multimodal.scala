@@ -78,13 +78,30 @@ object Multimodal {
   private lazy val imageIoMemCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
-  def decodeImage(content: Array[Byte]): Option[ImageStats] = {
+  /** Decode a payload to its `BufferedImage`, or None for null/empty/
+    * undecodable bytes. Catches NonFatal, not just IOException (ADVICE
+    * r14): ImageIO's format readers throw RuntimeExceptions on malformed
+    * real-world payloads (`CMMException` on a broken ICC profile,
+    * `IllegalArgumentException`/`IndexOutOfBoundsException` on truncated
+    * headers), and one corrupt image must degrade to a null row, never
+    * fail the whole stage — the "never drop (or kill) on unreadable data"
+    * contract every media operator here shares.
+    */
+  def readImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     imageIoMemCache
     if (content == null || content.isEmpty) return None
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      catch { case _: java.io.IOException => null }
-    if (img == null) return None
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  def decodeImage(content: Array[Byte]): Option[ImageStats] =
+    readImage(content).map(statsOfImage)
+
+  /** Exact stats from an already-decoded image — split from [[decodeImage]]
+    * so callers needing several derivations of one payload (e.g. stats AND
+    * a perceptual hash, [[PerceptualHash.dHashes]]) decode once.
+    */
+  def statsOfImage(img: java.awt.image.BufferedImage): ImageStats = {
     val w = img.getWidth
     val h = img.getHeight
     val lumHist = new Array[Long](256)
@@ -109,7 +126,7 @@ object Multimodal {
       if (c > 0L) { val p = c.toDouble / n; ent -= p * (math.log(p) / math.log(2.0)) }
       i += 1
     }
-    Some(ImageStats(w, h, rs, gs, bs, n, ent))
+    ImageStats(w, h, rs, gs, bs, n, ent)
   }
 
   /** Feature vector from a real image decode: `[width, height, rMean,

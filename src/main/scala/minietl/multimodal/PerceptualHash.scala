@@ -30,13 +30,20 @@ import org.apache.spark.sql.types._
   */
 object PerceptualHash {
 
-  /** 56-bit dHash of a decoded image; None if the payload doesn't decode. */
-  def dHash56(content: Array[Byte]): Option[Long] = {
-    if (content == null || content.isEmpty) return None
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      catch { case _: java.io.IOException => null }
-    if (img == null) return None
+  /** 56-bit dHash of a decoded image; None if the payload doesn't decode
+    * (null/empty/corrupt — [[Multimodal.readImage]] catches the
+    * RuntimeExceptions ImageIO throws on malformed real-world payloads, so
+    * one broken image degrades to a null hash, never a failed stage).
+    */
+  def dHash56(content: Array[Byte]): Option[Long] =
+    Multimodal.readImage(content).map(dHashOfImage)
+
+  /** The 56-bit dHash from an already-decoded image — split from
+    * [[dHash56]] (ADVICE r14) so callers that need several derivations of
+    * one payload (stats + hash, [[dHashes]]) pay the decode once; decode
+    * dominates everything downstream on real media.
+    */
+  def dHashOfImage(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth
     val h = img.getHeight
     // 8x8 nearest-neighbor luminance grid
@@ -61,7 +68,7 @@ object PerceptualHash {
       }
       j += 1
     }
-    Some(hash)
+    hash
   }
 
   /** Per-image hash frame `(media_id, width, height, dhash)`; undecodable
@@ -78,9 +85,12 @@ object PerceptualHash {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        (Multimodal.decodeImage(bytes), dHash56(bytes)) match {
-          case (Some(st), Some(hsh)) => Row(id, st.width, st.height, hsh)
-          case _ => Row(id, null, null, null)
+        // ONE decode per row; width/height and the hash both come off the
+        // same BufferedImage (ADVICE r14 — the earlier version decoded
+        // twice, doubling the dominant cost of the hash stage)
+        Multimodal.readImage(bytes) match {
+          case Some(img) => Row(id, img.getWidth, img.getHeight, dHashOfImage(img))
+          case None => Row(id, null, null, null)
         }
       }
     }

@@ -31,9 +31,24 @@ object SemDedup {
   /** One row per embedding: `(id, cluster, comp, keep)` — comp is the
     * minimum id reachable through within-cluster cosine-≥-τ edges (own id
     * if isolated), keep = 1 iff the row is its component's canonical.
+    *
+    * `maxClusterSize` is the hot-cluster census cap (VERDICT r14 Next #2)
+    * — the same [[minietl.dedup.Dedup.DefaultMaxBucket]] contract every
+    * banded path carries: a cluster with n members contributes n(n-1)/2
+    * pair-join output rows, so ONE degenerate cluster (k-means collapses
+    * on a near-constant embedding region — the exact failure mode the
+    * first dHash corpus hit with 86% of images in one band bucket) turns
+    * the bounded quadratic into an unbounded one regardless of nlist.
+    * Rows of an over-cap cluster are excluded from PAIRING only: they
+    * stay in the output as isolated keep=1 rows (a dedup stage must never
+    * drop data it cannot compare), a documented recall trade the oracle
+    * replays with the identical census. The census is a window over the
+    * cluster id — the same key the pair join shuffles on, so the guard
+    * adds no extra shuffle.
     */
   def semDedup(corpus: DataFrame, model: Ivf.Model, tau: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxClusterSize: Int = minietl.dedup.Dedup.DefaultMaxBucket): DataFrame = {
     // the prepared frame feeds BOTH sides of the pair join plus the final
     // labeling join — persist it (released by the caller's RunCaches scope)
     // so the cast/norm/argmin scan runs once, not three times
@@ -44,7 +59,9 @@ object SemDedup {
       .withColumn("cluster", Ivf.assignList(col("v"), model).cast("bigint"))
       .persist()
     minietl.pipeline.RunCaches.register(a)
-    val pairs = a.as("x").join(a.as("y"),
+    val paired = minietl.dedup.Dedup.dropOversizedBuckets(
+      a, Seq("cluster"), maxClusterSize, "semdedup")
+    val pairs = paired.as("x").join(paired.as("y"),
         col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
       .withColumn("cos",
         round(minietl.functions.vec.dot(col("x.v"), col("y.v"))
@@ -61,11 +78,14 @@ object SemDedup {
 
   /** DuckDB replay of the SERVING path for a trained model (training is
     * spec-covered, same contract as [[Ivf.topKOracleSql]]): centroid
-    * literals → argmin assignment with low-index ties → within-cluster
-    * pairwise 4dp cosine → recursive reachability CTE → min reachable id.
+    * literals → argmin assignment with low-index ties → hot-cluster census
+    * (same cap as the engine — over-cap clusters pair nothing, their rows
+    * stay isolated) → within-cluster pairwise 4dp cosine → recursive
+    * reachability CTE → min reachable id.
     */
   def oracleSql(model: Ivf.Model, tau: Double, table: String = "embeddings",
-      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxClusterSize: Int = minietl.dedup.Dedup.DefaultMaxBucket): String = {
     def vecLit(c: Vector[Double]): String =
       c.map(_.toString).mkString("CAST([", ",", "] AS DOUBLE[])")
     val scoreSelects = model.centroids.zipWithIndex.map { case (c, i) =>
@@ -82,9 +102,12 @@ object SemDedup {
        |    SELECT id, v, idx,
        |      row_number() OVER (PARTITION BY id ORDER BY score ASC, idx ASC) AS rn
        |    FROM scores) WHERE rn = 1),
+       |big AS (SELECT cluster FROM assign GROUP BY cluster
+       |        HAVING count(*) > $maxClusterSize),
+       |paired AS (SELECT a.* FROM assign a ANTI JOIN big USING (cluster)),
        |pairs AS (
        |  SELECT x.id AS id_a, y.id AS id_b
-       |  FROM assign x JOIN assign y
+       |  FROM paired x JOIN paired y
        |    ON x.cluster = y.cluster AND x.id < y.id
        |  WHERE round(list_cosine_similarity(x.v, y.v), 4) >= $tau),
        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs

@@ -54,11 +54,18 @@ object NaiveBayes {
       .select(col("label"),
         log(col("n_docs").cast("double") / col("n_all").cast("double"))
           .as("log_prior"))
-    perLabel.join(priors, "label")
+    // LEFT join from priors (ADVICE r14): priors cover every label seen in
+    // the frame, per-label counts only labels with at least one token. An
+    // inner join would silently erase a label whose documents are all
+    // null/empty text — and every row of that label would then be dropped
+    // by an agreement filter (pred can never equal a missing label). Under
+    // the left join such a label keeps its prior and gets the uniform
+    // smoothed weights ln(1/dim): total=0, every slot count 0.
+    priors.join(perLabel, Seq("label"), "left")
       .select(col("label"), col("log_prior"),
         transform(sequence(lit(0), lit(dim - 1)), s =>
           log((coalesce(element_at(col("m"), s.cast("long")), lit(0L)) + lit(1.0))
-            / (col("total") + lit(dim.toDouble)))).as("w"))
+            / (coalesce(col("total"), lit(0L)) + lit(dim.toDouble)))).as("w"))
   }
 
   /** Score every document against every label and keep the argmax:
@@ -111,11 +118,13 @@ object NaiveBayes {
        |         unnest(list_transform(string_split($textSql, ' '), t -> $slot)) AS slot
        |  FROM $table),
        |counts AS (SELECT label, slot, count(*) AS c FROM slotted GROUP BY 1, 2),
-       |totals AS (SELECT label, sum(c) AS total FROM counts GROUP BY 1),
        |priors AS (
        |  SELECT $labelCol AS label,
        |         ln(count(*) * 1.0 / (SELECT count(*) FROM $table)) AS log_prior
        |  FROM $table GROUP BY 1),
+       |totals AS (
+       |  SELECT p.label, coalesce(sum(c.c), 0) AS total
+       |  FROM priors p LEFT JOIN counts c ON c.label = p.label GROUP BY 1),
        |wflat AS (
        |  SELECT t.label, s.s AS slot,
        |         ln((coalesce(c.c, 0) + 1.0) / (t.total + $dim.0)) AS wt

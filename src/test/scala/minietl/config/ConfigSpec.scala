@@ -1448,6 +1448,28 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").as[Long].collect().toSeq ===
       Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
 
+    // null-text rows PASS THROUGH the filter (ADVICE r14: a routing filter
+    // must never silently drop rows it cannot score), and an all-null-text
+    // label neither crashes training nor is dropped wholesale
+    val inNull = s"${tmp()}/nb_null_in"
+    val outNull = s"${tmp()}/nb_null_out"
+    Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog ate the bone", "en"),
+      (3L, "le chat dort sur le tapis", "fr"),
+      (4L, null.asInstanceOf[String], "en"),
+      (5L, null.asInstanceOf[String], "xx")
+    ).toDF("doc_id", "text", "lang").write.parquet(inNull)
+    Config.load(
+      s"""name: nbf_null
+         |source: {type: parquet, filepath: $inNull}
+         |transformers:
+         |  - {type: naive_bayes_filter, label: lang, text: text, key: doc_id, dim: 512}
+         |sink: {type: parquet, filepath: $outNull}
+         |""".stripMargin).run(spark)
+    assert(Readers.parquet(spark, outNull).orderBy("doc_id")
+      .select("doc_id").as[Long].collect().toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+
     val out2 = s"${tmp()}/dsir_out"
     Config.load(
       s"""name: dsir

@@ -50,6 +50,31 @@ class PerceptualHashSpec extends AnyFunSuite with SparkTestBase {
     out.foreach(r => assert(r.isNullAt(r.fieldIndex("dhash"))))
   }
 
+  test("corrupt payloads never throw: every truncation/bit-flip of a real " +
+    "PNG and GIF degrades to None (NonFatal contract, ADVICE r14)") {
+    // ImageIO readers throw RuntimeExceptions (not just IOException) on
+    // malformed real-world images; sweep every truncation length and a
+    // byte-flip at every offset through the REAL decode paths and require
+    // the hash to degrade to None or a value — never an escaped exception
+    val png = PerceptualHash.gradientPng(9, 10, 7, 13, 5)
+    val gif = {
+      val img = new java.awt.image.BufferedImage(
+        9, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 10).foreach(y => (0 until 9).foreach(x =>
+        img.setRGB(x, y, (7 * x + 13 * y + 5) % 256 * 0x010101)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "gif", bos)
+      bos.toByteArray
+    }
+    Seq(png, gif).foreach { bytes =>
+      (0 until bytes.length).foreach { n =>
+        PerceptualHash.dHash56(java.util.Arrays.copyOf(bytes, n)) // must not throw
+        val flipped = bytes.clone(); flipped(n) = (flipped(n) ^ 0x5a).toByte
+        PerceptualHash.dHash56(flipped) // must not throw
+      }
+    }
+  }
+
   test("banded hammingPairs equals brute-force all-pairs for distance 1..3") {
     // crafted fixture: clusters of bit-flipped variants around distinct
     // bases, flips spread across DIFFERENT 14-bit bands (the adversarial

@@ -68,6 +68,33 @@ class SemDedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hot-cluster census cap: an over-cap cluster pairs nothing — its " +
+    "rows stay isolated keep=1 — while under-cap clusters still dedup") {
+    // cluster 0 gets 4 near-identical members (over a cap of 3), cluster 1
+    // gets 2 (under cap). Without the cap rows 1-4 would collapse to one
+    // canonical; with it they must ALL survive as isolated rows, and the
+    // under-cap cluster must still merge normally.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.999f, 0.01f)),
+      (3L, Seq(0.999f, 0.02f)), (4L, Seq(0.999f, 0.03f)),
+      (5L, Seq(0.0f, 1.0f)), (6L, Seq(0.01f, 0.999f))
+    ).toDF("vec_id", "embedding")
+    val model = Ivf.Model(Vector(Vector(1.0, 0.0), Vector(0.0, 1.0)))
+    val out = SemDedup.semDedup(vecs, model, tau = 0.9, maxClusterSize = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(out(id) === (id, 1L),
+        s"row $id of the over-cap cluster must stay an isolated canonical")
+    }
+    assert(out(5L) === (5L, 1L))
+    assert(out(6L) === (5L, 0L), "under-cap cluster must still dedup")
+    // and the uncapped control collapses cluster 0, proving the cap (not
+    // the geometry) isolated the rows above
+    val un = SemDedup.semDedup(vecs, model, tau = 0.9, maxClusterSize = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(Seq(2L, 3L, 4L).forall(un(_) === 0L))
+  }
+
   test("pair join is keyed on the cluster id, not a cross product") {
     val model = Ivf.Model(Vector(Vector(1.0, 0.0, 0.0, 0.0),
       Vector(0.0, 0.0, 1.0, 0.0)))

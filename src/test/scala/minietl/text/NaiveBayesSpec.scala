@@ -72,6 +72,22 @@ class NaiveBayesSpec extends AnyFunSuite with SparkTestBase {
     out.foreach(r => assert(r.getAs[String]("pred") === "a"))
   }
 
+  test("a label whose documents are all null-text keeps its prior and " +
+    "uniform weights (left-joined priors, ADVICE r14)") {
+    // under the old inner join the "xx" label vanished from the model and
+    // every xx row was silently unroutable
+    val withNullLabel = corpus.unionByName(
+      Seq((7L, null.asInstanceOf[String], "xx"),
+          (8L, null.asInstanceOf[String], "xx")).toDF("doc_id", "text", "lang"))
+    val m = NaiveBayes.train(withNullLabel, "lang", "text", dim).collect()
+    assert(m.map(_.getAs[String]("label")).sorted.toSeq === Seq("en", "fr", "xx"))
+    val xx = m.find(_.getAs[String]("label") == "xx").get
+    assert(xx.getAs[Double]("log_prior") === math.log(2.0 / 8.0))
+    val w = xx.getAs[scala.collection.Seq[Double]]("w")
+    // total=0, every count 0 -> every slot weight ln(1/dim)
+    assert(w.forall(_ === math.log(1.0 / dim)))
+  }
+
   test("plan: serving is ONE scan with zero exchanges") {
     // the model is inlined as literals (Ivf centroid idiom), so the whole
     // serving pass — folds + argmax — happens scan-side with no shuffle,

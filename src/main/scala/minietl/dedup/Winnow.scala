@@ -470,12 +470,16 @@ object Winnow {
     * localCheckpoint per round, and measured at 5M docs those two
     * ~250M-row materializations cost MORE than the streaming re-scan they
     * save (fixpoint premium 190 s carried vs 156 s recomputed). The census
-    * still RUNS over the full fps each round (excision splices can mint
-    * NEW hot buckets — e.g. one span excised from many docs with identical
-    * flanks leaves the same splice gram everywhere — and an uncensused
-    * round could blow up O(n^2) seed pairs); its hot-fp OUTPUT is tiny
-    * (> maxPostings members each, so at most grams/maxPostings rows),
-    * checkpointed per round, and anti-joined into the seeds plan.
+    * still runs EVERY round (excision splices can mint NEW hot buckets —
+    * e.g. one span excised from many docs with identical flanks leaves the
+    * same splice gram everywhere — and an uncensused round could blow up
+    * O(n^2) seed pairs), but past round 1 it is RESTRICTED to fingerprints
+    * touched by the previous round's changed docs — a bucket's count only
+    * grows through changed-doc postings, so only touched fps can newly
+    * cross the cap (VERDICT r14 Next #3; full argument at the census in
+    * the loop body). Its hot-fp OUTPUT is tiny (> maxPostings members
+    * each, so at most grams/maxPostings rows), checkpointed only when it
+    * actually grows, and anti-joined into the seeds plan.
     */
   private def spanDedupFixpointWith(df: DataFrame, textCol: String,
                                     idCol: String, k: Int, minSpanTokens: Int,
@@ -490,22 +494,67 @@ object Winnow {
     var curOwned = false // never release the caller's frame
     var changedIds: DataFrame = null // round r-1's changed set (null = round 1)
     var stickyBig: DataFrame = null // fps over the cap in ANY round so far
+    var hotFpCount = 0L // |stickyBig|, maintained at each checkpoint
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
       val fps = spanFps(cur, textCol, idCol, k, tokenHash)
-      // sticky cap: this round's census unioned into the accumulated
-      // dropped set (tiny — each member had > maxPostings postings), then
-      // anti-joined below; AQE broadcasts it once sizes are known
-      val bigNow = fps.groupBy(col("fp"))
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxPostings).select("fp")
-      val allBig = (if (stickyBig == null) bigNow
-                    else bigNow.unionByName(stickyBig).distinct())
-        .localCheckpoint(true)
-      if (stickyBig != null) release(stickyBig)
-      stickyBig = allBig
-      val capped = fps.join(allBig, Seq("fp"), "left_anti")
+      // sticky-cap census — FULL in round 1, CHANGED-TOUCHED-ONLY after
+      // (VERDICT r14 Next #3): unchanged docs emit identical postings
+      // every round, so a bucket's count can only GROW — the only way to
+      // newly cross the cap — through postings of docs changed in the
+      // previous round. Restricting the census to the fingerprints those
+      // docs now emit (FULL counts, but only for touched fps — the
+      // semi-join keeps every posting of a touched fp, changed or not)
+      // therefore sees every possible new crossing; buckets that merely
+      // shrink are irrelevant under stickiness. Induction mirrors the
+      // incremental seed join's: any fp over the cap in some round's full
+      // census is in stickyBig — round 1 is full; a later full-census
+      // crossing at round j with count_{j-1} <= cap implies a count
+      // increase, hence a changed-doc posting, hence fp is censused at j.
+      val bigNow = {
+        val base =
+          if (changedIds == null || !incremental) fps
+          else {
+            val changedFps = fps.join(changedIds,
+                fps("id") === changedIds("id"), "left_semi")
+              .select("fp").distinct()
+            fps.join(changedFps, Seq("fp"), "left_semi")
+          }
+        base.groupBy(col("fp"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxPostings).select("fp")
+      }
+      // fold the census into stickyBig only when it found something: the
+      // common post-round-1 case is ZERO new hot fps, where the old
+      // union+distinct+checkpoint+release cycle (VERDICT r14 Next #3) was
+      // pure bookkeeping. The count doubles as the run's hot-fp tally, so
+      // the final stickyBig.count() job is gone too; in the rare non-empty
+      // case the (restricted, cheap) census re-runs once inside the union.
+      if (stickyBig == null) {
+        // round 1: materialize + count in ONE action — rdd.localCheckpoint
+        // + count() is what Dataset.localCheckpoint(eager=true) runs
+        // internally, but keeps the number
+        val rdd = bigNow.rdd
+        rdd.localCheckpoint()
+        hotFpCount = rdd.count()
+        if (hotFpCount > 0)
+          stickyBig = cur.sparkSession.createDataFrame(rdd, bigNow.schema)
+        else rdd.unpersist(false)
+      } else {
+        val nNew = bigNow.count()
+        if (nNew > 0) {
+          val merged = bigNow.unionByName(stickyBig).distinct()
+          val rdd = merged.rdd
+          rdd.localCheckpoint()
+          hotFpCount = rdd.count()
+          release(stickyBig)
+          stickyBig = cur.sparkSession.createDataFrame(rdd, merged.schema)
+        }
+      }
+      val capped =
+        if (stickyBig == null) fps
+        else fps.join(stickyBig, Seq("fp"), "left_anti")
       val seeds =
         if (changedIds == null || !incremental)
           capped.as("a").join(capped.as("b"),
@@ -548,12 +597,11 @@ object Winnow {
       }
     }
     if (changedIds != null) release(changedIds)
-    val hotFps = if (stickyBig == null) 0L else stickyBig.count()
     if (stickyBig != null) release(stickyBig)
     lastFixpointRounds.set(rounds)
     log.info(s"spanDedupFixpoint: $rounds excision round(s), " +
       s"${if (converged) "converged" else s"stopped at maxIter=$maxIter"}" +
-      (if (hotFps > 0) s"; $hotFps fingerprint bucket(s) over maxPostings=" +
+      (if (hotFpCount > 0) s"; $hotFpCount fingerprint bucket(s) over maxPostings=" +
         s"$maxPostings censored sticky for the run" else ""))
     (cur, rounds)
   }

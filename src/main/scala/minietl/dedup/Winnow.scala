@@ -516,8 +516,15 @@ object Winnow {
         val base =
           if (changedIds == null || !incremental) fps
           else {
-            val changedFps = fps.join(changedIds,
-                fps("id") === changedIds("id"), "left_semi")
+            // the touched-fp set is derived by re-fingerprinting ONLY the
+            // changed docs (cost ∝ changed set, the same move as
+            // exciseSubset's rebuild) — not by filtering the full fps,
+            // which would add a second full-corpus tokenize pass; the
+            // semi-join against it then prunes the census's shuffle to the
+            // touched buckets (AQE broadcasts the tiny side)
+            val changedFps = spanFps(
+                cur.join(changedIds, cur(idCol) === changedIds("id"), "left_semi"),
+                textCol, idCol, k, tokenHash)
               .select("fp").distinct()
             fps.join(changedFps, Seq("fp"), "left_semi")
           }
@@ -561,20 +568,26 @@ object Winnow {
               col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
             .select(seedSelect("a", "b"): _*)
         else {
-          // pairs with >= 1 changed side, each exactly once: changed(a)
-          // against everything (covers changed-changed and changed-lower
-          // ids), plus unchanged(a) against changed(b)
-          val cappedC = capped.join(changedIds,
-            capped("id") === changedIds("id"), "left_semi")
-          val cappedU = capped.join(changedIds,
-            capped("id") === changedIds("id"), "left_anti")
-          cappedC.as("a").join(capped.as("b"),
-              col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+          // pairs with >= 1 changed side, each exactly once — enforced
+          // INSIDE the join condition (a.chg OR b.chg) so both join inputs
+          // stay the IDENTICAL tagged subtree: the full tokenize+winnow
+          // scan behind it is planned as ONE exchange with a
+          // ReusedExchange on the other side. The earlier three-frame
+          // split (changed×all ∪ unchanged×changed) paid that scan three
+          // times per round — the scan, not the within-bucket pair
+          // iteration (already posting-capped), is the dominant cost. The
+          // join still iterates round-1's per-bucket pairs but EMITS only
+          // >=1-changed ones, so everything downstream (islands window,
+          // excision) stays proportional to the changed set.
+          val tagged = capped.join(
+              changedIds.withColumn("__chg", lit(true)),
+              capped("id") === changedIds("id"), "left")
+            .select(capped("id"), capped("pos"), capped("fp"),
+              coalesce(col("__chg"), lit(false)).as("chg"))
+          tagged.as("a").join(tagged.as("b"),
+              col("a.fp") === col("b.fp") && col("a.id") < col("b.id") &&
+                (col("a.chg") || col("b.chg")))
             .select(seedSelect("a", "b"): _*)
-            .unionByName(
-              cappedU.as("a").join(cappedC.as("b"),
-                  col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-                .select(seedSelect("a", "b"): _*))
         }
       val spans = islandsToSpans(seeds, k, minSpanTokens).localCheckpoint(true)
       if (spans.isEmpty) {

@@ -48,6 +48,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   * runs measured HIGHER cold-start load (2.9-5.4) than the contaminated
   * one (3.92), because the battery's own warm-ups drive load.
   *
+  * A SUSPECT verdict triggers a SELF-RETRY (up to SPARK_GRAFT_BENCH_RETRIES
+  * = 2 full two-pass re-runs): the first clean attempt becomes the round's
+  * record and each suspect attempt's summary rides along in
+  * suspect_reasons as provenance — the official per-round artifact should
+  * be a measurement, not whatever the box happened to be doing (the r14
+  * record was a 418 s interference run while clean 154-196 s runs sat
+  * committed beside it). If every attempt is suspect the last one is
+  * emitted with suspect=true and a retries-exhausted reason.
+  *
   * OUTPUT: the driver keeps only the LAST 2000 CHARS of the run log and
   * parses the JSON line out of that tail — a full 155-query map is ~8 KB
   * and has truncated to unparseable in every round so far. The printed
@@ -145,22 +154,68 @@ object Bench {
         spark.catalog.clearCache() // release per-query persisted intermediates (untimed)
         name -> elapsed
       }.toMap
-    val stateCold = machineState()
-    val cold = timedPass()
-    val stateWarm = machineState()
-    val warm = timedPass()
-    val totalCold = cold.values.sum
-    val totalWarm = warm.values.sum
-    val ratio = if (totalCold > 0) totalWarm / totalCold else 1.0
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       "BENCH_baseline_clean.json")
     val baseline = RunValidity.loadBaseline(baselinePath)
-    val verdict = RunValidity.assess(cold, warm,
-      baseline.map { case (k, v) => k -> v._1 },
-      baseline.map { case (k, v) => k -> v._2 })
+    final case class Attempt(cold: Map[String, Double], warm: Map[String, Double],
+                             verdict: RunValidity.Verdict,
+                             stateCold: String, stateWarm: String)
+    def runAttempt(): Attempt = {
+      val stateCold = machineState()
+      val cold = timedPass()
+      val stateWarm = machineState()
+      val warm = timedPass()
+      Attempt(cold, warm,
+        RunValidity.assess(cold, warm,
+          baseline.map { case (k, v) => k -> v._1 },
+          baseline.map { case (k, v) => k -> v._2 }),
+        stateCold, stateWarm)
+    }
+    // SELF-RETRY on a suspect verdict (VERDICT r14 Next #1): the r14 round
+    // record was a contaminated 418 s run correctly stamped suspect while
+    // three clean runs sat committed beside it — the verdict was computed
+    // but never acted on. Now a suspect attempt is re-run in full (both
+    // passes; the battery warm-ups above stay valid) up to `maxRetries`
+    // times, the FIRST CLEAN attempt becomes the round's record, and every
+    // suspect attempt's summary is appended to suspect_reasons as
+    // provenance. A retry's "cold" pass runs against a page cache the
+    // suspect attempt already warmed — recorded in the provenance line, a
+    // smaller distortion than publishing interference as the round number.
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    val attempts = scala.collection.mutable.Buffer.empty[Attempt]
+    var chosen: Option[Attempt] = None
+    while (chosen.isEmpty && attempts.size <= maxRetries) {
+      val a = runAttempt()
+      attempts += a
+      if (!a.verdict.suspect) chosen = Some(a)
+      else System.err.println(f"[bench] attempt ${attempts.size} suspect " +
+        f"(cold total ${a.cold.values.sum}%.1f s): ${a.verdict.reasons.mkString("; ")}" +
+        (if (attempts.size <= maxRetries) " — retrying" else " — retries exhausted"))
+    }
+    val fin = chosen.getOrElse(attempts.last)
+    val suspectProvenance = attempts.zipWithIndex.collect {
+      case (a, i) if a.verdict.suspect =>
+        f"attempt ${i + 1} suspect (cold ${a.cold.values.sum}%.1f s, warm " +
+          f"${a.warm.values.sum}%.1f s): ${a.verdict.reasons.mkString(" | ")}" +
+          (if (i + 1 < attempts.size)
+            " — re-ran; later attempts' cold pass pages were cache-warm" else "")
+    }.toSeq
+    val cold = fin.cold
+    val warm = fin.warm
+    val verdict = fin.verdict
+    val stateCold = fin.stateCold
+    val stateWarm = fin.stateWarm
+    val totalCold = cold.values.sum
+    val totalWarm = warm.values.sum
+    val ratio = if (totalCold > 0) totalWarm / totalCold else 1.0
     val suspect = verdict.suspect
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val reasonsJson = verdict.reasons.map(jstr).mkString("[", ",", "]")
+    val allReasons = verdict.reasons ++ suspectProvenance.filter(_ => !suspect) ++
+      (if (suspect && attempts.size > 1)
+        Seq(s"retries exhausted after ${attempts.size} attempts — no clean run") ++
+          suspectProvenance.dropRight(1)
+      else Nil)
+    val reasonsJson = allReasons.map(jstr).mkString("[", ",", "]")
     val baselineNote =
       if (baseline.isEmpty) s"BASELINE MISSING ($baselinePath) — band checks skipped, only the warm/cold ratio rule ran"
       else s"${baseline.size}-query clean baseline from $baselinePath"
@@ -179,6 +234,7 @@ object Bench {
          |"n_queries": ${cold.size},
          |"total_sec": ${fmt(totalCold)},
          |"total_warm_sec": ${fmt(totalWarm)},
+         |"n_attempts": ${attempts.size},
          |"suspect": $suspect,
          |"suspect_reasons": $reasonsJson,
          |"warm_cold_ratio": ${fmt(ratio)},
@@ -196,7 +252,7 @@ object Bench {
          |""".stripMargin)
     // compact reasons: the driver tail is 2000 chars and the query map is
     // ~1100 of them — keep at most two reasons, each clipped
-    val reasonsCompact = verdict.reasons.take(2)
+    val reasonsCompact = allReasons.take(2)
       .map(r => jstr(if (r.length > 110) r.take(107) + "..." else r))
       .mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${fmt(totalCold)},"unit":"sec",""" +

@@ -166,6 +166,94 @@ object ScaleProbe {
             f"kept=$kept dropped=${n - kept} train=$tTrain%.1fs total=$total%.1fs")
           spark.catalog.clearCache()
         }
+      case "rp_semdedup_ab" =>
+        // VERDICT r14 Next #4: A/B project-then-semdedup vs raw-dim
+        // semdedup. Train once per representation (training is
+        // tau-independent), then per tau compare the DROPPED sets (raw-dim
+        // treated as truth: recall = |dropB ∩ dropA| / |dropA|) and the
+        // serving walls. args: <dir> [nlist] [dimOut]
+        val dir = args(1)
+        val nlist = args.lift(2).map(_.toInt).getOrElse(64)
+        val dimOut = args.lift(3).map(_.toInt).getOrElse(8)
+        val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        val n = raw.count()
+        val dimIn = raw.select(size(col("embedding"))).head().getInt(0)
+        val t0p = System.nanoTime()
+        val proj = minietl.sim.RandomProjection
+          .projectFrame(raw, "vec_id", "embedding", seed = 7, dimIn, dimOut)
+          .localCheckpoint(true)
+        val projWall = (System.nanoTime() - t0p) / 1e9
+        println(f"[rp_ab] n=$n dimIn=$dimIn dimOut=$dimOut project_wall=$projWall%.1fs")
+        def trainT(df: org.apache.spark.sql.DataFrame, vc: String): (minietl.sim.Ivf.Model, Double) = {
+          val t0 = System.nanoTime()
+          val m = minietl.sim.Ivf.train(df, nlist = nlist, iters = 3, vecCol = vc)
+          (m, (System.nanoTime() - t0) / 1e9)
+        }
+        val (mRaw, tRaw) = trainT(raw, "embedding")
+        val (mProj, tProj) = trainT(proj, "y")
+        println(f"[rp_ab] train nlist=$nlist raw=$tRaw%.1fs proj=$tProj%.1fs")
+        Seq(0.7, 0.9, 0.95).foreach { tau =>
+          def dropped(df: org.apache.spark.sql.DataFrame, m: minietl.sim.Ivf.Model,
+                      vc: String): (Set[Long], Double) = {
+            val t0 = System.nanoTime()
+            val ids = minietl.sim.SemDedup.semDedup(df, m, tau, "vec_id", vc)
+              .where(col("keep") === 0L).select("id")
+              .collect().map(_.getLong(0)).toSet
+            val w = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            (ids, w)
+          }
+          val (dA, wA) = dropped(raw, mRaw, "embedding")
+          val (dB, wB) = dropped(proj, mProj, "y")
+          val recall = if (dA.isEmpty) 1.0 else dB.intersect(dA).size.toDouble / dA.size
+          val extra = dB.diff(dA).size
+          println(f"[rp_ab] tau=$tau raw_dropped=${dA.size} proj_dropped=${dB.size} " +
+            f"recall=$recall%.3f proj_extra_drops=$extra raw_wall=$wA%.1fs proj_wall=$wB%.1fs")
+        }
+      case "nb_dsir_dim" =>
+        // VERDICT r14 Next #7: hashing-dim sensitivity for the trained
+        // text operators. One table: dim in {64,256,1024} x {NB label
+        // agreement, NB pred stability vs dim=1024, DSIR top-k overlap vs
+        // dim=1024, walls}. args: <dir> [k] [target_condition]
+        val dir = args(1)
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "lang").localCheckpoint(true)
+        val n = docs.count()
+        val k = args.lift(2).map(_.toInt).getOrElse(math.max(1, (n / 10).toInt))
+        val cond = args.lift(3).getOrElse("lang = 'en'")
+        val dims = Seq(64, 256, 1024)
+        val preds = dims.map { d =>
+          val t0 = System.nanoTime()
+          val model = minietl.text.NaiveBayes.train(docs, "lang", "text", d)
+          val cls = minietl.text.NaiveBayes
+            .classify(docs, model, "doc_id", "text", d)
+            .select("doc_id", "pred").localCheckpoint(true)
+          val agree = cls.join(docs, "doc_id")
+            .where(col("pred") === col("lang")).count()
+          println(f"[nbdim] dim=$d n=$n agree=${agree * 100.0 / n}%.2f%% " +
+            f"wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+          d -> cls
+        }.toMap
+        dims.filter(_ != 1024).foreach { d =>
+          val same = preds(d).as("a")
+            .join(preds(1024).as("b"), col("a.doc_id") === col("b.doc_id"))
+            .where(col("a.pred") === col("b.pred")).count()
+          println(f"[nbdim] pred_overlap dim=$d vs 1024: ${same * 100.0 / n}%.2f%%")
+        }
+        val sels = dims.map { d =>
+          val t0 = System.nanoTime()
+          val ratio = minietl.text.Dsir.logRatio(docs, "text", expr(cond), d)
+          val top = minietl.text.Dsir.select(docs, ratio, "doc_id", "text", d, k)
+            .select("doc_id").localCheckpoint(true)
+          println(f"[dsirdim] dim=$d k=$k " +
+            f"wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+          d -> top
+        }.toMap
+        dims.filter(_ != 1024).foreach { d =>
+          val inter = sels(d).join(sels(1024), "doc_id").count()
+          println(f"[dsirdim] topk_overlap dim=$d vs 1024: ${inter * 100.0 / k}%.2f%%")
+        }
       case "semdedup_adversarial" =>
         // VERDICT r14 Next #2: the degenerate single-cluster regime — every
         // vector sits in a tiny cone around one direction, k-means collapses

@@ -2093,6 +2093,63 @@ object SparkEntry {
            |ORDER BY media_id""".stripMargin
       }),
 
+    // The composed near-dup INGEST stage (multimodal/PerceptualHash
+    // .dedupNear): exact groups collapse to min-key reps, banded Hamming
+    // pairs between distinct hashes, transitive connected components,
+    // keep the minimum key per component. The oracle replays hash → group
+    // → bands → census cap → verified pairs → recursive reachability →
+    // min-rep labeling, so the keep flag gates the WHOLE composition
+    // (A≈B≈C must drop C even when dist(A,C) > maxDist).
+    "q_image_neardup_dedup" -> Q(
+      (s, dir) => {
+        // the synthetic corpus is referenced four times (hash pass, the
+        // stage's pass-back semi-join, the keep-flag join's both sides) and
+        // each unpersisted reference would re-ENCODE every PNG — persist
+        // the fixture once (released by the battery's clearCache between
+        // queries, like every operator-internal persist)
+        val imgs = minietl.multimodal.PerceptualHash
+          .syntheticGradientImages(documents(s, dir), "doc_id")
+          .select(col("media_id"), col("content"))
+          .persist()
+        val kept = minietl.multimodal.PerceptualHash
+          .dedupNear(imgs, "media_id", "content")
+        imgs.select(col("media_id"))
+          .join(kept.select(col("media_id"), lit(1L).as("keep")),
+            Seq("media_id"), "left")
+          .select(col("media_id"), coalesce(col("keep"), lit(0L)).as("keep"))
+          .orderBy("media_id")
+      },
+      Some {
+        val dh = minietl.multimodal.PerceptualHash.dHashOracleExpr("doc_id")
+        s"""WITH RECURSIVE h AS (SELECT doc_id AS id, $dh AS dhash FROM documents),
+           |g AS (SELECT dhash, min(id) AS rep FROM h GROUP BY 1),
+           |b0 AS (SELECT rep, dhash, bb.b AS band,
+           |        (dhash >> (14 * bb.b)) & 16383 AS bv
+           |      FROM g, (SELECT unnest(range(0, 4)) AS b) bb),
+           |big AS (SELECT band, bv FROM b0 GROUP BY band, bv
+           |        HAVING count(*) > ${minietl.dedup.Dedup.DefaultMaxBucket}),
+           |b AS (SELECT b0.* FROM b0 ANTI JOIN big USING (band, bv)),
+           |p AS (SELECT DISTINCT x.rep AS id_a, y.rep AS id_b
+           |      FROM b x JOIN b y
+           |        ON x.band = y.band AND x.bv = y.bv AND x.rep < y.rep
+           |      WHERE bit_count(xor(x.dhash, y.dhash)) BETWEEN 1 AND 3),
+           |edges AS (SELECT id_a AS a, id_b AS b FROM p
+           |          UNION ALL SELECT id_b, id_a FROM p),
+           |nodes AS (SELECT DISTINCT a AS id FROM edges),
+           |reach AS (
+           |  SELECT id, id AS r FROM nodes
+           |  UNION
+           |  SELECT e2.a AS id, reach.r FROM edges e2 JOIN reach ON e2.b = reach.id),
+           |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+           |keeprep AS (SELECT DISTINCT coalesce(c.comp, g.rep) AS keep_id
+           |            FROM g LEFT JOIN comp c ON c.id = g.rep)
+           |SELECT h.id AS media_id,
+           |  CAST(CASE WHEN k.keep_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           |    AS keep
+           |FROM h LEFT JOIN keeprep k ON k.keep_id = h.id
+           |ORDER BY media_id""".stripMargin
+      }),
+
     // REAL PCM audio decode under the hash gate — the audio twin of
     // q_image_features: a deterministic period-2 square-wave WAV is
     // generated per document (Multimodal.syntheticWavs documents the

@@ -50,7 +50,8 @@ object Config {
       "lm_surprise", "contamination_filter", "semantic_decontaminate",
       "bpe_stats", "squeeze_repeats", "dedup_lines",
       "minhash_dedup", "span_dedup",
-      "naive_bayes_filter", "dsir_select", "semdedup", "image_dhash_dedup")
+      "naive_bayes_filter", "dsir_select", "semdedup", "image_dhash_dedup",
+      "random_projection", "image_neardup_dedup")
   private val declaredUnsupported = Set.empty[String]
 
   private val EnvBrace: Regex = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
@@ -322,8 +323,16 @@ object Config {
         // silently alters
         numeric("dim", 1.0, 1048576.0) ++ numeric("k", 1.0, Int.MaxValue.toDouble)
       case "semdedup" =>
-        numeric("nlist", 1.0, 65536.0) ++ numeric("iters", 1.0, 100.0) ++
+        // nlist accepts the literal "auto": derived from a row census at
+        // run time (Ivf.autoNlist) so clusters land under the census cap
+        numericOrAuto("nlist", 1.0, 65536.0) ++ numeric("iters", 1.0, 100.0) ++
           numeric("tau", -1.0, 1.0) ++ numeric("max_cluster_size", 2.0, 1e9)
+      case "random_projection" =>
+        numeric("dim_in", 1.0, 1048576.0) ++ numeric("dim_out", 1.0, 65536.0) ++
+          numeric("seed", Int.MinValue.toDouble, Int.MaxValue.toDouble)
+      case "image_neardup_dedup" =>
+        // 4x14-bit bands guarantee recall only for distance <= 3
+        numeric("max_dist", 1.0, 3.0) ++ numeric("max_bucket_size", 2.0, 1e9)
       case _ => Nil
     }
   }
@@ -362,6 +371,8 @@ object Config {
     case "dsir_select" => Seq("target_condition", "text", "key", "k")
     case "semdedup" => Seq("vec", "key")
     case "image_dhash_dedup" => Seq("content", "key")
+    case "random_projection" => Seq("vec", "out_column", "dim_in", "dim_out")
+    case "image_neardup_dedup" => Seq("content", "key")
     case _ => Nil
   }
 
@@ -681,7 +692,7 @@ object Config {
       case "semdedup" =>
         // SemDeDup: k-means-bounded cosine components, keep canonicals
         val (vecCol, key) = (str(t.options, "vec"), str(t.options, "key"))
-        val nlist = t.options.get("nlist").map(_.toString.toDouble.toInt).getOrElse(8)
+        val nlistOpt = t.options.get("nlist").map(_.toString)
         val iters = t.options.get("iters").map(_.toString.toDouble.toInt).getOrElse(3)
         val tau = t.options.get("tau").map(_.toString.toDouble).getOrElse(0.9)
         val maxCluster = t.options.get("max_cluster_size")
@@ -689,6 +700,16 @@ object Config {
           .getOrElse(minietl.dedup.Dedup.DefaultMaxBucket)
         df => {
           import org.apache.spark.sql.functions.col
+          // "auto" sizes nlist from the corpus so the per-cluster quadratic
+          // stays executor-sized without a manual dial (VERDICT r14 Next
+          // #5); the target is half the census cap, so auto-sized clusters
+          // sit comfortably under the hot-cluster guard
+          val nlist = nlistOpt match {
+            case Some("auto") => minietl.sim.Ivf.autoNlist(df,
+              targetClusterRows = math.max(1, maxCluster / 2))
+            case Some(v) => v.toDouble.toInt
+            case None => 8
+          }
           val model = minietl.sim.Ivf.train(df, nlist, iters, key, vecCol)
           val keep = minietl.sim.SemDedup
             .semDedup(df, model, tau, key, vecCol, maxCluster)
@@ -701,6 +722,26 @@ object Config {
         // decoder cannot read pass through
         val (content, key) = (str(t.options, "content"), str(t.options, "key"))
         df => minietl.multimodal.PerceptualHash.dedupExact(df, key, content)
+      case "random_projection" =>
+        // JL dimension reduction at ingest (Achlioptas ±1, hash-derived
+        // signs — no stored model): adds `out_column` so downstream vector
+        // stages (semdedup, minhash-style ANN) run on the narrow vectors
+        val (vecCol, out) = (str(t.options, "vec"), str(t.options, "out_column"))
+        val dimIn = str(t.options, "dim_in").toDouble.toInt
+        val dimOut = str(t.options, "dim_out").toDouble.toInt
+        val seed = t.options.get("seed").map(_.toString.toDouble.toInt).getOrElse(42)
+        df => df.withColumn(out,
+          minietl.sim.RandomProjection.project(df(vecCol), seed, dimIn, dimOut))
+      case "image_neardup_dedup" =>
+        // transitive perceptual near-dup removal (banded Hamming + CC);
+        // undecodable rows pass through, same contract as image_dhash_dedup
+        val (content, key) = (str(t.options, "content"), str(t.options, "key"))
+        val maxDist = t.options.get("max_dist").map(_.toString.toDouble.toInt).getOrElse(3)
+        val maxBucket = t.options.get("max_bucket_size")
+          .map(_.toString.toDouble.toInt)
+          .getOrElse(minietl.dedup.Dedup.DefaultMaxBucket)
+        df => minietl.multimodal.PerceptualHash
+          .dedupNear(df, key, content, maxDist, maxBucket)
       case "sigma_outlier_filter" =>
         val (g, v) = (strSeq(t.options("group_by")), str(t.options, "value"))
         val k = t.options.get("k").map(_.toString.toDouble.toInt).getOrElse(3)

@@ -173,6 +173,46 @@ object PerceptualHash {
     df.join(keepers, Seq(keyCol), "left_semi")
   }
 
+  /** Perceptual NEAR-duplicate removal as a frame-in/frame-out pipeline
+    * stage — the transitive composition [[dedupExact]]'s full-hash grouping
+    * lacks (VERDICT r14 Next #6): decode → 56-bit dHash → exact-duplicate
+    * groups collapse to their min-key representative → banded Hamming
+    * pairs (distance 1..maxDist) between the DISTINCT hash values'
+    * representatives → transitive connected components → keep the minimum
+    * key per component (A≈B, B≈C drops both B and C even when
+    * dist(A,C) > maxDist, the same semantics as every transitive dedup
+    * here). Undecodable rows pass through.
+    *
+    * Plan shape: one decode pass, one hash-partitioned groupBy, the capped
+    * 4×14-bit band join over DISTINCT hashes only (strictly fewer rows
+    * than per-image banding — mass duplicates collapse before pairing, so
+    * the census cap trips only on genuinely diverse near-colliding
+    * values), one CC fold, one semi-join back on the key.
+    */
+  def dedupNear(df: DataFrame, keyCol: String, contentCol: String,
+      maxDist: Int = 3,
+      maxBucketSize: Int = minietl.dedup.Dedup.DefaultMaxBucket): DataFrame = {
+    val hashes = dHashFrame(df, keyCol, contentCol).persist()
+    minietl.pipeline.RunCaches.register(hashes)
+    // one row per distinct hash value, labeled by its minimum key — feeds
+    // the band join AND the final labeling, so persist alongside
+    val groups = hashes.where(col("dhash").isNotNull)
+      .groupBy("dhash").agg(min(col(keyCol)).as("rep"))
+      .persist()
+    minietl.pipeline.RunCaches.register(groups)
+    val nearPairs = hammingPairs(groups, "rep", "dhash", maxDist, maxBucketSize)
+      .select("id_a", "id_b")
+    // comp labels are the minimum reachable rep; each rep is already the
+    // minimum key of its exact group, so a component's label is the global
+    // minimum key over every member image
+    val comp = minietl.dedup.Dedup.connectedComponents(nearPairs)
+    val keepers = groups.join(comp, groups("rep") === comp("id"), "left")
+      .select(coalesce(col("comp"), col("rep")).as(keyCol))
+      .distinct()
+      .union(hashes.where(col("dhash").isNull).select(keyCol))
+    df.join(keepers, Seq(keyCol), "left_semi")
+  }
+
   // ------------------------------------------------------------- synthetic
   /** Grayscale gradient PNG: pixel (x, y) has r=g=b = (a·x + b·y + c) % 256.
     * Unlike the two-color checkerboards ([[Multimodal.checkerPng]]), the

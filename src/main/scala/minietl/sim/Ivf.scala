@@ -45,6 +45,28 @@ object Ivf {
   def assignList(v: Column, model: Model): Column =
     nearestLists(v, model, 1)(0)("idx")
 
+  /** Derive `nlist` from a one-row census so the scale dial the SemDeDup
+    * probe quantified (nlist 64→8 = 33→822 s at 200k vectors) is not a
+    * manual knob: `ceil(n / targetClusterRows)`, clamped to `[1, maxNlist]`
+    * and to `n` ([[train]] requires corpus >= nlist). The default target is
+    * half the hot-cluster census cap, so auto-sized clusters sit
+    * comfortably under [[SemDedup.semDedup]]'s guard and the per-cluster
+    * quadratic stays ~(cap/2)²/2 pairs — a single-task unit. The census is
+    * one partial-aggregated `count()`, the same price every skew-handling
+    * operator pays ([[minietl.ops.Ops.autoShards]] precedent).
+    */
+  def autoNlist(corpus: DataFrame,
+                targetClusterRows: Int = minietl.dedup.Dedup.DefaultMaxBucket / 2,
+                maxNlist: Int = 65536): Int = {
+    require(targetClusterRows >= 1,
+      s"targetClusterRows must be >= 1 (got $targetClusterRows)")
+    require(maxNlist >= 1, s"maxNlist must be >= 1 (got $maxNlist)")
+    val n = corpus.count()
+    require(n >= 1, "autoNlist: empty corpus")
+    val ideal = (n + targetClusterRows - 1) / targetClusterRows
+    math.max(1L, math.min(math.min(maxNlist.toLong, n), ideal)).toInt
+  }
+
   /** Lloyd iterations; deterministic init from the `nlist` rows with the
     * smallest ids. Empty lists keep their previous centroid.
     */

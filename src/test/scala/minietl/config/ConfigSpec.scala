@@ -1524,4 +1524,95 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(Readers.parquet(spark, out2).orderBy("media_id")
       .select("media_id").as[Long].collect().toSeq === Seq(1L, 3L, 4L))
   }
+
+  test("image_neardup_dedup runs from YAML: transitive chain folds, " +
+    "undecodable passes, max_dist dial honored") {
+    def bitImg(bits: Set[Int]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach { j =>
+        var v = 100
+        img.setRGB(0, j, v * 0x010101)
+        (0 until 7).foreach { i =>
+          if (bits(j * 7 + i)) v += 10
+          img.setRGB(i + 1, j, v * 0x010101)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val in = s"${tmp()}/ind_in"
+    Seq(
+      (1L, bitImg(Set())), (2L, bitImg(Set())),
+      (3L, bitImg(Set(0))), (4L, bitImg(Set(0, 1))),
+      (5L, bitImg(Set(0, 1, 2, 3))),
+      (6L, Array[Byte](7, 7))
+    ).toDF("media_id", "content").write.parquet(in)
+    def run(maxDist: Int): Seq[Long] = {
+      val out = s"${tmp()}/ind_out_$maxDist"
+      Config.load(
+        s"""name: ind
+           |source: {type: parquet, filepath: $in}
+           |transformers:
+           |  - type: image_neardup_dedup
+           |    content: content
+           |    key: media_id
+           |    max_dist: $maxDist
+           |sink: {type: parquet, filepath: $out}
+           |""".stripMargin).run(spark)
+      Readers.parquet(spark, out).orderBy("media_id")
+        .select("media_id").as[Long].collect().toSeq
+    }
+    assert(run(3) === Seq(1L, 6L))        // 5 folds only via the 1-3-4-5 chain
+    assert(run(1) === Seq(1L, 5L, 6L))    // tighter dial breaks the 4-5 link
+    assert(Config.validate(Config.parse(
+      s"""name: bad
+         |source: {type: parquet, filepath: $in}
+         |transformers:
+         |  - {type: image_neardup_dedup, content: content, key: media_id, max_dist: 9}
+         |sink: {type: parquet, filepath: /tmp/x}
+         |""".stripMargin, Map.empty)).exists(_.contains("max_dist")))
+  }
+
+  test("random_projection composes with semdedup (nlist auto) from YAML") {
+    val in = s"${tmp()}/rp_in"
+    val out = s"${tmp()}/rp_out"
+    // rows 1/2 identical in R^8 (identical projections — JL is a linear
+    // map, so exact dups survive any seed); 3 and 4 point elsewhere
+    val a = Seq(1.0f, 0.2f, 0.1f, 0.0f, 0.3f, 0.0f, 0.1f, 0.2f)
+    val b = Seq(0.0f, 1.0f, 0.0f, 0.9f, 0.0f, 0.8f, 0.0f, 0.1f)
+    val c = Seq(0.1f, 0.0f, 1.0f, 0.0f, 0.7f, 0.0f, 0.9f, 0.0f)
+    Seq((1L, a), (2L, a), (3L, b), (4L, c))
+      .toDF("vec_id", "embedding").write.parquet(in)
+    val yaml =
+      s"""name: rp_sd
+         |source: {type: parquet, filepath: $in}
+         |transformers:
+         |  - type: random_projection
+         |    vec: embedding
+         |    out_column: y
+         |    dim_in: 8
+         |    dim_out: 4
+         |    seed: 7
+         |  - {type: semdedup, vec: y, key: vec_id, nlist: auto, tau: 0.999}
+         |sink: {type: parquet, filepath: $out}
+         |""".stripMargin
+    assert(Config.validate(Config.parse(yaml, Map.empty)) === Nil)
+    Config.load(yaml).run(spark)
+    assert(Readers.parquet(spark, out).orderBy("vec_id")
+      .select("vec_id").as[Long].collect().toSeq === Seq(1L, 3L, 4L))
+
+    // validator: nlist must be numeric or the literal "auto"; the
+    // projection stage requires its dims
+    assert(Config.validate(Config.parse(yaml.replace("nlist: auto",
+      "nlist: autox"), Map.empty)).exists(_.contains("nlist")))
+    assert(Config.validate(Config.parse(
+      s"""name: rp_bad
+         |source: {type: parquet, filepath: $in}
+         |transformers:
+         |  - {type: random_projection, vec: embedding, out_column: y, dim_in: 8}
+         |sink: {type: parquet, filepath: $out}
+         |""".stripMargin, Map.empty)).exists(_.contains("dim_out")))
+  }
 }

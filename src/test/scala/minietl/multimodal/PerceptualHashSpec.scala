@@ -50,6 +50,46 @@ class PerceptualHashSpec extends AnyFunSuite with SparkTestBase {
     out.foreach(r => assert(r.isNullAt(r.fieldIndex("dhash"))))
   }
 
+  test("dedupNear: exact dups collapse, transitive chains merge past " +
+    "maxDist, far images and undecodable rows survive") {
+    // 8x8 images whose dHash bits are chosen exactly: pixel (i+1, j)
+    // ascends over (i, j) iff bit j*7+i is requested (w=h=8 makes the
+    // sampling grid the identity)
+    def bitImg(bits: Set[Int]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach { j =>
+        var v = 100
+        img.setRGB(0, j, v * 0x010101)
+        (0 until 7).foreach { i =>
+          if (bits(j * 7 + i)) v += 10
+          img.setRGB(i + 1, j, v * 0x010101)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, bitImg(Set())),            // canonical
+      (2L, bitImg(Set())),            // exact dup of 1
+      (3L, bitImg(Set(0))),           // dist 1 from 1
+      (4L, bitImg(Set(0, 1))),        // dist 1 from 3, 2 from 1
+      (5L, bitImg(Set(0, 1, 2, 3))),  // dist 2 from 4 — but 4 from 1!
+      (6L, bitImg(Set(10, 20, 30, 40, 50))), // >= 4 from everything
+      (7L, Array[Byte](1, 2, 3))      // undecodable — must pass through
+    ).toDF("media_id", "content")
+    val kept = PerceptualHash.dedupNear(media, "media_id", "content")
+      .select("media_id").as[Long].collect().toSet
+    // 5 is dropped only through the 1-3-4-5 chain (dist(1,5)=4 > maxDist):
+    // transitivity is what this asserts
+    assert(kept === Set(1L, 6L, 7L))
+    // tighter dial: maxDist=1 breaks the 4-5 link, 5 survives
+    val kept1 = PerceptualHash.dedupNear(media, "media_id", "content", maxDist = 1)
+      .select("media_id").as[Long].collect().toSet
+    assert(kept1 === Set(1L, 5L, 6L, 7L))
+  }
+
   test("corrupt payloads never throw: every truncation/bit-flip of a real " +
     "PNG and GIF degrades to None (NonFatal contract, ADVICE r14)") {
     // ImageIO readers throw RuntimeExceptions (not just IOException) on

@@ -18,6 +18,19 @@ class IvfSpec extends AnyFunSuite with SparkTestBase {
     }.toDF("vec_id", "embedding")
   }
 
+  test("autoNlist: ceil(n/target), clamped to maxNlist and to n") {
+    val df = spark.range(2500).toDF("vec_id")
+    assert(Ivf.autoNlist(df) === 5)                               // 2500/500
+    assert(Ivf.autoNlist(df, targetClusterRows = 400) === 7)      // ceil
+    assert(Ivf.autoNlist(df, targetClusterRows = 10000) === 1)    // floor 1
+    assert(Ivf.autoNlist(df, targetClusterRows = 1, maxNlist = 64) === 64)
+    // train requires corpus >= nlist, so the derivation clamps to n
+    assert(Ivf.autoNlist(spark.range(3).toDF("vec_id"), targetClusterRows = 1) === 3)
+    intercept[IllegalArgumentException] {
+      Ivf.autoNlist(spark.range(0).toDF("vec_id"))
+    }
+  }
+
   test("train recovers well-separated clusters (each list gets ~a third)") {
     val model = Ivf.train(clustered, nlist = 3, iters = 4)
     assert(model.nlist === 3 && model.dim === 4)

@@ -175,9 +175,23 @@ object ScaleProbe {
         val dir = args(1)
         val nlist = args.lift(2).map(_.toInt).getOrElse(64)
         val dimOut = args.lift(3).map(_.toInt).getOrElse(8)
-        val raw = spark.read.parquet(s"$dir/embeddings.parquet")
-          .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        val base = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        // plant ground truth: every 20th vector gets a SCALED copy
+        // (negative id). Scaling preserves cosine exactly (= 1.0 ≥ any
+        // tau) and commutes with the linear projection, so both
+        // representations SHOULD drop one of each planted pair — recall
+        // against this known set is the probe's signal (the replicated
+        // corpus itself is sign-flip-diversified, near-dup-free by
+        // construction)
+        val planted = base.where(pmod(col("vec_id"), lit(20)) === 0)
+          .select((-col("vec_id") - lit(1L)).as("vec_id"),
+            transform(col("embedding"), x => (x * lit(1.001f)).cast("float"))
+              .as("embedding"))
+        val raw = base.unionByName(planted).localCheckpoint(true)
         val n = raw.count()
+        val nPlanted = planted.count()
+        println(s"[rp_ab] planted $nPlanted scaled near-dup pairs")
         val dimIn = raw.select(size(col("embedding"))).head().getInt(0)
         val t0p = System.nanoTime()
         val proj = minietl.sim.RandomProjection
@@ -209,7 +223,8 @@ object ScaleProbe {
           val recall = if (dA.isEmpty) 1.0 else dB.intersect(dA).size.toDouble / dA.size
           val extra = dB.diff(dA).size
           println(f"[rp_ab] tau=$tau raw_dropped=${dA.size} proj_dropped=${dB.size} " +
-            f"recall=$recall%.3f proj_extra_drops=$extra raw_wall=$wA%.1fs proj_wall=$wB%.1fs")
+            f"(planted=$nPlanted) recall=$recall%.3f proj_extra_drops=$extra " +
+            f"raw_wall=$wA%.1fs proj_wall=$wB%.1fs")
         }
       case "nb_dsir_dim" =>
         // VERDICT r14 Next #7: hashing-dim sensitivity for the trained

@@ -107,6 +107,34 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     assert(new java.io.File(s"$dir/out/k=a").isDirectory)
   }
 
+  test("the committed embedding-curation example (projection + semdedup) " +
+    "validates and runs") {
+    val dir = tmp()
+    import spark.implicits._
+    // rows 1/2 identical in R^64 (identical projections — the map is
+    // linear), 3..6 mutually far; nlist: auto at this size derives 1
+    val base = (0 until 64).map(i => if (i == 0) 1.0f else 0.05f * (i % 3))
+    def far(s: Int) = (0 until 64).map(i =>
+      if (i % 7 == s % 7) 1.0f else 0.01f * ((i + s) % 5))
+    Seq((1L, base), (2L, base), (3L, far(1)), (4L, far(2)),
+        (5L, far(3)), (6L, far(4)))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val env = Map("CORPUS_DIR" -> dir, "OUT_DIR" -> s"$dir/out")
+    val text = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("examples/embedding_curation.yaml")), "UTF-8")
+    val cfg = minietl.config.Config.parse(text, env)
+    assert(minietl.config.Config.validate(cfg).isEmpty)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    minietl.config.Config.build(cfg).run(spark)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === pinnedBefore,
+      "the embedding-curation run must leave zero cache pins behind")
+    val kept = Readers.parquet(spark, s"$dir/out/deduped")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L, 5L, 6L),
+      s"exact dup 2 must fold into 1 after projection; got $kept")
+  }
+
   test("the committed curation example (trained stages) validates and runs") {
     val dir = tmp()
     // two separable language vocabularies + one mislabeled doc (en text,

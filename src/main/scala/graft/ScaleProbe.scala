@@ -638,10 +638,34 @@ object ScaleProbe {
       case "span_fixpoint" =>
         // spanDedupFixpoint at a scale dir: rounds-to-convergence, wall, and
         // how many documents the extra rounds changed vs single-pass (a real
-        // corpus converging in 1-2 rounds is itself the expected evidence)
+        // corpus converging in 1-2 rounds is itself the expected evidence).
+        // Optional [cascades]: plant that many 3-doc excision cascades
+        // (namespaced tokens — each triple reproduces the battery's planted
+        // junction pattern a single pass provably misses), forcing genuine
+        // round-2+ work at corpus scale — the regime where the per-round
+        // materialization policy (full corpus vs overlay delta) matters.
         val dir = args(1)
-        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val cascades = args.lift(2).map(_.toInt).getOrElse(0)
+        val baseDocs = spark.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "text")
+        val docs = if (cascades == 0) baseDocs else {
+          val casc = spark.range(cascades).select(col("id").as("i"))
+          def tok(p: String, j: Int) =
+            concat(lit(p), col("i").cast("string"), lit(s"_$j"))
+          def words(cols: Seq[org.apache.spark.sql.Column]) =
+            concat_ws(" ", cols: _*)
+          // C must carry the LARGEST id of its triple (excision removes the
+          // higher-id side): round 1 excises B's zqx span from C, the
+          // splice leaves zqa1..12 whole, round 2 excises it against A
+          val a = casc.select((lit(-1000000002L) - col("i") * 3).as("doc_id"),
+            words((1 to 12).map(tok("zqa", _))).as("text"))
+          val b = casc.select((lit(-1000000001L) - col("i") * 3).as("doc_id"),
+            words((1 to 8).map(tok("zqx", _))).as("text"))
+          val c = casc.select((lit(-1000000000L) - col("i") * 3).as("doc_id"),
+            words((1 to 6).map(tok("zqa", _)) ++ (1 to 8).map(tok("zqx", _)) ++
+              (7 to 12).map(tok("zqa", _))).as("text"))
+          baseDocs.unionByName(a).unionByName(b).unionByName(c)
+        }
         val t1 = System.nanoTime()
         val single = minietl.dedup.Winnow.spanDedup(docs, "text", "doc_id",
           k = 4, minSpanTokens = 8).localCheckpoint(true)

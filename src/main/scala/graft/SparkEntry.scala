@@ -2150,6 +2150,64 @@ object SparkEntry {
            |ORDER BY media_id""".stripMargin
       }),
 
+    // Perceptual AUDIO dedup (multimodal/PerceptualAudio.scala): REAL PCM
+    // decode → 56-bit window-energy-contour hash → exact groups → banded
+    // Hamming near-dup → transitive components → keep min key. The
+    // square-wave corpus makes every window energy closed-form over
+    // doc_id, so the oracle recomputes all 56 contour bits from arithmetic
+    // alone (a hash match proves the real decode, the window bounds, the
+    // energy fold, and the packing), then replays groups → bands → census
+    // cap → verified pairs → recursive reachability → min-rep labeling.
+    "q_audio_neardup_dedup" -> Q(
+      (s, dir) => {
+        // the synthetic corpus is referenced by the hash pass AND the
+        // dedup stage's two passes — persist so WAV encoding runs once
+        val wavs = minietl.multimodal.Multimodal
+          .syntheticWavs(documents(s, dir), "doc_id")
+          .select(col("media_id"), col("content"))
+          .persist()
+        val hashes = minietl.multimodal.PerceptualAudio
+          .energyHashFrame(wavs, "media_id", "content")
+        val kept = minietl.multimodal.PerceptualAudio
+          .dedupNear(wavs, "media_id", "content")
+        hashes
+          .join(kept.select(col("media_id"), lit(1L).as("keep")),
+            Seq("media_id"), "left")
+          .select(col("media_id"), col("ahash"),
+            coalesce(col("keep"), lit(0L)).as("keep"))
+          .orderBy("media_id")
+      },
+      Some {
+        val ah = minietl.multimodal.PerceptualAudio.energyHashOracleExpr("doc_id")
+        s"""WITH RECURSIVE h AS (SELECT doc_id AS id, $ah AS ahash FROM documents),
+           |g AS (SELECT ahash, min(id) AS rep FROM h GROUP BY 1),
+           |b0 AS (SELECT rep, ahash, bb.b AS band,
+           |        (ahash >> (14 * bb.b)) & 16383 AS bv
+           |      FROM g, (SELECT unnest(range(0, 4)) AS b) bb),
+           |big AS (SELECT band, bv FROM b0 GROUP BY band, bv
+           |        HAVING count(*) > ${minietl.dedup.Dedup.DefaultMaxBucket}),
+           |b AS (SELECT b0.* FROM b0 ANTI JOIN big USING (band, bv)),
+           |p AS (SELECT DISTINCT x.rep AS id_a, y.rep AS id_b
+           |      FROM b x JOIN b y
+           |        ON x.band = y.band AND x.bv = y.bv AND x.rep < y.rep
+           |      WHERE bit_count(xor(x.ahash, y.ahash)) BETWEEN 1 AND 3),
+           |edges AS (SELECT id_a AS a, id_b AS b FROM p
+           |          UNION ALL SELECT id_b, id_a FROM p),
+           |nodes AS (SELECT DISTINCT a AS id FROM edges),
+           |reach AS (
+           |  SELECT id, id AS r FROM nodes
+           |  UNION
+           |  SELECT e2.a AS id, reach.r FROM edges e2 JOIN reach ON e2.b = reach.id),
+           |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+           |keeprep AS (SELECT DISTINCT coalesce(c.comp, g.rep) AS keep_id
+           |            FROM g LEFT JOIN comp c ON c.id = g.rep)
+           |SELECT h.id AS media_id, h.ahash,
+           |  CAST(CASE WHEN k.keep_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           |    AS keep
+           |FROM h LEFT JOIN keeprep k ON k.keep_id = h.id
+           |ORDER BY media_id""".stripMargin
+      }),
+
     // REAL PCM audio decode under the hash gate — the audio twin of
     // q_image_features: a deterministic period-2 square-wave WAV is
     // generated per document (Multimodal.syntheticWavs documents the

@@ -51,7 +51,7 @@ object Config {
       "bpe_stats", "squeeze_repeats", "dedup_lines",
       "minhash_dedup", "span_dedup",
       "naive_bayes_filter", "dsir_select", "semdedup", "image_dhash_dedup",
-      "random_projection", "image_neardup_dedup")
+      "random_projection", "image_neardup_dedup", "audio_hash_dedup")
   private val declaredUnsupported = Set.empty[String]
 
   private val EnvBrace: Regex = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
@@ -333,6 +333,9 @@ object Config {
       case "image_neardup_dedup" =>
         // 4x14-bit bands guarantee recall only for distance <= 3
         numeric("max_dist", 1.0, 3.0) ++ numeric("max_bucket_size", 2.0, 1e9)
+      case "audio_hash_dedup" =>
+        // max_dist 0 = exact full-hash groups; 1..3 = transitive banded near
+        numeric("max_dist", 0.0, 3.0) ++ numeric("max_bucket_size", 2.0, 1e9)
       case _ => Nil
     }
   }
@@ -373,6 +376,7 @@ object Config {
     case "image_dhash_dedup" => Seq("content", "key")
     case "random_projection" => Seq("vec", "out_column", "dim_in", "dim_out")
     case "image_neardup_dedup" => Seq("content", "key")
+    case "audio_hash_dedup" => Seq("content", "key")
     case _ => Nil
   }
 
@@ -742,6 +746,20 @@ object Config {
           .getOrElse(minietl.dedup.Dedup.DefaultMaxBucket)
         df => minietl.multimodal.PerceptualHash
           .dedupNear(df, key, content, maxDist, maxBucket)
+      case "audio_hash_dedup" =>
+        // perceptual audio dedup on a binary PCM column (energy-contour
+        // hash): max_dist 0 keeps one clip per exact hash group; 1..3 folds
+        // transitive banded-Hamming near-dups; undecodable rows pass
+        val (content, key) = (str(t.options, "content"), str(t.options, "key"))
+        val maxDist = t.options.get("max_dist").map(_.toString.toDouble.toInt).getOrElse(0)
+        val maxBucket = t.options.get("max_bucket_size")
+          .map(_.toString.toDouble.toInt)
+          .getOrElse(minietl.dedup.Dedup.DefaultMaxBucket)
+        df =>
+          if (maxDist == 0)
+            minietl.multimodal.PerceptualAudio.dedupExact(df, key, content)
+          else minietl.multimodal.PerceptualAudio
+            .dedupNear(df, key, content, maxDist, maxBucket)
       case "sigma_outlier_filter" =>
         val (g, v) = (strSeq(t.options("group_by")), str(t.options, "value"))
         val k = t.options.get("k").map(_.toString.toDouble.toInt).getOrElse(3)

@@ -160,7 +160,7 @@ object Multimodal {
     * probing readers in ServiceLoader order matches AudioSystem's own
     * first-match semantics.
     */
-  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+  private[multimodal] lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
     import scala.jdk.CollectionConverters._
     val all = java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toSeq
@@ -201,6 +201,24 @@ object Multimodal {
     * `None` for null/empty/unparsable payloads or non-PCM encodings —
     * callers decide whether that is an error or a skip.
     */
+  /** Bounded PCM read. `AudioInputStream.readAllBytes` only terminates on
+    * a -1 read, but a BIT-FLIPPED header can declare a frame size/length
+    * combination that makes the stream return 0-byte reads forever —
+    * observed spinning a thread for 30+ minutes under the corruption fuzz
+    * (round 15). PCM containers store samples verbatim, so the decoded
+    * stream can never legitimately exceed the payload's byte size: read at
+    * most `maxBytes` and treat any non-positive read as end-of-stream.
+    */
+  private[multimodal] def readPcmBounded(
+      ais: javax.sound.sampled.AudioInputStream, maxBytes: Int): Array[Byte] = {
+    val buf = new Array[Byte](math.max(0, maxBytes))
+    var off = 0
+    var k = 0
+    while (off < buf.length && { k = ais.read(buf, off, buf.length - off); k > 0 })
+      off += k
+    if (off == buf.length) buf else java.util.Arrays.copyOf(buf, off)
+  }
+
   def decodeAudio(content: Array[Byte]): Option[AudioStats] = {
     import javax.sound.sampled.AudioFormat
     if (content == null || content.isEmpty) return None
@@ -223,7 +241,7 @@ object Multimodal {
       val bytesPerSample = bits / 8
       val big = fmt.isBigEndian
       val mid = 1L << (bits - 1) // unsigned midpoint for re-centring
-      val buf = ais.readAllBytes()
+      val buf = readPcmBounded(ais, content.length)
       val nSamples = buf.length / bytesPerSample
       var sum = 0L; var sq = 0L; var peak = 0L
       var i = 0

@@ -191,25 +191,38 @@ object PerceptualHash {
     */
   def dedupNear(df: DataFrame, keyCol: String, contentCol: String,
       maxDist: Int = 3,
-      maxBucketSize: Int = minietl.dedup.Dedup.DefaultMaxBucket): DataFrame = {
-    val hashes = dHashFrame(df, keyCol, contentCol).persist()
+      maxBucketSize: Int = minietl.dedup.Dedup.DefaultMaxBucket): DataFrame =
+    dedupNearFromHashes(df, keyCol,
+      dHashFrame(df, keyCol, contentCol), "dhash", maxDist, maxBucketSize)
+
+  /** The hash-agnostic transitive fold behind [[dedupNear]] — shared with
+    * the audio twin ([[PerceptualAudio.dedupNear]]): any ≤ 56-bit
+    * perceptual hash in a long column plugs into the same exact-group →
+    * banded-Hamming → connected-components composition. `hashes` must be
+    * `(keyCol, hashCol)` with one row per `df` row; null hashes
+    * (undecodable payloads) pass through.
+    */
+  private[multimodal] def dedupNearFromHashes(df: DataFrame, keyCol: String,
+      hashFrame: DataFrame, hashCol: String, maxDist: Int,
+      maxBucketSize: Int): DataFrame = {
+    val hashes = hashFrame.persist()
     minietl.pipeline.RunCaches.register(hashes)
     // one row per distinct hash value, labeled by its minimum key — feeds
     // the band join AND the final labeling, so persist alongside
-    val groups = hashes.where(col("dhash").isNotNull)
-      .groupBy("dhash").agg(min(col(keyCol)).as("rep"))
+    val groups = hashes.where(col(hashCol).isNotNull)
+      .groupBy(hashCol).agg(min(col(keyCol)).as("rep"))
       .persist()
     minietl.pipeline.RunCaches.register(groups)
-    val nearPairs = hammingPairs(groups, "rep", "dhash", maxDist, maxBucketSize)
+    val nearPairs = hammingPairs(groups, "rep", hashCol, maxDist, maxBucketSize)
       .select("id_a", "id_b")
     // comp labels are the minimum reachable rep; each rep is already the
     // minimum key of its exact group, so a component's label is the global
-    // minimum key over every member image
+    // minimum key over every member
     val comp = minietl.dedup.Dedup.connectedComponents(nearPairs)
     val keepers = groups.join(comp, groups("rep") === comp("id"), "left")
       .select(coalesce(col("comp"), col("rep")).as(keyCol))
       .distinct()
-      .union(hashes.where(col("dhash").isNull).select(keyCol))
+      .union(hashes.where(col(hashCol).isNull).select(keyCol))
     df.join(keepers, Seq(keyCol), "left_semi")
   }
 

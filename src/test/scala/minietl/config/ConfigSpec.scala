@@ -1575,6 +1575,49 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
          |""".stripMargin, Map.empty)).exists(_.contains("max_dist")))
   }
 
+  test("audio_hash_dedup runs from YAML: exact and near dials, " +
+    "undecodable passes") {
+    def bitWav(bits: Set[Int]): Array[Byte] = {
+      val samples = new Array[Short](minietl.multimodal.PerceptualAudio.Windows * 4)
+      var amp = 100
+      (0 until minietl.multimodal.PerceptualAudio.Windows).foreach { w =>
+        if (w > 0 && bits(w - 1)) amp += 10
+        (0 until 4).foreach(k => samples(w * 4 + k) = amp.toShort)
+      }
+      minietl.multimodal.Multimodal.pcm16Wav(samples, 8000)
+    }
+    val in = s"${tmp()}/ah_in"
+    Seq(
+      (1L, bitWav(Set())), (2L, bitWav(Set())),   // exact dup pair
+      (3L, bitWav(Set(0))),                        // dist 1 from 1
+      (4L, Array[Byte](9))                         // undecodable
+    ).toDF("media_id", "content").write.parquet(in)
+    def run(maxDist: Int): Seq[Long] = {
+      val out = s"${tmp()}/ah_out_$maxDist"
+      Config.load(
+        s"""name: ahd
+           |source: {type: parquet, filepath: $in}
+           |transformers:
+           |  - type: audio_hash_dedup
+           |    content: content
+           |    key: media_id
+           |    max_dist: $maxDist
+           |sink: {type: parquet, filepath: $out}
+           |""".stripMargin).run(spark)
+      Readers.parquet(spark, out).orderBy("media_id")
+        .select("media_id").as[Long].collect().toSeq
+    }
+    assert(run(0) === Seq(1L, 3L, 4L))   // exact: only the identical pair folds
+    assert(run(1) === Seq(1L, 4L))       // near: 3 folds into 1 at distance 1
+    assert(Config.validate(Config.parse(
+      s"""name: bad
+         |source: {type: parquet, filepath: $in}
+         |transformers:
+         |  - {type: audio_hash_dedup, content: content, key: media_id, max_dist: 7}
+         |sink: {type: parquet, filepath: /tmp/x}
+         |""".stripMargin, Map.empty)).exists(_.contains("max_dist")))
+  }
+
   test("random_projection composes with semdedup (nlist auto) from YAML") {
     val in = s"${tmp()}/rp_in"
     val out = s"${tmp()}/rp_out"

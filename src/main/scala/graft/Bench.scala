@@ -34,8 +34,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   * The headline "value" stays the cold-pass total (continuity with the
   * BENCH_r* trajectory, which timed first target-scale executions).
   *
-  * RUN VALIDITY is TWO-SIDED (see [[RunValidity]] for rationale and the
-  * r12 calibration): (a) a warm pass slower than its cold pass by >25% is
+  * RUN VALIDITY is THREE-SIDED (see [[RunValidity]] for rationale and the
+  * r12/r15 calibrations; side (c) — the total-time band that catches a
+  * UNIFORM ambient slowdown like r15's run4 — is new this round):
+  * (a) a warm pass slower than its cold pass by >25% is
   * physically backwards (same plans, better JIT/page cache) — interference
   * in the warm pass; (b) each pass is band-checked per query against the
   * committed clean-run baseline (BENCH_baseline_clean.json), which catches
@@ -179,9 +181,14 @@ object Bench {
     // times, the FIRST CLEAN attempt becomes the round's record, and every
     // suspect attempt's summary is appended to suspect_reasons as
     // provenance. A retry's "cold" pass runs against a page cache the
-    // suspect attempt already warmed — recorded in the provenance line, a
+    // suspect attempt already warmed — recorded BOTH in the provenance line
+    // and as the structured "cold_cache_warm" field (ADVICE r15 #2, so
+    // baseline tooling can exclude or band such records mechanically), a
     // smaller distortion than publishing interference as the round number.
-    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    // clamp: a negative value would skip the attempt loop entirely and make
+    // `attempts.last` throw NoSuchElementException (ADVICE r15 #3)
+    val maxRetries =
+      math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt)
     val attempts = scala.collection.mutable.Buffer.empty[Attempt]
     var chosen: Option[Attempt] = None
     while (chosen.isEmpty && attempts.size <= maxRetries) {
@@ -235,10 +242,11 @@ object Bench {
          |"total_sec": ${fmt(totalCold)},
          |"total_warm_sec": ${fmt(totalWarm)},
          |"n_attempts": ${attempts.size},
+         |"cold_cache_warm": ${attempts.size > 1},
          |"suspect": $suspect,
          |"suspect_reasons": $reasonsJson,
          |"warm_cold_ratio": ${fmt(ratio)},
-         |"run_validity_policy": "TWO-SIDED: (a) warm-pass total > 1.25x cold-pass total (warm-pass interference); (b) >= 3 queries in either pass exceeding 2.5x the committed clean baseline by > 0.75 s (cold/warm-pass interference OR code regression — see RunValidity scaladoc for the r12 calibration). load_avg is evidence, not a verdict driver",
+         |"run_validity_policy": "THREE-SIDED: (a) warm-pass total > 1.25x cold-pass total (warm-pass interference); (b) >= 3 queries in either pass exceeding 2.5x the committed clean baseline by > 0.75 s (cold/warm-pass interference OR code regression — see RunValidity scaladoc for the r12 calibration); (c) either pass's total over baseline-shared queries > 1.25x the baseline total by > 15 s (UNIFORM ambient slowdown — the r15 run4 shape that trips neither (a) nor (b)). load_avg is evidence, not a verdict driver",
          |"baseline": "$baselineNote",
          |"timing_policy": "each query materialized via bit_xor(xxhash64(all columns)) so count-preserving operators cannot be plan-eliminated out of the timing",
          |"warmup_policy": "untimed full-battery passes at sf0.001 + sf0.01 (plan compile + C2), then two timed target-scale passes: queries[q] = [first target-scale execution, steady-state repeat]; no per-query warm-up exceptions",

@@ -1,6 +1,6 @@
 package graft
 
-/** Two-sided bench run-validity assessment.
+/** Three-sided bench run-validity assessment.
   *
   * The r12 lesson (VERDICT r12 "What's wrong" #1): the original rule —
   * suspect iff warm-pass total > 1.25x cold-pass total — is ONE-SIDED. It
@@ -34,6 +34,24 @@ package graft
   * untimed warm-up passes drive load), the contaminated run 3.92 — the
   * marker does not separate the classes, the per-query band does.
   *
+  * The r15 lesson (VERDICT r15 Next #1) adds side (c), a TOTAL-TIME BAND:
+  * a UNIFORM ambient slowdown inflates every query a little and no query a
+  * lot, so it trips neither (a) — both passes slow down together, the
+  * ratio stays ~1 — nor (b) — no single query reaches 2.5x its band. The
+  * live counterexample was BENCH_full_r15_run4: 234.1 s cold / 221.3 s
+  * warm vs a 162.7-193.9 s clean band (~1.3x across the board, load_avg
+  * 3.32 at cold start), stamped `suspect: false` and then skewing every
+  * cross-round median that included it. Side (c): a pass is suspect when
+  * its total over the queries SHARED with the baseline exceeds
+  * `totalBandRatio` (1.25) x the baseline's total over the same queries
+  * AND the excess beats `totalFloorSec` (15 s — so small batteries and
+  * sub-minute jitter never false-positive). Restricting both sides to the
+  * shared query set means newly registered queries can never inflate the
+  * comparison. Calibration on the committed r15 artifacts: run4 cold
+  * 234.1 s vs baseline 174.3 s = 1.34x, +59.8 s -> suspect; runs 1-3 cold
+  * 162.7-193.9 s = at most 1.11x -> clean (replayed byte-for-byte in
+  * RunValiditySpec).
+  *
   * Pure functions over plain maps so the spec can replay the committed
   * artifacts byte-for-byte through the real code path.
   */
@@ -55,11 +73,30 @@ object RunValidity {
         f"$q $t%.2f vs ${baseline(q)}%.2f"
     }
 
+  /** Side (c) for one pass: total over the queries shared with the
+    * baseline, compared against the baseline's total over the SAME shared
+    * set — a reason string when the pass is uniformly slow, None otherwise.
+    */
+  private def totalBandReason(pass: Map[String, Double], baseline: Map[String, Double],
+                              label: String, totalBandRatio: Double,
+                              totalFloorSec: Double): Option[String] = {
+    val shared = pass.keySet & baseline.keySet
+    if (shared.isEmpty) None
+    else {
+      val t = shared.toSeq.map(pass).sum
+      val b = shared.toSeq.map(baseline).sum
+      if (b > 0 && t > b * totalBandRatio && t - b > totalFloorSec)
+        Some(f"$label pass total $t%.1f s > ${totalBandRatio}x the committed clean-baseline total $b%.1f s over the ${shared.size} shared queries (uniform ambient slowdown or broad regression)")
+      else None
+    }
+  }
+
   def assess(cold: Map[String, Double], warm: Map[String, Double],
              baselineCold: Map[String, Double], baselineWarm: Map[String, Double],
              warmColdRatioMax: Double = 1.25,
              bandRatio: Double = 2.5, bandFloorSec: Double = 0.75,
-             minOffenders: Int = 3): Verdict = {
+             minOffenders: Int = 3,
+             totalBandRatio: Double = 1.25, totalFloorSec: Double = 15.0): Verdict = {
     val totalCold = cold.values.sum
     val totalWarm = warm.values.sum
     val reasons = Seq.newBuilder[String]
@@ -71,6 +108,10 @@ object RunValidity {
       reasons += s"cold pass: ${offCold.size} queries >${bandRatio}x the committed clean baseline (interference or code regression): ${offCold.take(4).mkString("; ")}"
     if (offWarm.size >= minOffenders)
       reasons += s"warm pass: ${offWarm.size} queries >${bandRatio}x the committed clean baseline (interference or code regression): ${offWarm.take(4).mkString("; ")}"
+    totalBandReason(cold, baselineCold, "cold", totalBandRatio, totalFloorSec)
+      .foreach(reasons += _)
+    totalBandReason(warm, baselineWarm, "warm", totalBandRatio, totalFloorSec)
+      .foreach(reasons += _)
     val rs = reasons.result()
     Verdict(rs.nonEmpty, rs, offCold, offWarm)
   }

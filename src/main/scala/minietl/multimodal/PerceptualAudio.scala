@@ -32,9 +32,17 @@ import org.apache.spark.sql.types._
   * grouping is a hash-partitioned groupBy on the 8-byte hash; near-dup
   * runs [[PerceptualHash.hammingPairs]] over DISTINCT hash values'
   * min-key representatives with the shared census cap — never all-pairs.
-  * Overflow budget: a 16-bit sample² is < 2^30, so a window holds > 2^33
-  * samples before `E` can overflow — hours of audio per window; chunk
-  * longer clips first (the [[Multimodal.decodeAudio]] contract).
+  * Overflow budget: samples wider than 16 bits are right-shifted to 16-bit
+  * precision BEFORE squaring (a uniform arithmetic shift across the clip —
+  * it rescales every window energy by the same 4^shift factor up to
+  * per-sample floor truncation ≤ 2·2^shift·|v|, which is ~2^-16 of the
+  * square for full-scale samples, so adjacent-window comparisons are
+  * preserved for any signal the hash can distinguish at 16-bit depth
+  * anyway). A 16-bit sample² is < 2^30, so a window holds > 2^33 samples
+  * before `E` can overflow — hours of audio per window; chunk longer clips
+  * first (the [[Multimodal.decodeAudio]] contract). Without the shift a
+  * single full-scale 32-bit sample² is ~2^62 — TWO samples wrap the
+  * accumulator and silently scramble the contour (ADVICE r15 #1).
   */
 object PerceptualAudio {
 
@@ -68,6 +76,10 @@ object PerceptualAudio {
       val buf = Multimodal.readPcmBounded(ais, content.length)
       val n = buf.length / bytesPerSample
       if (n == 0) return None
+      // uniform precision shift: 24/32-bit samples squared overflow a Long
+      // accumulator (32-bit: at the SECOND sample; 24-bit: at ~131k samples
+      // per window) — fold at 16-bit precision instead (see scaladoc)
+      val shift = if (bits > 16) bits - 16 else 0
       val e = new Array[Long](Windows)
       var i = 0
       var w = 0
@@ -85,8 +97,8 @@ object PerceptualAudio {
           b += 1
         }
         val v =
-          if (signed) (raw << (64 - bits)) >> (64 - bits)
-          else raw - mid
+          (if (signed) (raw << (64 - bits)) >> (64 - bits)
+           else raw - mid) >> shift
         e(w) += v * v
         i += 1
       }

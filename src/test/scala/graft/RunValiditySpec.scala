@@ -74,6 +74,50 @@ class RunValiditySpec extends AnyFunSuite {
     assert(v2.suspect && v2.offendersCold.size == 3)
   }
 
+  test("side (c): the uniformly-slow r15 run4 is suspect via the total band " +
+    "(VERDICT r15 Next #1)") {
+    // the shape neither prior side catches: ~1.3x ambient slowdown across
+    // the board (load_avg 3.32 at cold start) — no per-query 2.5x excursion,
+    // warm/cold ratio ~0.95. 234.1 s cold vs the 174.3 s baseline total
+    // = 1.34x, +59.8 s: both the ratio and the +15 s floor clear.
+    val v = verdictOf("BENCH_full_r15_run4.json")
+    assert(v.suspect, "run4 must flag under the total-time band")
+    assert(v.reasons.exists(_.contains("cold pass total")), v.reasons.mkString("; "))
+    assert(v.reasons.exists(_.contains("warm pass total")), v.reasons.mkString("; "))
+    // and the per-query band still does NOT fire — proving (c) is the side
+    // that catches this class, not a louder (b)
+    assert(v.offendersCold.size < 3 && v.offendersWarm.size < 3)
+  }
+
+  test("side (c): the clean r15 runs 1-3 stay unsuspect under the total band") {
+    for (f <- Seq("BENCH_full_r15_run1.json", "BENCH_full_r15_run2.json",
+                  "BENCH_full_r15_run3.json")) {
+      val v = verdictOf(f)
+      assert(!v.suspect, s"$f flagged: ${v.reasons.mkString("; ")}")
+    }
+  }
+
+  test("side (c) needs BOTH the ratio and the +15 s floor, and only counts " +
+    "queries shared with the baseline") {
+    val base = Map("a" -> 10.0, "b" -> 10.0)
+    // uniform 1.4x on a small battery: +8 s total, under the floor -> clean
+    val small = RunValidity.assess(
+      Map("a" -> 14.0, "b" -> 14.0), Map("a" -> 14.0, "b" -> 14.0), base, base)
+    assert(!small.suspect, small.reasons.mkString("; "))
+    // a NEW query (absent from the baseline) must not inflate the total
+    val withNew = RunValidity.assess(
+      Map("a" -> 10.0, "b" -> 10.0, "brand_new" -> 500.0),
+      Map("a" -> 10.0, "b" -> 10.0, "brand_new" -> 500.0), base, base)
+    assert(!withNew.suspect, withNew.reasons.mkString("; "))
+    // uniform 1.4x with a cleared floor -> suspect, with zero (b) offenders
+    val big = Map("a" -> 40.0, "b" -> 40.0)
+    val uniform = RunValidity.assess(
+      Map("a" -> 56.0, "b" -> 56.0), big.map(identity), big, big)
+    assert(uniform.suspect && uniform.offendersCold.isEmpty,
+      uniform.reasons.mkString("; "))
+    assert(uniform.reasons.exists(_.contains("cold pass total")))
+  }
+
   test("queries absent from the baseline are skipped, empty baseline disables bands") {
     val v = RunValidity.assess(Map("new_q" -> 99.0), Map("new_q" -> 99.0),
       Map.empty, Map.empty)

@@ -78,6 +78,52 @@ class PerceptualAudioSpec extends AnyFunSuite with SparkTestBase {
     assert(keptExact === Set(1L, 3L, 4L, 5L, 6L, 7L))
   }
 
+  /** Mono PCM_SIGNED WAV at an arbitrary byte-aligned bit depth (the JDK
+    * WAVE writer accepts 8/16/24/32), little-endian samples.
+    */
+  private def pcmWav(samples: Array[Int], bits: Int, rate: Int = 8000): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bps = bits / 8
+    val pcm = new Array[Byte](samples.length * bps)
+    var i = 0
+    while (i < samples.length) {
+      var b = 0
+      while (b < bps) {
+        pcm(i * bps + b) = ((samples(i) >> (8 * b)) & 0xff).toByte
+        b += 1
+      }
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, bits, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("24/32-bit PCM does not overflow the energy fold: a wide clip " +
+    "hashes identically to its 16-bit twin (ADVICE r15 #1)") {
+    // the same waveform at three depths: 16-bit samples s, 24-bit s<<8,
+    // 32-bit s<<16 — the uniform precision shift must recover the exact
+    // 16-bit fold, so all three hashes are EQUAL. Full-scale amplitudes so
+    // that, without the shift, a single 32-bit sample² (~2^62) wraps the
+    // accumulator at the second sample and scrambles the contour.
+    val s16 = Array.tabulate(PerceptualAudio.Windows * 4) { i =>
+      val w = i / 4
+      if (w % 3 == 0) 32000 else if (w % 3 == 1) -31000 else 500
+    }
+    val h16 = PerceptualAudio.energyHash56(pcmWav(s16, 16))
+    assert(h16.isDefined && h16.get != 0L)
+    assert(PerceptualAudio.energyHash56(pcmWav(s16.map(_ << 8), 24)) === h16)
+    assert(PerceptualAudio.energyHash56(pcmWav(s16.map(_ << 16), 32)) === h16)
+    // regression shape: a CONSTANT full-scale 32-bit clip has all window
+    // energies equal -> hash 0; pre-fix the wrapped accumulators made the
+    // comparisons effectively random
+    val const32 = Array.fill(PerceptualAudio.Windows * 4)(Int.MaxValue & ~0xffff)
+    assert(PerceptualAudio.energyHash56(pcmWav(const32, 32)) === Some(0L))
+  }
+
   test("corrupt payloads never throw OR HANG: every truncation and " +
     "bit-flip of a real WAV degrades to None or a value — in the hash AND " +
     "in decodeAudio") {

@@ -269,6 +269,42 @@ object ScaleProbe {
           val inter = sels(d).join(sels(1024), "doc_id").count()
           println(f"[dsirdim] topk_overlap dim=$d vs 1024: ${inter * 100.0 / k}%.2f%%")
         }
+      case "nb_separable" =>
+        // VERDICT r15 Next #7 (stretch): the r15 1M-doc probe pinned only
+        // STABILITY because the synthetic corpus argmaxes to the prior.
+        // This corpus plants a label-correlated token family (the
+        // planted-cascade trick): lang = [en,fr,de][id % 3]; text = 6
+        // hash-noise tokens from a 50k vocabulary + 3 tokens from the
+        // label's PRIVATE 20-token vocabulary. Train on even ids, measure
+        // HELD-OUT accuracy on odd ids per dim: accuracy >> the 33.3%
+        // prior proves the distributed trainer learns real signal at 1M
+        // docs; the dim sweep shows where hashing collisions erode it.
+        // args: [n]
+        val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+        val docs = spark.range(n).select(
+          col("id").as("doc_id"),
+          element_at(typedlit(Seq("en", "fr", "de")),
+            (pmod(col("id"), lit(3)) + 1).cast("int")).as("lang"),
+          concat_ws(" ",
+            (0 until 6).map(j =>
+              concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(50000)))) ++
+              (0 until 3).map(j => concat(lit("sig"), pmod(col("id"), lit(3)),
+                lit("x"), pmod(xxhash64(col("id"), lit(100 + j)), lit(20)))): _*
+          ).as("text")).localCheckpoint(true)
+        val train = docs.where(pmod(col("doc_id"), lit(2)) === 0).localCheckpoint(true)
+        val test = docs.where(pmod(col("doc_id"), lit(2)) === 1).localCheckpoint(true)
+        val nTest = test.count()
+        Seq(64, 256, 1024).foreach { d =>
+          val t0 = System.nanoTime()
+          val model = minietl.text.NaiveBayes.train(train, "lang", "text", d)
+          val acc = minietl.text.NaiveBayes.classify(test, model, "doc_id", "text", d)
+            .join(test.select("doc_id", "lang"), "doc_id")
+            .where(col("pred") === col("lang")).count()
+          println(f"[nbsep] dim=$d n_test=$nTest " +
+            f"acc=${acc * 100.0 / nTest}%.2f%% (prior 33.33%%) " +
+            f"wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+        }
+
       case "semdedup_adversarial" =>
         // VERDICT r14 Next #2: the degenerate single-cluster regime — every
         // vector sits in a tiny cone around one direction, k-means collapses
@@ -287,22 +323,212 @@ object ScaleProbe {
               (pmod(xxhash64(col("id"), d), lit(1001)).cast("double") - lit(500.0))
                 / lit(1e7)).cast("float")).as("embedding"))
           .localCheckpoint(true)
-        def run1(rows: Long, cap: Int, tag: String): Unit = {
+        def run1(rows: Long, cap: Int, tag: String, rounds: Int): Unit = {
           val emb = adversarial(rows)
           val t0 = System.nanoTime()
           val model = minietl.sim.Ivf.train(emb, nlist = nlist, iters = 3)
-          val out = minietl.sim.SemDedup.semDedup(emb, model, tau = 0.99,
-            maxClusterSize = cap)
+          val (out, subs) = minietl.sim.SemDedup.semDedupTrace(emb, model,
+            tau = 0.99, maxClusterSize = cap, reclusterRounds = rounds)
           val agg = out.agg(
             sum(when(col("keep") === 1L, 1L).otherwise(0L)).as("kept"),
             countDistinct(col("cluster")).as("clusters")).head()
           val wall = (System.nanoTime() - t0) / 1e9
-          println(f"[semdedup_adv] $tag%-8s n=$rows cap=$cap " +
-            f"kept=${agg.getLong(0)} clusters=${agg.getLong(1)} wall=$wall%.1fs")
+          println(f"[semdedup_adv] $tag%-10s n=$rows cap=$cap rounds=$rounds " +
+            f"sub_models=${subs.size} kept=${agg.getLong(0)} " +
+            f"clusters=${agg.getLong(1)} wall=$wall%.1fs")
           spark.catalog.clearCache()
         }
-        Seq(2000L, 4000L, 8000L).foreach(m => run1(m, Int.MaxValue, "uncapped"))
-        run1(n, minietl.dedup.Dedup.DefaultMaxBucket, "capped")
+        Seq(2000L, 4000L, 8000L).foreach(m =>
+          run1(m, Int.MaxValue, "uncapped", 0))
+        // r15 guard (isolate-only: zero recall by design) vs r16 recovery
+        // (one sub-k-means round: nonzero dedup, bounded wall)
+        run1(n, minietl.dedup.Dedup.DefaultMaxBucket, "cap_iso", 0)
+        run1(n, minietl.dedup.Dedup.DefaultMaxBucket, "cap_recover", 1)
+      case "perceptual_robustness" =>
+        // VERDICT r15 Next #3: measure the robustness CLAIM both perceptual
+        // hash scaladocs make — that benign re-encodes keep the contour /
+        // gradient signs — instead of asserting it. For each synthetic
+        // clip/image, derive a transformed copy, hash BOTH through the real
+        // decode paths, and tabulate the Hamming-distance distribution:
+        // recall@d = P(dist <= d) IS the near-dup fold's pair recall at
+        // max_dist d (the 4x14 banding is exhaustive for dist <= 3).
+        // args: [n]
+        import org.apache.spark.sql.Row
+        val n = args.lift(1).map(_.toLong).getOrElse(4000L)
+        val ids = spark.range(n).select(col("id").as("doc_id"))
+        def wavBytes(samples: Array[Int], bits: Int, rate: Int): Array[Byte] = {
+          import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+          val bps = bits / 8
+          val pcm = new Array[Byte](samples.length * bps)
+          var i = 0
+          while (i < samples.length) {
+            var b = 0
+            while (b < bps) {
+              pcm(i * bps + b) = ((samples(i) >> (8 * b)) & 0xff).toByte
+              b += 1
+            }
+            i += 1
+          }
+          val fmt = new AudioFormat(rate.toFloat, bits, 1, bits > 8, false)
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          bos.toByteArray
+        }
+        // regenerate the syntheticWavs waveform closed-form, transform the
+        // SAMPLES (what a re-encoder sees), re-encode for real
+        def audioVariant(tag: String): org.apache.spark.sql.DataFrame = {
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("content",
+              org.apache.spark.sql.types.BinaryType)))
+          val rows = ids.rdd.mapPartitions { it =>
+            it.map { r =>
+              val id = r.getLong(0)
+              val nS = (300 + id % 101).toInt
+              val rate = (8000 + (id % 3) * 4000).toInt
+              val a1 = ((131 * id) % 20001 - 10000).toInt
+              val a2 = ((257 * id + 19) % 20001 - 10000).toInt
+              val s = Array.tabulate(nS)(i => if (i % 2 == 0) a1 else a2)
+              val bytes = tag match {
+                case "orig" => wavBytes(s, 16, rate)
+                case "gain_half" => wavBytes(s.map(_ / 2), 16, rate)
+                case "gain_2x_clip" => wavBytes(
+                  s.map(v => math.max(-32768, math.min(32767, v * 2))), 16, rate)
+                case "bits_8" =>
+                  // 8-bit WAV is unsigned by convention; quantize 16->8
+                  wavBytes(s.map(v => (v >> 8) + 128), 8, rate)
+                case "upsample_2x" => wavBytes(
+                  Array.tabulate(nS * 2)(i => s(i / 2)), 16, rate * 2)
+                case "downsample_2x" => wavBytes(
+                  Array.tabulate(nS / 2)(i => s(i * 2)), 16, rate / 2)
+              }
+              Row(id, bytes)
+            }
+          }
+          spark.createDataFrame(rows, schema)
+        }
+        def imageVariant(tag: String): org.apache.spark.sql.DataFrame = {
+          val base = minietl.multimodal.PerceptualHash
+            .syntheticGradientImages(ids, "doc_id")
+            .select(col("media_id").as("doc_id"), col("content"))
+          if (tag == "orig") base
+          else base.sparkSession.createDataFrame(
+            base.rdd.mapPartitions { it =>
+              it.map { r =>
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+                val (w, h) = (img.getWidth, img.getHeight)
+                def gray(v: Int) = {
+                  val c = math.max(0, math.min(255, v))
+                  (c << 16) | (c << 8) | c
+                }
+                val out = tag match {
+                  case "brightness_+24" | "contrast_1.3x" =>
+                    val o = new java.awt.image.BufferedImage(w, h,
+                      java.awt.image.BufferedImage.TYPE_INT_RGB)
+                    for (y <- 0 until h; x <- 0 until w) {
+                      val v = img.getRGB(x, y) & 0xff
+                      o.setRGB(x, y, gray(
+                        if (tag == "brightness_+24") v + 24
+                        else ((v - 128) * 13 / 10) + 128))
+                    }
+                    o
+                  case "rescale_2x" =>
+                    val o = new java.awt.image.BufferedImage(w * 2, h * 2,
+                      java.awt.image.BufferedImage.TYPE_INT_RGB)
+                    val g = o.createGraphics()
+                    g.drawImage(img, 0, 0, w * 2, h * 2, null)
+                    g.dispose()
+                    o
+                  case "jpeg_reencode" => img
+                }
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out,
+                  if (tag == "jpeg_reencode") "jpg" else "png", bos)
+                Row(r.getLong(0), bos.toByteArray)
+              }
+            }, base.schema)
+        }
+        def table(modality: String, hash: (org.apache.spark.sql.DataFrame, String, String) => org.apache.spark.sql.DataFrame,
+                  variant: String => org.apache.spark.sql.DataFrame,
+                  hashCol: String, tags: Seq[String]): Unit = {
+          val orig = hash(variant("orig"), "doc_id", "content")
+            .withColumnRenamed(hashCol, "h0").persist()
+          orig.count()
+          tags.foreach { tag =>
+            val t0 = System.nanoTime()
+            val v = hash(variant(tag), "doc_id", "content")
+            val d = orig.join(v, "doc_id")
+              .where(col("h0").isNotNull && col(hashCol).isNotNull)
+              .select(expr(s"bit_count($hashCol ^ h0)").cast("long").as("dist"))
+            val agg = d.agg(count(lit(1)).as("n"), avg("dist").as("mean"),
+              sum(when(col("dist") <= 1, 1).otherwise(0)).as("r1"),
+              sum(when(col("dist") <= 2, 1).otherwise(0)).as("r2"),
+              sum(when(col("dist") <= 3, 1).otherwise(0)).as("r3")).head()
+            val cnt = agg.getLong(0).toDouble
+            println(f"[robust] $modality%-5s ${tag}%-14s n=${agg.getLong(0)} " +
+              f"mean_dist=${agg.getDouble(1)}%.2f " +
+              f"r@1=${agg.getLong(2) / cnt}%.3f r@2=${agg.getLong(3) / cnt}%.3f " +
+              f"r@3=${agg.getLong(4) / cnt}%.3f " +
+              f"wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+          }
+          orig.unpersist()
+        }
+        table("audio", minietl.multimodal.PerceptualAudio.energyHashFrame,
+          audioVariant, "ahash",
+          Seq("gain_half", "gain_2x_clip", "bits_8", "upsample_2x", "downsample_2x"))
+        table("image", minietl.multimodal.PerceptualHash.dHashFrame,
+          imageVariant, "dhash",
+          Seq("brightness_+24", "contrast_1.3x", "rescale_2x", "jpeg_reencode"))
+
+      case "recover_profile" =>
+        // phase split of the r16 recovery wall at the adversarial 200k
+        // corpus: train / assign / pairs / group-local CC. args: [n]
+        val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+        val emb = spark.range(n).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(15)), d =>
+            (when(d === lit(0), lit(1.0)).otherwise(lit(0.0)) +
+              (pmod(xxhash64(col("id"), d), lit(1001)).cast("double") - lit(500.0))
+                / lit(1e7)).cast("float")).as("embedding"))
+          .localCheckpoint(true)
+        def t[A](tag: String)(f: => A): A = {
+          val t0 = System.nanoTime()
+          val out = f
+          println(f"[recprof] $tag%-12s ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          out
+        }
+        val a = emb.select(col("vec_id").as("id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("norm", sqrt(minietl.functions.vec.dot(col("v"), col("v"))))
+          .localCheckpoint(true)
+        val sub = t("train400") {
+          minietl.sim.Ivf.train(a, nlist = 400, iters = 3, idCol = "id", vecCol = "v")
+        }
+        val keyed = t("assign") {
+          a.withColumn("sub", minietl.sim.Ivf.assignList(col("v"), sub))
+            .localCheckpoint(true)
+        }
+        val pairs = t("pairs") {
+          val p = keyed.as("x").join(keyed.as("y"),
+              col("x.sub") === col("y.sub") && col("x.id") < col("y.id"))
+            .withColumn("cos", round(minietl.functions.vec.dot(col("x.v"), col("y.v"))
+              / (col("x.norm") * col("y.norm")), 4))
+            .where(col("cos") >= 0.99)
+            .select(col("x.sub").cast("string").as("g"),
+              col("x.id").as("id_a"), col("y.id").as("id_b"))
+            .localCheckpoint(true)
+          println(s"[recprof] n_pairs=${p.count()}")
+          p
+        }
+        t("group_cc") {
+          println("[recprof] comp_rows=" +
+            minietl.dedup.Dedup.groupLocalComponents(pairs, Seq("g")).count())
+        }
+
       case "dhash" =>
         // perceptual-hash linearity: generate n gradient PNGs in-flight,
         // time decode+hash and the banded Hamming join. args: <n>

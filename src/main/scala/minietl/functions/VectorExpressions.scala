@@ -49,6 +49,37 @@ object VectorOps {
     sig
   }
 
+  /** [[NearestCentroid]]'s kernel: argmin over a flattened row-major
+    * centroid matrix of the squared-distance surrogate `|c|² - 2 v·c`,
+    * ties to the LOWER index (strict `<` keeps the first minimum) —
+    * bit-identical scores and tie order to the (score, idx)-struct
+    * `array_min` formulation it replaces ([[minietl.sim.Ivf.assignList]]):
+    * `c2(i)` is the same sequential square-sum fold and each dot
+    * accumulates in index order with the same double ops. Null element or
+    * dim mismatch → null (the corpora these serve are non-null fixed-dim;
+    * a malformed row gets no cluster rather than a garbage one).
+    */
+  def nearestCentroid(v: ArrayData, cents: Array[Double], c2: Array[Double],
+                      dim: Int): java.lang.Integer = {
+    if (v.numElements() != dim) return null
+    var j = 0
+    while (j < dim) { if (v.isNullAt(j)) return null; j += 1 }
+    val nlist = c2.length
+    var best = 0
+    var bestScore = 0.0
+    var i = 0
+    while (i < nlist) {
+      var s = 0.0
+      val off = i * dim
+      var k = 0
+      while (k < dim) { s += v.getDouble(k) * cents(off + k); k += 1 }
+      val score = c2(i) - 2.0 * s
+      if (i == 0 || score < bestScore) { bestScore = score; best = i }
+      i += 1
+    }
+    Integer.valueOf(best)
+  }
+
   /** [[WinnowOrds]]'s kernel. `th` holds token hashes already in
     * [0, 2^31-1); documents shorter than k tokens hash as one
     * whole-document gram. Window = min(w, gram count), so every non-empty
@@ -545,6 +576,52 @@ case class HyperplaneSignature(child: Expression, planes: Array[Double],
     copy(child = newChild)
 }
 
+/** Codegen'd k-means assignment: index of the centroid minimizing
+  * `|c|² - 2 v·c` over a flattened (nlist × dim) literal matrix, ties to
+  * the lower index — [[VectorOps.nearestCentroid]]. A native expression
+  * rather than `array_min` over (score, idx) structs because the struct
+  * formulation allocates nlist InternalRows per input ROW: at the r16
+  * recovery probe's shape (200k rows × 400 centroids × 4 training/assign
+  * passes) the struct path measured ~61 ns per centroid-eval — 23.3 s of
+  * a 35 s wall — where this loop is a dozen fused multiply-adds.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Double], dim: Int)
+  extends UnaryExpression {
+  require(dim > 0 && centroids.length % dim == 0,
+    s"centroid matrix length ${centroids.length} must be a multiple of dim $dim")
+  // the same sequential fold as the struct path's c.map(x => x*x).sum
+  private lazy val c2: Array[Double] = {
+    val nlist = centroids.length / dim
+    Array.tabulate(nlist) { i =>
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += centroids(i * dim + j) * centroids(i * dim + j); j += 1 }
+      s
+    }
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(in: Any): Any =
+    VectorOps.nearestCentroid(in.asInstanceOf[ArrayData], centroids, c2, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    val c2Ref = ctx.addReferenceObj("centroidNorms", c2, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("ncRes")
+      s"""
+         |java.lang.Integer $r = minietl.functions.VectorOps.nearestCentroid($c, $cRef, $c2Ref, $dim);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.intValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd winnowing selection (Schleimer/Wilkerson/Aiken '03) over an
   * array of token hashes already reduced mod 2^31-1. Computes the k-gram
   * polynomial hashes (`acc * 31 + x mod 2^31-1`, the [[minietl.dedup.Winnow]]
@@ -678,6 +755,10 @@ object vec {
   def hyperplaneSig(v: Column, planes: Array[Double], bits: Int, dim: Int): Column =
     org.apache.spark.sql.minietl.ColumnBridge.column(
       HyperplaneSignature(expr(v), planes, bits, dim))
+
+  def nearestCentroid(v: Column, centroids: Array[Double], dim: Int): Column =
+    org.apache.spark.sql.minietl.ColumnBridge.column(
+      NearestCentroid(expr(v), centroids, dim))
 
   def winnowOrds(tokenHashes: Column, k: Int, w: Int): Column =
     org.apache.spark.sql.minietl.ColumnBridge.column(

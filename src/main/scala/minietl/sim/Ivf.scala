@@ -42,8 +42,17 @@ object Ivf {
     slice(array_sort(array(scored: _*)), 1, n)
   }
 
+  /** k=1 fast path: the native codegen argmin
+    * ([[minietl.functions.NearestCentroid]]) over the flattened centroid
+    * matrix — bit-identical scores (`|c|² - 2 v·c`, sequential folds) and
+    * tie order (lower index) to [[nearestLists]]'s struct sort, WITHOUT
+    * allocating nlist structs per row or sorting them. Measured on the r16
+    * recovery probe (200k rows x 400 centroids, 4 training/assign passes):
+    * the struct path was 23.3 s of a 35 s wall (~61 ns/centroid-eval); the
+    * fused loop is a dozen multiply-adds per centroid.
+    */
   def assignList(v: Column, model: Model): Column =
-    nearestLists(v, model, 1)(0)("idx")
+    vec.nearestCentroid(v, model.centroids.flatten.toArray, model.dim)
 
   /** Derive `nlist` from a one-row census so the scale dial the SemDeDup
     * probe quantified (nlist 64→8 = 33→822 s at 200k vectors) is not a

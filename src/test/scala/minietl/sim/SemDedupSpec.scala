@@ -68,19 +68,21 @@ class SemDedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("hot-cluster census cap: an over-cap cluster pairs nothing — its " +
-    "rows stay isolated keep=1 — while under-cap clusters still dedup") {
+  test("hot-cluster census cap at reclusterRounds=0: an over-cap cluster " +
+    "pairs nothing — its rows stay isolated keep=1 — while under-cap " +
+    "clusters still dedup") {
     // cluster 0 gets 4 near-identical members (over a cap of 3), cluster 1
     // gets 2 (under cap). Without the cap rows 1-4 would collapse to one
-    // canonical; with it they must ALL survive as isolated rows, and the
-    // under-cap cluster must still merge normally.
+    // canonical; with the cap AND recovery disabled they must ALL survive
+    // as isolated rows, and the under-cap cluster must still merge.
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.999f, 0.01f)),
       (3L, Seq(0.999f, 0.02f)), (4L, Seq(0.999f, 0.03f)),
       (5L, Seq(0.0f, 1.0f)), (6L, Seq(0.01f, 0.999f))
     ).toDF("vec_id", "embedding")
     val model = Ivf.Model(Vector(Vector(1.0, 0.0), Vector(0.0, 1.0)))
-    val out = SemDedup.semDedup(vecs, model, tau = 0.9, maxClusterSize = 3)
+    val out = SemDedup.semDedup(vecs, model, tau = 0.9, maxClusterSize = 3,
+        reclusterRounds = 0)
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
     Seq(1L, 2L, 3L, 4L).foreach { id =>
       assert(out(id) === (id, 1L),
@@ -93,6 +95,69 @@ class SemDedupSpec extends AnyFunSuite with SparkTestBase {
     val un = SemDedup.semDedup(vecs, model, tau = 0.9, maxClusterSize = 1000)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(Seq(2L, 3L, 4L).forall(un(_) === 0L))
+  }
+
+  test("recluster recovery: an over-cap cluster is split by a second " +
+    "k-means round and dedups within sub-cells (VERDICT r15 Next #2)") {
+    // 8 near-parallel vectors in ONE cluster, cap 4: the r15 guard would
+    // isolate all 8 (zero recall). One recovery round trains a sub-model
+    // (autoNlist: 8 rows / target 2 -> 4 cells), and with <= 4 non-empty
+    // cells over 8 rows at least one cell holds >= 2 near-identical rows,
+    // so SOME dedup must come back.
+    val vecs = (1 to 8).map(k => (k.toLong, Seq(1.0f, k * 0.01f)))
+      .toDF("vec_id", "embedding")
+    val model = Ivf.Model(Vector(Vector(1.0, 0.0)))
+    val (out, subs) = SemDedup.semDedupTrace(vecs, model, tau = 0.9,
+      maxClusterSize = 4, reclusterRounds = 1)
+    assert(subs.size === 1, "exactly one recovery round must have trained")
+    val rows = out.collect()
+    val kept = rows.count(_.getLong(3) == 1L)
+    assert(kept < 8, "recovery must merge at least one sub-cell pair")
+    // output contract holds through the recovery: comp = min member id,
+    // cluster stays the TOP-LEVEL assignment
+    assert(rows.forall(_.getLong(1) == 0L))
+    rows.groupBy(_.getLong(2)).foreach { case (c, members) =>
+      assert(members.map(_.getLong(0)).min === c)
+    }
+    // rounds=0 control: the same corpus isolates everything — proving the
+    // recovery (not the geometry) restored the recall
+    val iso = SemDedup.semDedup(vecs, model, tau = 0.9, maxClusterSize = 4,
+      reclusterRounds = 0).collect()
+    assert(iso.count(_.getLong(3) == 1L) === 8)
+  }
+
+  test("recluster recovery: a group k-means cannot separate (identical " +
+    "vectors, tie-to-lowest sub) stays over cap and isolates — bounded, " +
+    "never infinite") {
+    // 8 IDENTICAL vectors, cap 4: the sub-model's centroids are identical,
+    // every row ties to sub 0, the (cluster, sub0) cell is still 8 > cap —
+    // the final census must isolate all rows (and with 2 rounds the second
+    // round re-trains, again cannot separate, and still terminates).
+    val vecs = (1 to 8).map(k => (k.toLong, Seq(1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val model = Ivf.Model(Vector(Vector(1.0, 0.5)))
+    for (rounds <- Seq(1, 2)) {
+      val (out, subs) = SemDedup.semDedupTrace(vecs, model, tau = 0.9,
+        maxClusterSize = 4, reclusterRounds = rounds)
+      assert(subs.size === rounds,
+        s"every round trains on the still-over-cap rows (rounds=$rounds)")
+      val rows = out.collect()
+      assert(rows.length === 8)
+      assert(rows.forall(_.getLong(3) == 1L),
+        s"inseparable over-cap group must isolate (rounds=$rounds)")
+    }
+  }
+
+  test("recluster oracle SQL unrolls exactly the trained rounds") {
+    val main = Ivf.Model(Vector(Vector(1.0, 0.0)))
+    val sub = Ivf.Model(Vector(Vector(1.0, 0.01), Vector(1.0, 0.07)))
+    val flat = SemDedup.oracleSql(main, tau = 0.9)
+    assert(!flat.contains("sub1_assign") && flat.contains("bigF"))
+    val rec = SemDedup.oracleSql(main, tau = 0.9, maxClusterSize = 4,
+      subModels = Seq(sub))
+    assert(rec.contains("sub1_assign") && rec.contains("over1") &&
+      rec.contains("coalesce(s.idx, -1) AS sub1"))
+    assert(rec.contains("x.cluster = y.cluster AND x.sub1 = y.sub1"))
   }
 
   test("pair join is keyed on the cluster id, not a cross product") {

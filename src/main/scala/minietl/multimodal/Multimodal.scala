@@ -17,11 +17,13 @@ import org.apache.spark.sql.types._
   * (PNG/BMP/GIF/JPEG, zero extra dependencies — see [[decodeImage]]),
   * **PCM audio decodes for real** via the JDK's `javax.sound.sampled`
   * (WAV/AIFF/AU, also in `java.desktop` — see [[decodeAudio]]), and
-  * **AVI video frames decode for real** ([[videoFrames]]): uncompressed
-  * BI_RGB exactly and MJPEG through ImageIO's JPEG codec. Only MODERN
-  * video codecs (H.264/HEVC/VP9/AV1 inside MP4) remain stubbed
-  * (`decodeStub`), because the JDK genuinely ships none — MP4 gets the
-  * real container-metadata walk ([[videoMeta]]) instead.
+  * **video frames decode for real in BOTH containers** — AVI
+  * ([[videoFrames]]: uncompressed BI_RGB exactly, MJPEG through ImageIO's
+  * JPEG codec) and MP4 ([[mp4Frames]]: the stsc/stsz/stco sample-table
+  * walk feeding the same JPEG path). Only MODERN video codecs
+  * (H.264/HEVC/VP9/AV1 inside MP4) remain stubbed (`decodeStub`), because
+  * the JDK genuinely ships none — those tracks get the real
+  * container-metadata walk ([[videoMeta]]) instead.
   * [[extractFeatures]] dispatches on the `meta.format` MIME type:
   * `image/...` payloads get decoded width/height/channel-mean/entropy
   * features, `audio/...` payloads decoded frame/rate/amplitude features,
@@ -517,11 +519,13 @@ object Multimodal {
 
   // ---------------------------------------------------------------- video
   /** Container-level metadata from an ISO-BMFF (MP4/MOV) payload — what a
-    * corpus pipeline actually filters on. Frame DECODE stays stubbed for
-    * MP4's codecs (the JDK ships no H.264/HEVC/VP9/AV1; [[decodeStub]] —
-    * AVI payloads DO decode for real, [[videoFrames]]), but the container
-    * walk is a zero-dependency binary parse, the same move as the XLSX
-    * reader:
+    * corpus pipeline actually filters on. Frame DECODE is real for
+    * MJPEG-in-MP4 ([[mp4Frames]], the stsc/stsz/stco sample walk feeding
+    * the JDK JPEG codec) as it is for AVI ([[videoFrames]]); it stays
+    * stubbed ONLY for codecs the JDK genuinely cannot decode
+    * (H.264/HEVC/VP9/AV1 — no codec ships with the JDK; [[decodeStub]]).
+    * The container walk is a zero-dependency binary parse, the same move
+    * as the XLSX reader:
     * `ftyp` gives the brand, `moov/mvhd` the timescale and duration, each
     * `trak` its handler type (`mdia/hdlr`), sample-format fourcc
     * (`mdia/minf/stbl/stsd` entry 1) and, for video tracks, the 16.16
@@ -753,6 +757,248 @@ object Multimodal {
     spark.createDataFrame(rows, mediaSchema)
   }
 
+  /** Encode a REAL playable-layout MJPEG-in-MP4: the [[mp4Container]] box
+    * tree extended with the full sample-table chain — `stsd` (codec
+    * `jpeg`, the registered ISO fourcc for Motion-JPEG video samples),
+    * `stsc` (sample-to-chunk: first chunk holds up to 2 samples, every
+    * later chunk 1 — two table entries, so a walker that ignores the
+    * run-length encoding mis-slices immediately), `stsz` (per-sample
+    * sizes), `stco` (absolute chunk offsets into the trailing `mdat`).
+    * Offsets are resolved with the standard two-pass build: the moov is
+    * serialized once to learn its length, then rebuilt with real offsets
+    * (box sizes do not depend on offset VALUES — stco entries are fixed
+    * 32-bit).
+    */
+  def mjpegMp4(widthPx: Int, heightPx: Int, timescale: Long, duration: Long,
+               frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "mjpegMp4 needs at least one frame")
+    val nChunks = 1 + math.max(0, frames.size - 2)
+    def chunkOf(sample: Int): Int = if (sample < 2) 0 else sample - 1
+    def moovOf(offsets: Seq[Long]): Array[Byte] = {
+      val mvhd = mp4Box("mvhd", new Array[Byte](12),
+        beBytes32(timescale), beBytes32(duration), new Array[Byte](80))
+      val tkhd = mp4Box("tkhd", new Array[Byte](76),
+        beBytes32(widthPx.toLong << 16), beBytes32(heightPx.toLong << 16))
+      val hdlr = mp4Box("hdlr", new Array[Byte](8),
+        "vide".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+        new Array[Byte](13))
+      val entry = java.nio.ByteBuffer.allocate(16).putInt(16)
+        .put("jpeg".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        .put(new Array[Byte](8)).array()
+      val stsd = mp4Box("stsd", new Array[Byte](4), beBytes32(1L), entry)
+      val stscEntries =
+        if (frames.size <= 2) Seq((1L, frames.size.toLong))
+        else Seq((1L, 2L), (2L, 1L))
+      val stsc = mp4Box("stsc", new Array[Byte](4),
+        beBytes32(stscEntries.size.toLong),
+        stscEntries.flatMap { case (first, spc) =>
+          beBytes32(first) ++ beBytes32(spc) ++ beBytes32(1L)
+        }.toArray)
+      val stsz = mp4Box("stsz", new Array[Byte](4), beBytes32(0L),
+        beBytes32(frames.size.toLong),
+        frames.flatMap(f => beBytes32(f.length.toLong)).toArray)
+      val stco = mp4Box("stco", new Array[Byte](4),
+        beBytes32(nChunks.toLong),
+        offsets.flatMap(beBytes32).toArray)
+      val stbl = mp4Box("stbl", stsd, stsc, stsz, stco)
+      val mdia = mp4Box("mdia", hdlr, mp4Box("minf", stbl))
+      mp4Box("moov", mvhd, mp4Box("trak", tkhd, mdia))
+    }
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+      new Array[Byte](4),
+      "isom".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val moovLen = moovOf(Seq.fill(nChunks)(0L)).length
+    val mdatPayloadStart = ftyp.length + moovLen + 8L
+    // chunk offset = mdat payload start + bytes of all samples in earlier
+    // chunks (samples are laid into mdat in sample order)
+    val chunkOffsets = (0 until nChunks).map { ch =>
+      mdatPayloadStart + frames.zipWithIndex
+        .filter { case (_, i) => chunkOf(i) < ch }
+        .map(_._1.length.toLong).sum
+    }
+    ftyp ++ moovOf(chunkOffsets) ++ mp4Box("mdat", frames.flatten.toArray)
+  }
+
+  /** The first video track's codec fourcc and its samples, recovered
+    * through the REAL ISO-BMFF sample-table walk: `stsz` sizes, `stco`
+    * chunk offsets, `stsc` run-length sample-to-chunk mapping (a sample's
+    * chunk comes from the ACTIVE stsc entry — `first_chunk` runs apply
+    * until the next entry — and its offset accumulates the sizes of
+    * earlier samples in the same chunk). Every slice is bounds-checked;
+    * `None` for payloads that are structurally corrupt anywhere on the
+    * path — the fuzz contract all binary parsers here share.
+    */
+  def parseMp4Samples(content: Array[Byte]): Option[(String, Seq[Array[Byte]])] = {
+    if (content == null || content.length < 16) return None
+    if (fourcc(content, 4) != "ftyp") return None
+    var result: Option[(String, Seq[Array[Byte]])] = None
+    def parseTrak(s: Int, e: Int): Unit = if (result.isEmpty) {
+      for {
+        (ms, me) <- findBox(content, s, e, "mdia")
+        (hs, he) <- findBox(content, ms, me, "hdlr")
+        if he - hs >= 12 && fourcc(content, hs + 8) == "vide"
+        (ns, ne) <- findBox(content, ms, me, "minf")
+        (ts, te) <- findBox(content, ns, ne, "stbl")
+        (ds, de) <- findBox(content, ts, te, "stsd")
+        if de - ds >= 16 && be32(content, ds + 4) >= 1
+        (zs, ze) <- findBox(content, ts, te, "stsz")
+        (cs, ce) <- findBox(content, ts, te, "stco")
+        (ss, se) <- findBox(content, ts, te, "stsc")
+      } {
+        val codec = fourcc(content, ds + 12)
+        // stsz: fixed size (0 = per-sample table) + count + sizes
+        if (ze - zs < 12) return
+        val fixedSize = be32(content, zs + 4)
+        val nSamples = be32(content, zs + 8).toInt
+        if (nSamples < 0 || nSamples > (1 << 20)) return
+        if (fixedSize == 0 && ze - zs < 12 + 4L * nSamples) return
+        val sizes = Array.tabulate(nSamples)(i =>
+          if (fixedSize != 0) fixedSize else be32(content, zs + 12 + 4 * i))
+        // stco: count + 32-bit offsets
+        if (ce - cs < 8) return
+        val nChunks = be32(content, cs + 4).toInt
+        if (nChunks <= 0 || ce - cs < 8 + 4L * nChunks) return
+        val chunkOffs = Array.tabulate(nChunks)(i => be32(content, cs + 8 + 4 * i))
+        // stsc: count + (first_chunk, samples_per_chunk, sdi) runs
+        if (se - ss < 8) return
+        val nRuns = be32(content, ss + 4).toInt
+        if (nRuns <= 0 || se - ss < 8 + 12L * nRuns) return
+        val runs = Array.tabulate(nRuns) { i =>
+          (be32(content, ss + 8 + 12 * i), be32(content, ss + 12 + 12 * i))
+        }
+        if (runs.exists { case (fc, spc) => fc < 1 || spc < 1 } ||
+          runs.map(_._1).sliding(2).exists(w => w.length == 2 && w(1) <= w(0)))
+          return
+        // expand the run-length map sample by sample
+        val samples = Seq.newBuilder[Array[Byte]]
+        var run = 0
+        var chunk = runs(0)._1.toInt // 1-based
+        var inChunk = 0L
+        var off =
+          if (chunk - 1 < nChunks) chunkOffs(chunk - 1) else return
+        var i = 0
+        while (i < nSamples) {
+          val spc = runs(run)._2
+          if (inChunk == spc) { // advance to the next chunk
+            chunk += 1
+            if (run + 1 < nRuns && chunk >= runs(run + 1)._1) run += 1
+            if (chunk - 1 >= nChunks) return
+            off = chunkOffs(chunk - 1)
+            inChunk = 0
+          }
+          val size = sizes(i)
+          if (size < 0 || off < 0 || off + size > content.length) return
+          samples += java.util.Arrays.copyOfRange(content, off.toInt,
+            (off + size).toInt)
+          off += size
+          inChunk += 1
+          i += 1
+        }
+        result = Some((codec, samples.result()))
+      }
+    }
+    val ok = walkBoxes(content, 0, content.length) { (t, s, e) =>
+      if (t == "moov") {
+        walkBoxes(content, s, e) { (ct, cs, ce) =>
+          if (ct == "trak") parseTrak(cs, ce)
+        }
+        ()
+      }
+    }
+    if (ok) result else None
+  }
+
+  /** REAL per-frame decode over MJPEG-in-MP4 payloads — the MP4 twin of
+    * [[videoFrames]] with the identical output columns: the sample-table
+    * walk ([[parseMp4Samples]]) recovers each `jpeg` sample and the shared
+    * JDK codec path ([[frameStatsOfJpeg]]) decodes it. Non-MJPEG video
+    * tracks emit no rows — the remaining genuinely-undecodable codecs
+    * (H.264/HEVC/VP9/AV1: the JDK ships no such codec) keep the
+    * metadata-only contract of [[videoMeta]].
+    */
+  def mp4Frames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("byte_sum", LongType, nullable = false),
+      StructField("byte_min", LongType, nullable = false),
+      StructField("byte_max", LongType, nullable = false),
+      StructField("top_left_sum", LongType, nullable = false)))
+    val rows = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        parseMp4Samples(bytes).toSeq.collect {
+          case ("jpeg", samples) => samples.zipWithIndex.flatMap {
+            case (p, i) => frameStatsOfJpeg(p).map(st =>
+              Row(id, i.toLong, st.width.toLong, st.height.toLong,
+                st.byteSum, st.byteMin.toLong, st.byteMax.toLong,
+                st.topLeftSum.toLong))
+          }
+        }.flatten
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Real JPEG frame templates for the MJPEG corpora: solid-gray images
+    * (value/width/height per slot) encoded ONCE through the JDK codec,
+    * paired with their DECODED stats — computed by the same
+    * [[frameStatsOfJpeg]] the engine path uses, which is the deliberate
+    * scope of the MJPEG ORACLE: the generator attributes each (clip,
+    * frame) slot a template and its stats; the engine must recover the
+    * exact sample bytes through the stsc/stsz/stco walk and decode them,
+    * so a stats match proves the WALK (wrong slicing yields undecodable
+    * bytes or another template's stats). JPEG decode fidelity itself is
+    * pinned separately (MultimodalSpec's MJPG-AVI tests + the solid-gray
+    * uniformity assertions), not by the SQL oracle — DuckDB cannot decode
+    * JPEG, and closed-form pixel oracles are impossible for a lossy codec.
+    */
+  lazy val jpegTemplates: Vector[(Array[Byte], FrameStats)] = {
+    val specs = Vector((16, 32, 24), (64, 24, 16), (112, 40, 8),
+      (160, 16, 16), (208, 24, 24), (240, 32, 8))
+    specs.map { case (v, w, h) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(v, v, v))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val bytes = bos.toByteArray
+      val st = frameStatsOfJpeg(bytes).getOrElse(
+        throw new IllegalStateException("JDK JPEG round-trip failed"))
+      (bytes, st)
+    }
+  }
+
+  /** Deterministic per-row MJPEG-MP4 corpus — the DECODABLE-mp4 twin of
+    * [[syntheticMp4s]]: for each id, a real container
+    * ([[mjpegMp4]]) holding `1 + id%4` frames, frame f = template
+    * `(id + f) % 6` of [[jpegTemplates]]. Clip display size = frame 0's
+    * template size; timescale 1000, duration 40ms/frame.
+    */
+  def syntheticMjpegMp4s(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      val templates = jpegTemplates
+      it.map { r =>
+        val id = r.getLong(0)
+        val nf = (1 + id % 4).toInt
+        val frames = (0 until nf).map(f => templates(((id + f) % 6).toInt)._1)
+        val st0 = templates((id % 6).toInt)._2
+        Row(id, mjpegMp4(st0.width, st0.height, 1000L, 40L * nf, frames),
+          Row("video/mp4", st0.width, st0.height, 40L * nf))
+      }
+    }
+    spark.createDataFrame(rows, mediaSchema)
+  }
+
   /** STUB resampler: a real implementation would decode and rescale pixels;
     * the stub nearest-neighbor-resamples the raw bytes to `targetBytes`,
     * which preserves the pipeline shape (fixed-size outputs, meta updated)
@@ -941,38 +1187,47 @@ object Multimodal {
             (payload(tlOff + 2) & 0xff)
           Some(FrameStats(avi.width, avi.height, sum, mn, mx, tl))
         }
-      case "MJPG" =>
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-          catch { case _: java.io.IOException => null }
-        if (img == null) None
-        else {
-          var sum = 0L
-          var mn = 255
-          var mx = 0
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              var c = 0
-              while (c < 3) {
-                val v = (rgb >> (8 * c)) & 0xff
-                sum += v
-                if (v < mn) mn = v
-                if (v > mx) mx = v
-                c += 1
-              }
-              x += 1
-            }
-            y += 1
-          }
-          val tlRgb = img.getRGB(0, 0)
-          val tl = ((tlRgb >> 16) & 0xff) + ((tlRgb >> 8) & 0xff) + (tlRgb & 0xff)
-          Some(FrameStats(img.getWidth, img.getHeight, sum, mn, mx, tl))
-        }
+      case "MJPG" => frameStatsOfJpeg(payload)
       case _ => None
     }
+
+  /** [[FrameStats]] of one complete JPEG image (the Motion-JPEG frame
+    * payload in BOTH containers — AVI `00dc` chunks and MP4 `jpeg`-codec
+    * samples) through the JDK ImageIO codec. `None` when the bytes do not
+    * decode — corrupt payloads degrade, never throw.
+    */
+  def frameStatsOfJpeg(payload: Array[Byte]): Option[FrameStats] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      var sum = 0L
+      var mn = 255
+      var mx = 0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          var c = 0
+          while (c < 3) {
+            val v = (rgb >> (8 * c)) & 0xff
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val tlRgb = img.getRGB(0, 0)
+      val tl = ((tlRgb >> 16) & 0xff) + ((tlRgb >> 8) & 0xff) + (tlRgb & 0xff)
+      Some(FrameStats(img.getWidth, img.getHeight, sum, mn, mx, tl))
+    }
+  }
 
   /** REAL per-frame decode over AVI payloads: one row per decoded frame
     * with `(media_id, frame_idx, width, height, byte_sum, byte_min,

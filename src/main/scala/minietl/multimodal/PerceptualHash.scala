@@ -202,7 +202,7 @@ object PerceptualHash {
     * `(keyCol, hashCol)` with one row per `df` row; null hashes
     * (undecodable payloads) pass through.
     */
-  private[multimodal] def dedupNearFromHashes(df: DataFrame, keyCol: String,
+  private[minietl] def dedupNearFromHashes(df: DataFrame, keyCol: String,
       hashFrame: DataFrame, hashCol: String, maxDist: Int,
       maxBucketSize: Int): DataFrame = {
     val hashes = hashFrame.persist()

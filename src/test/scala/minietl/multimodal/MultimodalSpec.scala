@@ -329,6 +329,77 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.parseAvi(good).exists(_.frames.size === 2))
   }
 
+  test("mjpegMp4 → parseMp4Samples round-trip: codec + exact sample bytes " +
+    "through the stsc/stsz/stco walk (VERDICT r15 Next #4)") {
+    // 1..5 frames covers every stsc shape: single-entry (nf <= 2) and the
+    // two-entry run-length map (first chunk 2 samples, later chunks 1)
+    for (nf <- 1 to 5) {
+      val frames = (0 until nf).map(f => Multimodal.jpegTemplates(f % 6)._1)
+      val mp4 = Multimodal.mjpegMp4(32, 24, 1000L, 40L * nf, frames)
+      val parsed = Multimodal.parseMp4Samples(mp4)
+      assert(parsed.isDefined, s"nf=$nf")
+      val (codec, samples) = parsed.get
+      assert(codec === "jpeg")
+      assert(samples.size === nf, s"nf=$nf")
+      samples.zip(frames).zipWithIndex.foreach { case ((got, want), i) =>
+        assert(java.util.Arrays.equals(got, want), s"nf=$nf sample $i")
+      }
+      // the metadata walk still reads the same container
+      val meta = Multimodal.parseMp4Meta(mp4).get
+      assert(meta.codecs === Seq("jpeg") && meta.trackTypes === Seq("vide"))
+      assert(meta.width === Some(32) && meta.height === Some(24))
+    }
+  }
+
+  test("jpeg templates decode uniform: solid-gray survives the lossy codec " +
+    "as a single value near the encoded gray") {
+    val encoded = Seq(16, 64, 112, 160, 208, 240)
+    Multimodal.jpegTemplates.zip(encoded).foreach { case ((_, st), v) =>
+      assert(st.byteMin === st.byteMax,
+        s"solid JPEG must decode uniform (gray $v): $st")
+      assert(math.abs(st.byteMin - v) <= 4,
+        s"decoded gray ${st.byteMin} too far from encoded $v")
+      assert(st.byteSum === st.width.toLong * st.height * 3 * st.byteMin)
+      assert(st.topLeftSum === 3 * st.byteMin)
+    }
+  }
+
+  test("syntheticMjpegMp4s → mp4Frames matches the generator layout " +
+    "(template stats per (clip, frame) slot)") {
+    val ids = Seq(0L, 1L, 2L, 3L, 5L, 11L).toDF("doc_id")
+    val out = Multimodal.mp4Frames(Multimodal.syntheticMjpegMp4s(ids, "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    for (id <- Seq(0L, 1L, 2L, 3L, 5L, 11L); f <- 0 until (1 + id % 4).toInt) {
+      val st = Multimodal.jpegTemplates(((id + f) % 6).toInt)._2
+      val r = out((id, f.toLong))
+      assert(r.getLong(2) === st.width && r.getLong(3) === st.height, s"($id,$f)")
+      assert(r.getLong(4) === st.byteSum && r.getLong(7) === st.topLeftSum)
+    }
+    assert(out.size === Seq(0L, 1L, 2L, 3L, 5L, 11L).map(1 + _ % 4).sum)
+  }
+
+  test("parseMp4Samples never throws or hangs: random bytes, bit-flips, " +
+    "truncations of a real MJPEG-MP4") {
+    val mp4 = Multimodal.mjpegMp4(32, 24, 1000L, 120L,
+      (0 until 3).map(f => Multimodal.jpegTemplates(f)._1))
+    assert(Multimodal.parseMp4Samples(null).isEmpty)
+    assert(Multimodal.parseMp4Samples(Array[Byte]()).isEmpty)
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(400))(rnd.nextInt().toByte)
+      Multimodal.parseMp4Samples(junk)
+    }
+    (0 until mp4.length).foreach { n =>
+      Multimodal.parseMp4Samples(java.util.Arrays.copyOf(mp4, n))
+      val flipped = mp4.clone(); flipped(n) = (flipped(n) ^ 0x5a).toByte
+      // a corrupted payload may still parse (flip in a JPEG body) — it must
+      // only never throw, hang, or mis-slice out of bounds
+      Multimodal.parseMp4Samples(flipped).foreach { case (_, samples) =>
+        samples.foreach(s => Multimodal.frameStatsOfJpeg(s))
+      }
+    }
+  }
+
   test("sampleFrames explodes fixed slices and drops empty payloads") {
     val m = Multimodal.fakeMedia(Seq((1L, "abcdefgh")).toDF("doc_id", "text"), "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, frames = 4).orderBy("frame_idx").collect()

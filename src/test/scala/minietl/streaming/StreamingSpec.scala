@@ -411,6 +411,88 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$dir/ex/shingles").count() === 2L)
   }
 
+  test("mediaHashDedupAndRecordHistory: perceptual audio near-dups drop " +
+    "within and across batches, undecodable rows always pass (VERDICT r15 " +
+    "Next #6)") {
+    implicit val sqlCtx = spark.sqlContext
+    // contour-controlled WAVs (the PerceptualAudioSpec construction): the
+    // energy-contour hash of bitWav(bits) is exactly the requested bit set
+    def bitWav(bits: Set[Int]): Array[Byte] = {
+      val samples = new Array[Short](minietl.multimodal.PerceptualAudio.Windows * 4)
+      var amp = 100
+      (0 until minietl.multimodal.PerceptualAudio.Windows).foreach { w =>
+        if (w > 0 && bits(w - 1)) amp += 10
+        (0 until 4).foreach(k => samples(w * 4 + k) = amp.toShort)
+      }
+      minietl.multimodal.Multimodal.pcm16Wav(samples, 8000)
+    }
+    val dir = Files.createTempDirectory("minietl-media-hist")
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = Streaming.mediaHashDedupAndRecordHistory(
+      input.toDF().toDF("media_id", "content"), "media_id", "content",
+      kind = "audio", maxDist = 2, s"$dir/digest", s"$dir/chk",
+      trigger = Trigger.ProcessingTime(0)) { (batch, _) =>
+      admitted ++= batch.select("media_id").as[Long].collect(); ()
+    }
+    try {
+      // batch 1: 2 is an exact dup of 1 (within-batch, canonical = min id),
+      // 3 is far from everything, 4 is undecodable
+      input.addData((1L, bitWav(Set())), (2L, bitWav(Set())),
+        (3L, bitWav(Set(10, 20, 30, 40, 50))), (4L, Array[Byte](9, 9)))
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq === Seq(1L, 3L, 4L))
+      // batch 2 vs history: 5 = byte-identical to 1 (dist 0), 6 = dist 2
+      // from 1 (<= maxDist) -> both drop VERIFIED against the stored hash
+      // (and NOT via a within-batch chain: 7 is >= 3 bits from both);
+      // 7 = dist 3 from everything -> admitted; 8 undecodable ->
+      // admitted; 9 = within-batch exact dup of 7 -> dropped
+      input.addData((5L, bitWav(Set())), (6L, bitWav(Set(0, 1))),
+        (7L, bitWav(Set(40, 41, 42))), (8L, Array[Byte](7)),
+        (9L, bitWav(Set(40, 41, 42))))
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq === Seq(1L, 3L, 4L, 7L, 8L))
+      // digest: 4 (band, key, hash) rows per admitted DECODABLE row, and
+      // never a payload byte
+      val digest = spark.read.parquet(s"$dir/digest")
+      assert(digest.columns.toSet === Set("band", "key", "hash", "batch"))
+      assert(digest.count() === 4L * 3) // ids 1, 3, 7
+    } finally q.stop()
+  }
+
+  test("mediaHashDedupAndRecordHistory exact mode (maxDist 0): only " +
+    "hash-equal rows drop — near misses are admitted") {
+    implicit val sqlCtx = spark.sqlContext
+    def wav(bits: Set[Int]): Array[Byte] = {
+      val samples = new Array[Short](minietl.multimodal.PerceptualAudio.Windows * 4)
+      var amp = 100
+      (0 until minietl.multimodal.PerceptualAudio.Windows).foreach { w =>
+        if (w > 0 && bits(w - 1)) amp += 10
+        (0 until 4).foreach(k => samples(w * 4 + k) = amp.toShort)
+      }
+      minietl.multimodal.Multimodal.pcm16Wav(samples, 8000)
+    }
+    val dir = Files.createTempDirectory("minietl-media-hist-exact")
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = Streaming.mediaHashDedupAndRecordHistory(
+      input.toDF().toDF("media_id", "content"), "media_id", "content",
+      kind = "audio", maxDist = 0, s"$dir/digest", s"$dir/chk",
+      trigger = Trigger.ProcessingTime(0)) { (batch, _) =>
+      admitted ++= batch.select("media_id").as[Long].collect(); ()
+    }
+    try {
+      input.addData((1L, wav(Set())))
+      q.processAllAvailable()
+      input.addData((2L, wav(Set())), (3L, wav(Set(0)))) // exact dup + dist 1
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq === Seq(1L, 3L),
+        "exact mode must drop only the hash-equal row")
+      assert(spark.read.parquet(s"$dir/digest").columns.toSet
+        === Set("hash", "batch"))
+    } finally q.stop()
+  }
+
   test("compactHistory collapses the digest to deduplicated right-sized files") {
     val dir = Files.createTempDirectory("minietl-dedup-compact")
     val hist = s"$dir/digest"

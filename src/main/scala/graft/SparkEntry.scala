@@ -1928,14 +1928,40 @@ object SparkEntry {
     // SemDeDup (sim/SemDedup.scala): k-means bounds the quadratic, cosine
     // edges inside clusters, connected components pick one canonical per
     // duplicate set. Train-then-serve oracle: centroid literals + pairwise
-    // + recursive reachability CTE replay the whole serving path.
+    // + recursive reachability CTE replay the whole serving path (including
+    // any hot-cluster recluster rounds — none fire at this cap/SF, and the
+    // oracle is built from the ACTUAL trained chain, so the replay is
+    // honest either way).
     "q_semdedup" -> Q(
       (s, dir) => {
         val e = embeddings(s, dir)
         val model = minietl.sim.Ivf.train(e, nlist = 8, iters = 3)
+        val (out, subs) = minietl.sim.SemDedup.semDedupTrace(e, model, tau = 0.4)
         semdedupServingOracle = Some(
-          minietl.sim.SemDedup.oracleSql(model, tau = 0.4))
-        minietl.sim.SemDedup.semDedup(e, model, tau = 0.4).orderBy("id")
+          minietl.sim.SemDedup.oracleSql(model, tau = 0.4, subModels = subs))
+        out.orderBy("id")
+      },
+      None),
+
+    // The hot-cluster RECOVERY path (VERDICT r15 Next #2), forced by a cap
+    // the sf corpora exceed (nlist=4 puts ~n/4 rows per cluster, far over
+    // cap 40): over-cap clusters are split by a second k-means round
+    // (composite (cluster, sub) pairing key) instead of isolating every
+    // row. The oracle unrolls the trained sub-model round — big/over/
+    // sub-assign CTEs — so a hash match proves the census, the recursive
+    // re-assignment with low-index ties, the final still-over-cap census,
+    // AND the within-cell cosine components.
+    "q_semdedup_recluster" -> Q(
+      (s, dir) => {
+        val e = embeddings(s, dir)
+        val model = minietl.sim.Ivf.train(e, nlist = 4, iters = 3)
+        val (out, subs) = minietl.sim.SemDedup.semDedupTrace(e, model,
+          tau = 0.4, maxClusterSize = 40)
+        require(subs.nonEmpty,
+          "q_semdedup_recluster: cap 40 must trigger at least one recluster round")
+        semdedupReclusterOracle = Some(minietl.sim.SemDedup.oracleSql(
+          model, tau = 0.4, maxClusterSize = 40, subModels = subs))
+        out.orderBy("id")
       },
       None),
 
@@ -2302,6 +2328,46 @@ object SparkEntry {
              |  CAST(sum(v) FILTER (WHERE y = 0 AND x = 0) AS BIGINT) AS top_left_sum
              |FROM px GROUP BY id, f, w, h
              |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // MJPEG-in-MP4 frame decode (VERDICT r15 Next #4 — the stsc/stsz/stco
+    // sample-table walk feeding the JDK JPEG path, closing the AVI-only
+    // asymmetry): per-id real MP4s whose mdat carries solid-gray JPEG
+    // template frames; the engine recovers each sample through the
+    // run-length sample-to-chunk map and decodes it. The oracle replays
+    // the generator's (clip, frame) -> template layout with the templates'
+    // decoded stats as literals — it pins the WALK (wrong slicing decodes
+    // to nothing or to another template's stats); JPEG codec fidelity is
+    // spec-pinned (MultimodalSpec), since a lossy codec has no closed-form
+    // SQL pixel oracle. Corpus bounded to 48 clips: template stats are
+    // id-independent, so more rows would re-verify the same arithmetic.
+    "q_mjpeg_frames" -> Q(
+      (s, dir) => {
+        val clips = minietl.multimodal.Multimodal.syntheticMjpegMp4s(
+          documents(s, dir).where(col("doc_id") < 48), "doc_id")
+        minietl.multimodal.Multimodal.mp4Frames(clips)
+          .orderBy("media_id", "frame_idx")
+      },
+      Some {
+        val vals = minietl.multimodal.Multimodal.jpegTemplates.zipWithIndex
+          .map { case ((_, st), t) =>
+            s"($t, ${st.width}, ${st.height}, ${st.byteSum}, " +
+              s"${st.byteMin}, ${st.byteMax}, ${st.topLeftSum})"
+          }.mkString(",\n    ")
+        s"""WITH t(tid, w, h, bsum, bmin, bmax, tl) AS (VALUES
+           |    $vals),
+           |ids AS (SELECT doc_id AS id, 1 + doc_id % 4 AS nf
+           |        FROM documents WHERE doc_id < 48),
+           |fr AS (SELECT id, f.f AS frame_idx, (id + f.f) % 6 AS tid
+           |       FROM ids, LATERAL unnest(range(0, nf)) f(f))
+           |SELECT id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           |  CAST(bsum AS BIGINT) AS byte_sum,
+           |  CAST(bmin AS BIGINT) AS byte_min,
+           |  CAST(bmax AS BIGINT) AS byte_max,
+           |  CAST(tl AS BIGINT) AS top_left_sum
+           |FROM fr JOIN t USING (tid)
+           |ORDER BY media_id, frame_idx""".stripMargin
+      }),
 
     // The API source under the hash gate (closes the last §2.1 family
     // without a DuckDB oracle row, VERDICT r9 Next #4): a loopback JDK
@@ -4444,6 +4510,11 @@ object SparkEntry {
   /** Set by q_semdedup after training — same lifecycle. */
   @volatile private var semdedupServingOracle: Option[String] = None
 
+  /** Set by q_semdedup_recluster after training (embeds the main AND the
+    * recluster-round sub-model centroids) — same lifecycle.
+    */
+  @volatile private var semdedupReclusterOracle: Option[String] = None
+
   /** Queries whose oracle exists only after their query function ran
     * (train-then-serve): key → the oracle if trained, None before — an
     * unconditional apply() of a None entry is a sequencing bug and fails
@@ -4453,7 +4524,8 @@ object SparkEntry {
     "q_ivf_ann" -> ivfServingOracle,
     "q_bpe_encode" -> bpeServingOracle,
     "q_kmeans_clusters" -> kmeansServingOracle,
-    "q_semdedup" -> semdedupServingOracle)
+    "q_semdedup" -> semdedupServingOracle,
+    "q_semdedup_recluster" -> semdedupReclusterOracle)
 
   /** Oracle SQL per query. A train-then-serve entry ([[trainedOracles]]:
     * q_ivf_ann embeds learned centroids, q_bpe_encode the learned

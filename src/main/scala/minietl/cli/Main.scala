@@ -59,11 +59,19 @@ object Main {
         }
       case "validate" :: path :: Nil =>
         val text = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
-        val errs =
-          if (Config.isStreamConfig(text)) Config.validateStream(Config.parseStream(text))
-          else if (Config.isDagConfig(text)) Config.validateDag(Config.parseDag(text))
-          else Config.validate(Config.parse(text))
-        if (errs.isEmpty) (0, "valid") else (1, errs.mkString("\n"))
+        val (errs, warns) =
+          if (Config.isStreamConfig(text))
+            (Config.validateStream(Config.parseStream(text)), Nil)
+          else if (Config.isDagConfig(text))
+            (Config.validateDag(Config.parseDag(text)), Nil)
+          else {
+            val cfg = Config.parse(text)
+            (Config.validate(cfg), Config.warnings(cfg))
+          }
+        // warnings never fail validation — they print, the exit code stays 0
+        val warnLines = warns.map("WARNING: " + _)
+        if (errs.isEmpty) (0, ("valid" +: warnLines).mkString("\n"))
+        else (1, (errs ++ warnLines).mkString("\n"))
       case "init" :: path :: Nil =>
         if (Files.exists(Paths.get(path))) (1, s"$path already exists")
         else {

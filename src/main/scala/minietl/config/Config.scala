@@ -139,6 +139,38 @@ object Config {
     srcErrs ++ sinkErrs ++ tErrs
   }
 
+  /** Default feature-hash width for the `dsir_select` stage — 1024, not
+    * the 64 other hashed-feature stages default to, because the selection
+    * ranking is the output and it is strongly dim-sensitive (see
+    * [[warnings]] and [[minietl.text.Dsir]]'s sizing scaladoc).
+    */
+  val DsirDefaultDim: Int = 1024
+
+  /** Advisory findings a config is ALLOWED to ship with (unlike
+    * [[validate]]'s errors): configurations that are semantically valid
+    * but measurably fragile. Today: a `dsir_select` dim below 512 — the
+    * r15 nb_dsir_dim probe measured DSIR's top-k overlap vs dim=1024 at
+    * only ~20-36% for dims 64/256 on a 1M-doc corpus (the hashed-feature
+    * log-ratio is dominated by collision noise at narrow widths), so a
+    * narrow dim silently selects a materially different corpus. NB routing
+    * is dim-INsensitive (99.98% identical predictions 64→1024), hence no
+    * analogous warning for `naive_bayes_filter`.
+    */
+  def warnings(c: PipelineConfig): Seq[String] =
+    c.transformers.zipWithIndex.flatMap { case (t, i) =>
+      t.typ match {
+        case "dsir_select" =>
+          t.options.get("dim").map(_.toString.toDouble.toInt).collect {
+            case d if d < 512 =>
+              s"transformer[$i] dsir_select dim=$d: DSIR selection is " +
+                "strongly dim-sensitive (measured top-k overlap vs dim=1024: " +
+                "~20-36% at dims 64/256); use dim >= 512 (default 1024) " +
+                "unless the ranking churn is acceptable"
+          }
+        case _ => None
+      }
+    }
+
   /** Source/sink component check, shared by the linear and DAG validators.
     * `what` is "source" or "sink" (possibly suffixed with the node id).
     */
@@ -682,11 +714,16 @@ object Config {
         }
       case "dsir_select" =>
         // DSIR data selection: score against the target_condition domain's
-        // hashed-feature distribution, keep the deterministic top-k rows
+        // hashed-feature distribution, keep the deterministic top-k rows.
+        // Default dim 1024 (raised from 64 per the r15 nb_dsir_dim probe:
+        // DSIR's top-k overlap vs dim=1024 is only ~20-36% at dims 64/256 —
+        // the selection is strongly dim-sensitive, so the default spends
+        // the ~2x wall for a stable ranking; see Dsir scaladoc + PLANS.md)
         val (cond, text, key) = (str(t.options, "target_condition"),
           str(t.options, "text"), str(t.options, "key"))
         val k = str(t.options, "k").toDouble.toInt
-        val dim = t.options.get("dim").map(_.toString.toDouble.toInt).getOrElse(64)
+        val dim = t.options.get("dim").map(_.toString.toDouble.toInt)
+          .getOrElse(DsirDefaultDim)
         df => {
           val ratio = minietl.text.Dsir.logRatio(df, text,
             org.apache.spark.sql.functions.expr(cond), dim)
@@ -702,6 +739,11 @@ object Config {
         val maxCluster = t.options.get("max_cluster_size")
           .map(_.toString.toDouble.toInt)
           .getOrElse(minietl.dedup.Dedup.DefaultMaxBucket)
+        // hot-cluster recovery rounds (VERDICT r15 Next #2): 0 restores the
+        // isolate-only guard; default 1 splits over-cap clusters with a
+        // second k-means round before isolating what still exceeds the cap
+        val reclusterRounds = t.options.get("recluster_rounds")
+          .map(_.toString.toDouble.toInt).getOrElse(1)
         df => {
           import org.apache.spark.sql.functions.col
           // "auto" sizes nlist from the corpus so the per-cluster quadratic
@@ -716,7 +758,7 @@ object Config {
           }
           val model = minietl.sim.Ivf.train(df, nlist, iters, key, vecCol)
           val keep = minietl.sim.SemDedup
-            .semDedup(df, model, tau, key, vecCol, maxCluster)
+            .semDedup(df, model, tau, key, vecCol, maxCluster, reclusterRounds)
             .where(col("keep") === 1L)
             .select(col("id").as(key))
           df.join(keep, Seq(key), "left_semi")
@@ -1169,7 +1211,12 @@ object Config {
     * file sinks only; optional `compact_after: true` rewrites the digest
     * as one deduplicated file set after each one-shot drain — see
     * [[minietl.streaming.Streaming.dedupAndRecordHistory]] /
-    * [[minietl.streaming.Streaming.compactHistory]]). History-stage sinks
+    * [[minietl.streaming.Streaming.compactHistory]]) and
+    * `media_hash_history` (`id:`/`content:`/`kind:` image|audio plus
+    * `max_dist:` 0 = exact hash, 1..3 = hash-verified banded Hamming —
+    * the perceptual-media twin, same structural rules; see
+    * [[minietl.streaming.Streaming.mediaHashDedupAndRecordHistory]]).
+    * History-stage sinks
     * are written idempotently per micro-batch as `path/batch=<id>`
     * subdirectories (exactly-once under crash/replay), so reading the
     * sink directory surfaces an extra `batch` partition column;
@@ -1222,7 +1269,8 @@ object Config {
   private val streamSourceTypes = Set("csv", "json", "jsonl", "parquet", "orc")
   private val streamSinkTypes = Set("csv", "json", "jsonl", "parquet", "orc", "memory")
   private val streamStageTypes =
-    Set("window_agg", "session_agg", "dedup", "dedup_history", "neardup_history")
+    Set("window_agg", "session_agg", "dedup", "dedup_history",
+      "neardup_history", "media_hash_history")
 
   /** Batch transformer types that apply verbatim to an unbounded frame:
     * scan-side, stateless, no global sort/window/aggregate. (The stateful
@@ -1341,7 +1389,7 @@ object Config {
         case "dedup" =>
           (if (s.options.contains("keys")) Nil else Seq(s"$at: missing 'keys'")) ++
             (if (c.watermark.isEmpty) Seq(s"$at: requires a 'watermark' block") else Nil)
-        case "dedup_history" | "neardup_history" =>
+        case "dedup_history" | "neardup_history" | "media_hash_history" =>
           // the self-maintaining ingest-dedup loops (Streaming
           // .dedupAndRecordHistory / .nearDupDedupAndRecordHistory): drop
           // rows that duplicate the parquet digest at 'history' (or
@@ -1349,12 +1397,13 @@ object Config {
           // append their fingerprints/bands — so the digest grows by
           // exactly what was admitted. foreachBatch under the hood, hence
           // the shared structural constraints.
-          val historyTypes = Set("dedup_history", "neardup_history")
+          val historyTypes =
+            Set("dedup_history", "neardup_history", "media_hash_history")
           val shared =
             (if (s.options.contains("history")) Nil
              else Seq(s"$at: missing 'history' (parquet digest path)")) ++
               (if (c.stages.count(t => historyTypes(t.typ)) > 1)
-                 Seq(s"$at: at most one dedup_history/neardup_history stage per stream")
+                 Seq(s"$at: at most one history-dedup stage per stream")
                else if (!historyTypes(c.stages.last.typ))
                  Seq(s"$at: must be the LAST stage (it couples the sink write " +
                    "with recording the admitted digest rows per micro-batch)")
@@ -1380,6 +1429,25 @@ object Config {
                     "'columns' (columns to fingerprint with md5)")
                 case _ => Nil
               }
+            case "media_hash_history" =>
+              // perceptual-hash media ingest-dedup
+              // (Streaming.mediaHashDedupAndRecordHistory)
+              (if (s.options.contains("id")) Nil
+               else Seq(s"$at: missing 'id' (the media id column)")) ++
+                (if (s.options.contains("content")) Nil
+                 else Seq(s"$at: missing 'content' (the binary payload column)")) ++
+                s.options.get("kind").toSeq.flatMap { k =>
+                  if (Set("image", "audio")(k.toString.toLowerCase)) Nil
+                  else Seq(s"$at: kind must be image or audio, got '$k'")
+                } ++
+                (if (s.options.contains("kind")) Nil
+                 else Seq(s"$at: missing 'kind' (image | audio)")) ++
+                s.options.get("max_dist").toSeq.flatMap { d =>
+                  val v = scala.util.Try(d.toString.toDouble.toInt).getOrElse(-1)
+                  if (v >= 0 && v <= 3) Nil
+                  else Seq(s"$at: max_dist must be 0 (exact) or 1..3 " +
+                    s"(banded Hamming), got '$d'")
+                }
             case _ => // neardup_history
               (if (s.options.contains("column")) Nil
                else Seq(s"$at: missing 'column' (the text column to near-dup on)")) ++
@@ -1495,7 +1563,8 @@ object Config {
     // dedup_history / neardup_history are not frame transforms — they
     // compile to the terminal foreachBatch sink below; everything before
     // them folds as usual
-    val historyTypes = Set("dedup_history", "neardup_history")
+    val historyTypes =
+      Set("dedup_history", "neardup_history", "media_hash_history")
     val dedupHist = c.stages.find(t => historyTypes(t.typ))
     val stageFns: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] =
       c.stages.filterNot(t => historyTypes(t.typ)).map { s =>
@@ -1559,6 +1628,14 @@ object Config {
             }
           }
           dh.typ match {
+            case "media_hash_history" =>
+              minietl.streaming.Streaming.mediaHashDedupAndRecordHistory(
+                base, str(dh.options, "id"), str(dh.options, "content"),
+                kind = str(dh.options, "kind").toLowerCase,
+                maxDist = dh.options.get("max_dist")
+                  .map(_.toString.toDouble.toInt).getOrElse(2),
+                historyDir, checkpoint,
+                trigger = trigger) { (fresh, bid) => writeBatch(None)(fresh, bid) }
             case "neardup_history" =>
               minietl.streaming.Streaming.nearDupDedupAndRecordHistory(
                 base, str(dh.options, "id"), str(dh.options, "column"),
@@ -1629,6 +1706,11 @@ object Config {
                 (s"$historyDir/shingles", Seq("id", "sh")))
             case _ => Seq((historyDir, Seq("band", "key")))
           }
+          case "media_hash_history" =>
+            val exact = dh.options.get("max_dist")
+              .exists(_.toString.toDouble.toInt == 0)
+            Seq((historyDir,
+              if (exact) Seq("hash") else Seq("band", "key", "hash")))
           case _ => Seq((historyDir,
             Seq(dh.options.get("key").map(_.toString).getOrElse("__fp"))))
         }

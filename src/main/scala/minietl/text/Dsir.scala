@@ -26,6 +26,15 @@ import minietl.functions.PortableHash
   * Float determinism mirrors [[NaiveBayes]]: integer counts → identical
   * smoothed `ln` inputs; the per-document score folds `Σ tf[s]·ratio[s]`
   * sequentially in slot order in both engines.
+  *
+  * SIZING `dim` (measured, r15 nb_dsir_dim probe at 1M docs — table in
+  * PLANS.md): DSIR selection is strongly dim-sensitive — the top-k overlap
+  * vs dim=1024 is only ~20-36% at dims 64/256, because narrow hashed
+  * features drown the log-ratio in collision noise, while 1024 costs only
+  * ~2x the wall. Spend the dim here (config default 1024; the YAML stage
+  * warns below 512). NaiveBayes routing over the same features is
+  * dim-INsensitive (99.98% identical predictions 64→1024) — 64 suffices
+  * there.
   */
 object Dsir {
 

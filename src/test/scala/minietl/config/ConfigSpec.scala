@@ -1488,6 +1488,50 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
       s"top-2 must be en-vocabulary docs, got $picked")
   }
 
+  test("dsir_select: default dim 1024, advisory warning below 512 " +
+    "(VERDICT r15 Next #5)") {
+    assert(Config.DsirDefaultDim === 1024)
+    def cfg(dimLine: String) = Config.parse(
+      s"""name: d
+         |source: {type: parquet, filepath: /tmp/in}
+         |transformers:
+         |  - type: dsir_select
+         |    target_condition: "lang = 'en'"
+         |    text: text
+         |    key: doc_id
+         |    k: 2
+         |$dimLine
+         |sink: {type: parquet, filepath: /tmp/out}
+         |""".stripMargin.replace("\n\n", "\n"))
+    // narrow dim: valid (no error) but warned, citing the measured overlap
+    val narrow = cfg("    dim: 64")
+    assert(Config.validate(narrow).isEmpty)
+    val w = Config.warnings(narrow)
+    assert(w.size === 1 && w.head.contains("dim=64") &&
+      w.head.contains("20-36%"), w.mkString("; "))
+    // omitted (-> default 1024) and explicit wide dims stay silent
+    assert(Config.warnings(cfg("")).isEmpty)
+    assert(Config.warnings(cfg("    dim: 512")).isEmpty)
+    // and the CLI validate surface prints it without failing
+    val p = s"${tmp()}/dsir_warn.yaml"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      s"""name: d
+         |source: {type: parquet, filepath: /tmp/in}
+         |transformers:
+         |  - type: dsir_select
+         |    target_condition: "lang = 'en'"
+         |    text: text
+         |    key: doc_id
+         |    k: 2
+         |    dim: 64
+         |sink: {type: parquet, filepath: /tmp/out}
+         |""".stripMargin.getBytes("UTF-8"))
+    val (code, out) = minietl.cli.Main.execute(Seq("validate", p),
+      () => spark)
+    assert(code === 0 && out.startsWith("valid") && out.contains("WARNING:"),
+      out)
+  }
+
   test("round-14 stages run from YAML: semdedup / image_dhash_dedup") {
     val in = s"${tmp()}/sd_in"
     val out = s"${tmp()}/sd_out"

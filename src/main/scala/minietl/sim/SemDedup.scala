@@ -197,19 +197,33 @@ object SemDedup {
       subModels: Seq[Ivf.Model] = Nil): String = {
     def vecLit(c: Vector[Double]): String =
       c.map(_.toString).mkString("CAST([", ",", "] AS DOUBLE[])")
-    def argminScores(m: Ivf.Model, from: String): String =
-      m.centroids.zipWithIndex.map { case (c, i) =>
+    // centroids as a VALUES relation + ONE cross-join scan, not one
+    // UNION ALL branch per centroid: DuckDB opens the parquet file per
+    // branch, and a recluster sub-model's ~n/(cap/8) centroids blew the
+    // process fd limit at the sf0.1 sweep ("Too many open files" at 400
+    // branches). Identical arithmetic: same |c|^2 prefold (Scala-side,
+    // shortest round-trip decimals), same list_inner_product fold, same
+    // row_number tie order.
+    def centsCte(name: String, m: Ivf.Model): String = {
+      val rows = m.centroids.zipWithIndex.map { case (c, i) =>
         val c2 = c.map(x => x * x).sum
-        s"  SELECT id, $i AS idx, ${c2.toString} - 2.0 * list_inner_product(v, ${vecLit(c)}) AS score FROM $from"
-      }.mkString("\n  UNION ALL\n")
+        s"  ($i, CAST(${c2.toString} AS DOUBLE), ${vecLit(c)})"
+      }.mkString(",\n")
+      s"${name}_cents(idx, c2, c) AS (VALUES\n$rows)"
+    }
+    def scoresCte(name: String, from: String): String =
+      s"""${name}_scores AS (
+         |  SELECT o.id, c.idx, c.c2 - 2.0 * list_inner_product(o.v, c.c) AS score
+         |  FROM $from o CROSS JOIN ${name}_cents c)""".stripMargin
     val ctes = Seq.newBuilder[String]
     ctes += s"e AS (\n  SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS v FROM $table)"
-    ctes += s"scores AS (\n${argminScores(model, "e")}\n)"
+    ctes += centsCte("main", model)
+    ctes += scoresCte("main", "e")
     ctes += s"""k0 AS (
                |  SELECT e.id, e.v, s.idx AS cluster FROM e JOIN (
                |    SELECT id, idx,
                |      row_number() OVER (PARTITION BY id ORDER BY score ASC, idx ASC) AS rn
-               |    FROM scores) s ON s.id = e.id AND s.rn = 1)""".stripMargin
+               |    FROM main_scores) s ON s.id = e.id AND s.rn = 1)""".stripMargin
     var keys = Seq("cluster")
     subModels.zipWithIndex.foreach { case (sub, i) =>
       val r = i + 1
@@ -217,7 +231,8 @@ object SemDedup {
       ctes += s"""big$r AS (SELECT $keyList FROM k${r - 1}
                  |  GROUP BY $keyList HAVING count(*) > $maxClusterSize)""".stripMargin
       ctes += s"over$r AS (SELECT a.* FROM k${r - 1} a SEMI JOIN big$r USING ($keyList))"
-      ctes += s"sub${r}_scores AS (\n${argminScores(sub, s"over$r")}\n)"
+      ctes += centsCte(s"sub$r", sub)
+      ctes += scoresCte(s"sub$r", s"over$r")
       ctes += s"""sub${r}_assign AS (
                  |  SELECT id, idx FROM (
                  |    SELECT id, idx,

@@ -377,8 +377,20 @@ object ScaleProbe {
           bos.toByteArray
         }
         // regenerate the syntheticWavs waveform closed-form, transform the
-        // SAMPLES (what a re-encoder sees), re-encode for real
-        def audioVariant(tag: String): org.apache.spark.sql.DataFrame = {
+        // SAMPLES (what a re-encoder sees), re-encode for real. `lf` = an
+        // ENVELOPE-STRUCTURED twin: the stock corpus is a STATIONARY
+        // square wave, whose loudness envelope is flat — its contour bits
+        // are window-length arithmetic noise by definition, so no
+        // resampling robustness can exist for it (measured: r@3 <= 0.17
+        // in every stationary variant tried, including band-limited
+        // carriers and 32x-longer clips). The lf family modulates a
+        // period-8 carrier by a per-RELATIVE-position amplitude step
+        // pattern (seg = i*57/n, the hash's own window grid; scale =
+        // 1 + (id*7 + seg*13) % 9), i.e. a signal whose MACRO loudness
+        // envelope varies across windows — the thing the hash actually
+        // fingerprints and the thing resampling preserves (i/n is
+        // invariant under uniform rate change)
+        def audioVariant(tag: String, lf: Boolean = false): org.apache.spark.sql.DataFrame = {
           val schema = org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("doc_id",
               org.apache.spark.sql.types.LongType),
@@ -387,11 +399,23 @@ object ScaleProbe {
           val rows = ids.rdd.mapPartitions { it =>
             it.map { r =>
               val id = r.getLong(0)
-              val nS = (300 + id % 101).toInt
+              // lf clips are 32x longer so each of the 57 energy windows
+              // spans many carrier periods — the regime real audio lives
+              // in, where window energies average over periods instead of
+              // riding window-boundary phase
+              val nS = (300 + id % 101).toInt * (if (lf) 32 else 1)
               val rate = (8000 + (id % 3) * 4000).toInt
               val a1 = ((131 * id) % 20001 - 10000).toInt
               val a2 = ((257 * id + 19) % 20001 - 10000).toInt
-              val s = Array.tabulate(nS)(i => if (i % 2 == 0) a1 else a2)
+              val s =
+                if (lf) Array.tabulate(nS) { i =>
+                  val seg = (i.toLong * 57 / nS).toInt
+                  val scale = 1 + ((id * 7 + seg * 13) % 9).toInt
+                  val carrier = if ((i / 4) % 2 == 0) 800 + (id % 300).toInt
+                                else -(800 + (id % 300).toInt)
+                  carrier * scale
+                }
+                else Array.tabulate(nS)(i => if (i % 2 == 0) a1 else a2)
               val bytes = tag match {
                 case "orig" => wavBytes(s, 16, rate)
                 case "gain_half" => wavBytes(s.map(_ / 2), 16, rate)
@@ -478,8 +502,11 @@ object ScaleProbe {
           orig.unpersist()
         }
         table("audio", minietl.multimodal.PerceptualAudio.energyHashFrame,
-          audioVariant, "ahash",
+          audioVariant(_), "ahash",
           Seq("gain_half", "gain_2x_clip", "bits_8", "upsample_2x", "downsample_2x"))
+        table("audioLF", minietl.multimodal.PerceptualAudio.energyHashFrame,
+          tag => audioVariant(tag, lf = true), "ahash",
+          Seq("upsample_2x", "downsample_2x", "bits_8"))
         table("image", minietl.multimodal.PerceptualHash.dHashFrame,
           imageVariant, "dhash",
           Seq("brightness_+24", "contrast_1.3x", "rescale_2x", "jpeg_reencode"))

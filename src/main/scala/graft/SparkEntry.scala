@@ -1965,6 +1965,30 @@ object SparkEntry {
       },
       None),
 
+    // The DEPTH-2 recovery chain (the 100 TB hierarchy argument, made
+    // oracle-gated): reclusterMaxNlist=2 clamps each round's sub-model to
+    // 2 centroids, so round 1 leaves over-cap composite groups by
+    // pigeonhole (>= ceil(n / (4 clusters x 2 subs)) rows in the largest
+    // group, > cap 40 at every SF) and round 2 must re-split them —
+    // two trained sub-models, two unrolled CTE rounds in the oracle, and
+    // whatever STILL exceeds the cap after round 2 isolates. A hash match
+    // proves the multi-round census chain, both re-assignments, and the
+    // final isolate fallback in one gate.
+    "q_semdedup_recluster2" -> Q(
+      (s, dir) => {
+        val e = embeddings(s, dir)
+        val model = minietl.sim.Ivf.train(e, nlist = 4, iters = 3)
+        val (out, subs) = minietl.sim.SemDedup.semDedupTrace(e, model,
+          tau = 0.4, maxClusterSize = 40, reclusterRounds = 2,
+          reclusterMaxNlist = 2)
+        require(subs.size == 2,
+          "q_semdedup_recluster2: the nlist clamp must force exactly two recovery rounds")
+        semdedupRecluster2Oracle = Some(minietl.sim.SemDedup.oracleSql(
+          model, tau = 0.4, maxClusterSize = 40, subModels = subs))
+        out.orderBy("id")
+      },
+      None),
+
     // decodeStub features are exact binary doubles (integer fold + power-of-2
     // scale), so no rounding is needed and DuckDB can replay a slot's strided
     // fold independently (text is ASCII: char positions = byte positions)
@@ -4515,6 +4539,11 @@ object SparkEntry {
     */
   @volatile private var semdedupReclusterOracle: Option[String] = None
 
+  /** Set by q_semdedup_recluster2 after training (embeds the main model
+    * and BOTH recovery rounds' sub-models) — same lifecycle.
+    */
+  @volatile private var semdedupRecluster2Oracle: Option[String] = None
+
   /** Queries whose oracle exists only after their query function ran
     * (train-then-serve): key → the oracle if trained, None before — an
     * unconditional apply() of a None entry is a sequencing bug and fails
@@ -4525,7 +4554,8 @@ object SparkEntry {
     "q_bpe_encode" -> bpeServingOracle,
     "q_kmeans_clusters" -> kmeansServingOracle,
     "q_semdedup" -> semdedupServingOracle,
-    "q_semdedup_recluster" -> semdedupReclusterOracle)
+    "q_semdedup_recluster" -> semdedupReclusterOracle,
+    "q_semdedup_recluster2" -> semdedupRecluster2Oracle)
 
   /** Oracle SQL per query. A train-then-serve entry ([[trainedOracles]]:
     * q_ivf_ann embeds learned centroids, q_bpe_encode the learned

@@ -74,18 +74,28 @@ object SemDedup {
   def semDedup(corpus: DataFrame, model: Ivf.Model, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxClusterSize: Int = minietl.dedup.Dedup.DefaultMaxBucket,
-      reclusterRounds: Int = 1): DataFrame =
+      reclusterRounds: Int = 1,
+      reclusterMaxNlist: Int = 65536): DataFrame =
     semDedupTrace(corpus, model, tau, idCol, vecCol, maxClusterSize,
-      reclusterRounds)._1
+      reclusterRounds, reclusterMaxNlist)._1
 
   /** [[semDedup]] plus the sub-models trained for over-cap groups (empty
     * when nothing exceeded the cap) — the train-then-serve handle the
     * oracle needs to replay the recursion ([[oracleSql]]).
+    *
+    * `reclusterMaxNlist` clamps each recovery round's sub-model width
+    * ([[Ivf.autoNlist]]'s maxNlist): at corpus sizes where one round's
+    * ideal nlist = n/(cap/8) would exceed it, first-round cells land over
+    * the cap and the NEXT round splits them again on the composite key —
+    * each round's assign stays n × maxNlist while cell sizes shrink
+    * multiplicatively, which is what keeps the recovery linear-ish at
+    * 100 TB instead of quadratic in n through the assign term.
     */
   def semDedupTrace(corpus: DataFrame, model: Ivf.Model, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxClusterSize: Int = minietl.dedup.Dedup.DefaultMaxBucket,
-      reclusterRounds: Int = 1): (DataFrame, Seq[Ivf.Model]) = {
+      reclusterRounds: Int = 1,
+      reclusterMaxNlist: Int = 65536): (DataFrame, Seq[Ivf.Model]) = {
     require(reclusterRounds >= 0,
       s"reclusterRounds must be >= 0 (got $reclusterRounds)")
     // the prepared frame feeds BOTH sides of the pair join plus the final
@@ -117,7 +127,8 @@ object SemDedup {
         // target floor 2: a target of 1 would make every sub-cell a
         // singleton — recovery that can never merge anything
         val sub = Ivf.train(over,
-          Ivf.autoNlist(over, targetClusterRows = math.max(2, maxClusterSize / 8)),
+          Ivf.autoNlist(over, targetClusterRows = math.max(2, maxClusterSize / 8),
+            maxNlist = reclusterMaxNlist),
           iters = 3, idCol = "id", vecCol = "v")
         log.info(f"semdedup recluster round $r: trained ${sub.nlist} " +
           f"sub-centroids in ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -166,6 +166,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(driver.values.toSet === (0 until 40).map(c => (c * 100).toLong).toSet)
   }
 
+  test("groupLocalComponents matches connectedComponents on a pair list " +
+    "that is partitioned by construction") {
+    // three disjoint groups (chain, star, pair) — the per-partition
+    // union-find must produce the exact labeling of the global algorithm,
+    // including transitivity inside a group
+    val pairs = Seq(
+      ("g1", 1L, 2L), ("g1", 2L, 3L),
+      ("g2", 10L, 12L), ("g2", 11L, 12L),
+      ("g3", 20L, 21L)
+    ).toDF("g", "id_a", "id_b")
+    val got = Dedup.groupLocalComponents(pairs, Seq("g"))
+      .as[(Long, Long)].collect().toMap
+    val want = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(got(3L) === 1L && got(11L) === 10L && got(21L) === 20L)
+    // empty input -> empty labeling with the right schema
+    assert(Dedup.groupLocalComponents(pairs.limit(0), Seq("g")).isEmpty)
+  }
+
   test("connectedComponents throws rather than returning partial labels") {
     // chain 0-1-2-3-4 on the DISTRIBUTED path: min-label propagation needs
     // >1 round to reach the tail (the driver path always converges exactly)

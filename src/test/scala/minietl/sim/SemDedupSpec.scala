@@ -148,6 +148,31 @@ class SemDedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("recluster hierarchy: the nlist clamp forces a second round; the " +
+    "chain stays bounded and the output contract holds") {
+    // reclusterMaxNlist=2 caps round 1 at a 2-cell split, so its largest
+    // composite group holds >= ceil(12/2) = 6 rows > cap 4 by pigeonhole —
+    // round 2 MUST train (the 100 TB hierarchy mechanism: bounded assign
+    // width per round, multiplicative cell shrink across rounds)
+    val vecs = (1 to 12).map(k => (k.toLong, Seq(1.0f, k * 0.01f)))
+      .toDF("vec_id", "embedding")
+    val model = Ivf.Model(Vector(Vector(1.0, 0.0)))
+    val (out, subs) = SemDedup.semDedupTrace(vecs, model, tau = 0.9,
+      maxClusterSize = 4, reclusterRounds = 2, reclusterMaxNlist = 2)
+    assert(subs.size === 2)
+    assert(subs.forall(_.nlist <= 2), "every round respects the clamp")
+    val rows = out.collect()
+    assert(rows.length === 12 && rows.forall(_.getLong(1) == 0L))
+    rows.groupBy(_.getLong(2)).foreach { case (c, members) =>
+      assert(members.map(_.getLong(0)).min === c)
+    }
+    // and the oracle unrolls BOTH trained rounds with the composite key
+    val sql = SemDedup.oracleSql(model, tau = 0.9, maxClusterSize = 4,
+      subModels = subs)
+    assert(sql.contains("sub1_assign") && sql.contains("sub2_assign"))
+    assert(sql.contains("x.cluster = y.cluster AND x.sub1 = y.sub1 AND x.sub2 = y.sub2"))
+  }
+
   test("recluster oracle SQL unrolls exactly the trained rounds") {
     val main = Ivf.Model(Vector(Vector(1.0, 0.0)))
     val sub = Ivf.Model(Vector(Vector(1.0, 0.01), Vector(1.0, 0.07)))

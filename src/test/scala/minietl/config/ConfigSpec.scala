@@ -462,6 +462,81 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
       .exists(_.contains("file sink")))
   }
 
+  test("media_hash_history stage runs the perceptual ingest loop from YAML") {
+    val dir = tmp()
+    val in = s"$dir/media_in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    // contour-controlled WAVs (the PerceptualAudioSpec construction)
+    def wav(bits: Set[Int]): Array[Byte] = {
+      val n = minietl.multimodal.PerceptualAudio.Windows
+      val samples = new Array[Short](n * 4)
+      var amp = 100
+      (0 until n).foreach { w =>
+        if (w > 0 && bits(w - 1)) amp += 10
+        (0 until 4).foreach(k => samples(w * 4 + k) = amp.toShort)
+      }
+      minietl.multimodal.Multimodal.pcm16Wav(samples, 8000)
+    }
+    val yaml =
+      s"""name: media_dedup
+         |stream:
+         |  source:
+         |    type: parquet
+         |    path: $in
+         |    schema:
+         |      - {name: media_id, dtype: int64}
+         |      - {name: content, dtype: binary}
+         |  stages:
+         |    - type: media_hash_history
+         |      history: $dir/digest
+         |      id: media_id
+         |      content: content
+         |      kind: audio
+         |      max_dist: 2
+         |      compact_after: true
+         |  sink:
+         |    type: parquet
+         |    path: $dir/out
+         |    checkpoint: $dir/chk
+         |""".stripMargin
+    assert(Config.validateStream(Config.parseStream(yaml)).isEmpty)
+    // drain 1: 2 is a byte-identical dup of 1 within the staged input;
+    // 3 is far from everything; 4 is undecodable (must pass through)
+    Seq((1L, wav(Set())), (2L, wav(Set())),
+        (3L, wav(Set(10, 20, 30, 40, 50))), (4L, Array[Byte](1)))
+      .toDF("media_id", "content")
+      .coalesce(1).write.mode("append").parquet(in)
+    Config.loadStream(yaml).runAvailableNow(spark)
+    val r1 = Readers.parquet(spark, s"$dir/out").select("media_id")
+      .as[Long].collect().toSet
+    assert(r1 === Set(1L, 3L, 4L))
+    // drain 2: 5 sits at Hamming distance 2 from admitted 1 -> dropped
+    // VERIFIED against the digest's stored hash; 6 at distance >= 3 from
+    // every admitted hash -> admitted
+    Seq((5L, wav(Set(0, 1))), (6L, wav(Set(40, 41, 42))))
+      .toDF("media_id", "content")
+      .coalesce(1).write.mode("append").parquet(in)
+    Config.loadStream(yaml).runAvailableNow(spark)
+    val r2 = Readers.parquet(spark, s"$dir/out").select("media_id")
+      .as[Long].collect().toSet
+    assert(r2 === Set(1L, 3L, 4L, 6L))
+    // digest carries (band, key, hash) rows — never payload bytes — and
+    // compact_after collapsed it to the uniform batch=-1 layout
+    val digest = spark.read.parquet(s"$dir/digest")
+    assert(digest.columns.toSet === Set("band", "key", "hash", "batch"))
+    assert(digest.count() === 4L * 3) // admitted decodable: 1, 3, 6
+    // validation surface: kind, max_dist, and the shared structural rules
+    assert(Config.validateStream(Config.parseStream(
+      yaml.replace("kind: audio", "kind: video")))
+      .exists(_.contains("kind must be")))
+    assert(Config.validateStream(Config.parseStream(
+      yaml.replace("max_dist: 2", "max_dist: 9")))
+      .exists(_.contains("max_dist")))
+    assert(Config.validateStream(Config.parseStream(
+      yaml.replace("      id: media_id\n", "")))
+      .exists(_.contains("missing 'id'")))
+  }
+
   test("neardup_history stage runs the near-dup ingest loop from YAML") {
     val dir = tmp()
     val in = s"$dir/nd_in"

@@ -159,6 +159,7 @@ object Bench {
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       "BENCH_baseline_clean.json")
     val baseline = RunValidity.loadBaseline(baselinePath)
+    val noisy = RunValidity.loadNoisy(baselinePath)
     final case class Attempt(cold: Map[String, Double], warm: Map[String, Double],
                              verdict: RunValidity.Verdict,
                              stateCold: String, stateWarm: String)
@@ -170,7 +171,8 @@ object Bench {
       Attempt(cold, warm,
         RunValidity.assess(cold, warm,
           baseline.map { case (k, v) => k -> v._1 },
-          baseline.map { case (k, v) => k -> v._2 }),
+          baseline.map { case (k, v) => k -> v._2 },
+          noisy = noisy),
         stateCold, stateWarm)
     }
     // SELF-RETRY on a suspect verdict (VERDICT r14 Next #1): the r14 round
@@ -246,7 +248,7 @@ object Bench {
          |"suspect": $suspect,
          |"suspect_reasons": $reasonsJson,
          |"warm_cold_ratio": ${fmt(ratio)},
-         |"run_validity_policy": "THREE-SIDED: (a) warm-pass total > 1.25x cold-pass total (warm-pass interference); (b) >= 3 queries in either pass exceeding 2.5x the committed clean baseline by > 0.75 s (cold/warm-pass interference OR code regression — see RunValidity scaladoc for the r12 calibration); (c) either pass's total over baseline-shared queries > 1.25x the baseline total by > 15 s (UNIFORM ambient slowdown — the r15 run4 shape that trips neither (a) nor (b)). load_avg is evidence, not a verdict driver",
+         |"run_validity_policy": "THREE-SIDED: (a) warm-pass total > 1.25x cold-pass total (warm-pass interference); (b) >= 3 queries in either pass exceeding 2.5x the committed clean baseline by > 0.75 s (cold/warm-pass interference OR code regression — see RunValidity scaladoc for the r12 calibration); (c) either pass's total over baseline-shared queries > 1.25x the baseline total by > 15 s (UNIFORM ambient slowdown — the r15 run4 shape that trips neither (a) nor (b)). Queries in the baseline's noisy_queries ledger (clean cross-run spread > 1.3x, tools/baseline.py) are excluded from the side-(b) offender count only — the total bands still see them. load_avg is evidence, not a verdict driver",
          |"baseline": "$baselineNote",
          |"timing_policy": "each query materialized via bit_xor(xxhash64(all columns)) so count-preserving operators cannot be plan-eliminated out of the timing",
          |"warmup_policy": "untimed full-battery passes at sf0.001 + sf0.01 (plan compile + C2), then two timed target-scale passes: queries[q] = [first target-scale execution, steady-state repeat]; no per-query warm-up exceptions",

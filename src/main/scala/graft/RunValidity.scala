@@ -63,12 +63,20 @@ object RunValidity {
   /** Queries whose `pass` time exceeds both the ratio and absolute-delta
     * bands vs `baseline`; formatted "name observed vs baseline". Queries
     * absent from the baseline (new this round) are skipped — they get a
-    * band once a clean run of the new code is committed.
+    * band once a clean run of the new code is committed. Queries in the
+    * `noisy` ledger (clean cross-run spread > 1.3x — a persisted property
+    * measured by tools/baseline.py, VERDICT r16 Next #5) are skipped too:
+    * a single noisy-query excursion is ambient by recorded evidence, and
+    * the >= 3-offender rule already refused to act on singletons — this
+    * makes the exclusion explicit and citable. The total bands (a)/(c)
+    * still include noisy queries, so broad slowdowns cannot hide in the
+    * ledger.
     */
   private def offenders(pass: Map[String, Double], baseline: Map[String, Double],
-                        bandRatio: Double, bandFloorSec: Double): Seq[String] =
+                        bandRatio: Double, bandFloorSec: Double,
+                        noisy: Set[String]): Seq[String] =
     pass.toSeq.sortBy(-_._2).collect {
-      case (q, t) if baseline.get(q).exists(b =>
+      case (q, t) if !noisy.contains(q) && baseline.get(q).exists(b =>
         t > b * bandRatio && t - b > bandFloorSec) =>
         f"$q $t%.2f vs ${baseline(q)}%.2f"
     }
@@ -96,14 +104,15 @@ object RunValidity {
              warmColdRatioMax: Double = 1.25,
              bandRatio: Double = 2.5, bandFloorSec: Double = 0.75,
              minOffenders: Int = 3,
-             totalBandRatio: Double = 1.25, totalFloorSec: Double = 15.0): Verdict = {
+             totalBandRatio: Double = 1.25, totalFloorSec: Double = 15.0,
+             noisy: Set[String] = Set.empty): Verdict = {
     val totalCold = cold.values.sum
     val totalWarm = warm.values.sum
     val reasons = Seq.newBuilder[String]
     if (totalCold > 0 && totalWarm / totalCold > warmColdRatioMax)
       reasons += f"warm total ${totalWarm}%.1f s > ${warmColdRatioMax}x cold total ${totalCold}%.1f s (interference in the warm pass)"
-    val offCold = offenders(cold, baselineCold, bandRatio, bandFloorSec)
-    val offWarm = offenders(warm, baselineWarm, bandRatio, bandFloorSec)
+    val offCold = offenders(cold, baselineCold, bandRatio, bandFloorSec, noisy)
+    val offWarm = offenders(warm, baselineWarm, bandRatio, bandFloorSec, noisy)
     if (offCold.size >= minOffenders)
       reasons += s"cold pass: ${offCold.size} queries >${bandRatio}x the committed clean baseline (interference or code regression): ${offCold.take(4).mkString("; ")}"
     if (offWarm.size >= minOffenders)
@@ -136,4 +145,22 @@ object RunValidity {
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => Map.empty }
+
+  /** The baseline's `noisy_queries` ledger (tools/baseline.py: queries
+    * whose clean cross-run spread exceeded 1.3x — see [[offenders]]).
+    * Empty on a missing/old-format file: the ledger is an exclusion, so
+    * its absence only makes the verdict stricter, never laxer.
+    */
+  def loadNoisy(path: String): Set[String] =
+    try {
+      val text = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"noisy_queries"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(text) match {
+        case Some(m) =>
+          """"([A-Za-z0-9_]+)"""".r.findAllMatchIn(m.group(1))
+            .map(_.group(1)).toSet
+        case None => Set.empty
+      }
+    } catch { case _: Throwable => Set.empty }
 }

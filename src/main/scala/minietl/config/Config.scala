@@ -148,26 +148,64 @@ object Config {
 
   /** Advisory findings a config is ALLOWED to ship with (unlike
     * [[validate]]'s errors): configurations that are semantically valid
-    * but measurably fragile. Today: a `dsir_select` dim below 512 — the
-    * r15 nb_dsir_dim probe measured DSIR's top-k overlap vs dim=1024 at
-    * only ~20-36% for dims 64/256 on a 1M-doc corpus (the hashed-feature
-    * log-ratio is dominated by collision noise at narrow widths), so a
-    * narrow dim silently selects a materially different corpus. NB routing
-    * is dim-INsensitive (99.98% identical predictions 64→1024), hence no
-    * analogous warning for `naive_bayes_filter`.
+    * but measurably fragile.
+    *
+    *  - a `dsir_select` dim below 512 — the r15 nb_dsir_dim probe measured
+    *    DSIR's top-k overlap vs dim=1024 at only ~20-36% for dims 64/256
+    *    on a 1M-doc corpus (the hashed-feature log-ratio is dominated by
+    *    collision noise at narrow widths), so a narrow dim silently
+    *    selects a materially different corpus. NB routing is
+    *    dim-INsensitive (99.98% identical predictions 64→1024), hence no
+    *    analogous warning for `naive_bayes_filter`.
+    *  - EXACT per-group percentile stages (`winsorize`,
+    *    `impute strategy: median`, `mad_outlier_filter`, and a `median`
+    *    aggregation fn): SQL `percentile` buffers every distinct value
+    *    per group on one reducer, so a 100 TB group blows executor memory
+    *    while the mergeable sketch twin
+    *    ([[minietl.sketch.Sketches]] log-histogram / `approx_percentile`,
+    *    battery q_quantile_sketch) streams in O(buckets). Sketch-backed
+    *    aggregations (`approx_nunique`) stay silent — they ARE the
+    *    recommended shape.
     */
   def warnings(c: PipelineConfig): Seq[String] =
     c.transformers.zipWithIndex.flatMap { case (t, i) =>
+      def percentileWarning(what: String): Seq[String] = Seq(
+        s"transformer[$i] ${t.typ}: $what computes an EXACT per-group " +
+          "percentile (SQL `percentile` buffers O(distinct values) per " +
+          "group on a single reducer) — fine at moderate scale, but at " +
+          "100 TB prefer the mergeable sketch twin (approx_percentile / " +
+          "minietl.sketch.Sketches log-histogram, battery q_quantile_sketch)")
       t.typ match {
         case "dsir_select" =>
-          t.options.get("dim").map(_.toString.toDouble.toInt).collect {
+          // Try: an unparseable dim is validate's error to report
+          // (numeric("dim")), not a reason for the advisory channel to
+          // throw past it (ADVICE r16)
+          t.options.get("dim")
+            .flatMap(v => scala.util.Try(v.toString.toDouble.toInt).toOption)
+            .collect {
             case d if d < 512 =>
               s"transformer[$i] dsir_select dim=$d: DSIR selection is " +
                 "strongly dim-sensitive (measured top-k overlap vs dim=1024: " +
                 "~20-36% at dims 64/256); use dim >= 512 (default 1024) " +
                 "unless the ranking churn is acceptable"
+          }.toSeq
+        case "winsorize" => percentileWarning("percentile clipping")
+        case "mad_outlier_filter" => percentileWarning("the median/MAD frame")
+        case "impute" if t.options.get("strategy").exists(_.toString == "median") =>
+          percentileWarning("strategy 'median'")
+        case "aggregate" | "group" =>
+          // the aggregations mapping may be malformed here — that is
+          // validate's error to report, so parse defensively
+          val usesMedian = t.options.get("aggregations").exists {
+            case m: Map[String @unchecked, Any @unchecked] =>
+              m.values.exists {
+                case l: Seq[Any @unchecked] => l.exists(_.toString == "median")
+                case v => v.toString == "median"
+              }
+            case _ => false
           }
-        case _ => None
+          if (usesMedian) percentileWarning("aggregation fn 'median'") else Nil
+        case _ => Nil
       }
     }
 
@@ -358,7 +396,12 @@ object Config {
         // nlist accepts the literal "auto": derived from a row census at
         // run time (Ivf.autoNlist) so clusters land under the census cap
         numericOrAuto("nlist", 1.0, 65536.0) ++ numeric("iters", 1.0, 100.0) ++
-          numeric("tau", -1.0, 1.0) ++ numeric("max_cluster_size", 2.0, 1e9)
+          numeric("tau", -1.0, 1.0) ++ numeric("max_cluster_size", 2.0, 1e9) ++
+          // recovery rounds (0 = r15 isolate-only guard; default 1 since
+          // r16 — see the stage docs): validate here so a negative value
+          // errors at `validate` time, not at semDedupTrace's require
+          // mid-pipeline (ADVICE r16)
+          numeric("recluster_rounds", 0.0, 16.0)
       case "random_projection" =>
         numeric("dim_in", 1.0, 1048576.0) ++ numeric("dim_out", 1.0, 65536.0) ++
           numeric("seed", Int.MinValue.toDouble, Int.MaxValue.toDouble)
@@ -741,7 +784,12 @@ object Config {
           .getOrElse(minietl.dedup.Dedup.DefaultMaxBucket)
         // hot-cluster recovery rounds (VERDICT r15 Next #2): 0 restores the
         // isolate-only guard; default 1 splits over-cap clusters with a
-        // second k-means round before isolating what still exceeds the cap
+        // second k-means round before isolating what still exceeds the cap.
+        // DEFAULT CHANGE (r16): existing configs without the key moved from
+        // the isolate-only guard (0) to one recovery round (1) — over-cap
+        // clusters now dedup instead of passing through verbatim, so the
+        // kept set can only SHRINK; pin `recluster_rounds: 0` to restore
+        // r15 behavior.
         val reclusterRounds = t.options.get("recluster_rounds")
           .map(_.toString.toDouble.toInt).getOrElse(1)
         df => {

@@ -867,7 +867,11 @@ object Multimodal {
         val runs = Array.tabulate(nRuns) { i =>
           (be32(content, ss + 8 + 12 * i), be32(content, ss + 12 + 12 * i))
         }
-        if (runs.exists { case (fc, spc) => fc < 1 || spc < 1 } ||
+        // first_chunk is unsigned 32-bit: bound it by nChunks on the LONG
+        // before any .toInt — a corrupt value in (2^31, 2^32) would
+        // otherwise truncate negative, pass `chunk - 1 < nChunks`, and
+        // index chunkOffs out of bounds (never-throw fuzz contract).
+        if (runs.exists { case (fc, spc) => fc < 1 || fc > nChunks || spc < 1 } ||
           runs.map(_._1).sliding(2).exists(w => w.length == 2 && w(1) <= w(0)))
           return
         // expand the run-length map sample by sample

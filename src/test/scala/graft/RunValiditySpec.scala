@@ -151,6 +151,39 @@ class RunValiditySpec extends AnyFunSuite {
       "spec asserts on BENCH_full_latest.json, which the driver overwrites every bench run")
   }
 
+  test("noisy-ledger queries are excluded from side (b) but still count " +
+    "in the total bands (VERDICT r16 Next #5)") {
+    val base3 = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    val slow = Map("a" -> 3.0, "b" -> 3.0, "c" -> 3.0)
+    // all three offenders in the ledger: side (b) is silent...
+    val v = RunValidity.assess(slow, base3.map(identity), base3, base3,
+      noisy = Set("a", "b", "c"))
+    assert(v.offendersCold.isEmpty && !v.suspect, v.reasons.mkString("; "))
+    // ...but a ledger entry cannot hide a UNIFORM slowdown from side (c)
+    val big = Map("a" -> 40.0, "b" -> 40.0)
+    val uniform = RunValidity.assess(
+      Map("a" -> 56.0, "b" -> 56.0), big.map(identity), big, big,
+      noisy = Set("a", "b"))
+    assert(uniform.suspect && uniform.reasons.exists(_.contains("cold pass total")))
+    // partial ledger: non-ledger offenders still count
+    val v2 = RunValidity.assess(slow, base3.map(identity), base3, base3,
+      noisy = Set("a"))
+    assert(v2.offendersCold.size == 2)
+  }
+
+  test("loadNoisy reads the ledger, empty on old-format/missing files") {
+    val dir = java.nio.file.Files.createTempDirectory("noisy")
+    val p = dir.resolve("base.json")
+    java.nio.file.Files.write(p,
+      """{"noisy_queries": ["q_x", "q_y"], "queries": {"q_x": [1.0, 1.0]}}"""
+        .getBytes("UTF-8"))
+    assert(RunValidity.loadNoisy(p.toString) === Set("q_x", "q_y"))
+    val old = dir.resolve("old.json")
+    java.nio.file.Files.write(old, """{"queries": {"q_x": [1.0, 1.0]}}""".getBytes("UTF-8"))
+    assert(RunValidity.loadNoisy(old.toString).isEmpty)
+    assert(RunValidity.loadNoisy(dir.resolve("absent.json").toString).isEmpty)
+  }
+
   test("parseQueriesBlock reads the committed artifact format") {
     val m = RunValidity.parseQueriesBlock(
       """"queries": {

@@ -1607,6 +1607,79 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
       out)
   }
 
+  test("warnings tolerates an unparseable dsir dim — validate owns that " +
+    "error (ADVICE r16)") {
+    val c = Config.parse(
+      """name: d
+        |source: {type: parquet, filepath: /tmp/in}
+        |transformers:
+        |  - type: dsir_select
+        |    target_condition: "lang = 'en'"
+        |    text: text
+        |    key: doc_id
+        |    k: 2
+        |    dim: abc
+        |sink: {type: parquet, filepath: /tmp/out}
+        |""".stripMargin)
+    // the advisory channel must not throw past validate's report
+    assert(Config.warnings(c).isEmpty)
+    assert(Config.validate(c).exists(_.contains("'dim' must be numeric")),
+      Config.validate(c).mkString("; "))
+  }
+
+  test("exact-percentile stages earn a sketch-twin advisory; sketch-backed " +
+    "aggregations stay silent (VERDICT r16 Next #3)") {
+    def cfg(stage: String) = Config.parse(
+      s"""name: p
+         |source: {type: parquet, filepath: /tmp/in}
+         |transformers:
+         |$stage
+         |sink: {type: parquet, filepath: /tmp/out}
+         |""".stripMargin)
+    def oneWarning(stage: String, must: String*): Unit = {
+      val c = cfg(stage)
+      assert(Config.validate(c).isEmpty, Config.validate(c).mkString("; "))
+      val w = Config.warnings(c)
+      assert(w.size === 1, s"$stage → ${w.mkString("; ")}")
+      (Seq("EXACT", "approx_percentile", "q_quantile_sketch") ++ must)
+        .foreach(s => assert(w.head.contains(s), s"missing '$s' in: ${w.head}"))
+    }
+    oneWarning("  - {type: winsorize, group_by: [g], value: v}", "winsorize")
+    oneWarning("  - {type: mad_outlier_filter, group_by: [g], value: v}",
+      "mad_outlier_filter")
+    oneWarning("  - {type: impute, group_by: [g], value: v, strategy: median}",
+      "median")
+    oneWarning("  - {type: aggregate, group_by: [g], aggregations: {v: [median]}}",
+      "median")
+    // behavior unchanged: warned configs still validate clean (above) and
+    // the sketch/mode shapes stay silent — they ARE the recommendation
+    assert(Config.warnings(cfg(
+      "  - {type: aggregate, group_by: [g], aggregations: {v: [sum, approx_nunique]}}"))
+      .isEmpty)
+    assert(Config.warnings(cfg(
+      "  - {type: impute, group_by: [g], value: v, strategy: mode}")).isEmpty)
+    // a malformed aggregations mapping is validate's problem, not a throw
+    assert(Config.warnings(cfg(
+      "  - {type: aggregate, group_by: [g], aggregations: nope}")).isEmpty)
+  }
+
+  test("semdedup recluster_rounds is validated at validate time (ADVICE r16)") {
+    def cfg(extra: String) = Config.parse(
+      s"""name: sd
+         |source: {type: parquet, filepath: /tmp/in}
+         |transformers:
+         |  - {type: semdedup, vec: embedding, key: vec_id$extra}
+         |sink: {type: parquet, filepath: /tmp/out}
+         |""".stripMargin)
+    assert(Config.validate(cfg(", recluster_rounds: -1"))
+      .exists(_.contains("recluster_rounds")))
+    assert(Config.validate(cfg(", recluster_rounds: abc"))
+      .exists(_.contains("recluster_rounds")))
+    assert(Config.validate(cfg(", recluster_rounds: 0")).isEmpty)
+    assert(Config.validate(cfg(", recluster_rounds: 2")).isEmpty)
+    assert(Config.validate(cfg("")).isEmpty)
+  }
+
   test("round-14 stages run from YAML: semdedup / image_dhash_dedup") {
     val in = s"${tmp()}/sd_in"
     val out = s"${tmp()}/sd_out"

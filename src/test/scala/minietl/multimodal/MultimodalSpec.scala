@@ -400,6 +400,35 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("parseMp4Samples rejects an unsigned-overflow stsc first_chunk " +
+    "instead of truncating it negative and indexing out of bounds") {
+    // two frames → a SINGLE stsc run: the run-monotonicity check is
+    // vacuous, so the overflow value genuinely reaches the chunk walk
+    val mp4 = Multimodal.mjpegMp4(32, 24, 1000L, 80L,
+      (0 until 2).map(f => Multimodal.jpegTemplates(f)._1))
+    assert(Multimodal.parseMp4Samples(mp4).isDefined) // sane baseline
+    // patch the first stsc run's first_chunk to 0x80000002 — a value in
+    // (2^31, 2^32) that a bare .toInt would truncate to a NEGATIVE chunk
+    // index passing `chunk - 1 < nChunks`; the walker must return None,
+    // never throw (the 0x5a bit-flip fuzz can't reach this range)
+    val idx = mp4.indexOfSlice("stsc".getBytes("US-ASCII"))
+    assert(idx > 0)
+    val payload = idx + 4 // box payload: version/flags(4) count(4) runs...
+    val patched = mp4.clone()
+    patched(payload + 8) = 0x80.toByte
+    patched(payload + 9) = 0x00
+    patched(payload + 10) = 0x00
+    patched(payload + 11) = 0x02
+    assert(Multimodal.parseMp4Samples(patched).isEmpty)
+    // and a merely-too-large (but positive-Int) first_chunk is also rejected
+    val patched2 = mp4.clone()
+    patched2(payload + 8) = 0x00
+    patched2(payload + 9) = 0x00
+    patched2(payload + 10) = 0x7f
+    patched2(payload + 11) = 0x00
+    assert(Multimodal.parseMp4Samples(patched2).isEmpty)
+  }
+
   test("sampleFrames explodes fixed slices and drops empty payloads") {
     val m = Multimodal.fakeMedia(Seq((1L, "abcdefgh")).toDF("doc_id", "text"), "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, frames = 4).orderBy("frame_idx").collect()

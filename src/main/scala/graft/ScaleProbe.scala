@@ -556,6 +556,66 @@ object ScaleProbe {
             minietl.dedup.Dedup.groupLocalComponents(pairs, Seq("g")).count())
         }
 
+      case "recover_recall" =>
+        // VERDICT r16 Next #1: GROUND-TRUTH recall / false-merge of the
+        // recovery chain at probe scale. The planted corpus makes the
+        // duplicate structure exact by construction: 32 classes on
+        // mutually orthogonal/antipodal axis directions (cross-class cos
+        // ~0 or -1 — never >= tau) with +-5e-5 per-dim noise (within-class
+        // cos >= 0.9999 — always >= tau), so the true components ARE the
+        // classes. Class mass is skewed so the census cap genuinely fires:
+        // class 0 holds 50% of rows, classes 1/2 20%/10%, 3-11 2% each,
+        // 12-31 0.1% each (under the default cap at every probed n).
+        //
+        //   false_merged_classes = classes with NO kept representative (a
+        //     component spanning two classes erases one) — must be 0;
+        //   recall = dropped / (n - 32) — with false_merge 0 every drop is
+        //     correct, since all rows of a class are mutual duplicates;
+        //   extra_kept = kept - classes_covered — the recall misses
+        //     (sub-cell boundaries keep > 1 representative per class).
+        //
+        // args: [sizes csv] [caps csv] [rounds csv]
+        val sizes = args.lift(1).map(_.split(",").map(_.toLong).toSeq)
+          .getOrElse(Seq(50000L, 200000L, 400000L))
+        val caps = args.lift(2).map(_.split(",").map(_.toInt).toSeq)
+          .getOrElse(Seq(minietl.dedup.Dedup.DefaultMaxBucket))
+        val roundsList = args.lift(3).map(_.split(",").map(_.toInt).toSeq)
+          .getOrElse(Seq(1))
+        def plantedClasses(rows: Long) = {
+          val m = pmod(col("id"), lit(1000L))
+          val cls = when(m < 500, lit(0L)).when(m < 700, lit(1L))
+            .when(m < 800, lit(2L))
+            .when(m < 980, lit(3L) + floor((m - lit(800L)) / lit(20L)).cast("long"))
+            .otherwise(lit(12L) + (m - lit(980L)))
+          spark.range(rows).select(
+            col("id").as("vec_id"), cls.as("cls"),
+            transform(sequence(lit(0), lit(15)), d =>
+              (when(d === (cls % 16),
+                when(cls < 16, lit(1.0)).otherwise(lit(-1.0)))
+                .otherwise(lit(0.0)) +
+                (pmod(xxhash64(col("id"), d), lit(1001)).cast("double") - lit(500.0))
+                  / lit(1e7)).cast("float")).as("embedding"))
+            .localCheckpoint(true)
+        }
+        for (n <- sizes; cap <- caps; rounds <- roundsList) {
+          val emb = plantedClasses(n)
+          val t0 = System.nanoTime()
+          val model = minietl.sim.Ivf.train(emb, nlist = 8, iters = 3)
+          val out = minietl.sim.SemDedup.semDedup(emb, model, tau = 0.99,
+            maxClusterSize = cap, reclusterRounds = rounds)
+          val agg = out.where(col("keep") === 1L).select(col("id"))
+            .join(emb.select(col("vec_id").as("id"), col("cls")), Seq("id"))
+            .agg(count(lit(1)).as("kept"),
+              countDistinct(col("cls")).as("covered")).head()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val (kept, covered) = (agg.getLong(0), agg.getLong(1))
+          val recall = (n - kept).toDouble / (n - 32).toDouble
+          println(f"[rec_recall] n=$n cap=$cap rounds=$rounds kept=$kept " +
+            f"extra_kept=${kept - covered} false_merged_classes=${32 - covered} " +
+            f"recall=$recall%.4f wall=$wall%.1fs")
+          spark.catalog.clearCache()
+        }
+
       case "dhash" =>
         // perceptual-hash linearity: generate n gradient PNGs in-flight,
         // time decode+hash and the banded Hamming join. args: <n>

@@ -76,8 +76,16 @@ object Ivf {
     math.max(1L, math.min(math.min(maxNlist.toLong, n), ideal)).toInt
   }
 
-  /** Lloyd iterations; deterministic init from the `nlist` rows with the
-    * smallest ids. Empty lists keep their previous centroid.
+  /** Lloyd iterations; deterministic HASH-SPREAD init: the `nlist` rows
+    * with the smallest `xxhash64(id)` (ties broken on id). Replayable like
+    * the old smallest-id init, but decorrelated from id ORDER — the r17
+    * recover_recall probe measured the difference: on a 50k corpus whose
+    * ids are layout-correlated (class = id % 1000, the shape of any
+    * time/source-sorted 100 TB corpus), smallest-id init seeded all 400
+    * sub-centroids inside ONE of 32 cones and the SemDedup recovery chain
+    * needed 4 rounds to reach 0.98 recall (round 1: 0.60); hash-spread
+    * init seeds every cone and round 1 recovers directly (see PLANS.md
+    * r17). Empty lists keep their previous centroid.
     */
   def train(corpus: DataFrame, nlist: Int, iters: Int = 3,
             idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
@@ -86,7 +94,7 @@ object Ivf {
     val base = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .persist()
     try {
-      val init = base.orderBy("id").limit(nlist).collect()
+      val init = base.orderBy(xxhash64(col("id")), col("id")).limit(nlist).collect()
         .map(_.getSeq[Double](1).toVector).toVector
       require(init.size == nlist, s"corpus smaller than nlist=$nlist")
 

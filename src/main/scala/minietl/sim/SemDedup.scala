@@ -40,7 +40,17 @@ import org.apache.spark.sql.functions._
   * cap/2 = 50M pairs / ~29 s of pair+CC work vs cap/8 = 12.5M / ~8 s,
   * while train+assign grows only ~4x on a cheap term. Smaller cells trade
   * a little recall (merges happen within cells) for that 4x; the dial is
-  * the cap itself.
+  * the cap itself, and its closed form is MEASURED (r17 recover_recall
+  * ground-truth probe, PLANS.md): recovered cells hold ~target = cap/8
+  * rows and keep one representative each, so in the fully-degenerate
+  * regime **recall ~= 1 - 8/cap** (cap 250/1000/4000 -> 0.968/0.992/0.998
+  * measured, exact to ~3dp) with false merges structurally zero whenever
+  * distinct content stays below tau. Sizing rule: cap ~= 8/(1 -
+  * target_recall), bounded by executor memory for the cap^2/2-pair cell
+  * join. The probe also forced the init fix that makes ONE recovery round
+  * sufficient: [[Ivf.train]]'s hash-spread seeding (see its scaladoc) —
+  * with layout-correlated ids the old smallest-id init left recall at
+  * 0.60 until round 4.
   *
   * Determinism contract: assignment ties go to the lower centroid index
   * (lexicographic struct min, [[Ivf.assignList]]) at EVERY level; the

@@ -185,6 +185,61 @@ class SemDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(rec.contains("x.cluster = y.cluster AND x.sub1 = y.sub1"))
   }
 
+  test("ground-truth recall of the recovery chain on a planted-class " +
+    "corpus: zero false merges, recall above the stated floor at the " +
+    "default rounds (VERDICT r16 Next #1)") {
+    // The battery-scale twin of the r17 recover_recall probe (PLANS.md):
+    // 16 duplicate classes on mutually orthogonal/antipodal axis
+    // directions in R^8 (cross-class cos ~0 or -1 — never >= tau), each
+    // row = its class center + hash noise of +-5e-5 per dim (within-class
+    // cos >= 0.9999 — always >= tau), so the TRUE components are exactly
+    // the classes, by construction. Mass is skewed: class 0 holds 50% of
+    // rows, class 1 25%, classes 2-5 5% each, classes 6-15 0.5% each —
+    // at n=4000 and cap=40 every class but the last ten exceeds the cap,
+    // so the recovery chain (not the plain within-cluster pairing) does
+    // the work. id -> class is id % 200 banded, which also makes the ids
+    // LAYOUT-CORRELATED — the shape that exposed the smallest-id k-means
+    // init (hash-spread init is what makes round-1 recovery effective;
+    // Ivf.train scaladoc).
+    val n = 4000L
+    val m = pmod(col("id"), lit(200L))
+    val cls = when(m < 100, lit(0L)).when(m < 150, lit(1L))
+      .when(m < 190, lit(2L) + floor((m - lit(150L)) / lit(10L)).cast("long"))
+      .otherwise(lit(6L) + (m - lit(190L)))
+    val emb = spark.range(n).select(
+      col("id").as("vec_id"), cls.as("cls"),
+      transform(sequence(lit(0), lit(7)), d =>
+        (when(d === (cls % 8),
+          when(cls < 8, lit(1.0)).otherwise(lit(-1.0))).otherwise(lit(0.0)) +
+          (pmod(xxhash64(col("id"), d), lit(1001)).cast("double") - lit(500.0))
+            / lit(1e7)).cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    val model = Ivf.train(emb, nlist = 4, iters = 3)
+    val out = SemDedup.semDedup(emb, model, tau = 0.99,
+      maxClusterSize = 40) // default reclusterRounds — the shipped dial
+    val agg = out.where(col("keep") === 1L).select(col("id"))
+      .join(emb.select(col("vec_id").as("id"), col("cls")), Seq("id"))
+      .agg(count(lit(1)).as("kept"), countDistinct(col("cls")).as("covered"))
+      .head()
+    val (kept, covered) = (agg.getLong(0), agg.getLong(1))
+    // false merge = a class with no surviving representative: a component
+    // that crossed class lines erased one. Must never happen — cross-class
+    // cosine can't reach tau by construction.
+    assert(covered === 16L, s"false-merged classes: ${16 - covered}")
+    // recall floor: every drop is correct once covered == 16 (all rows of
+    // a class are mutual duplicates), so recall = dropped / (n - classes).
+    // The dial's closed form (measured across cap 40/250/1000/4000 at the
+    // probe, PLANS.md r17): recovered cells hold ~target = max(2, cap/8)
+    // rows and keep one representative each, so kept ~= n/target and
+    //   recall ~= 1 - 8/cap   (cap 40 -> 0.80, default 1000 -> 0.992).
+    // Assert the model with margin rather than a magic floor.
+    val recall = (n - kept).toDouble / (n - 16).toDouble
+    val predicted = 1.0 - 1.0 / math.max(2, 40 / 8)
+    assert(recall >= predicted - 0.03,
+      f"recovery-chain recall $recall%.4f below the 1 - 8/cap model " +
+        f"($predicted%.2f at cap 40) (kept=$kept)")
+  }
+
   test("pair join is keyed on the cluster id, not a cross product") {
     val model = Ivf.Model(Vector(Vector(1.0, 0.0, 0.0, 0.0),
       Vector(0.0, 0.0, 1.0, 0.0)))

@@ -537,6 +537,91 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
       .exists(_.contains("missing 'id'")))
   }
 
+  test("media_hash_history replays a crashed batch exactly once from YAML " +
+    "(VERDICT r16 Next #2)") {
+    // The q_stream_dedup_history crash pattern, pinned at the surface
+    // users invoke: batch 0 commits cleanly; a batch-1 attempt "crashes"
+    // after its sink write but before the checkpoint commit, leaving (a)
+    // a WRONG batchId-keyed sink dir (the attempt sank rows the verified
+    // dedup would drop) and (b) a TORN digest delta carrying the new
+    // row's own fingerprint. The restart must discard the torn delta
+    // (else row 6 dedups against itself and is falsely dropped),
+    // re-verify row 5 against the committed digest, and OVERWRITE the
+    // fabricated sink dir — exactly-once without any appended duplicates.
+    val dir = tmp()
+    val in = s"$dir/media_in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def wav(bits: Set[Int]): Array[Byte] = {
+      val n = minietl.multimodal.PerceptualAudio.Windows
+      val samples = new Array[Short](n * 4)
+      var amp = 100
+      (0 until n).foreach { w =>
+        if (w > 0 && bits(w - 1)) amp += 10
+        (0 until 4).foreach(k => samples(w * 4 + k) = amp.toShort)
+      }
+      minietl.multimodal.Multimodal.pcm16Wav(samples, 8000)
+    }
+    val yaml =
+      s"""name: media_dedup_replay
+         |stream:
+         |  source:
+         |    type: parquet
+         |    path: $in
+         |    schema:
+         |      - {name: media_id, dtype: int64}
+         |      - {name: content, dtype: binary}
+         |  stages:
+         |    - type: media_hash_history
+         |      history: $dir/digest
+         |      id: media_id
+         |      content: content
+         |      kind: audio
+         |      max_dist: 2
+         |  sink:
+         |    type: parquet
+         |    path: $dir/out
+         |    checkpoint: $dir/chk
+         |""".stripMargin
+    // batch 0: 1 admitted, 2 is a byte-identical dup, 3 far from both
+    Seq((1L, wav(Set())), (2L, wav(Set())), (3L, wav(Set(10, 20, 30, 40, 50))))
+      .toDF("media_id", "content")
+      .coalesce(1).write.mode("append").parquet(in)
+    Config.loadStream(yaml).runAvailableNow(spark)
+    assert(Readers.parquet(spark, s"$dir/out").select("media_id")
+      .as[Long].collect().toSet === Set(1L, 3L))
+    // stage batch 1: 5 at Hamming distance 2 from admitted 1 (must drop,
+    // verified against the stored hash), 6 new (must admit)
+    val w5 = wav(Set(0, 1))
+    val w6 = wav(Set(40, 41, 42))
+    Seq((5L, w5), (6L, w6)).toDF("media_id", "content")
+      .coalesce(1).write.mode("append").parquet(in)
+    // fabricate the crashed attempt's leftovers BEFORE the restart:
+    // (a) the sink dir the attempt wrote — wrongly including 5
+    Seq((5L, w5), (6L, w6)).toDF("media_id", "content")
+      .write.mode("overwrite")
+      .parquet(minietl.streaming.Streaming.batchOutputPath(s"$dir/out", 1L))
+    // (b) the torn digest delta with 6's OWN band rows
+    val bands6 = minietl.multimodal.PerceptualAudio
+      .energyHashFrame(Seq((6L, w6)).toDF("media_id", "content"),
+        "media_id", "content")
+      .selectExpr("explode(sequence(0, 3)) AS band", "ahash")
+      .selectExpr("band", "shiftright(ahash, 14 * band) & 16383 AS key",
+        "ahash AS hash")
+    assert(bands6.count() === 4)
+    bands6.write.mode("overwrite")
+      .parquet(minietl.streaming.Streaming.batchOutputPath(s"$dir/digest", 1L))
+    // restart: batch 1 replays under the same id
+    Config.loadStream(yaml).runAvailableNow(spark)
+    // exactly-once: 5 gone (including its fabricated sink row), 6 admitted
+    // exactly once despite its torn fingerprint having been on disk
+    val sunk = Readers.parquet(spark, s"$dir/out").select("media_id")
+      .as[Long].collect().toSeq
+    assert(sunk.sorted === Seq(1L, 3L, 6L))
+    // digest = bands of exactly the admitted set
+    val digest = spark.read.parquet(s"$dir/digest")
+    assert(digest.count() === 3L * 4)
+  }
+
   test("neardup_history stage runs the near-dup ingest loop from YAML") {
     val dir = tmp()
     val in = s"$dir/nd_in"

@@ -670,6 +670,41 @@ object ScaleProbe {
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[cc] edges=$nEdges nodes=$nNodes iterations=$iters " +
           f"wall=$secs%.1fs mislabeled=$wrong")
+      case "cc_crossover" =>
+        // VERDICT r16 Next #8: re-probe the 2M-pair driver union-find vs
+        // distributed star-contraction crossover (calibrated r4; the
+        // native argmin and group-local CC changed the cost balance around
+        // it). Chain graphs (worst-case diameter) at each pair count, BOTH
+        // paths forced, labels verified scan-side. args: [pairs csv]
+        val pairTargets = args.lift(1).map(_.split(",").map(_.toLong).toSeq)
+          .getOrElse(Seq(1000000L, 2000000L, 4000000L, 8000000L))
+        val strideX = 12L
+        def chainGraph(pairs: Long) = {
+          // sizes 2..10 -> avg 5 edges per cluster
+          val nClusters = pairs / 5
+          spark.range(nClusters)
+            .select((col("id") * strideX).as("base"),
+              (pmod(col("id"), lit(9)) + 2).cast("int").as("size"))
+            .select(col("base"), explode(sequence(lit(0), col("size") - 2)).as("k"))
+            .select((col("base") + col("k")).as("id_a"),
+              (col("base") + col("k") + 1).as("id_b"))
+            .localCheckpoint(true)
+        }
+        for (p <- pairTargets;
+             (tag, cap) <- Seq("driver" -> Long.MaxValue, "dist" -> 0L)) {
+          val edges = chainGraph(p)
+          val nEdges = edges.count()
+          val t0 = System.nanoTime()
+          val (labels, iters) = minietl.dedup.Dedup
+            .connectedComponentsWithStats(edges, driverPathMaxPairs = cap)
+          val expected = col("id") - pmod(col("id"), lit(strideX))
+          val wrong = labels.filter(col("comp") =!= expected).count()
+          println(f"[cc_x] pairs=$nEdges path=$tag " +
+            f"wall=${(System.nanoTime() - t0) / 1e9}%.1fs iters=$iters " +
+            f"mislabeled=$wrong")
+          spark.catalog.clearCache()
+        }
+
       case "dedup_history" =>
         // two-drain replay of the self-maintaining ingest-dedup loop (the
         // stream-YAML dedup_history stage) over a dir's documents table:

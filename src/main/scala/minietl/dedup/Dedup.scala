@@ -508,6 +508,16 @@ object Dedup {
     * uses, and near-dup pair lists are SPARSE by construction (the LSH
     * verify keeps only genuinely-similar pairs), so real corpora land under
     * it unless they are pathologically duplicate-heavy.
+    *
+    * Re-probed r17 (cc_crossover, chain graphs, both paths forced): the
+    * WALL crossover sits above 8M pairs on local[32] — driver/distributed
+    * 6.7/24.4 s at 1M, 9.8/26.6 s at 2M, 17.9/37.5 s at 4M, 40.4/51.0 s
+    * at 8M — so 2M is NOT the wall optimum; it stays the default because
+    * the binding constraint is transient driver HEAP (collected Rows +
+    * boxed union-find entries ≈ 200-300 B/pair ⇒ ~0.5 GB at 2M, multi-GB
+    * at 8M), which a library must bound for the modest driver heaps real
+    * deployments run. Callers with generous drivers raise
+    * `driverPathMaxPairs` and inherit the measured win.
     */
   val DriverCcMaxPairs: Long = 2000000L
 

@@ -51,7 +51,8 @@ object Config {
       "bpe_stats", "squeeze_repeats", "dedup_lines",
       "minhash_dedup", "span_dedup",
       "naive_bayes_filter", "dsir_select", "semdedup", "image_dhash_dedup",
-      "random_projection", "image_neardup_dedup", "audio_hash_dedup")
+      "random_projection", "image_neardup_dedup", "audio_hash_dedup",
+      "quantile_sketch")
   private val declaredUnsupported = Set.empty[String]
 
   private val EnvBrace: Regex = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
@@ -173,8 +174,8 @@ object Config {
         s"transformer[$i] ${t.typ}: $what computes an EXACT per-group " +
           "percentile (SQL `percentile` buffers O(distinct values) per " +
           "group on a single reducer) — fine at moderate scale, but at " +
-          "100 TB prefer the mergeable sketch twin (approx_percentile / " +
-          "minietl.sketch.Sketches log-histogram, battery q_quantile_sketch)")
+          "100 TB prefer the mergeable sketch twin (the quantile_sketch " +
+          "stage / approx_percentile, battery q_quantile_sketch)")
       t.typ match {
         case "dsir_select" =>
           // Try: an unparseable dim is validate's error to report
@@ -411,8 +412,48 @@ object Config {
       case "audio_hash_dedup" =>
         // max_dist 0 = exact full-hash groups; 1..3 = transitive banded near
         numeric("max_dist", 0.0, 3.0) ++ numeric("max_bucket_size", 2.0, 1e9)
+      case "quantile_sketch" =>
+        // quantiles accept decimals ("0.95") or explicit rationals ("19/20")
+        numeric("scale", 1.0, 1e12) ++ (o.get("quantiles") match {
+          case None => Nil // required-key check's job
+          case Some(l: Seq[Any] @unchecked) if l.nonEmpty =>
+            l.flatMap(v => parseQuantile(v) match {
+              case Some((n, d)) if n >= 0 && n <= d => Nil
+              case Some((n, d)) =>
+                Seq(s"$at: quantile $n/$d out of [0, 1]")
+              case None =>
+                Seq(s"$at: unparseable quantile '$v' (use a decimal like " +
+                  "0.95 or a rational like 19/20)")
+            })
+          case Some(other) =>
+            Seq(s"$at: 'quantiles' must be a non-empty list, got '$other'")
+        })
       case _ => Nil
     }
+  }
+
+  /** A quantile option value as an exact rational: "19/20" verbatim, or a
+    * decimal ("0.95", 0.5) as digits/10^places — the rank arithmetic
+    * downstream ([[minietl.sketch.Sketches.logHistQuantiles]]) is exact
+    * for ANY representation, so no reduction is needed; the output's
+    * (q_num, q_den) columns echo the representation as given.
+    */
+  private[config] def parseQuantile(v: Any): Option[(Int, Int)] = {
+    val s = v.toString.trim
+    if (s.contains("/")) s.split("/", -1) match {
+      case Array(n, d) =>
+        try { Some((n.trim.toInt, d.trim.toInt)) }
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    } else
+      try {
+        val bd = BigDecimal(s)
+        val places = math.max(0, bd.scale)
+        val den = BigDecimal(10).pow(places)
+        val num = bd * den
+        if (num.isValidInt && den.isValidInt) Some((num.toIntExact, den.toIntExact))
+        else None
+      } catch { case _: NumberFormatException => None }
   }
 
   private def requiredTransformerKey(typ: String): Seq[String] = typ match {
@@ -452,6 +493,7 @@ object Config {
     case "random_projection" => Seq("vec", "out_column", "dim_in", "dim_out")
     case "image_neardup_dedup" => Seq("content", "key")
     case "audio_hash_dedup" => Seq("content", "key")
+    case "quantile_sketch" => Seq("value", "quantiles")
     case _ => Nil
   }
 
@@ -836,6 +878,23 @@ object Config {
           .getOrElse(minietl.dedup.Dedup.DefaultMaxBucket)
         df => minietl.multimodal.PerceptualHash
           .dedupNear(df, key, content, maxDist, maxBucket)
+      case "quantile_sketch" =>
+        // the mergeable log-histogram quantile sketch as a stage — the
+        // in-config twin the exact-percentile advisory (Config.warnings)
+        // points at: one (keys, bucket) groupBy with map-side combine,
+        // ~368 rows per key per partition on the exchange regardless of n
+        // (Sketches.logHistQuantiles scaladoc; oracle q_quantile_sketch).
+        // Output: (group_by..., q_num, q_den, est).
+        val value = str(t.options, "value")
+        val keys = t.options.get("group_by").map(strSeq).getOrElse(Nil)
+        val qs = (t.options("quantiles") match {
+          case l: Seq[Any] @unchecked => l
+          case v => Seq(v)
+        }).map(v => parseQuantile(v).getOrElse(
+          throw new IllegalArgumentException(s"unparseable quantile '$v'")))
+        val scale = t.options.get("scale")
+          .map(_.toString.toDouble.toLong).getOrElse(1000L)
+        df => minietl.sketch.Sketches.logHistQuantiles(df, keys, value, qs, scale)
       case "audio_hash_dedup" =>
         // perceptual audio dedup on a binary PCM column (energy-contour
         // hash): max_dist 0 keeps one clip per exact hash group; 1..3 folds

@@ -1748,6 +1748,48 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
       "  - {type: aggregate, group_by: [g], aggregations: nope}")).isEmpty)
   }
 
+  test("quantile_sketch stage: the advisory's in-config twin runs from " +
+    "YAML and matches the direct sketch call") {
+    val in = s"${tmp()}/qs_in"
+    val out = s"${tmp()}/qs_out"
+    Seq(("a", 1.5), ("a", 2.5), ("a", 100.0), ("b", 0.25), ("b", 7.75))
+      .toDF("g", "v").write.parquet(in)
+    val yaml =
+      s"""name: qs
+         |source: {type: parquet, filepath: $in}
+         |transformers:
+         |  - type: quantile_sketch
+         |    group_by: [g]
+         |    value: v
+         |    quantiles: [0.5, "19/20"]
+         |sink: {type: parquet, filepath: $out}
+         |""".stripMargin
+    val cfg = Config.parse(yaml)
+    assert(Config.validate(cfg).isEmpty, Config.validate(cfg).mkString("; "))
+    // the sketch stage is the RECOMMENDED shape: no percentile advisory
+    assert(Config.warnings(cfg).isEmpty)
+    Config.load(yaml).run(spark)
+    val got = Readers.parquet(spark, out)
+      .orderBy("g", "q_num").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Int]("q_num"),
+        r.getAs[Int]("q_den"), r.getAs[Double]("est"))).toSeq
+    val direct = minietl.sketch.Sketches.logHistQuantiles(
+      Readers.parquet(spark, in), Seq("g"), "v", Seq((5, 10), (19, 20)))
+      .orderBy("g", "q_num").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Int]("q_num"),
+        r.getAs[Int]("q_den"), r.getAs[Double]("est"))).toSeq
+    assert(got === direct && got.size === 4)
+    // validation surface: unparseable / out-of-range quantiles, missing keys
+    def errs(q: String) = Config.validate(Config.parse(
+      yaml.replace("quantiles: [0.5, \"19/20\"]", s"quantiles: $q")))
+    assert(errs("[abc]").exists(_.contains("unparseable quantile")))
+    assert(errs("[1.5]").exists(_.contains("out of [0, 1]")))
+    assert(errs("[]").exists(_.contains("non-empty list")))
+    assert(Config.validate(Config.parse(
+      yaml.replace("    value: v\n", "")))
+      .exists(_.contains("missing 'value'")))
+  }
+
   test("semdedup recluster_rounds is validated at validate time (ADVICE r16)") {
     def cfg(extra: String) = Config.parse(
       s"""name: sd

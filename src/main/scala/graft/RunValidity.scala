@@ -136,15 +136,21 @@ object RunValidity {
     }.toMap
   }
 
+  /** The file as UTF-8 text, None when missing/unreadable — the shared
+    * read both baseline loaders sit on (a bench run must never fail
+    * because the baseline is absent).
+    */
+  private def readText(path: String): Option[String] =
+    try Some(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => None }
+
   /** Load a baseline file; empty map (band checks become no-ops, with a
-    * visible note in the artifact) when the file is missing or unreadable —
-    * a bench run must never fail because the baseline is absent.
+    * visible note in the artifact) when the file is missing or unreadable.
     */
   def loadBaseline(path: String): Map[String, (Double, Double)] =
-    try parseQueriesBlock(
-      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-        java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => Map.empty }
+    readText(path).map(parseQueriesBlock).getOrElse(Map.empty)
 
   /** The baseline's `noisy_queries` ledger (tools/baseline.py: queries
     * whose clean cross-run spread exceeded 1.3x — see [[offenders]]).
@@ -152,15 +158,9 @@ object RunValidity {
     * its absence only makes the verdict stricter, never laxer.
     */
   def loadNoisy(path: String): Set[String] =
-    try {
-      val text = new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-        java.nio.charset.StandardCharsets.UTF_8)
-      """"noisy_queries"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(text) match {
-        case Some(m) =>
-          """"([A-Za-z0-9_]+)"""".r.findAllMatchIn(m.group(1))
-            .map(_.group(1)).toSet
-        case None => Set.empty
-      }
-    } catch { case _: Throwable => Set.empty }
+    readText(path).flatMap { text =>
+      """"noisy_queries"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(text)
+        .map(m => """"([A-Za-z0-9_]+)"""".r.findAllMatchIn(m.group(1))
+          .map(_.group(1)).toSet)
+    }.getOrElse(Set.empty)
 }

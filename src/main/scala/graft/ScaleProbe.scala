@@ -599,6 +599,10 @@ object ScaleProbe {
         }
         for (n <- sizes; cap <- caps; rounds <- roundsList) {
           val emb = plantedClasses(n)
+          // the PRESENT class count, not the literal 32: an n below (or
+          // not covering) the 1000 id-residues leaves some classes empty,
+          // and counting against 32 would report phantom false merges
+          val nClasses = emb.select(countDistinct(col("cls"))).head().getLong(0)
           val t0 = System.nanoTime()
           val model = minietl.sim.Ivf.train(emb, nlist = 8, iters = 3)
           val out = minietl.sim.SemDedup.semDedup(emb, model, tau = 0.99,
@@ -609,9 +613,10 @@ object ScaleProbe {
               countDistinct(col("cls")).as("covered")).head()
           val wall = (System.nanoTime() - t0) / 1e9
           val (kept, covered) = (agg.getLong(0), agg.getLong(1))
-          val recall = (n - kept).toDouble / (n - 32).toDouble
+          val recall = (n - kept).toDouble / (n - nClasses).toDouble
           println(f"[rec_recall] n=$n cap=$cap rounds=$rounds kept=$kept " +
-            f"extra_kept=${kept - covered} false_merged_classes=${32 - covered} " +
+            f"extra_kept=${kept - covered} " +
+            f"false_merged_classes=${nClasses - covered} " +
             f"recall=$recall%.4f wall=$wall%.1fs")
           spark.catalog.clearCache()
         }

@@ -413,20 +413,26 @@ object Config {
         // max_dist 0 = exact full-hash groups; 1..3 = transitive banded near
         numeric("max_dist", 0.0, 3.0) ++ numeric("max_bucket_size", 2.0, 1e9)
       case "quantile_sketch" =>
-        // quantiles accept decimals ("0.95") or explicit rationals ("19/20")
+        // quantiles accept decimals ("0.95") or explicit rationals
+        // ("19/20"); a scalar is the one-element list (the same leniency
+        // strSeq gives every list-valued option, and the builder's parse)
         numeric("scale", 1.0, 1e12) ++ (o.get("quantiles") match {
           case None => Nil // required-key check's job
-          case Some(l: Seq[Any] @unchecked) if l.nonEmpty =>
-            l.flatMap(v => parseQuantile(v) match {
-              case Some((n, d)) if n >= 0 && n <= d => Nil
+          case Some(l: Seq[Any] @unchecked) if l.isEmpty =>
+            Seq(s"$at: 'quantiles' must be a non-empty list")
+          case Some(v) =>
+            val l = v match { case s: Seq[Any] @unchecked => s; case x => Seq(x) }
+            l.flatMap(q => parseQuantile(q) match {
+              // d > 0 mirrors the runtime require in
+              // Sketches.quantilesFromBucketCounts — "0/0" must error HERE,
+              // not mid-pipeline after the source was read
+              case Some((n, d)) if n >= 0 && d > 0 && n <= d => Nil
               case Some((n, d)) =>
                 Seq(s"$at: quantile $n/$d out of [0, 1]")
               case None =>
-                Seq(s"$at: unparseable quantile '$v' (use a decimal like " +
+                Seq(s"$at: unparseable quantile '$q' (use a decimal like " +
                   "0.95 or a rational like 19/20)")
             })
-          case Some(other) =>
-            Seq(s"$at: 'quantiles' must be a non-empty list, got '$other'")
         })
       case _ => Nil
     }
@@ -439,6 +445,8 @@ object Config {
     * (q_num, q_den) columns echo the representation as given.
     */
   private[config] def parseQuantile(v: Any): Option[(Int, Int)] = {
+    if (v == null) return None // YAML null ('quantiles:' or '~') is a
+    // validation error to REPORT, never an NPE out of validate
     val s = v.toString.trim
     if (s.contains("/")) s.split("/", -1) match {
       case Array(n, d) =>

@@ -1785,6 +1785,13 @@ class ConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(errs("[abc]").exists(_.contains("unparseable quantile")))
     assert(errs("[1.5]").exists(_.contains("out of [0, 1]")))
     assert(errs("[]").exists(_.contains("non-empty list")))
+    // a scalar quantile is the one-element list, in validate AND build
+    assert(errs("0.5").isEmpty)
+    // "0/0" must error at validate, not at the runtime require mid-pipeline
+    assert(errs("[\"0/0\"]").exists(_.contains("out of [0, 1]")))
+    // a YAML null is an error to REPORT, never an NPE out of validate
+    assert(errs("[0.5, ~]").exists(_.contains("unparseable quantile")))
+    assert(errs("~").exists(_.contains("unparseable quantile")))
     assert(Config.validate(Config.parse(
       yaml.replace("    value: v\n", "")))
       .exists(_.contains("missing 'value'")))

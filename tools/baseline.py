@@ -126,7 +126,14 @@ def main(argv):
         sys.exit(__doc__)
     runs, excluded = {}, {}
     for path in args:
-        queries, suspect, cache_warm = load_run(path)
+        try:
+            queries, suspect, cache_warm = load_run(path)
+        except (OSError, ValueError) as e:
+            # a truncated/unreadable artifact excludes ITSELF, it must not
+            # kill the refresh for the healthy runs (the old regex scrape
+            # degraded this way; json.load must too)
+            excluded[path] = f"unreadable artifact: {e}"
+            continue
         if not queries:
             excluded[path] = "no queries field"
         elif suspect:
@@ -151,7 +158,10 @@ def main(argv):
     noisy = noisy_queries(runs)
     carried = []
     if carry:
-        old, _, _ = load_run(carry)
+        try:
+            old, _, _ = load_run(carry)
+        except (OSError, ValueError) as e:
+            sys.exit(f"--carry {carry} unreadable: {e}")
         for q, band in old.items():
             if q not in bands:
                 bands[q] = band

@@ -574,13 +574,15 @@ object ScaleProbe {
         //   extra_kept = kept - classes_covered — the recall misses
         //     (sub-cell boundaries keep > 1 representative per class).
         //
-        // args: [sizes csv] [caps csv] [rounds csv]
+        // args: [sizes csv] [caps csv] [rounds csv] [maxNlist csv]
         val sizes = args.lift(1).map(_.split(",").map(_.toLong).toSeq)
           .getOrElse(Seq(50000L, 200000L, 400000L))
         val caps = args.lift(2).map(_.split(",").map(_.toInt).toSeq)
           .getOrElse(Seq(minietl.dedup.Dedup.DefaultMaxBucket))
         val roundsList = args.lift(3).map(_.split(",").map(_.toInt).toSeq)
           .getOrElse(Seq(1))
+        val maxNlists = args.lift(4).map(_.split(",").map(_.toInt).toSeq)
+          .getOrElse(Seq(65536))
         def plantedClasses(rows: Long) = {
           val m = pmod(col("id"), lit(1000L))
           val cls = when(m < 500, lit(0L)).when(m < 700, lit(1L))
@@ -597,7 +599,7 @@ object ScaleProbe {
                   / lit(1e7)).cast("float")).as("embedding"))
             .localCheckpoint(true)
         }
-        for (n <- sizes; cap <- caps; rounds <- roundsList) {
+        for (n <- sizes; cap <- caps; rounds <- roundsList; mnl <- maxNlists) {
           val emb = plantedClasses(n)
           // the PRESENT class count, not the literal 32: an n below (or
           // not covering) the 1000 id-residues leaves some classes empty,
@@ -606,7 +608,8 @@ object ScaleProbe {
           val t0 = System.nanoTime()
           val model = minietl.sim.Ivf.train(emb, nlist = 8, iters = 3)
           val out = minietl.sim.SemDedup.semDedup(emb, model, tau = 0.99,
-            maxClusterSize = cap, reclusterRounds = rounds)
+            maxClusterSize = cap, reclusterRounds = rounds,
+            reclusterMaxNlist = mnl)
           val agg = out.where(col("keep") === 1L).select(col("id"))
             .join(emb.select(col("vec_id").as("id"), col("cls")), Seq("id"))
             .agg(count(lit(1)).as("kept"),
@@ -614,7 +617,7 @@ object ScaleProbe {
           val wall = (System.nanoTime() - t0) / 1e9
           val (kept, covered) = (agg.getLong(0), agg.getLong(1))
           val recall = (n - kept).toDouble / (n - nClasses).toDouble
-          println(f"[rec_recall] n=$n cap=$cap rounds=$rounds kept=$kept " +
+          println(f"[rec_recall] n=$n cap=$cap rounds=$rounds mnl=$mnl kept=$kept " +
             f"extra_kept=${kept - covered} " +
             f"false_merged_classes=${nClasses - covered} " +
             f"recall=$recall%.4f wall=$wall%.1fs")

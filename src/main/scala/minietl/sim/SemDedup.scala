@@ -32,25 +32,26 @@ import org.apache.spark.sql.functions._
   * extends to (cluster, sub), and only groups that STILL exceed the cap
   * after `reclusterRounds` such rounds fall back to the isolate-everything
   * guard. Pairing never crosses an original cluster: the composite key
-  * keeps every earlier level's assignment. Sub-model width comes from
-  * [[Ivf.autoNlist]] with target = cap/8: with the native argmin
-  * ([[Ivf.assignList]]) the assign side is ~3 ns/centroid-eval, so total
-  * recovery wall is dominated by the within-cell pair quadratic
-  * (n·target/2 pairs) — measured at the 200k adversarial probe, target
-  * cap/2 = 50M pairs / ~29 s of pair+CC work vs cap/8 = 12.5M / ~8 s,
-  * while train+assign grows only ~4x on a cheap term. Smaller cells trade
-  * a little recall (merges happen within cells) for that 4x; the dial is
-  * the cap itself, and its closed form is MEASURED (r17 recover_recall
-  * ground-truth probe, PLANS.md): recovered cells hold ~target = cap/8
-  * rows and keep one representative each, so in the fully-degenerate
-  * regime **recall ~= 1 - 8/cap** (cap 250/1000/4000 -> 0.968/0.992/0.998
-  * measured, exact to ~3dp) with false merges structurally zero whenever
-  * distinct content stays below tau. Sizing rule: cap ~= 8/(1 -
-  * target_recall), bounded by executor memory for the cap^2/2-pair cell
-  * join. The probe also forced the init fix that makes ONE recovery round
-  * sufficient: [[Ivf.train]]'s hash-spread seeding (see its scaladoc) —
-  * with layout-correlated ids the old smallest-id init left recall at
-  * 0.60 until round 4.
+  * keeps every earlier level's assignment. Sub-model width is
+  * COST-BALANCED per round (r17): the assign term costs n·nlist and the
+  * within-cell pair term n·target/2, so the per-group target grows as
+  * ~sqrt(0.2·n) — clamped to [cap/8, cap/2] so small groups keep the
+  * fixed-target behavior and cells stay under the cap. Measured at an
+  * 800k-row over-cap group: the fixed cap/8 target spent 192 s (assign-
+  * dominated, nlist 6400) where the balanced width spends 67 s at BETTER
+  * recall (0.9976 vs 0.9920) — bigger cells merge more. The recall
+  * closed form is MEASURED (r17 recover_recall ground-truth probe,
+  * PLANS.md): one representative survives per recovered cell, so recall
+  * ~= 1 - 1/target — the cap/8 floor gives **recall >= 1 - 8/cap**
+  * (cap 250/1000/4000 -> 0.968/0.992/0.998 measured at 200k, exact to
+  * ~3dp), and the sqrt-balanced target only raises it (800k: 0.9976)
+  * — with false merges structurally zero whenever distinct content stays
+  * below tau. Sizing rule: cap ~= 8/(1 - target_recall) as the floor,
+  * bounded by executor memory for the cap^2/2-pair cell join. The probe
+  * also forced the init fix that makes ONE recovery round sufficient:
+  * [[Ivf.train]]'s hash-spread seeding (see its scaladoc) — with
+  * layout-correlated ids the old smallest-id init left recall at 0.60
+  * until round 4.
   *
   * Determinism contract: assignment ties go to the lower centroid index
   * (lexicographic struct min, [[Ivf.assignList]]) at EVERY level; the
@@ -134,12 +135,27 @@ object SemDedup {
       else {
         minietl.pipeline.RunCaches.register(over)
         val t0 = System.nanoTime()
-        // target floor 2: a target of 1 would make every sub-cell a
-        // singleton — recovery that can never merge anything
-        val sub = Ivf.train(over,
-          Ivf.autoNlist(over, targetClusterRows = math.max(2, maxClusterSize / 8),
-            maxNlist = reclusterMaxNlist),
-          iters = 3, idCol = "id", vecCol = "v")
+        val overN = over.count()
+        // COST-BALANCED sub-cluster target (r17 800k A/B, PLANS.md): a
+        // fixed cap/8 target makes the per-round assign QUADRATIC in the
+        // over-cap row count (nlist = n/target grows linearly with n, and
+        // assign costs n x nlist), which measured as 192 s at an 800k
+        // group vs 67 s at the balanced width. The assign term ~ n^2/target
+        // and the pair term ~ n x target/2 balance at target ~ sqrt(k n);
+        // k = 0.2 is the measured calibration (target 400 optimal at
+        // 800k: 67 s / recall 0.9976 vs cap/8's 192 s / 0.9920 — bigger
+        // cells MERGE MORE, so recall improves with the wall). Clamped to
+        // [max(2, cap/8), cap/2]: small groups keep the r16 behavior
+        // exactly, and cells stay comfortably under the census cap.
+        // Floor 2: a target of 1 would make every sub-cell a singleton —
+        // recovery that can never merge anything.
+        val target = math.max(math.max(2L, maxClusterSize / 8L),
+          math.min(maxClusterSize / 2L,
+            math.ceil(math.sqrt(0.2 * overN)).toLong))
+        val ideal = (overN + target - 1) / target
+        val nlistSub = math.max(1L,
+          math.min(math.min(reclusterMaxNlist.toLong, overN), ideal)).toInt
+        val sub = Ivf.train(over, nlistSub, iters = 3, idCol = "id", vecCol = "v")
         log.info(f"semdedup recluster round $r: trained ${sub.nlist} " +
           f"sub-centroids in ${(System.nanoTime() - t0) / 1e9}%.1f s")
         subModels += sub

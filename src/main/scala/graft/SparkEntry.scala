@@ -2056,7 +2056,10 @@ object SparkEntry {
       (s, dir) => {
         val imgs = minietl.multimodal.PerceptualHash
           .syntheticGradientImages(documents(s, dir), "doc_id")
-        val hashes = minietl.multimodal.PerceptualHash.dHashes(imgs)
+        // referenced by the group census AND the labeling join — persist
+        // the narrow hash frame so the PNG encode+decode runs once
+        // (r17-opt; same rationale as q_image_neardup_hamming)
+        val hashes = minietl.multimodal.PerceptualHash.dHashes(imgs).persist()
         val groups = hashes.groupBy("dhash").agg(
           count(lit(1)).as("group_size"), min("media_id").as("canon"))
         hashes.join(groups, "dhash")
@@ -2090,9 +2093,20 @@ object SparkEntry {
       (s, dir) => {
         val imgs = minietl.multimodal.PerceptualHash
           .syntheticGradientImages(documents(s, dir), "doc_id")
-        val hashes = minietl.multimodal.PerceptualHash.dHashes(imgs)
+        // the hash frame is referenced by hammingPairs' three legs (both
+        // join sides + the bucket census) AND the final left join, and the
+        // dHashes lineage is an RDD (no stats, never broadcast, and — the
+        // real cost — every unpersisted reference re-ENCODES and re-DECODES
+        // every PNG; r17-opt measured 5 decode executions in the plan).
+        // Persist the NARROW hash frame once (guide §1.2 "don't compute
+        // things twice"; released by the battery's clearCache like every
+        // operator-internal persist)
+        val hashes = minietl.multimodal.PerceptualHash.dHashes(imgs).persist()
+        // pairs is read twice by the symmetric union below — without a
+        // persist the whole banded self-join subtree executes once per
+        // branch (r17-opt: the before-plan carried both copies)
         val pairs = minietl.multimodal.PerceptualHash
-          .hammingPairs(hashes, "media_id", "dhash", maxDist = 3)
+          .hammingPairs(hashes, "media_id", "dhash", maxDist = 3).persist()
         // per-image summary keeps the output LINEAR in corpus size (the
         // raw pair set is ~quadratic inside hot parameter groups: 13k
         // pairs over 500 docs at sf0.01); any wrong pair flips some
@@ -2216,10 +2230,14 @@ object SparkEntry {
           .syntheticWavs(documents(s, dir), "doc_id")
           .select(col("media_id"), col("content"))
           .persist()
+        // ONE decode: the same hash frame feeds the audit columns AND the
+        // dedup fold (dedupNear(df, key, content) would recompute
+        // energyHashFrame internally — a second full PCM decode; r17-opt).
+        // dedupNearFromHashes persists the frame, so no extra persist here.
         val hashes = minietl.multimodal.PerceptualAudio
           .energyHashFrame(wavs, "media_id", "content")
         val kept = minietl.multimodal.PerceptualAudio
-          .dedupNear(wavs, "media_id", "content")
+          .dedupNearFromHashes(wavs, "media_id", hashes)
         hashes
           .join(kept.select(col("media_id"), lit(1L).as("keep")),
             Seq("media_id"), "left")
@@ -3520,12 +3538,25 @@ object SparkEntry {
 
     "q_kmv_distinct" -> Q(
       (s, dir) => {
-        def audit(df: DataFrame, field: String, colName: String): DataFrame =
-          minietl.sketch.Sketches.kmvDistinct(df, colName, 256)
-            .crossJoin(broadcast(
-              df.agg(countDistinct(col(colName)).as("n_exact"))))
+        // ONE scan per source: the audit needs an exact distinct count, so
+        // a full distinct of the key set is unavoidable — but the sketch
+        // can then ride the SAME distinct frame (kmv of the distinct values
+        // is the identical hash set: its TreeSet accumulator dedups anyway)
+        // instead of re-scanning and re-hashing every occurrence. Before:
+        // 2 scans + countDistinct's distinct shuffle + kmv's bottom-k pass
+        // over all rows; after: 1 scan + the same distinct shuffle, kmv and
+        // count both over the (persisted, tiny) distinct frame (r17-opt,
+        // guide §1.2). n_exact = count over distinct non-null values ==
+        // countDistinct by definition; nulls were already excluded by both
+        // sides (countDistinct skips them, kmv filters null hashes).
+        def audit(df: DataFrame, field: String, colName: String): DataFrame = {
+          val dv = df.select(col(colName)).where(col(colName).isNotNull)
+            .distinct().persist()
+          minietl.sketch.Sketches.kmvDistinct(dv, colName, 256)
+            .crossJoin(broadcast(dv.agg(count(lit(1)).as("n_exact"))))
             .select(lit(field).as("field"), col("n_exact"),
               col("n_kept"), col("estimate"))
+        }
         audit(events(s, dir), "events.event_id", "event_id")
           .unionAll(audit(events(s, dir), "events.user_id", "user_id"))
           .unionAll(audit(t(s, dir, "lineitem"), "lineitem.l_partkey", "l_partkey"))

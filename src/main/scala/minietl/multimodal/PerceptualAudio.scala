@@ -160,6 +160,19 @@ object PerceptualAudio {
     PerceptualHash.dedupNearFromHashes(df, keyCol,
       energyHashFrame(df, keyCol, contentCol), "ahash", maxDist, maxBucketSize)
 
+  /** [[dedupNear]] over an ALREADY-COMPUTED `(keyCol, ahash)` frame — for
+    * callers that also consume the hashes directly (audit joins, digests):
+    * passing the same frame here makes the PCM decode run once for both
+    * consumers instead of once per call (r17-opt; the decode is the
+    * dominant per-row cost, and dedupNear's internal persist can only
+    * dedup references it can see). Same fold, same output contract.
+    */
+  def dedupNearFromHashes(df: DataFrame, keyCol: String, hashes: DataFrame,
+      maxDist: Int = 3,
+      maxBucketSize: Int = minietl.dedup.Dedup.DefaultMaxBucket): DataFrame =
+    PerceptualHash.dedupNearFromHashes(df, keyCol,
+      hashes, "ahash", maxDist, maxBucketSize)
+
   /** DuckDB twin of [[energyHash56]] over the [[Multimodal.syntheticWavs]]
     * corpus: the generator's period-2 square wave (`s[i] = a1` for even i,
     * `a2` for odd) makes every window energy closed-form —

@@ -120,11 +120,33 @@ object Sketches {
     */
   def countMinTopK(tokens: DataFrame, tokenCol: String,
                    depth: Int, width: Int, k: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape ${depth}x$width")
     val toks = tokens.where(col(tokenCol).isNotNull)
-    val sketch = countMinSketch(toks, tokenCol, depth, width)
-    val top = toks
+    // ONE pass over the token stream: the exact per-token counts feed BOTH
+    // the top-k and the sketch. A sketch cell is the number of token
+    // INSTANCES hashing into it, which equals the sum of the per-token
+    // exact counts of the tokens hashing into it — so deriving the sketch
+    // from `counts` is cell-for-cell identical to countMinSketch over the
+    // raw stream, while scanning/tokenizing the input once instead of
+    // twice and evaluating the depth md5 hashes per DISTINCT token instead
+    // of per occurrence (guide §2.3 "aggregate before you shuffle";
+    // r17-opt: 2.3 s -> measured below). countMinSketch itself is
+    // unchanged — streaming callers need the per-row shape (a stream
+    // cannot re-aggregate a finished count frame).
+    val counts = toks
       .groupBy(col(tokenCol).as("token"))
       .agg(count(lit(1)).as("exact_n"))
+      .persist()
+    minietl.pipeline.RunCaches.register(counts)
+    val sketch = counts
+      .withColumn("lane", explode(array((0 until depth).map(lit): _*)))
+      .groupBy(
+        col("lane"),
+        pmod(PortableHash.md5Hash60(
+          concat(col("lane").cast("string"), lit(":"), col("token"))),
+          lit(width.toLong)).as("bucket"))
+      .agg(sum(col("exact_n")).as("n"))
+    val top = counts
       .orderBy(col("exact_n").desc, col("token").asc)
       .limit(k)
     val probes = top

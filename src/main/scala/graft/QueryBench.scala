@@ -40,7 +40,7 @@ object QueryBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_QB_REPS", "3").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -48,7 +48,17 @@ object QueryBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.checkpointLocation",
         BatteryCheckpoints.freshBase("qbench"))
-      .getOrCreate()
+    // dev-only A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" lets a session
+    // config candidate be measured both ways without a recompile. Bench
+    // (the driver artifact) deliberately has no such hook — a config that
+    // survives the A/B is promoted to an explicit, documented setting there.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = args.toSeq
     names.foreach(n => require(SparkEntry.queries.contains(n), s"unknown query $n"))

@@ -36,9 +36,13 @@ def parse(path):
 
 def census(text):
     c = {}
-    c["exchanges"] = len(re.findall(r"\bExchange\b", text)) - len(
-        re.findall(r"ReusedExchange", text))
-    c["reused_exchanges"] = len(re.findall(r"ReusedExchange", text))
+    # count detail-section headers ("(4) Exchange") only: each node appears
+    # twice in explain("formatted") output (tree line "+- Exchange (4)" plus
+    # the detail header), and `\bExchange\b` can never match inside the
+    # single token "ReusedExchange" (no word boundary mid-token), so the old
+    # "subtract ReusedExchange" correction undercounted and could go negative
+    c["exchanges"] = len(re.findall(r"\(\d+\) Exchange\b", text))
+    c["reused_exchanges"] = len(re.findall(r"\(\d+\) ReusedExchange\b", text))
     c["smj"] = len(re.findall(r"SortMergeJoin", text))
     c["bhj"] = len(re.findall(r"BroadcastHashJoin", text))
     c["shj"] = len(re.findall(r"ShuffledHashJoin", text))
@@ -48,7 +52,9 @@ def census(text):
     c["scans_rdd"] = len(re.findall(r"Scan ExistingRDD", text))
     c["imts"] = len(re.findall(r"InMemoryTableScan", text))
     c["generates"] = len(re.findall(r"\bGenerate\b", text))
-    c["sorts"] = len(re.findall(r"\bSort \[", text))
+    # node headers are "(N) Sort" with arguments on their own "Arguments:"
+    # line — the old `\bSort \[` pattern matched nothing in formatted output
+    c["sorts"] = len(re.findall(r"\(\d+\) Sort\b", text))
     c["hash_aggs"] = len(re.findall(r"\bHashAggregate\b", text))
     c["obj_hash_aggs"] = len(re.findall(r"ObjectHashAggregate", text))
     c["sort_aggs"] = len(re.findall(r"\bSortAggregate\b", text))
@@ -64,7 +70,15 @@ def census(text):
 
 
 def main():
-    path = sys.argv[1]
+    args = [a for a in sys.argv[1:]]
+    tsv_out = None
+    if "--tsv" in args:
+        i = args.index("--tsv")
+        tsv_out = args[i + 1]
+        del args[i:i + 2]
+    if len(args) != 1:
+        sys.exit("usage: plan_census.py <plandump.txt> [--tsv out.tsv]")
+    path = args[0]
     blocks = parse(path)
     rows = []
     for name, text in sorted(blocks.items()):
@@ -74,9 +88,12 @@ def main():
             "cartesian", "scans_parquet", "scans_rdd", "imts", "generates",
             "sorts", "hash_aggs", "obj_hash_aggs", "sort_aggs", "windows",
             "pushed", "dup_scan_legs"]
-    print("query\t" + "\t".join(cols))
+    out = open(tsv_out, "w") if tsv_out else sys.stdout
+    print("query\t" + "\t".join(cols), file=out)
     for name, c in rows:
-        print(name + "\t" + "\t".join(str(c[k]) for k in cols))
+        print(name + "\t" + "\t".join(str(c[k]) for k in cols), file=out)
+    if tsv_out:
+        out.close()
     print("\n-- anomalies --", file=sys.stderr)
     for name, c in rows:
         flags = []

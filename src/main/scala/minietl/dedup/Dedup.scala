@@ -144,6 +144,50 @@ object Dedup {
     * shuffle on (band, key) -> within-bucket self-join -> dedup pairs ->
     * verify. The only all-pairs work happens inside buckets.
     */
+  /** The (id, hsh, sig) signature base every MinHash consumer derives from:
+    * sorted distinct shingle hashes plus the k-lane signature, computed
+    * ONCE per document. `portable` selects the md5-60-bit replayable hash
+    * family (engine-replayable, slower md5); xxhash64 otherwise. NOT
+    * persisted here — the caller owns persist/release: the public pair
+    * entries persist + register with RunCaches; the streaming ingest loop
+    * persists per micro-batch and releases at batch end, so one batch's
+    * shingle hashing never runs twice (within-batch dedup AND digest
+    * banding both read this frame).
+    */
+  private[minietl] def minhashBase(df: DataFrame, textCol: String, idCol: String,
+                                   shingleN: Int, k: Int, seed: Long,
+                                   portable: Boolean): DataFrame = {
+    val hsh =
+      if (portable) md5ShingleHashesSorted(col(textCol), shingleN)
+      else shingleHashesSorted(col(textCol), shingleN)
+    spread(df).select(col(idCol).as("id"), hsh.as("hsh"))
+      .withColumn("sig", minhashFromHashes(col("hsh"), k, seed))
+  }
+
+  /** LSH banding of a signature base: one (id, band, key) row per band for
+    * the bucket shuffle — the slim proxy rows (guide §2.3: shuffle keys and
+    * metadata, not payloads); the signature/shingle arrays stay behind and
+    * join back per confirmed candidate only.
+    */
+  private[minietl] def bandRows(base: DataFrame, bands: Int, k: Int,
+                                portable: Boolean): DataFrame = {
+    val keys =
+      if (portable) lshBandKeysPortable(col("sig"), bands, k)
+      else lshBandKeys(col("sig"), bands, k)
+    base.select(col("id"), explode(keys).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate self-join + exact-Jaccard verify over a CALLER-PERSISTED
+    * signature base — the shared tail behind [[minhashNearDupPairs]],
+    * [[minhashNearDupPairsPortable]] and the streaming ingest loop.
+    */
+  private[minietl] def minhashPairsFromSigBase(base: DataFrame, bands: Int, k: Int,
+                                               threshold: Double, maxBucketSize: Int,
+                                               portable: Boolean): DataFrame =
+    minhashPairsFromBase(base, bandRows(base, bands, k, portable),
+      threshold, maxBucketSize)
+
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                           threshold: Double = 0.8, seed: Long = 42L,
@@ -151,18 +195,11 @@ object Dedup {
     // Persisted because the plan references it three times (banding + two
     // candidate-fetch joins); without it the signature computation — the
     // expensive scan-side work — would run three times.
-    val base = spread(df).select(col(idCol).as("id"),
-        shingleHashesSorted(col(textCol), shingleN).as("hsh"))
-      .withColumn("sig", minhashFromHashes(col("hsh"), k, seed))
-      .persist()
+    val base = minhashBase(df, textCol, idCol, shingleN, k, seed,
+      portable = false).persist()
     minietl.pipeline.RunCaches.register(base)
-    // The band shuffle moves only (id, band, key) — 20 bytes/row/band — not
-    // the signature or shingle arrays; candidate ids join back to `base` to
-    // fetch the arrays exactly once per confirmed candidate pair.
-    val banded = base
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands, k)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    minhashPairsFromBase(base, banded, threshold, maxBucketSize)
+    minhashPairsFromSigBase(base, bands, k, threshold, maxBucketSize,
+      portable = false)
   }
 
   /** Spread a narrow scan across all cores when the input arrives in fewer
@@ -312,15 +349,11 @@ object Dedup {
                                   shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                                   threshold: Double = 0.5, seed: Long = 42L,
                                   maxBucketSize: Int = DefaultMaxBucket): DataFrame = {
-    val base = spread(df).select(col(idCol).as("id"),
-        md5ShingleHashesSorted(col(textCol), shingleN).as("hsh"))
-      .withColumn("sig", minhashFromHashes(col("hsh"), k, seed))
-      .persist()
+    val base = minhashBase(df, textCol, idCol, shingleN, k, seed,
+      portable = true).persist()
     minietl.pipeline.RunCaches.register(base)
-    val banded = base
-      .select(col("id"), explode(lshBandKeysPortable(col("sig"), bands, k)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    minhashPairsFromBase(base, banded, threshold, maxBucketSize)
+    minhashPairsFromSigBase(base, bands, k, threshold, maxBucketSize,
+      portable = true)
   }
 
   /** Keep one representative (min id) per near-dup cluster over the

@@ -490,6 +490,18 @@ object Winnow {
     require(minSpanTokens >= k,
       s"minSpanTokens must be >= k (got $minSpanTokens < $k)")
     val release = minietl.pipeline.RunCaches.releaseNow _
+    // partition budget for the per-round corpus checkpoints: exciseSubset's
+    // union concatenates the untouched-side partitions with the rebuild
+    // aggregate's shuffle partitions, so without a cap the checkpointed
+    // corpus GROWS by ~shuffle.partitions every round (measured r18: 35 →
+    // 66 → 98 planned tasks per scan stage at sf0.1) and every later
+    // round's full-corpus scan pays the extra per-task fixed cost. The cap
+    // is the INPUT's own scale (its partition count, floored at the
+    // session parallelism), so a production corpus keeps its thousands of
+    // partitions and only the per-round inflation is folded back (narrow
+    // coalesce — no shuffle, parallelism never drops below the cores).
+    val capParts = math.max(df.rdd.getNumPartitions,
+      df.sparkSession.sparkContext.defaultParallelism)
     var cur = df
     var curOwned = false // never release the caller's frame
     var changedIds: DataFrame = null // round r-1's changed set (null = round 1)
@@ -599,7 +611,7 @@ object Winnow {
         // round 1 embeds the duplicate-id guard over the FULL frame (ids
         // never change between rounds, so one check covers the run)
         val next = exciseSubset(cur, spans, nextChanged, textCol, idCol,
-          checkDupIds = rounds == 0).localCheckpoint(true)
+          checkDupIds = rounds == 0).coalesce(capParts).localCheckpoint(true)
         release(spans)
         if (changedIds != null) release(changedIds)
         if (curOwned) release(cur)

@@ -468,32 +468,36 @@ object Streaming {
           dropBatchDelta(spark, payloadDir, batchId)
         } else dropBatchDelta(spark, historyDir, batchId)
         import minietl.dedup.Dedup
+        // ONE signature computation per batch (guide §1.2 — don't compute
+        // things twice): the (id, hsh, sig) base is persisted once and
+        // feeds BOTH the within-batch dedup pass and the digest
+        // banding/payloads. The previous shape recomputed the shingle
+        // hashes + k-lane signature from the text a second time for the
+        // digest bands (and a third time for the "exact" payload) — at the
+        // portable md5 family that hashing is the dominant per-batch
+        // compute. Values are identical by construction (same text, same
+        // hash family, same k/seed), so the admitted set and digest are
+        // byte-identical; seed stays the dedup pass's own default so the
+        // digest bands are the family the within-batch pass used.
+        val base = Dedup.minhashBase(batch, textCol, idCol, shingleN, k,
+          seed = 42L, portable).persist()
         // (1) within-batch: full verified near-dup semantics. `portable`
         // swaps the whole hash family to the md5-60-bit / slice-band
         // variants so an independent engine can replay the ENTIRE loop —
         // Dedup.nearDupHistoryOracleSql generates that SQL, and
         // q_stream_neardup_history hash-gates it per round.
-        val withinDeduped =
-          if (portable) Dedup.minhashDedupPortable(
-            batch, textCol, idCol, shingleN, k, bands, threshold)
-          else Dedup.minhashDedup(
-            batch, textCol, idCol, shingleN, k, bands, threshold)
-        // seed fixed at the dedup pass's own default so the digest bands are
-        // the same family the within-batch pass used
-        val sigExpr =
-          if (portable) Dedup.minhashFromHashes(
-            Dedup.md5ShingleHashesSorted(col(textCol), shingleN), k)
-          else Dedup.minhashSignature(Dedup.shingles(col(textCol), shingleN), k)
-        val withSig = withinDeduped.withColumn("__sig", sigExpr)
-        val bandKeysExpr =
-          if (portable) Dedup.lshBandKeysPortable(col("__sig"), bands, k)
-          else Dedup.lshBandKeys(col("__sig"), bands, k)
-        val bandsOf = withSig
-          .select(col(idCol).as("__id"), col("__sig"),
-            explode(bandKeysExpr).as("__b"))
-          .select(col("__id"), col("__sig"),
-            col("__b.band").as("band"), col("__b.key").as("key"))
-          .persist()
+        val dupWithin = Dedup.minhashPairsFromSigBase(
+            base, bands, k, threshold, Dedup.DefaultMaxBucket, portable)
+          .select(col("id_b").as("__dup")).distinct()
+        val withinDeduped = batch
+          .join(dupWithin, batch(idCol) === col("__dup"), "left_anti")
+        // (id, band, key) of ALL batch docs (slim proxy rows off the cached
+        // base — recomputing the explode is cheap; the hashing is not);
+        // survivors filter by semi-join where needed
+        val bandsAll = Dedup.bandRows(base, bands, k, portable)
+        val survivorBands = bandsAll
+          .join(withinDeduped.select(col(idCol).as("id")), Seq("id"), "left_semi")
+          .select(col("id").as("__id"), col("band"), col("key"))
         try {
           def emptyLike(df: DataFrame): DataFrame = df.limit(0)
           if (!verified) {
@@ -503,7 +507,7 @@ object Streaming {
               try spark.read.parquet(historyDir).select("band", "key")
               catch {
                 case _: org.apache.spark.sql.AnalysisException =>
-                  emptyLike(bandsOf.select("band", "key"))
+                  emptyLike(survivorBands.select("band", "key"))
               }
             // digest STREAMED, batch bands built (same join-direction
             // contract as dedupAndRecordHistory — a semi join with the
@@ -512,16 +516,15 @@ object Streaming {
             // batch; the inner join's matched rows are bounded by
             // batch bands × collisions, then collapsed to ids)
             val dupIds = hist
-              .join(bandsOf.select("__id", "band", "key"), Seq("band", "key"))
+              .join(survivorBands, Seq("band", "key"))
               .select("__id").distinct()
             val fresh = withinDeduped
               .join(dupIds, withinDeduped(idCol) === dupIds("__id"), "left_anti")
               .persist()
             try {
               sink(fresh, batchId)
-              bandsOf
-                .join(fresh.select(col(idCol).as("__keep")),
-                  bandsOf("__id") === col("__keep"), "left_semi")
+              bandsAll
+                .join(fresh.select(col(idCol).as("id")), Seq("id"), "left_semi")
                 .select("band", "key")
                 .write.mode("overwrite")
                 .parquet(batchOutputPath(historyDir, batchId))
@@ -535,26 +538,24 @@ object Streaming {
             // the sorted shingle-hash set ("exact", ~8 B/shingle, the
             // same decision rule as the within-batch pass) — so an
             // unlucky band collision between dissimilar docs cannot
-            // false-drop.
+            // false-drop. Payloads come straight off the cached base: the
+            // "exact" shingle-hash set IS base.hsh, the "estimate"
+            // signature IS base.sig.
             val payloadCol = if (exact) "sh" else "sig"
-            val payloadExpr =
-              if (exact) {
-                if (portable) Dedup.md5ShingleHashesSorted(col(textCol), shingleN)
-                else Dedup.shingleHashesSorted(col(textCol), shingleN)
-              } else col("__sig")
-            val withPayload = withSig.withColumn("__pay", payloadExpr)
+            val payload = base.select(col("id"),
+              (if (exact) col("hsh") else col("sig")).as("__pay"))
             val histBands =
               try spark.read.parquet(bandsDir)
               catch {
                 case _: org.apache.spark.sql.AnalysisException =>
-                  emptyLike(bandsOf.select(col("band"), col("key"), col("__id").as("id")))
+                  emptyLike(survivorBands
+                    .select(col("band"), col("key"), col("__id").as("id")))
               }
             val histPayload =
               try spark.read.parquet(payloadDir)
               catch {
                 case _: org.apache.spark.sql.AnalysisException =>
-                  emptyLike(withPayload.select(col(idCol).as("id"),
-                    col("__pay").as(payloadCol)))
+                  emptyLike(payload.select(col("id"), col("__pay").as(payloadCol)))
               }
             def similar(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
               if (exact) minietl.functions.vec.jaccardSorted(a, b) >= threshold
@@ -562,29 +563,30 @@ object Streaming {
             // digest bands on the STREAMED side, batch bands on the build
             // side (join-direction contract, as in collision mode)
             val cand = histBands
-              .join(bandsOf.select(col("__id"), col("band"), col("key")),
-                Seq("band", "key"))
+              .join(survivorBands, Seq("band", "key"))
               .select(col("__id"), col("id").as("__hist_id")).distinct()
             val dupIds = cand
-              .join(withPayload.select(col(idCol).as("__id"), col("__pay")).distinct(), "__id")
+              .join(payload.select(col("id").as("__id"), col("__pay")), "__id")
               .join(histPayload.select(col("id").as("__hist_id"),
                 col(payloadCol).as("__hist_pay")), "__hist_id")
               .where(similar(col("__pay"), col("__hist_pay")))
               .select("__id").distinct()
-            val fresh = withPayload
-              .join(dupIds, withPayload(idCol) === dupIds("__id"), "left_anti")
+            val fresh = withinDeduped
+              .join(dupIds, withinDeduped(idCol) === dupIds("__id"), "left_anti")
               .persist()
             try {
-              sink(fresh.drop("__sig", "__pay"), batchId)
-              val keep = fresh.select(col(idCol).as("__keep"))
-              bandsOf.join(keep, bandsOf("__id") === col("__keep"), "left_semi")
-                .select(col("band"), col("key"), col("__id").as("id"))
+              sink(fresh, batchId)
+              bandsAll
+                .join(fresh.select(col(idCol).as("id")), Seq("id"), "left_semi")
+                .select(col("band"), col("key"), col("id"))
                 .write.mode("overwrite").parquet(batchOutputPath(bandsDir, batchId))
-              fresh.select(col(idCol).as("id"), col("__pay").as(payloadCol))
+              payload
+                .join(fresh.select(col(idCol).as("id")), Seq("id"), "left_semi")
+                .select(col("id"), col("__pay").as(payloadCol))
                 .write.mode("overwrite").parquet(batchOutputPath(payloadDir, batchId))
             } finally { fresh.unpersist(); () }
           }
-        } finally { bandsOf.unpersist(); () }
+        } finally { base.unpersist(); () }
       }
       .start()
   }

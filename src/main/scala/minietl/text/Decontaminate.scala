@@ -115,7 +115,13 @@ object Decontaminate {
       df.select(col(idCol),
         explode(TextAnalysis.ngrams(TextAnalysis.tokens(trim(col(textCol))), n))
           .as("__gram"))
-    val benchGrams = grams(bench).select("__gram").distinct()
+    // persisted: the sketch aggregate (materialized eagerly just below) and
+    // the exact-verify join both read the distinct bench grams; without the
+    // persist the bench-side tokenize + explode + distinct runs twice
+    // (§1.2). Cache lifecycle: released by the caller's clearCache between
+    // battery entries, like every operator-internal persist.
+    val benchGrams = grams(bench).select("__gram").distinct().persist()
+    minietl.pipeline.RunCaches.register(benchGrams)
     val sketch = benchGrams
       .agg(column(new BloomFilterAggregate(
         expression(xxhash64(col("__gram"))), estimatedGrams)

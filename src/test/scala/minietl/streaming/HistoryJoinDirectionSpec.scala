@@ -167,9 +167,13 @@ class HistoryJoinDirectionSpec extends AnyFunSuite with SparkTestBase {
     // final adaptive plan (see the exact-loop test for why)
     import minietl.dedup.Dedup
     val doc1 = (1 to 20).map(w => s"tok1$w").mkString(" ")
+    // same family as the loop's ONE signature base (r18: the digest bands
+    // now come off the shared native shingle-hash base, not a second
+    // string-hash signature pass)
     val doc1Bands = Seq(doc1).toDF("text")
       .select(explode(Dedup.lshBandKeys(
-        Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 128), 32, 128)).as("bk"))
+        Dedup.minhashFromHashes(
+          Dedup.shingleHashesSorted(col("text"), 3), 128), 32, 128)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"))
     spark.range(400000)
       .select(pmod(col("id"), lit(32)).cast("int").as("band"),

@@ -365,8 +365,10 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
     val base = words("omega", 16)
     val (k, bands) = (16, 8) // few lanes → coarse estimator (±1/16 steps)
+    // the loop's own signature family (r18: one native shingle-hash base
+    // feeds within-batch dedup AND the digest payloads)
     def sigOf(c: org.apache.spark.sql.Column) =
-      Dedup.minhashSignature(Dedup.shingles(c, 3), k)
+      Dedup.minhashFromHashes(Dedup.shingleHashesSorted(c, 3), k)
     // deterministic search (fixed hash seeds): a candidate that (a) shares
     // ≥1 band with base, so both verified modes NOMINATE it, and (b) whose
     // k-lane estimate OVERSHOOTS its true Jaccard by ≥ 0.1 — the window

@@ -11,10 +11,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * contaminated r12 run, which used to live at BENCH_full_latest.json until
   * the driver's next bench run rewrote it and silently flipped the
   * assertion) or a round-stamped BENCH_full_rNN_runK.json the driver never
-  * touches again. BENCH_baseline_clean.json is the one deliberate
-  * exception: it is the band input the PRODUCTION check reads, refreshed
-  * each round by hand, and the suspect/clean replays below are exactly the
-  * re-calibration that refresh must keep passing.
+  * touches again.
+  *
+  * BASELINE discipline (r18): the HISTORICAL replays (r12/r15 artifacts)
+  * are calibrated against a FROZEN contemporaneous baseline
+  * (src/test/resources/baseline_r17_frozen.json). They cannot run against
+  * the live BENCH_baseline_clean.json: the live file tracks the CURRENT
+  * tree's speed, and after a round that genuinely accelerates the battery
+  * (r18: ~1.3x), runs from older, slower trees legitimately flag as
+  * suspect under the new bands — which is the check working, not a
+  * mis-calibration. The live file keeps two self-maintaining assertions:
+  * its own recorded source_runs must replay clean under it (the
+  * re-calibration every refresh must keep passing), and every registered
+  * query must have a band.
   */
 class RunValiditySpec extends AnyFunSuite {
 
@@ -25,13 +34,37 @@ class RunValiditySpec extends AnyFunSuite {
   }
 
   private val baseline = load("BENCH_baseline_clean.json")
-  private val baseCold = baseline.map { case (k, v) => k -> v._1 }
-  private val baseWarm = baseline.map { case (k, v) => k -> v._2 }
 
+  private val frozen = load("src/test/resources/baseline_r17_frozen.json")
+  private val frozenCold = frozen.map { case (k, v) => k -> v._1 }
+  private val frozenWarm = frozen.map { case (k, v) => k -> v._2 }
+
+  /** Replay a round-stamped artifact against the FROZEN r17 baseline —
+    * the calibration contemporaneous with the historical fixtures below.
+    */
   private def verdictOf(file: String): RunValidity.Verdict = {
     val run = load(file)
     RunValidity.assess(run.map { case (k, v) => k -> v._1 },
-      run.map { case (k, v) => k -> v._2 }, baseCold, baseWarm)
+      run.map { case (k, v) => k -> v._2 }, frozenCold, frozenWarm)
+  }
+
+  test("the live baseline's own source runs replay clean under it") {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_baseline_clean.json")), "UTF-8")
+    val sources = """"source_runs"\s*:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(text)
+      .map(m => """"([^"]+)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
+    assert(sources.nonEmpty, "live baseline carries no source_runs provenance")
+    val baseCold = baseline.map { case (k, v) => k -> v._1 }
+    val baseWarm = baseline.map { case (k, v) => k -> v._2 }
+    val noisy = RunValidity.loadNoisy("BENCH_baseline_clean.json")
+    for (f <- sources) {
+      val run = load(f)
+      val v = RunValidity.assess(run.map { case (k, v) => k -> v._1 },
+        run.map { case (k, v) => k -> v._2 }, baseCold, baseWarm, noisy = noisy)
+      assert(!v.suspect, s"$f flagged under its own baseline: ${v.reasons.mkString("; ")}")
+    }
   }
 
   test("the contaminated r12 driver run (busy COLD pass, ratio 0.44) is suspect") {
